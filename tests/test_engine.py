@@ -1,0 +1,142 @@
+"""End-to-end: CDC fixture → decode → SQL transform → materialized view.
+
+Mirrors the reference README walkthrough (README.md:20-117): the events
+table plays the source, ``events_view1`` is the retyping projection view
+(≙ mat_view1) and ``events_view2`` the passthrough with a different PK
+(≙ mat_view2).  The final view contents are compared against a sequential
+per-key apply oracle computed from the raw envelopes.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.engine import CdcBatchEngine
+from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+from ydb_cdc_processor_spark.sources import cdc_json
+from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cdc") / "events_cdc")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, out, n_partitions=4)
+    assert n > 0
+    return out
+
+
+def _sequential_oracle(fixture_dir):
+    """Replay envelopes per partition in offset order (the reference's
+    single-threaded per-partition writer, YqlWriter.java:117-120) and
+    return the surviving key set."""
+    state = {}
+    for fn in sorted(os.listdir(fixture_dir)):
+        with open(os.path.join(fixture_dir, fn)) as f:
+            for line in f:
+                rec = json.loads(line)
+                try:
+                    env = json.loads(rec["value"])
+                except json.JSONDecodeError:
+                    continue
+                key = env.get("key")
+                if not isinstance(key, list):
+                    continue
+                k = key[0]
+                if "erase" in env:
+                    state.pop(k, None)
+                elif "update" in env or "newImage" in env:
+                    payload = env.get("update") or env.get("newImage") or {}
+                    state[k] = payload
+                # else: malformed, skipped
+    return state
+
+
+def test_events_view1_end_to_end(spark, sf_dir, fixture_dir, tmp_path):
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="events_view1",
+        source_schema=schema,
+        pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        # ≙ the README v1 transform (README.md:93-100): projection + retype
+        update_sql="""
+            SELECT event_id, ts, user_id, event_type, value
+            FROM rows
+        """,
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT,
+    )
+    # events.ts is timestamp in the source but TEXT on the CDC wire; the
+    # declared member retypes it — validation must compare against source.
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "events_view1"))
+    raw = cdc_json.read_cdc_batch(spark, fixture_dir)
+    stats = eng.apply_raw_batch(raw)
+    assert stats.malformed == 3
+
+    view = eng.read_view()
+    oracle = _sequential_oracle(fixture_dir)
+    assert view.count() == len(oracle)
+    # spot-check values incl. the null-optionals edge rows
+    got = {r.event_id: r for r in view.collect()}
+    assert set(got) == {int(k) for k in oracle}
+    for k, payload in list(oracle.items())[:50]:
+        r = got[int(k)]
+        assert r.user_id == payload["user_id"]
+        assert (r.value is None) == (payload.get("value") is None)
+
+    # replay the same batch: idempotence (at-least-once ⇒ same final state)
+    eng.apply_raw_batch(raw)
+    assert eng.read_view().count() == len(oracle)
+
+
+def test_events_view2_different_pk(spark, sf_dir, fixture_dir, tmp_path):
+    # ≙ mat_view2 (README.md:47-56,114): SELECT * with PK (user_id, event_id)
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="events_view2", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT * FROM rows",
+        delete_sql="SELECT event_id FROM rows",
+        target_keys=["event_id"],
+        action_mode=ActionMode.DIRECT,
+    )
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "events_view2"))
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture_dir))
+    view = eng.read_view()
+    oracle = _sequential_oracle(fixture_dir)
+    assert view.count() == len(oracle)
+    assert set(view.columns) == set(cdc_json.EVENTS_MEMBERS)
+
+
+def test_validation_rejects_bad_pipelines(spark, sf_dir):
+    from ydb_cdc_processor_spark.plans.pipeline import PipelineValidationError
+    schema, pk = describe_table(spark, sf_dir, "events")
+    # unknown column (≙ CdcMsgParser.java:200-207)
+    with pytest.raises(PipelineValidationError, match="unknown column"):
+        CdcPipeline(name="x", source_schema=schema, pk=pk,
+                    members={"event_id": "Int64", "nope": "Text"},
+                    update_sql="SELECT * FROM rows").validate(spark)
+    # wrong type (≙ CdcMsgParser.java:208-214)
+    with pytest.raises(PipelineValidationError, match="wrong type"):
+        CdcPipeline(name="x", source_schema=schema, pk=pk,
+                    members={"event_id": "Int32"},
+                    update_sql="SELECT * FROM rows").validate(spark)
+    # delete query touching non-PK columns (≙ CdcMsgParser.java:216-221)
+    with pytest.raises(PipelineValidationError, match="non-primary-key"):
+        CdcPipeline(name="x", source_schema=schema, pk=pk,
+                    members={"event_id": "Int64", "user_id": "Int64"},
+                    delete_sql="SELECT event_id, user_id FROM rows",
+                    delete_members={"event_id": "Int64", "user_id": "Int64"},
+                    ).validate(spark)
+    # SQL analysis error (≙ prepareDataQuery failure, YdbService.java:137-146)
+    with pytest.raises(PipelineValidationError, match="Can't parse query"):
+        CdcPipeline(name="x", source_schema=schema, pk=pk,
+                    members={"event_id": "Int64"},
+                    update_sql="SELECT no_such_col FROM rows").validate(spark)
+    # soft mode collects warnings instead (Application.java:95-97)
+    p = CdcPipeline(name="x", source_schema=schema, pk=pk,
+                    members={"event_id": "Int32"},
+                    update_sql="SELECT * FROM rows").validate_warn(spark)
+    assert p.warnings

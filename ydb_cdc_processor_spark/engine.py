@@ -1,0 +1,154 @@
+"""Batch-apply engine — transformation + sinks (T1-T3, K1-K5, SURVEY.md §2).
+
+The hot loop of the reference (YqlWriter.run, YqlWriter.java:163-215) is:
+poll message → parse/route → typed append → on batch-full or kind-switch,
+bind the batch as ``$rows`` and execute the user YQL (YqlQuery.java:185-196)
+— with the relational work done by the YDB server.  Here a micro-batch is a
+DataFrame; the user transformation is Spark SQL over a temp view ``rows``
+(≙ ``AS_TABLE($rows)``), Catalyst plays the server's optimizer, and the
+sink is the keyed merge writer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators import decode
+from ydb_cdc_processor_spark.operators.last_wins import (
+    collapse_last_wins, split_upsert_delete)
+from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
+from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+
+ROWS_VIEW = "rows"
+
+
+@dataclass
+class BatchStats:
+    """O1/O2 analogue of the writer's self-measurement
+    (YqlWriter.java:217-231, 36-37)."""
+
+    upserted: int = 0
+    deleted: int = 0
+    skipped: int = 0
+    malformed: int = 0
+    details: dict = field(default_factory=dict)
+
+
+def run_transform(spark: SparkSession, batch_df: DataFrame, sql: str,
+                  view: str = ROWS_VIEW) -> DataFrame:
+    """T1 — parameterized SQL execution: bind the micro-batch as the
+    ``rows`` view and run the user query (YqlQuery.java:185-196).
+
+    The reference binds ``$rows`` as a ``List<Struct>`` parameter to a
+    server-prepared statement; re-analysis of a temp-view query is the
+    Spark equivalent (plan analysis is microseconds; the physical plan is
+    re-optimized per batch, which the reference cannot do at all)."""
+    batch_df.createOrReplaceTempView(view)
+    return spark.sql(sql)
+
+
+def two_phase(spark: SparkSession, batch_df: DataFrame, select_sql: str,
+              view_cls: type = ParquetMaterializedView, *,
+              target_path: str, keys: list[str],
+              action: str = "upsertInto") -> DataFrame:
+    """T2 — two-phase read-then-act (YqlQuery.java:198-247).
+
+    Phase 1: run the user SELECT over the batch (reference: SNAPSHOT_RO
+    read, YdbService.java:176-190).  Phase 2: the reference infers the
+    result-set schema and SYNTHESIZES a new typed statement
+    (YqlQuery.java:217-235); in Spark ``result.schema`` is free and the
+    action is a direct merge of the result DataFrame — no text synthesis.
+    Returns the phase-1 result (also written to the target)."""
+    result = run_transform(spark, batch_df, select_sql)
+    mv = view_cls(spark, target_path, keys, schema=result.schema)
+    mv.apply(result, action=action)
+    return result
+
+
+def skip_messages(df: DataFrame, reason: str,
+                  stats: BatchStats | None = None) -> DataFrame:
+    """T3 — the skip operator (YqlQuery.java:168-183): when a kind has no
+    configured query, count and drop its messages (offsets still commit).
+    Uses ``observe`` so the count rides the job that processes the rest of
+    the batch — no extra action at scale."""
+    if stats is not None:
+        stats.details[f"skipped:{reason}"] = df.count()
+        stats.skipped += stats.details[f"skipped:{reason}"]
+    return df.limit(0)
+
+
+class CdcBatchEngine:
+    """Applies decoded CDC micro-batches to a materialized view.
+
+    One instance per pipeline (≙ one ``<cdc>``/YqlWriter pair,
+    Application.java:99-100)."""
+
+    def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
+                 target_path: str):
+        self.spark = spark
+        self.p = pipeline
+        self.target_path = target_path
+        self._mv: ParquetMaterializedView | None = None
+
+    # -- target plumbing ----------------------------------------------------
+
+    def _target(self, schema) -> ParquetMaterializedView:
+        if self._mv is None:
+            keys = self.p.target_keys or self.p.pk
+            self._mv = ParquetMaterializedView(
+                self.spark, self.target_path, keys, schema=schema)
+        return self._mv
+
+    def read_view(self) -> DataFrame:
+        assert self._mv is not None, "no batch applied yet"
+        return self._mv.read()
+
+    # -- the batch apply path ----------------------------------------------
+
+    def apply_raw_batch(self, raw_df: DataFrame, raw_col: str = "value",
+                        order_col: str = "_offset") -> BatchStats:
+        """raw JSON lines (+ per-partition ``order_col``) → decode → per-key
+        last-wins → route U/D → transform → merge.  This is the reference's
+        whole writer loop (YqlWriter.java:163-215) as one declarative plan.
+        """
+        stats = BatchStats()
+        env = decode.decode_envelope(raw_df, raw_col=raw_col)
+        malformed = env.where(F.col("op") == decode.OP_MALFORMED)
+        stats.malformed = malformed.count()
+
+        typed = decode.merge_key_columns(
+            env.where(F.col("op") != decode.OP_MALFORMED),
+            self.p.members, self.p.pk, keep=["op", order_col])
+        # B2/B4: final state per key inside the batch.
+        typed = collapse_last_wins(typed, self.p.pk, order_col=order_col)
+        ups, dels = split_upsert_delete(typed)
+        ups = ups.drop(order_col)
+        dels = dels.drop(order_col)
+        self._apply_upserts(ups, stats)
+        self._apply_deletes(dels, stats)
+        return stats
+
+    def _apply_upserts(self, ups: DataFrame, stats: BatchStats) -> None:
+        if self.p.update_sql is None:
+            skip_messages(ups, "update query not configured", stats)
+            return
+        result = run_transform(self.spark, ups, self.p.update_sql)
+        stats.upserted = result.count()
+        if self.p.action_mode is ActionMode.DIRECT:
+            # K5: the inline body's SELECT result IS the upsert payload
+            # (README.md:93-100 — `$q = SELECT …; UPSERT INTO … SELECT * FROM $q`).
+            self._target(result.schema).apply(result, action="upsertInto")
+        else:
+            self._target(result.schema).apply(result,
+                                              action=self.p.action_mode.value)
+
+    def _apply_deletes(self, dels: DataFrame, stats: BatchStats) -> None:
+        if self.p.delete_sql is None:
+            skip_messages(dels, "delete query not configured", stats)
+            return
+        key_rows = run_transform(self.spark, dels, self.p.delete_sql)
+        stats.deleted = key_rows.count()
+        self._target(key_rows.schema).apply(key_rows, action="deleteFrom")

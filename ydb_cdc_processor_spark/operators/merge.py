@@ -1,0 +1,160 @@
+"""Keyed MERGE semantics — the four sink action modes (K1-K4, SURVEY.md §2).
+
+The reference expresses its sinks as YQL statement prefixes executed by the
+YDB server: ``UPSERT INTO t``, ``DELETE FROM t ON``, ``UPDATE t ON``,
+``INSERT INTO t`` (CdcMsgParser.java:225-249).  Plain parquet has no ACID
+MERGE, so we provide:
+
+1. Pure DataFrame **merge semantics** (this module) — each action mode as a
+   join-rewrite on (target, delta).  These are the testable, oracle-checkable
+   relational definitions, and they are exactly what Delta/Iceberg MERGE
+   compiles to underneath.
+2. A path-backed :class:`ParquetMaterializedView` — read-modify-write with
+   atomic directory swap.  The interface is Delta-swappable: on a real
+   deployment you'd point the same pipeline at a Delta/Iceberg table and get
+   file-level MERGE instead of full rewrite.
+
+Scale notes (100 TB):
+- Every mode is a single equi-join on the PK — shuffle-on-key both sides, or
+  broadcast when the delta (a micro-batch, default 1000 rows,
+  XmlConfig.java:18) is small, which it essentially always is.  We broadcast
+  the delta side explicitly.
+- ``left_anti`` + ``unionByName`` avoids a full-outer join; the union does
+  not shuffle.
+- A real deployment partitions the target table by a PK prefix so the
+  rewrite touches only affected partitions (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StrictInsertError(Exception):
+    """K4 ``insertInto`` collision: the reference's INSERT fails server-side
+    on duplicate PK; we detect and raise (CdcMsgParser.java:240-243)."""
+
+
+def _dedup_delta(delta: DataFrame, keys: list[str],
+                 order_col: str | None) -> DataFrame:
+    if order_col and order_col in delta.columns:
+        from ydb_cdc_processor_spark.operators.last_wins import collapse_last_wins
+        return collapse_last_wins(delta, keys, order_col).drop(order_col)
+    return delta.dropDuplicates(keys)
+
+
+def merge_upsert(target: DataFrame, delta: DataFrame, keys: list[str],
+                 order_col: str | None = None) -> DataFrame:
+    """K1 ``upsertInto`` (CdcMsgParser.java:228-231): matched → replace row,
+    not matched → insert.  target ⟕anti delta  ∪  delta."""
+    delta = _dedup_delta(delta, keys, order_col).select(*target.columns)
+    kept = target.join(F.broadcast(delta.select(*keys)), on=keys, how="left_anti")
+    return kept.unionByName(delta)
+
+
+def merge_delete(target: DataFrame, delete_keys: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """K2 ``deleteFrom`` (CdcMsgParser.java:232-235): delete rows whose PK
+    appears in the delete set — an anti-join."""
+    return target.join(F.broadcast(delete_keys.select(*keys).dropDuplicates(keys)),
+                       on=keys, how="left_anti")
+
+
+def merge_update(target: DataFrame, delta: DataFrame, keys: list[str],
+                 order_col: str | None = None) -> DataFrame:
+    """K3 ``updateOn`` (CdcMsgParser.java:236-239): matched → replace row,
+    NOT matched → ignore (delta rows without an existing PK are dropped)."""
+    delta = _dedup_delta(delta, keys, order_col).select(*target.columns)
+    matched = delta.join(target.select(*keys), on=keys, how="left_semi")
+    kept = target.join(F.broadcast(delta.select(*keys)), on=keys, how="left_anti")
+    return kept.unionByName(matched)
+
+
+def merge_insert(target: DataFrame, delta: DataFrame, keys: list[str],
+                 strict: bool = False) -> DataFrame:
+    """K4 ``insertInto`` (CdcMsgParser.java:240-243): strict append.
+
+    ``strict=True`` reproduces the server-side PK-violation failure by
+    raising on collision; ``strict=False`` appends only non-colliding rows
+    (documented deviation — the reference would fail the whole batch and
+    retry forever, YqlWriter.java:244-262)."""
+    delta = delta.select(*target.columns)
+    if strict:
+        n = delta.join(target.select(*keys), on=keys, how="left_semi").count()
+        if n:
+            raise StrictInsertError(f"{n} rows collide with existing primary keys")
+        return target.unionByName(delta)
+    fresh = delta.join(target.select(*keys), on=keys, how="left_anti")
+    return target.unionByName(fresh)
+
+
+MERGE_FNS = {
+    "upsertInto": merge_upsert,
+    "deleteFrom": merge_delete,
+    "updateOn": merge_update,
+    "insertInto": merge_insert,
+}
+
+
+class ParquetMaterializedView:
+    """A keyed materialized view persisted as a parquet directory.
+
+    The reference's target is an ordinary YDB row table maintained by
+    UPSERT/DELETE (README.md:37-56).  Here: read → merge (join-rewrite
+    above) → write to a fresh directory → atomic swap.  Re-applying the
+    same delta is idempotent for upsert/delete/update — that, plus
+    checkpointed offsets, reproduces the reference's effectively-exactly-
+    once delivery (YqlWriter.java:181-206).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str],
+                 schema=None):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        self.schema = schema
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            if self.schema is None:
+                raise FileNotFoundError(self.path)
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Write ``df`` then atomically swap it into place.
+
+        The swap (write-to-temp + rename) keeps readers consistent: they see
+        either the old or the new complete view, never a partial write."""
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = os.path.join(parent, f".{os.path.basename(self.path)}.tmp-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        old = None
+        if os.path.exists(self.path):
+            old = tempfile.mkdtemp(dir=parent)
+            os.rename(self.path, os.path.join(old, "old"))
+        os.rename(tmp, self.path)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def apply(self, delta: DataFrame, action: str = "upsertInto",
+              order_col: str | None = None) -> None:
+        target = self.read()
+        if action == "deleteFrom":
+            merged = merge_delete(target, delta, self.keys)
+        elif action == "insertInto":
+            merged = merge_insert(target, delta, self.keys)
+        else:
+            merged = MERGE_FNS[action](target, delta, self.keys, order_col)
+        # Materialize BEFORE the swap: ``merged`` lazily reads the old files.
+        merged = merged.localCheckpoint(eager=True)
+        self.overwrite(merged)

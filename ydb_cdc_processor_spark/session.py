@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults chosen for scale-out behavior (AQE, skew handling, broadcast
+threshold) while remaining correct on local[*]:
+
+- UTC session timezone: the reference decodes all instants in UTC
+  (YqlQuery.java:146-152 uses ``ZoneOffset.UTC``); pinning the session zone
+  makes ``to_timestamp``/``to_date`` deterministic regardless of host tz.
+- AQE on (runtime coalescing + skew-join splitting) — at 100 TB the static
+  shuffle partition count is always wrong for some stage; AQE re-plans.
+- Arrow enabled for the few Pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ydb-cdc-processor-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long ns, converted in sources.catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
