@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC pipeline end-to-end (fixture → decode →
+SQL transform → keyed merge view) at sf0.001; ``queries``/``oracle_sql``
+expose the full operator registry (one entry per SURVEY.md §2 operator,
+mapping in FIXTURES.md §C, plus the M4 LLM-pipeline operators) for the
+DuckDB correctness harness.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: maintain the README-v1 materialized view from a CDC
+    changefeed of the ``events`` table (SURVEY.md §0's full data path) and
+    return the resulting view."""
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    fixture = os.path.join(work, "events_cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    pipeline = CdcPipeline(
+        name="events_view1",
+        source_schema=schema,
+        pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="""
+            SELECT event_id, ts, user_id, event_type, value
+            FROM rows
+        """,
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT,
+    ).validate(spark)
+
+    eng = CdcBatchEngine(spark, pipeline, os.path.join(work, "events_view1"))
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    return eng.read_view()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ydb_cdc_processor_spark.registry import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ydb_cdc_processor_spark.registry import ORACLES
+    return dict(ORACLES)

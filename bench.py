@@ -1,0 +1,94 @@
+"""Headline benchmark — run per-round by the driver at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no driver collect).  ``cdc_apply`` measures the flagship CDC path:
+envelope decode → per-key last-wins → SQL transform → keyed merge into a
+parquet materialized view, over a changefeed replay of the whole events
+table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_batch_agg", "q_join_enrich", "q_two_phase",
+    "q_upsert_semantics", "q_delete_anti", "q_update_on",
+    "q_last_wins", "q_project_retype", "q_key_merge",
+    "q_dedup_exact", "q_text_stats", "q_token_count", "q_fingerprint",
+    "q_quality_score", "q_lang_id",
+    "q_similarity_topk", "q_dedup_minhash", "q_similarity_lsh",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from ydb_cdc_processor_spark.session import get_spark
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    spark = get_spark("ydb-cdc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT/codegen + file listing, not counted
+    QUERIES["q_project_retype"](spark, SF_DIR).limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship CDC engine throughput: replay events as a changefeed
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    fixture = os.path.join(work, "events_cdc")
+    cdc_json.write_events_cdc_fixture_distributed(spark, SF_DIR, fixture)
+    schema, pk = describe_table(spark, SF_DIR, "events")
+    pipe = CdcPipeline(
+        name="bench_view", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value FROM rows",
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT)
+    eng = CdcBatchEngine(spark, pipe, os.path.join(work, "view"))
+    raw = cdc_json.read_cdc_batch(spark, fixture)
+    t0 = time.perf_counter()
+    eng.apply_raw_batch(raw)
+    timings["cdc_apply"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+    print(json.dumps({
+        "metric": "headline query set total wall time",
+        "value": total, "unit": "sec",
+        "queries": timings, "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Local replica of the driver's DuckDB-oracle harness: for every
+registry entry with an oracle, compare row count, column names, and an
+order-insensitive value hash (floats rounded to 6 significant-ish digits,
+timestamps at ms precision — mirroring FIXTURES.md §C notes)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ydb_cdc_processor_spark.registry import ORACLES, QUERIES
+from ydb_cdc_processor_spark.sources.catalog import TPCH_TABLES
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.floor("ms").astype("datetime64[ms]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.map(lambda v: "nan" if v is None or (isinstance(v, float) and math.isnan(v))
+                          else f"{v:.6g}")
+        else:
+            df[c] = s.astype(str)
+    return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    got = QUERIES[name](spark, sf_dir).toPandas()
+    exp = ddb.execute(ORACLES[name]).df()
+    assert len(got) == len(exp), f"{name}: rowcount {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    cg, ce = _canon(got), _canon(exp)
+    mism = [i for i, (a, b) in enumerate(zip(cg, ce)) if a != b][:5]
+    assert cg == ce, f"{name}: first value mismatches at {mism}: " \
+                     f"{[(cg[i], ce[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema is not None

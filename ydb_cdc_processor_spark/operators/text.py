@@ -1,0 +1,108 @@
+"""Text analysis operators (SURVEY.md §7 M4 — beyond-reference scope).
+
+All pure Catalyst expressions over the ``documents`` table: language-ID
+(stopword n-gram heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and rolling-hash
+document fingerprinting.  No Python per row — these run inside
+whole-stage codegen and scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "es": ["el", "la", "los", "es"],
+    "fr": ["le", "la", "les", "est"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count: #single-spaces + 1 on the trimmed text.
+    Expressed with length/replace (not regex split) so the same ANSI SQL
+    runs identically on any engine — see oracle_sql()."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish sub-word proxy: count of word/number/punct chunks via regex.
+    Heavier than token_count; used for quality scoring."""
+    return F.size(F.filter(
+        F.split(text, r"(?<=\W)|(?=\W)"),
+        lambda s: F.trim(s) != "",
+    )).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return ((F.length(text) - F.length(stripped)) /
+            F.greatest(F.length(text), F.lit(1))).cast("double")
+
+
+def marker_hits(text: Column, words: list[str]) -> Column:
+    """Count occurrences of any marker word, space-delimited."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for wrd in words:
+        needle = f" {wrd} "
+        occ = ((F.length(padded) -
+                F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+               / F.lit(len(needle))).cast("long")
+        total = total + occ
+    return total
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-hit counts; 'und' if none."""
+    best = F.lit("und")
+    best_n = F.lit(0).cast("long")
+    for code, words in LANG_MARKERS.items():
+        n = marker_hits(text, words)
+        cond = n > best_n
+        best = F.when(cond, F.lit(code)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + low punct + stopword presence.
+    Mirrors the shape of C4/Gopher-style filters (public recipes)."""
+    n = F.length(text)
+    len_score = F.when((n >= 100) & (n <= 20000), F.lit(1.0)) \
+                 .when(n >= 20, F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(marker_hits(text, LANG_MARKERS["en"]) > 0, F.lit(1.0)) \
+               .otherwise(F.lit(0.5))
+    return ((len_score + punct_ok + stop_ok) / F.lit(3.0)).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint — stable across engines.
+
+    md5 of the whitespace-normalized lowercase text: the cross-engine
+    analogue of a rolling content hash (md5 is available verbatim in
+    Spark, DuckDB, Trino, ...)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document feature frame used by the quality/stat queries."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        F.length(t).alias("n_len"),
+        token_count(t).alias("n_tokens"),
+        punct_ratio(t).alias("r_punct"),
+        quality_score(t).alias("q_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

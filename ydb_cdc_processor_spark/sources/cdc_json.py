@@ -142,6 +142,34 @@ def write_events_cdc_fixture(spark: SparkSession, sf_dir: str, out_dir: str,
     return well_formed
 
 
+def write_events_cdc_fixture_distributed(spark: SparkSession, sf_dir: str,
+                                         out_dir: str,
+                                         n_partitions: int = 32) -> None:
+    """Scale-path fixture writer: builds envelopes WITH SPARK (``to_json``
+    projection, no driver loop) — this is how a real deployment would
+    replay a table into a changefeed at 100 TB.  No edge-case rows; use
+    :func:`write_events_cdc_fixture` for those."""
+    from pyspark.sql import Window
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+    ev = load_table(spark, sf_dir, "events")
+    part = (F.col("event_id") % n_partitions).cast("int")
+    w = Window.partitionBy("_partition").orderBy("event_id")
+    (ev.select(
+        F.col("event_id"),
+        F.to_json(F.struct(
+            F.array(F.col("event_id").cast("string")).alias("key"),
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+                F.col("user_id"), F.col("event_type"), F.col("value"),
+                F.col("props")).alias("update"),
+        )).alias("value"),
+        part.alias("_partition"))
+     .withColumn("_offset", F.row_number().over(w).cast("long"))
+     .drop("event_id")
+     .repartition(n_partitions, "_partition")
+     .write.mode("overwrite").json(out_dir))
+
+
 EVENTS_MEMBERS: dict[str, str] = {
     # Declared batch struct for events_cdc (FIXTURES.md §B.1) — the analogue
     # of DECLARE $rows (README.md:81-89).  ts arrives as ISO text.
