@@ -115,20 +115,32 @@ class CdcBatchEngine:
         whole writer loop (YqlWriter.java:163-215) as one declarative plan.
         """
         stats = BatchStats()
-        env = decode.decode_envelope(raw_df, raw_col=raw_col)
-        malformed = env.where(F.col("op") == decode.OP_MALFORMED)
-        stats.malformed = malformed.count()
+        # The micro-batch feeds several jobs (counts, U-merge, D-merge);
+        # cache the decoded envelope and the collapsed typed rows so JSON
+        # parse + the last-wins window shuffle run ONCE per batch, not once
+        # per downstream action.  Micro-batches are bounded (B1), so the
+        # cache is executor-memory-safe by construction.
+        env = decode.decode_envelope(raw_df, raw_col=raw_col).persist()
+        typed = None
+        try:
+            malformed = env.where(F.col("op") == decode.OP_MALFORMED)
+            stats.malformed = malformed.count()
 
-        typed = decode.merge_key_columns(
-            env.where(F.col("op") != decode.OP_MALFORMED),
-            self.p.members, self.p.pk, keep=["op", order_col])
-        # B2/B4: final state per key inside the batch.
-        typed = collapse_last_wins(typed, self.p.pk, order_col=order_col)
-        ups, dels = split_upsert_delete(typed)
-        ups = ups.drop(order_col)
-        dels = dels.drop(order_col)
-        self._apply_upserts(ups, stats)
-        self._apply_deletes(dels, stats)
+            typed = decode.merge_key_columns(
+                env.where(F.col("op") != decode.OP_MALFORMED),
+                self.p.members, self.p.pk, keep=["op", order_col])
+            # B2/B4: final state per key inside the batch.
+            typed = collapse_last_wins(typed, self.p.pk,
+                                       order_col=order_col).persist()
+            ups, dels = split_upsert_delete(typed)
+            ups = ups.drop(order_col)
+            dels = dels.drop(order_col)
+            self._apply_upserts(ups, stats)
+            self._apply_deletes(dels, stats)
+        finally:
+            env.unpersist()
+            if typed is not None:
+                typed.unpersist()
         return stats
 
     def _apply_upserts(self, ups: DataFrame, stats: BatchStats) -> None:

@@ -8,18 +8,29 @@ for 100 TB:
   the keyed variant of the same plan — operators/last_wins.py.)
 - **MinHash + LSH**: shingle → k minhashes → band buckets → bucket
   equi-join.  Only same-band-bucket pairs are compared, so the candidate
-  set is linear-ish in corpus size instead of quadratic.  Hashes are
-  xxhash64 with seeded salts — deterministic, no Python.
+  set is linear-ish in corpus size instead of quadratic.
 - **SimHash**: 64-bit sign-aggregated token hash; near-dups differ in few
   bits.  Bucketed by the top bits for candidate generation.
 - **N-gram Jaccard**: exact verification on candidate pairs (the
   re-rank step after LSH).
+
+Physical shape (the part that matters at scale): signatures are computed
+as ``explode(shingles) → hash-aggregate`` with ``min``/``sum`` combiners,
+NOT as higher-order array expressions.  Higher-order functions
+(transform/filter/aggregate) evaluate *interpreted* outside whole-stage
+codegen; k passes over the shingle array re-inline the shingle expression
+k times.  The explode form computes shingles ONCE per row and runs the k
+hash/min (or 64 bit-sum) updates inside codegen'd partial aggregation —
+map-side combine collapses to one row per doc before the shuffle, so the
+exchange carries |docs| rows, not |shingles|.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
 
 
 def normalize_text(text: Column) -> Column:
@@ -47,13 +58,27 @@ def shingles(text: Column, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
 
 
-def minhash_signature(sh: Column, k: int = 16) -> Column:
-    """k-permutation MinHash via k salted xxhash64 passes — an array<long>
-    signature.  All JVM-side."""
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(k)
-    ])
+def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str,
+                       n_shingle: int) -> DataFrame:
+    """(doc, _s) — one row per shingle; ``_s`` null for empty docs
+    (explode_outer) so every doc keeps a signature row downstream."""
+    return ensure_min_partitions(docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col))) \
+        .select("doc",
+                F.explode_outer(shingles(F.col(text_col), n_shingle))
+                 .alias("_s"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_shingle: int = 3,
+                       k: int = 16) -> DataFrame:
+    """(doc, mh0..mh{k-1}) — k-permutation MinHash via k salted xxhash64
+    min-aggregates over exploded shingles (all codegen, map-side
+    combined; the shuffle carries one row per doc)."""
+    ex = _exploded_shingles(docs, id_col, text_col, n_shingle)
+    return ex.groupBy("doc").agg(*[
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"mh{i}")
+        for i in range(k)])
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -68,15 +93,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
     rows_per_band = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(shingles(F.col(text_col), n_shingle), k).alias("sig"))
+    sig = minhash_signatures(docs, id_col, text_col, n_shingle, k)
     band_rows = sig.select(
         "doc",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                         ",", *[F.col(f"mh{b * rows_per_band + r}")
                                 for r in range(rows_per_band)])).alias("bucket"))
             for b in range(bands)])).alias("bb")) \
         .select("doc", "bb.band", "bb.bucket")
@@ -93,8 +116,10 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     step after LSH).  Joins are by doc id — broadcastable when the
     candidate set is small (it is, post-LSH)."""
-    sh = docs.select(F.col(id_col).alias("_id"),
-                     F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"))
+    sh = ensure_min_partitions(docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col))) \
+        .select("_id",
+                F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"))
     j = (pairs
          .join(sh.withColumnRenamed("_id", "doc_a")
                  .withColumnRenamed("_sh", "sh_a"), on="doc_a")
@@ -107,24 +132,32 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"))
 
 
-def simhash64(text: Column, n_shingle: int = 2) -> Column:
-    """64-bit SimHash over word shingles: per-bit majority vote of shingle
-    hashes, expressed as 64 aggregate-free bit sums via transform+filter.
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_shingle: int = 2) -> DataFrame:
+    """(doc, simhash) — 64-bit SimHash: per-bit majority vote of shingle
+    hashes as 64 codegen'd ±1 sum-aggregates over exploded shingles.
 
-    Near-duplicate documents have small Hamming distance between
-    signatures."""
-    sh = shingles(text, n_shingle)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_cols = []
+    Bit b is set when at least half the shingle hashes have bit b set
+    (ties → set, matching the classic formulation); docs with no shingles
+    get all-bits-set (vacuous majority), keeping them in one bucket
+    together.  Near-duplicate documents have small Hamming distance."""
+    ex = _exploded_shingles(docs, id_col, text_col, n_shingle) \
+        .withColumn("_h", F.xxhash64("_s"))
+    # ±1 vote per shingle per bit; null shingle (empty doc) votes 0 so the
+    # sum is 0 → majority-true for every bit, matching ones*2 >= size.
+    votes = [
+        F.sum(F.when(F.col("_s").isNull(), F.lit(0))
+               .when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+               .otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(64)]
+    agg = ex.groupBy("doc").agg(*votes)
+    total = None
     for b in range(64):
-        ones = F.size(F.filter(
-            hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
-        bit = F.when(ones * 2 >= F.size(hashes), F.lit(1)).otherwise(F.lit(0))
-        bit_cols.append(bit.cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1)).otherwise(F.lit(0)) \
+               .cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))
+        total = bit if total is None else total + bit
+    return agg.select("doc", total.alias("simhash"))
 
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id",
@@ -133,7 +166,6 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     """Bucket docs by the top ``prefix_bits`` of their SimHash — candidate
     near-dup groups come from shared buckets (multi-probe/rotation tables
     extend recall; one table here)."""
-    sig = docs.select(F.col(id_col).alias("doc"),
-                      simhash64(F.col(text_col)).alias("simhash"))
+    sig = simhash_signatures(docs, id_col, text_col)
     return sig.withColumn(
         "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))

@@ -15,6 +15,11 @@ Scale design (100 TB of embeddings):
   equi-join on bucket id, which Spark shuffles hash-partitioned (or
   broadcasts the probe buckets).  Recall is tunable with (n_planes,
   n_tables).  Deterministic planes (seeded) keep results reproducible.
+
+Physical shape: vector norms are computed ONCE per row in their own
+projection (not re-derived per candidate pair), so a pair evaluation is a
+single zip_with+aggregate dot product plus one divide.  Inputs pass
+through ``ensure_min_partitions`` because the math is CPU-bound.
 """
 
 from __future__ import annotations
@@ -22,7 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ydb_cdc_processor_spark.functions.vector import as_double_array, cosine
+from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
+from ydb_cdc_processor_spark.functions.vector import as_double_array, dot, norm
+
+
+def _with_norm(df: DataFrame, id_col: str, out_id: str, vec_col: str,
+               out_vec: str, out_norm: str,
+               repartition: bool) -> DataFrame:
+    base = df.select(F.col(id_col).alias(out_id),
+                     as_double_array(vec_col).alias(out_vec))
+    if repartition:
+        base = ensure_min_partitions(base)
+    return base.withColumn(out_norm, norm(F.col(out_vec)))
 
 
 def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
@@ -36,12 +52,13 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
     similarity BEFORE ranking so results are reproducible across engines
     and partitionings (float summation order).
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      as_double_array(vec_col).alias("_v"))
-    p = probes.select(F.col(probe_id_col).alias("probe_id"),
-                      as_double_array(vec_col).alias("_p"))
-    pairs = c.crossJoin(F.broadcast(p)).where(F.col("vec_id") != F.col("probe_id"))
-    sim = cosine(F.col("_v"), F.col("_p"))
+    c = _with_norm(corpus, id_col, "vec_id", vec_col, "_v", "_nv",
+                   repartition=True)
+    p = _with_norm(probes, probe_id_col, "probe_id", vec_col, "_p", "_np",
+                   repartition=False)
+    pairs = c.crossJoin(F.broadcast(p)) \
+             .where(F.col("vec_id") != F.col("probe_id"))
+    sim = dot(F.col("_v"), F.col("_p")) / (F.col("_nv") * F.col("_np"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = pairs.select("probe_id", "vec_id", sim.alias("cos_sim"))
@@ -56,30 +73,33 @@ def srp_buckets(df: DataFrame, n_planes: int = 16, seed: int = 42,
                 dim: int | None = None) -> DataFrame:
     """Signed-random-projection bucket id per vector (deterministic).
 
-    Planes are generated from a seeded xorshift-free hash: plane p,
-    component i weight = hash-derived pseudo-random in [-1,1).  All
-    arithmetic is Catalyst expressions — no Python per row.
+    Plane p, component i weight = seeded-murmur3-hash-derived pseudo-random
+    in [-1,1).  Physical shape: ``posexplode(vec)`` → ``n_planes``
+    codegen'd partial sum-aggregates (one dot product per plane), shuffle
+    of ONE row per vector, then bucket-bit assembly in a projection.  A
+    per-plane ``element_at`` chain would instead build a dim×planes-node
+    expression tree that chokes the optimizer/codegen (dim 64 × 16 planes
+    = 1024 nested adds); the exploded form keeps the tree O(planes).
+
+    ``dim`` is accepted for interface stability but not needed.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    v = as_double_array(vec_col)
-    # weight(p,i) derived from a deterministic integer hash → [-1, 1)
-    def w(p: int, i: int) -> F.Column:
-        h = F.hash(F.lit(seed), F.lit(p), F.lit(i)).cast("double")
+    ex = df.select(F.col(id_col), as_double_array(vec_col).alias("_v")) \
+           .select(id_col, "_v", F.posexplode("_v").alias("_i", "_x"))
+
+    def w(p: int) -> F.Column:
+        h = F.hash(F.lit(seed), F.lit(p), F.col("_i")).cast("double")
         return h / F.lit(2147483648.0)
-    bits = []
+
+    dots = [F.sum(F.col("_x") * w(p)).alias(f"_d{p}")
+            for p in range(n_planes)]
+    agg = ex.groupBy(id_col).agg(F.first("_v").alias("_v"), *dots)
+    bucket = None
     for p in range(n_planes):
-        dotp = None
-        for i in range(dim):
-            term = F.element_at(v, i + 1) * w(p, i)
-            dotp = term if dotp is None else dotp + term
-        bits.append(F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0)) *
-                    F.lit(2 ** p))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.select(F.col(id_col), F.col(vec_col),
-                     bucket.cast("long").alias("bucket"))
+        bit = F.when(F.col(f"_d{p}") >= 0, F.lit(1)).otherwise(F.lit(0)) * \
+            F.lit(2 ** p)
+        bucket = bit if bucket is None else bucket + bit
+    return agg.select(F.col(id_col), F.col("_v").alias(vec_col),
+                      bucket.cast("long").alias("bucket"))
 
 
 def cosine_topk_lsh(corpus: DataFrame, probes: DataFrame, k: int = 5,
@@ -91,15 +111,20 @@ def cosine_topk_lsh(corpus: DataFrame, probes: DataFrame, k: int = 5,
     At 100 TB the equi-join on ``bucket`` replaces the cross join; recall
     trades off with n_planes (fewer planes → bigger buckets → higher
     recall, more compute)."""
-    dim = len(corpus.select(vec_col).first()[0])
-    cb = srp_buckets(corpus, n_planes, seed, id_col, vec_col, dim)
+    cb = srp_buckets(ensure_min_partitions(corpus), n_planes, seed,
+                     id_col, vec_col) \
+        .withColumn("_v", as_double_array(vec_col)) \
+        .withColumn("_nv", norm(F.col("_v")))
     pb = srp_buckets(probes.withColumnRenamed(probe_id_col, "vec_id"),
-                     n_planes, seed, "vec_id", vec_col, dim) \
+                     n_planes, seed, "vec_id", vec_col) \
         .withColumnRenamed("vec_id", "probe_id") \
-        .withColumnRenamed(vec_col, "_pvec")
+        .withColumn("_p", as_double_array(vec_col)) \
+        .withColumn("_np", norm(F.col("_p"))) \
+        .drop(vec_col)
     cand = cb.join(F.broadcast(pb), on="bucket") \
              .where(F.col("vec_id") != F.col("probe_id"))
-    sim = F.round(cosine(as_double_array(vec_col), as_double_array("_pvec")), 6)
+    sim = F.round(dot(F.col("_v"), F.col("_p")) /
+                  (F.col("_nv") * F.col("_np")), 6)
     scored = cand.select("probe_id", "vec_id", sim.alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc())

@@ -26,9 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.aggregates import dec_avg, dec_sum, long_sum
+from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
 from ydb_cdc_processor_spark.operators import dedup, merge, similarity, text
 from ydb_cdc_processor_spark.operators.last_wins import collapse_last_wins
 from ydb_cdc_processor_spark.sources.catalog import load_table
+
+
+def load_docs(spark, sf_dir):
+    """documents, repartitioned for CPU-bound text expression work (the
+    sf parquet is a single small file → one scan task otherwise)."""
+    return ensure_min_partitions(load_table(spark, sf_dir, "documents"))
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -331,7 +338,7 @@ GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content digest — one
     shuffle, map-side partial agg (operators/dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return dedup.exact_dedup_groups(docs)
 
 
@@ -350,7 +357,7 @@ def q_text_stats(spark, sf_dir):
     """Text analysis aggregate: token/length stats per language
     (operators/text.py). Integer sums are exact; avg is the deterministic
     exact-sum/count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  long_sum("n_chars", "sum_chars"),
@@ -371,7 +378,7 @@ FROM documents
 def q_token_count(spark, sf_dir):
     """Per-document token counting (whitespace tokenizer as pure column
     arithmetic — runs in codegen, no regex in the hot path)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_len"),
@@ -385,7 +392,7 @@ FROM documents
 """)
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: stable content hash of normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -424,7 +431,7 @@ FROM p GROUP BY lang, lang_pred
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (stopword-marker argmax) evaluated as a
     confusion summary against the labeled ``lang`` column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return (docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang", "lang_pred")
             .agg(F.count(F.lit(1)).alias("n")))
@@ -443,7 +450,7 @@ FROM documents
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length band + punctuation ratio + stopword
     presence (C4/Gopher-style public heuristics), [0,1]."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select("doc_id",
                        text.quality_score(F.col("text")).alias("q_score"))
 
@@ -475,7 +482,7 @@ def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs, verified with exact n-gram
     Jaccard ≥ 0.5 (shingle → minhash → band buckets → bucket equi-join →
     Jaccard re-rank; operators/dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs)
     return dedup.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
 
@@ -483,7 +490,7 @@ def q_dedup_minhash(spark, sf_dir):
 @register("q_dedup_simhash")  # no SQL oracle: xxhash64 not in DuckDB → rows-only check
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures + bucket sizes (near-dup candidate generation)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     sig = dedup.simhash_candidates(docs)
     return (sig.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
