@@ -1,0 +1,117 @@
+"""M3 — streaming engine: availableNow drain, checkpoint recovery /
+no-reprocessing, replay idempotence, retry backoff semantics (R1), and
+the /status surface (O1-O3)."""
+
+import random
+
+import pytest
+
+from ydb_cdc_processor_spark.engine import CdcBatchEngine
+from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+from ydb_cdc_processor_spark.sources import cdc_json
+from ydb_cdc_processor_spark.sources.catalog import describe_table
+from ydb_cdc_processor_spark.streaming import CdcStreamEngine, retry_forever
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cdcstream") / "events_cdc")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, out, n_partitions=4)
+    assert n > 0
+    return out
+
+
+def _pipeline(spark, sf_dir) -> CdcPipeline:
+    schema, pk = describe_table(spark, sf_dir, "events")
+    return CdcPipeline(
+        name="stream_view1",
+        source_schema=schema,
+        pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value FROM rows",
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT,
+    ).validate(spark)
+
+
+def _batch_oracle_count(spark, sf_dir, fixture_dir, tmp_path) -> int:
+    p = _pipeline(spark, sf_dir)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "batch_view"))
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture_dir))
+    return eng.read_view().count()
+
+
+def test_stream_drains_and_matches_batch(spark, sf_dir, fixture_dir, tmp_path):
+    expected = _batch_oracle_count(spark, sf_dir, fixture_dir, tmp_path)
+    p = _pipeline(spark, sf_dir)
+    se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                         str(tmp_path / "ckpt"), max_retries=2)
+    status = se.run_available(fixture_dir)
+    assert status.ok and status.batches >= 1
+    assert se.batch_engine.read_view().count() == expected
+    d = se.status_dict()
+    assert d["id"] == "stream_view1" and d["ok"] is True
+    assert d["rowsWritten"] > 0 and d["readed"] and d["writed"]
+
+
+def test_stream_checkpoint_skips_processed_files(spark, sf_dir, fixture_dir,
+                                                 tmp_path):
+    """R2 — restart with the same checkpoint reprocesses NOTHING (offsets
+    committed after success); new files are picked up."""
+    p = _pipeline(spark, sf_dir)
+    view, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+    se1 = CdcStreamEngine(spark, p, view, ckpt, max_retries=2)
+    se1.run_available(fixture_dir)
+    count1 = se1.batch_engine.read_view().count()
+
+    # restart: same checkpoint, no new files → zero new batches with rows
+    se2 = CdcStreamEngine(spark, p, view, ckpt, max_retries=2)
+    s2 = se2.run_available(fixture_dir)
+    assert s2.totals.upserted == 0 and s2.totals.deleted == 0
+    assert se2.batch_engine._target(None).read().count() == count1
+
+
+def test_stream_replay_is_idempotent(spark, sf_dir, fixture_dir, tmp_path):
+    """At-least-once + idempotent keyed merge ⇒ replaying the same data in
+    a FRESH checkpoint leaves the view unchanged (YqlWriter.java:181-206
+    semantics)."""
+    p = _pipeline(spark, sf_dir)
+    view = str(tmp_path / "view")
+    se1 = CdcStreamEngine(spark, p, view, str(tmp_path / "ckpt1"), max_retries=2)
+    se1.run_available(fixture_dir)
+    count1 = se1.batch_engine.read_view().count()
+
+    se2 = CdcStreamEngine(spark, p, view, str(tmp_path / "ckpt2"), max_retries=2)
+    se2.run_available(fixture_dir)
+    assert se2.batch_engine.read_view().count() == count1
+
+
+def test_retry_backoff_formula():
+    """delay = (25 << min(retry, 8)) + rand(delay) ms, escalating but never
+    giving up (YqlWriter.java:244-262)."""
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 10:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = retry_forever(flaky, error_threshold=3, rnd=random.Random(42),
+                        sleep=sleeps.append)
+    assert out == "ok"
+    assert len(sleeps) == 10
+    for retry, s in enumerate(sleeps, start=1):
+        base = (25 << min(retry, 8)) / 1000.0
+        assert base <= s < 2 * base  # base + uniform jitter of equal magnitude
+    # cap: retries 8, 9, 10 share the max base delay of 25·2^8 ms
+    assert sleeps[8] >= 6.4 and sleeps[9] >= 6.4
+
+
+def test_retry_max_retries_bounds_loop():
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        retry_forever(always_fails, max_retries=3, sleep=lambda _s: None)

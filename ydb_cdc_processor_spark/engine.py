@@ -45,9 +45,14 @@ def run_transform(spark: SparkSession, batch_df: DataFrame, sql: str,
     The reference binds ``$rows`` as a ``List<Struct>`` parameter to a
     server-prepared statement; re-analysis of a temp-view query is the
     Spark equivalent (plan analysis is microseconds; the physical plan is
-    re-optimized per batch, which the reference cannot do at all)."""
+    re-optimized per batch, which the reference cannot do at all).
+
+    The view is registered AND queried on ``batch_df``'s own session:
+    inside ``foreachBatch`` the micro-batch DataFrame belongs to an
+    isolated session clone, so using the engine's session would not see
+    the view."""
     batch_df.createOrReplaceTempView(view)
-    return spark.sql(sql)
+    return batch_df.sparkSession.sql(sql)
 
 
 def two_phase(spark: SparkSession, batch_df: DataFrame, select_sql: str,
