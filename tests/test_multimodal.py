@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: schema stability, Arrow-batch features
+vs a pure-Python reference, fake-codec decode shapes, frame sampling,
+and the clearly-marked codec stubs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators import multimodal, similarity
+from ydb_cdc_processor_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.media_from_documents(docs)
+
+
+def _shape(schema):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_media_schema(media):
+    # names/types must match the declared contract; nullability is Spark's
+    # own inference (tighter than the declaration is fine)
+    assert _shape(media.schema) == _shape(multimodal.MEDIA_SCHEMA)
+
+
+def test_byte_features_match_python_reference(spark, sf_dir, media):
+    feats = {r.doc_id: r for r in
+             multimodal.extract_byte_features(media).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(20).collect()
+    assert len(feats) >= len(docs)
+    for d in docs:
+        blob = d.text.encode("utf-8")
+        got = feats[d.doc_id]
+        assert got.n_bytes == len(blob)
+        assert got.mean_byte == pytest.approx(sum(blob) / len(blob))
+        hist = [0] * 16
+        for b in blob:
+            hist[b >> 4] += 1
+        p = [h / len(blob) for h in hist]
+        ent = -sum(x * math.log2(x) for x in p if x > 0)
+        assert got.byte_entropy == pytest.approx(ent, rel=1e-9)
+        assert got.histogram16 == pytest.approx(p)
+
+
+def test_fake_decode_shapes(media):
+    out = multimodal.decode_image(media, codec="fake", thumb=4)
+    assert out.schema == multimodal.DECODED_SCHEMA
+    rows = out.limit(10).collect()
+    for r in rows:
+        assert len(r.pixels) == 16
+        assert all(0.0 <= v <= 255.0 for v in r.pixels)
+        assert r.width == r.height >= 1
+
+
+def test_decode_deterministic(media):
+    a = sorted(map(tuple, multimodal.decode_image(media).limit(50).collect()))
+    b = sorted(map(tuple, multimodal.decode_image(media).limit(50).collect()))
+    assert a == b
+
+
+def test_frame_sample(media):
+    sampled = multimodal.frame_sample(media, every_n=4)
+    # per doc: ceil(n_frames / 4) sampled frames
+    got = {r.doc_id: r.n for r in
+           sampled.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    meta = {r.doc_id: r.nf for r in
+            media.select("doc_id", F.col("meta.n_frames").alias("nf")).collect()}
+    for doc_id, nf in meta.items():
+        assert got[doc_id] == (nf + 3) // 4
+
+
+def test_codec_stubs_marked(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(media, codec="pil")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        multimodal.resize_stub(None, 8, 8)
+
+
+def test_ivf_results_are_valid_neighbors(spark, sf_dir):
+    """IVF returns well-formed per-probe rankings whose similarities are a
+    subset of the exact brute-force scores (approximate recall, exact
+    scoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = {(r.probe_id, r.vec_id): r.cos_sim
+             for r in similarity.cosine_topk(emb, probes, k=1000000).collect()}
+    ivf = similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=8,
+                                     n_probe=4).collect()
+    assert len(ivf) > 0
+    seen = set()
+    for r in ivf:
+        assert 1 <= r.rnk <= 5
+        assert exact[(r.probe_id, r.vec_id)] == r.cos_sim
+        seen.add((r.probe_id, r.vec_id))
+    assert len(seen) == len(ivf)  # no duplicate candidates
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.vec_a, r.vec_b): r.cos_sim for r in
+             similarity.embedding_neardup_pairs(emb, threshold=0.3).collect()}
+    lsh = similarity.embedding_neardup_lsh(emb, threshold=0.3,
+                                           n_planes=4).collect()
+    for r in lsh:
+        assert exact[(r.vec_a, r.vec_b)] == r.cos_sim

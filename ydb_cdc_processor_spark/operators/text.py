@@ -32,13 +32,15 @@ def token_count(text: Column) -> Column:
     ).cast("long")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish sub-word proxy: count of word/number/punct chunks via regex.
-    Heavier than token_count; used for quality scoring."""
-    return F.size(F.filter(
-        F.split(text, r"(?<=\W)|(?=\W)"),
-        lambda s: F.trim(s) != "",
-    )).cast("long")
+    """BPE-ish sub-word proxy: count of alnum runs + individual punctuation
+    marks.  The pattern is RE2-safe (no lookarounds) so the identical regex
+    runs on Spark, DuckDB, and Trino — see oracle_sql()."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))) \
+        .cast("long")
 
 
 def punct_ratio(text: Column) -> Column:

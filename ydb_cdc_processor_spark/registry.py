@@ -477,6 +477,92 @@ def q_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, probes, k=5)
 
 
+@register("q_token_bpe", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+""")
+def q_token_bpe(spark, sf_dir):
+    """BPE-ish sub-word token counting — same RE2 pattern on both engines
+    (operators/text.py BPE_ISH_PATTERN)."""
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register("q_dedup_embed", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+""")
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (operators/similarity.py embedding_neardup_pairs; the LSH-bucketed
+    variant q_dedup_embed_lsh is the 100 TB path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register("q_dedup_embed_lsh")  # approximate by design → rows-only check
+def q_dedup_embed_lsh(spark, sf_dir):
+    """Embedding near-dup via SRP bucket equi-join (never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4)
+
+
+@register("q_similarity_ivf")  # approximate by design → rows-only check
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-flat ANN: seeded-sample coarse quantizer, n_probe cells per
+    probe (operators/similarity.py cosine_topk_ivf)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=16, n_probe=4)
+
+
+@register("q_media_meta", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'wav' END AS format,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height
+FROM documents
+""")
+def q_media_meta(spark, sf_dir):
+    """Multimodal ingest projection: binary content column + typed metadata
+    struct (operators/multimodal.py media_from_documents)."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"))
+
+
+@register("q_media_features")  # numpy mapInPandas features → rows-only check
+def q_media_features(spark, sf_dir):
+    """Arrow-batched byte-level feature extraction over the binary media
+    column (n_bytes, mean byte, entropy, 16-bin histogram)."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return multimodal.extract_byte_features(media)
+
+
+@register("q_media_decode")  # deterministic fake codec → rows-only check
+def q_media_decode(spark, sf_dir):
+    """Stub-codec decode to fixed-size luminance thumbnails — exercises the
+    real mapInPandas plumbing (schema, batching, null handling)."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return multimodal.decode_image(media, codec="fake", thumb=4)
+
+
 @register("q_dedup_minhash")  # no SQL oracle: xxhash64 not in DuckDB → rows-only check
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs, verified with exact n-gram
