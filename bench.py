@@ -77,6 +77,17 @@ def main() -> None:
     eng.apply_raw_batch(raw)
     timings["cdc_apply"] = round(time.perf_counter() - t0, 3)
 
+    # steady-state incremental maintenance: 4 ~1000-row micro-batches
+    # (reference default batchSize, XmlConfig.java:18) against the built
+    # view.  At this view size the flat rewrite is fastest; the
+    # hash-bucketed view (operators/bucketed_view.py, engine n_buckets=...)
+    # is the 100 TB path where per-batch IO must be ∝ touched buckets.
+    from pyspark.sql import functions as F
+    t0 = time.perf_counter()
+    for i in range(4):
+        eng.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
+    timings["cdc_incremental_4b"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = 0.1
     base = os.path.basename(SF_DIR.rstrip("/"))

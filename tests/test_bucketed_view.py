@@ -1,0 +1,100 @@
+"""Bucketed materialized view: equivalence with the flat view across all
+action modes, incremental multi-batch apply, emptied-bucket cleanup,
+replay idempotence, and partition pruning of the touched-bucket read."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    BUCKET_COL, BucketedMaterializedView)
+from ydb_cdc_processor_spark.operators.merge import (
+    ParquetMaterializedView, StrictInsertError)
+from ydb_cdc_processor_spark.sources.catalog import load_table
+
+KEYS = ["o_orderkey"]
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").cache()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").collect()))
+
+
+def _mk(spark, tmp_path, orders, n_buckets=8):
+    flat = ParquetMaterializedView(spark, str(tmp_path / "flat"), KEYS,
+                                   schema=orders.schema)
+    buck = BucketedMaterializedView(spark, str(tmp_path / "buck"), KEYS,
+                                    schema=orders.schema,
+                                    n_buckets=n_buckets)
+    flat.apply(orders, "upsertInto")
+    buck.apply(orders, "upsertInto")
+    return flat, buck
+
+
+@pytest.mark.parametrize("action", ["upsertInto", "updateOn", "deleteFrom"])
+def test_equivalent_to_flat_view(spark, tmp_path, orders, action):
+    flat, buck = _mk(spark, tmp_path, orders)
+    delta = (orders.where(F.col("o_orderkey") % 5 == 0)
+             .withColumn("o_orderstatus", F.lit("Z")))
+    if action == "deleteFrom":
+        delta = delta.select(*KEYS)
+    flat.apply(delta, action)
+    buck.apply(delta, action)
+    assert _rows(flat.read()) == _rows(buck.read())
+
+
+def test_insert_collision_raises(spark, tmp_path, orders):
+    _, buck = _mk(spark, tmp_path, orders)
+    with pytest.raises(StrictInsertError):
+        buck.apply(orders.limit(10), "insertInto")
+
+
+def test_incremental_batches_match_flat(spark, tmp_path, orders):
+    flat, buck = _mk(spark, tmp_path, orders)
+    for i in range(3):
+        delta = (orders.where(F.col("o_orderkey") % 7 == i)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + i))
+        flat.apply(delta, "upsertInto")
+        buck.apply(delta, "upsertInto")
+        dels = orders.where(F.col("o_orderkey") % 11 == i).select(*KEYS)
+        flat.apply(dels, "deleteFrom")
+        buck.apply(dels, "deleteFrom")
+    assert _rows(flat.read()) == _rows(buck.read())
+
+
+def test_emptied_bucket_is_dropped(spark, tmp_path, orders):
+    """Deleting EVERY key must empty the view even though dynamic
+    partition overwrite writes no partitions for emptied buckets."""
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=4)
+    buck.apply(orders.select(*KEYS), "deleteFrom")
+    assert buck.read().count() == 0
+
+
+def test_replay_idempotent(spark, tmp_path, orders):
+    _, buck = _mk(spark, tmp_path, orders)
+    delta = orders.where(F.col("o_orderkey") % 3 == 0) \
+                  .withColumn("o_orderstatus", F.lit("R"))
+    buck.apply(delta, "upsertInto")
+    once = _rows(buck.read())
+    buck.apply(delta, "upsertInto")   # checkpoint-replay simulation
+    assert _rows(buck.read()) == once
+
+
+def test_touched_bucket_read_is_partition_pruned(spark, tmp_path, orders):
+    """The merge's target read must hit only the touched partitions —
+    visible as a PartitionFilters entry with ``_bucket IN (...)``."""
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=8)
+    pruned = buck._read_raw().where(F.col(BUCKET_COL).isin([1, 3]))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "_bucket IN (1,3)" in plan.replace(", ", ",") or \
+           BUCKET_COL in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    # and the pruned read returns only those buckets' rows
+    got = {r[0] for r in pruned.select(BUCKET_COL).distinct().collect()}
+    assert got <= {1, 3}

@@ -92,19 +92,32 @@ class CdcBatchEngine:
     Application.java:99-100)."""
 
     def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
-                 target_path: str):
+                 target_path: str, n_buckets: int | None = None):
+        """``n_buckets`` switches the target to the hash-bucketed view
+        (operators/bucketed_view.py): per-batch cost O(touched buckets)
+        instead of O(|view|) — the right choice for any view that outgrows
+        a single rewrite.  Default stays the flat view for small targets.
+        """
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
-        self._mv: ParquetMaterializedView | None = None
+        self.n_buckets = n_buckets
+        self._mv = None
 
     # -- target plumbing ----------------------------------------------------
 
-    def _target(self, schema) -> ParquetMaterializedView:
+    def _target(self, schema):
         if self._mv is None:
             keys = self.p.target_keys or self.p.pk
-            self._mv = ParquetMaterializedView(
-                self.spark, self.target_path, keys, schema=schema)
+            if self.n_buckets:
+                from ydb_cdc_processor_spark.operators.bucketed_view import (
+                    BucketedMaterializedView)
+                self._mv = BucketedMaterializedView(
+                    self.spark, self.target_path, keys, schema=schema,
+                    n_buckets=self.n_buckets)
+            else:
+                self._mv = ParquetMaterializedView(
+                    self.spark, self.target_path, keys, schema=schema)
         return self._mv
 
     def read_view(self) -> DataFrame:
@@ -154,6 +167,8 @@ class CdcBatchEngine:
             return
         result = run_transform(self.spark, ups, self.p.update_sql)
         stats.upserted = result.count()
+        if stats.upserted == 0 and self._target(result.schema).exists():
+            return  # nothing to merge; skip the read-merge-write jobs
         if self.p.action_mode is ActionMode.DIRECT:
             # K5: the inline body's SELECT result IS the upsert payload
             # (README.md:93-100 — `$q = SELECT …; UPSERT INTO … SELECT * FROM $q`).
@@ -168,4 +183,6 @@ class CdcBatchEngine:
             return
         key_rows = run_transform(self.spark, dels, self.p.delete_sql)
         stats.deleted = key_rows.count()
+        if stats.deleted == 0 and self._target(key_rows.schema).exists():
+            return  # no deletions; skip the anti-join rewrite entirely
         self._target(key_rows.schema).apply(key_rows, action="deleteFrom")

@@ -152,7 +152,7 @@ class ParquetMaterializedView:
         if action == "deleteFrom":
             merged = merge_delete(target, delta, self.keys)
         elif action == "insertInto":
-            merged = merge_insert(target, delta, self.keys)
+            merged = merge_insert(target, delta, self.keys, strict=True)
         else:
             merged = MERGE_FNS[action](target, delta, self.keys, order_col)
         # Materialize BEFORE the swap: ``merged`` lazily reads the old files.

@@ -87,25 +87,39 @@ def extract_byte_features(media: DataFrame,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                if blob is None:
-                    out.append((doc_id, 0, None, None, None))
-                    continue
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                n = arr.size
-                if n == 0:
-                    out.append((doc_id, 0, None, None, None))
-                    continue
-                hist = np.bincount(arr >> 4, minlength=16).astype("float64")
-                p = hist / n
-                nz = p[p > 0]
-                ent = float(-(nz * np.log2(nz)).sum())
-                out.append((doc_id, int(n), float(arr.mean()), ent,
-                            (p).tolist()))
-            yield pd.DataFrame(out, columns=[
-                "doc_id", "n_bytes", "mean_byte", "byte_entropy",
-                "histogram16"])
+            # vectorize across the whole Arrow batch: one concatenated
+            # byte buffer + per-doc offsets, a single 2-D bincount for the
+            # histograms — no per-row Python in the hot loop
+            blobs = [b if b is not None else b"" for b in pdf["content"]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            if lens.sum() == 0:
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": np.zeros(len(blobs), dtype=np.int64),
+                    "mean_byte": [None] * len(blobs),
+                    "byte_entropy": [None] * len(blobs),
+                    "histogram16": [None] * len(blobs)})
+                continue
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(len(blobs)), lens)
+            hist = np.zeros((len(blobs), 16), dtype=np.float64)
+            np.add.at(hist, (doc_idx, flat >> 4), 1.0)
+            sums = np.zeros(len(blobs))
+            np.add.at(sums, doc_idx, flat.astype(np.float64))
+            safe = np.maximum(lens, 1).astype(np.float64)
+            p = hist / safe[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+            mean = sums / safe
+            empty = lens == 0
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": lens,
+                "mean_byte": np.where(empty, np.nan, mean),
+                "byte_entropy": np.where(empty, np.nan, ent),
+                "histogram16": [None if e else row.tolist()
+                                for e, row in zip(empty, p)]})
 
     return media.select("doc_id", "content").mapInPandas(
         batches, schema=FEATURE_SCHEMA)
