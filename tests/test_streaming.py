@@ -115,3 +115,51 @@ def test_retry_max_retries_bounds_loop():
 
     with pytest.raises(RuntimeError, match="permanent"):
         retry_forever(always_fails, max_retries=3, sleep=lambda _s: None)
+
+
+def test_kafka_record_mapping(spark):
+    """Kafka-shaped records (binary value, partition, offset) map onto the
+    engine's RAW_SCHEMA and decode identically to the file source."""
+    from pyspark.sql import types as T
+    from ydb_cdc_processor_spark.operators.decode import decode_cdc
+    kafka_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+    ])
+    env = cdc_json.envelope([7], {"event_type": "buy", "user_id": 3})
+    kdf = spark.createDataFrame(
+        [(b"7", env.encode(), "events", 0, 42)], kafka_schema)
+    raw = cdc_json.kafka_records_to_raw(kdf)
+    assert [f.name for f in raw.schema.fields] == \
+        ["value", "_partition", "_offset"]
+    out = decode_cdc(raw, {"event_id": "Int64", "event_type": "Text",
+                           "user_id": "Int64"}, pk=["event_id"],
+                     keep=["_offset"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_id, r.event_type, r.user_id, r.op, r._offset) == \
+        (7, "buy", 3, "U", 42)
+
+
+def test_throughput_listener(spark, sf_dir, fixture_dir, tmp_path):
+    from ydb_cdc_processor_spark.streaming.engine import ThroughputListener
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        p = _pipeline(spark, sf_dir)
+        se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                             str(tmp_path / "ckpt"), max_retries=2)
+        se.run_available(fixture_dir)
+        # progress events are delivered asynchronously
+        import time
+        for _ in range(30):
+            if listener.metrics.get("stream_view1"):
+                break
+            time.sleep(0.5)
+        m = listener.metrics.get("stream_view1")
+        assert m and m["batches"] >= 1 and m["rows"] > 0
+    finally:
+        spark.streams.removeListener(listener)

@@ -51,6 +51,43 @@ def read_cdc_stream(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def kafka_records_to_raw(kafka_df: DataFrame) -> DataFrame:
+    """Map a Kafka-source DataFrame (``key/value binary, partition int,
+    offset long, …``) to the engine's RAW_SCHEMA shape.
+
+    The reference consumes the same envelopes from a YDB topic
+    (CdcReader.java:104-108 receives (partition, offset, payload));
+    with Kafka the message value IS the JSON envelope and the topic
+    coordinates become ``(_partition, _offset)`` — so the entire decode /
+    ordering / merge path downstream is identical to the file source.
+    Pure projection: usable on both batch and streaming Kafka reads."""
+    return kafka_df.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("partition").cast("int").alias("_partition"),
+        F.col("offset").cast("long").alias("_offset"))
+
+
+def read_cdc_stream_kafka(spark: SparkSession, bootstrap_servers: str,
+                          topic: str, *, starting_offsets: str = "earliest",
+                          max_offsets_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """S1 (Kafka variant) — subscribe to a topic of CDC JSON envelopes.
+
+    ``maxOffsetsPerTrigger`` is the backpressure knob (≙ the reference's
+    200 MB reader buffer, CdcReader.java:43).  Requires the
+    spark-sql-kafka package on the classpath; this container ships none,
+    so the function is exercised in tests only through
+    :func:`kafka_records_to_raw` on Kafka-shaped DataFrames."""
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets))
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger",
+                               max_offsets_per_trigger)
+    return kafka_records_to_raw(reader.load())
+
+
 # ---------------------------------------------------------------------------
 # Fixture generation (FIXTURES.md §B) — engine-side, deterministic.
 # ---------------------------------------------------------------------------

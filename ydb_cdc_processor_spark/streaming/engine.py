@@ -212,3 +212,41 @@ class CdcStreamEngine:
 
 def _now_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+class ThroughputListener:
+    """O1 — engine-level self-measurement via StreamingQueryListener
+    (≙ printDebugStats, YqlWriter.java:217-231: rows written + rows/s,
+    reported per progress event instead of per log line).
+
+    Attach with ``spark.streams.addListener(listener)``; inspect
+    ``listener.metrics[query_name]``.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self):
+                self.metrics: dict[str, dict] = {}
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                m = self.metrics.setdefault(p.name or p.id, {
+                    "batches": 0, "rows": 0})
+                m["batches"] += 1
+                m["rows"] += p.numInputRows
+                m["rows_per_sec"] = round(p.processedRowsPerSecond or 0.0, 2)
+                m["batch_duration_ms"] = p.batchDuration
+                m["timestamp"] = p.timestamp
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        return _Impl()
