@@ -325,6 +325,129 @@ def q_skip_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Inherited SQL surface — the reference's users can run ANY SELECT over the
+# batch plus server tables (SURVEY.md §2 note after the operator table); our
+# engine inherits the same breadth from Spark SQL.  These queries pin the
+# breadth with oracles: windows, rollup, set ops, anti-join subqueries,
+# global top-N, JSON access, scalar functions.
+# ---------------------------------------------------------------------------
+
+
+@register("q_window_topn", """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""")
+def q_window_topn(spark, sf_dir):
+    """Per-key top-N via row_number window — no global sort; each key's
+    partition ranks locally after one hash exchange."""
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.select("o_custkey", "o_orderkey", "o_totalprice")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3))
+
+
+@register("q_rollup", """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def q_rollup(spark, sf_dir):
+    """Grouping-sets rollup: per-group + subtotal + grand-total rows in one
+    aggregation pass (Expand + partial agg, single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("l_quantity", "sum_qty")))
+
+
+@register("q_setops", """
+(SELECT event_type FROM events WHERE value > 90
+ INTERSECT
+ SELECT event_type FROM events WHERE value < 10)
+UNION
+SELECT event_type FROM events WHERE user_id % 997 = 0
+""")
+def q_setops(spark, sf_dir):
+    """Set operations (distinct semantics on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.where(F.col("value") > 90).select("event_type")
+    lo = ev.where(F.col("value") < 10).select("event_type")
+    some = ev.where(F.col("user_id") % 997 == 0).select("event_type")
+    return hi.intersect(lo).union(some).distinct()
+
+
+@register("q_no_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+""")
+def q_no_orders(spark, sf_dir):
+    """NOT EXISTS subquery as a left-anti join (no correlated per-row
+    subquery execution; one broadcast/shuffle anti-join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >=
+                     F.lit("1998-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("q_topn_global", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""")
+def q_topn_global(spark, sf_dir):
+    """Global top-N: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge of N, never a full sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+@register("q_json_extract", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""")
+def q_json_extract(spark, sf_dir):
+    """Json member access (the reference's Json/JsonDocument columns stay
+    raw text, SURVEY.md §1.3; extraction on demand)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+@register("q_scalar_funcs", """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 1)) AS pri,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       concat(o_orderstatus, '-', o_orderpriority) AS tag
+FROM orders
+""")
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar-function breadth (T4): string slicing/case, date part
+    extraction, concatenation — all whole-stage-codegen expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"))
+
+
+# ---------------------------------------------------------------------------
 # M4 — LLM-data-pipeline operators (beyond-reference scope)
 # ---------------------------------------------------------------------------
 
