@@ -132,50 +132,55 @@ class CdcBatchEngine:
         last-wins → route U/D → transform → merge.  This is the reference's
         whole writer loop (YqlWriter.java:163-215) as one declarative plan.
         """
-        stats = BatchStats()
-        # The micro-batch feeds several jobs (counts, U-merge, D-merge);
-        # cache the decoded envelope and the collapsed typed rows so JSON
-        # parse + the last-wins window shuffle run ONCE per batch, not once
-        # per downstream action.  Micro-batches are bounded (B1), so the
-        # cache is executor-memory-safe by construction.
-        env = decode.decode_envelope(raw_df, raw_col=raw_col).persist()
-        typed = None
-        try:
-            malformed = env.where(F.col("op") == decode.OP_MALFORMED)
-            stats.malformed = malformed.count()
+        from pyspark.sql import Observation
 
-            typed = decode.merge_key_columns(
-                env.where(F.col("op") != decode.OP_MALFORMED),
-                self.p.members, self.p.pk, keep=["op", order_col])
-            # B2/B4: final state per key inside the batch.
-            typed = collapse_last_wins(typed, self.p.pk,
-                                       order_col=order_col).persist()
+        stats = BatchStats()
+        # One decode pass per batch: the malformed count rides the typed
+        # materialization as an ``observe`` metric (no separate job), and
+        # the collapsed typed rows are cached so the U/D branches, their
+        # counts, and the merges never re-parse JSON or re-run the
+        # last-wins window.  Micro-batches are bounded (B1), so the cache
+        # is executor-memory-safe by construction.
+        obs = Observation(f"cdc_decode_{id(self)}")
+        env = decode.decode_envelope(raw_df, raw_col=raw_col).observe(
+            obs, F.sum((F.col("op") == decode.OP_MALFORMED).cast("long"))
+                  .alias("malformed"))
+        typed = decode.merge_key_columns(
+            env.where(F.col("op") != decode.OP_MALFORMED),
+            self.p.members, self.p.pk, keep=["op", order_col])
+        # B2/B4: final state per key inside the batch.
+        typed = collapse_last_wins(typed, self.p.pk,
+                                   order_col=order_col).persist()
+        try:
+            typed.count()  # materialize: decode + collapse, fires the observe
+            stats.malformed = int(obs.get["malformed"] or 0)
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
             self._apply_upserts(ups, stats)
             self._apply_deletes(dels, stats)
         finally:
-            env.unpersist()
-            if typed is not None:
-                typed.unpersist()
+            typed.unpersist()
         return stats
 
     def _apply_upserts(self, ups: DataFrame, stats: BatchStats) -> None:
         if self.p.update_sql is None:
             skip_messages(ups, "update query not configured", stats)
             return
-        result = run_transform(self.spark, ups, self.p.update_sql)
-        stats.upserted = result.count()
-        if stats.upserted == 0 and self._target(result.schema).exists():
-            return  # nothing to merge; skip the read-merge-write jobs
-        if self.p.action_mode is ActionMode.DIRECT:
-            # K5: the inline body's SELECT result IS the upsert payload
-            # (README.md:93-100 — `$q = SELECT …; UPSERT INTO … SELECT * FROM $q`).
-            self._target(result.schema).apply(result, action="upsertInto")
-        else:
-            self._target(result.schema).apply(result,
-                                              action=self.p.action_mode.value)
+        # persist the transform result: the merge evaluates it twice
+        # (broadcast key-set + union), and the stats count reuses the cache
+        # afterwards instead of re-running the transform
+        result = run_transform(self.spark, ups, self.p.update_sql).persist()
+        try:
+            action = ("upsertInto" if self.p.action_mode is ActionMode.DIRECT
+                      else self.p.action_mode.value)
+            # K5 DIRECT: the inline body's SELECT result IS the upsert
+            # payload (README.md:93-100 — `$q = SELECT …; UPSERT INTO …
+            # SELECT * FROM $q`).
+            self._target(result.schema).apply(result, action=action)
+            stats.upserted = result.count()
+        finally:
+            result.unpersist()
 
     def _apply_deletes(self, dels: DataFrame, stats: BatchStats) -> None:
         if self.p.delete_sql is None:

@@ -111,7 +111,8 @@ def q_key_merge(spark, sf_dir):
     lossless (YqlQuery.java:55-166)."""
     from ydb_cdc_processor_spark.operators.decode import decode_cdc
     from ydb_cdc_processor_spark.sources.cdc_json import EVENTS_MEMBERS
-    ev = load_table(spark, sf_dir, "events")
+    # CPU-bound to_json/from_json round-trip → spread the single-file scan
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     raw = ev.select(F.to_json(F.struct(
         F.array(F.col("event_id").cast("string")).alias("key"),
         F.struct(
