@@ -687,6 +687,51 @@ def q_media_decode(spark, sf_dir):
     return multimodal.decode_image(media, codec="fake", thumb=4)
 
 
+@register("q_ngram_jaccard", r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS pre
+  FROM documents),
+s AS (
+  SELECT doc_id, pre,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM n),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+         AS jaccard
+FROM pairs p
+JOIN s a ON a.doc_id = p.doc_a
+JOIN s b ON b.doc_id = p.doc_b
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over a deterministic pair set
+    (consecutive ids ∪ shared-normalized-prefix pairs) — the verify metric of
+    the near-dup family, oracle-matched shingle-by-shingle."""
+    docs = load_docs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    consec = (ids.select(F.col("doc_id").alias("doc_a"))
+              .join(ids.select((F.col("doc_id")).alias("doc_b")),
+                    F.col("doc_b") == F.col("doc_a") + 1))
+    pre = docs.select("doc_id", F.substring(
+        dedup.normalize_text(F.col("text")), 1, 40).alias("pre"))
+    dup = (pre.alias("a").join(pre.alias("b"), "pre")
+           .where(F.col("a.doc_id") < F.col("b.doc_id"))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b")))
+    pairs = consec.union(dup).distinct()
+    return dedup.ngram_jaccard(docs, pairs)
+
+
 @register("q_dedup_minhash")  # no SQL oracle: xxhash64 not in DuckDB → rows-only check
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs, verified with exact n-gram
