@@ -163,3 +163,34 @@ def test_throughput_listener(spark, sf_dir, fixture_dir, tmp_path):
         assert m and m["batches"] >= 1 and m["rows"] > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, fixture_dir,
+                                            tmp_path):
+    """session_window over the CDC stream produces the same per-user
+    session-size multisets as the batch lag-formulation (registry
+    q_sessionize) on the upsert subset."""
+    from collections import Counter
+    from pyspark.sql import Window, functions as F
+    from ydb_cdc_processor_spark.operators.decode import decode_cdc
+    from ydb_cdc_processor_spark.streaming.sessionize import (
+        sessionize, sessionize_cdc_stream)
+
+    stream_df = sessionize_cdc_stream(
+        spark, fixture_dir, cdc_json.EVENTS_MEMBERS, ["event_id"])
+    q = (stream_df.writeStream.format("memory").queryName("sess_mem")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT user_id, n_events FROM sess_mem").collect()
+    got_ms = Counter((r.user_id, r.n_events) for r in got)
+    assert sum(got_ms.values()) > 0
+
+    # batch oracle over the same decoded rows (upserts incl. duplicates —
+    # session counting is over EVENTS, not merged state)
+    typed = decode_cdc(cdc_json.read_cdc_batch(spark, fixture_dir),
+                       cdc_json.EVENTS_MEMBERS, ["event_id"])
+    batch = sessionize(typed.where(F.col("op") == "U"), watermark=None)
+    want_ms = Counter((r.user_id, r.n_events) for r in batch.collect())
+    assert got_ms == want_ms

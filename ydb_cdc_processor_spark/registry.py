@@ -448,6 +448,73 @@ def q_scalar_funcs(spark, sf_dir):
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"))
 
 
+@register("q_tumbling_agg", """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+""")
+def q_tumbling_agg(spark, sf_dir):
+    """Tumbling-window aggregation — the batch shape of the streaming
+    windowed agg (``F.window`` aligns to the epoch, so 1-hour windows ≡
+    date_trunc('hour')).  In streaming mode the same expression runs under
+    a watermark for late data."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("value", "sum_value"))
+            .select(F.col("w.start").alias("ws"), "event_type",
+                    "n", "sum_value"))
+
+
+@register("q_sessionize", """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM t)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM s GROUP BY user_id, sess_no
+""")
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session number → per-session rollup.  The classic
+    scalable formulation — two window passes over one hash partitioning by
+    user, no self-joins.  (Streaming equivalent: session_window /
+    applyInPandasWithState.)  Gap compared in exact microseconds so both
+    engines make identical boundary decisions."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() |
+        ((us - F.unix_micros(F.lag("ts").over(w))) > 1800000000),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (ev.withColumn("new_sess", new_sess)
+         .withColumn("sess_no", F.sum("new_sess").over(cum).cast("long")))
+    return (s.groupBy("user_id", "sess_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("sess_start"),
+                 F.max("ts").alias("sess_end")))
+
+
 # ---------------------------------------------------------------------------
 # M4 — LLM-data-pipeline operators (beyond-reference scope)
 # ---------------------------------------------------------------------------
