@@ -194,3 +194,47 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, fixture_dir,
     batch = sessionize(typed.where(F.col("op") == "U"), watermark=None)
     want_ms = Counter((r.user_id, r.n_events) for r in batch.collect())
     assert got_ms == want_ms
+
+
+def test_stateful_user_profile(spark, sf_dir, fixture_dir, tmp_path):
+    """applyInPandasWithState: profiles accumulate across micro-batches;
+    the LAST emitted row per user equals the batch groupBy over all
+    upserts."""
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark.operators.decode import decode_cdc
+    from ydb_cdc_processor_spark.streaming.stateful import (
+        user_activity_profile)
+
+    raw = cdc_json.read_cdc_stream(spark, fixture_dir,
+                                   max_files_per_trigger=1)
+    typed = decode_cdc(raw, cdc_json.EVENTS_MEMBERS, ["event_id"])
+    prof = user_activity_profile(typed.where(F.col("op") == "U"))
+    q = (prof.withColumn("_batch", F.lit(None).cast("long"))
+         .writeStream.format("memory").queryName("prof_mem")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # multiple batches ran (maxFilesPerTrigger=1, 4 part files)
+    got = spark.sql("SELECT * FROM prof_mem").collect()
+    assert len(got) > 0
+
+    # final state per user = last (largest n_events) row emitted
+    final = {}
+    for r in got:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = decode_cdc(cdc_json.read_cdc_batch(spark, fixture_dir),
+                       cdc_json.EVENTS_MEMBERS, ["event_id"]) \
+        .where(F.col("op") == "U") \
+        .groupBy("user_id") \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("s"),
+             F.max("ts").alias("m")) \
+        .collect()
+    assert len(final) == len(batch)
+    for b in batch:
+        g = final[b.user_id]
+        assert g.n_events == b.n
+        assert g.sum_value == pytest.approx(b.s, rel=1e-9)
+        assert g.last_ts == b.m

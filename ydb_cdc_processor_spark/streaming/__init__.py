@@ -1,4 +1,9 @@
 from ydb_cdc_processor_spark.streaming.engine import (
-    CdcStreamEngine, StreamStatus, retry_forever)
+    CdcStreamEngine, StreamStatus, ThroughputListener, retry_forever)
+from ydb_cdc_processor_spark.streaming.sessionize import (
+    sessionize, sessionize_cdc_stream)
+from ydb_cdc_processor_spark.streaming.stateful import user_activity_profile
 
-__all__ = ["CdcStreamEngine", "StreamStatus", "retry_forever"]
+__all__ = ["CdcStreamEngine", "StreamStatus", "ThroughputListener",
+           "retry_forever", "sessionize", "sessionize_cdc_stream",
+           "user_activity_profile"]
