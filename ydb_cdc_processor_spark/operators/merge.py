@@ -155,6 +155,9 @@ class ParquetMaterializedView:
             merged = merge_insert(target, delta, self.keys, strict=True)
         else:
             merged = MERGE_FNS[action](target, delta, self.keys, order_col)
-        # Materialize BEFORE the swap: ``merged`` lazily reads the old files.
-        merged = merged.localCheckpoint(eager=True)
+        # No pre-materialization needed: ``overwrite`` writes to a TEMP
+        # sibling directory while ``merged`` still reads the old files, and
+        # only then swaps — one materialization total.  (The bucketed view
+        # can't do this: dynamic partition overwrite writes into the same
+        # directory tree it reads, so it localCheckpoints first.)
         self.overwrite(merged)
