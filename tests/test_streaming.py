@@ -238,3 +238,45 @@ def test_stateful_user_profile(spark, sf_dir, fixture_dir, tmp_path):
         assert g.n_events == b.n
         assert g.sum_value == pytest.approx(b.s, rel=1e-9)
         assert g.last_ts == b.m
+
+
+def test_two_consumers_one_changefeed(spark, sf_dir, fixture_dir, tmp_path):
+    """README architecture parity: TWO consumers of the same changefeed
+    maintain two different views (mat_view1 projection + mat_view2
+    passthrough with different PK), each with its own checkpoint —
+    ≙ one CdcReader+YqlWriter pair per <cdc> (Application.java:99-100)."""
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p1 = CdcPipeline(
+        name="v1_consumer", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    # v2: different target PK, NO delete query → deletes hit the skip
+    # operator (T3) — the realistic config, since erase envelopes carry
+    # only the SOURCE key and the PK-only validation (V3) rightly rejects
+    # a delete query referencing user_id
+    p2 = CdcPipeline(
+        name="v2_consumer", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT * FROM rows",
+        target_keys=["user_id", "event_id"]).validate(spark)
+
+    s1 = CdcStreamEngine(spark, p1, str(tmp_path / "view1"),
+                         str(tmp_path / "ckpt1"), max_retries=2)
+    s2 = CdcStreamEngine(spark, p2, str(tmp_path / "view2"),
+                         str(tmp_path / "ckpt2"), max_retries=2)
+    s1.run_available(fixture_dir)
+    s2.run_available(fixture_dir)
+
+    v1, v2 = s1.batch_engine.read_view(), s2.batch_engine.read_view()
+    st1, st2 = s1.status(), s2.status()
+    # v2 skipped its deletes (per-MESSAGE no-ops, so earlier upserts of
+    # deleted keys survive — sequential-apply parity): it retains exactly
+    # the keys v1's configured deletes removed
+    assert v2.count() == v1.count() + st1.totals.deleted
+    assert st2.totals.skipped >= st1.totals.deleted > 0
+    assert set(v1.columns) == {"event_id", "ts", "user_id", "event_type",
+                               "value"}
+    assert {"event_id", "ts", "user_id", "event_type",
+            "value", "props"} <= set(v2.columns)
+    assert s1.status_dict()["ok"] and s2.status_dict()["ok"]

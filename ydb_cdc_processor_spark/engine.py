@@ -143,22 +143,47 @@ class CdcBatchEngine:
         # is executor-memory-safe by construction.
         obs = Observation(f"cdc_decode_{id(self)}")
         env = decode.decode_envelope(raw_df, raw_col=raw_col).observe(
-            obs, F.sum((F.col("op") == decode.OP_MALFORMED).cast("long"))
-                  .alias("malformed"))
+            obs,
+            F.sum((F.col("op") == decode.OP_MALFORMED).cast("long"))
+             .alias("malformed"),
+            F.sum((F.col("op") == decode.OP_UPSERT).cast("long")).alias("n_u"),
+            F.sum((F.col("op") == decode.OP_DELETE).cast("long")).alias("n_d"))
         typed = decode.merge_key_columns(
             env.where(F.col("op") != decode.OP_MALFORMED),
             self.p.members, self.p.pk, keep=["op", order_col])
+        # T3 BEFORE B4: an unconfigured kind is a per-message no-op in the
+        # reference's sequential writer (skipMessages, YqlQuery.java:168-183)
+        # — drop those messages FIRST so the last-wins collapse equals
+        # sequential apply.  (Collapsing first would let a skipped trailing
+        # D cancel an upsert the reference would have written.)
+        skip_u = self.p.update_sql is None
+        skip_d = self.p.delete_sql is None
+        if skip_u:
+            typed = typed.where(F.col("op") != decode.OP_UPSERT)
+        if skip_d:
+            typed = typed.where(F.col("op") != decode.OP_DELETE)
         # B2/B4: final state per key inside the batch.
         typed = collapse_last_wins(typed, self.p.pk,
                                    order_col=order_col).persist()
         try:
             typed.count()  # materialize: decode + collapse, fires the observe
-            stats.malformed = int(obs.get["malformed"] or 0)
+            m = obs.get
+            stats.malformed = int(m["malformed"] or 0)
+            if skip_u:
+                stats.skipped += int(m["n_u"] or 0)
+                stats.details["skipped:update query not configured"] = \
+                    int(m["n_u"] or 0)
+            if skip_d:
+                stats.skipped += int(m["n_d"] or 0)
+                stats.details["skipped:delete query not configured"] = \
+                    int(m["n_d"] or 0)
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
-            self._apply_upserts(ups, stats)
-            self._apply_deletes(dels, stats)
+            if not skip_u:
+                self._apply_upserts(ups, stats)
+            if not skip_d:
+                self._apply_deletes(dels, stats)
         finally:
             typed.unpersist()
         return stats

@@ -41,13 +41,18 @@ def read_cdc_batch(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_cdc_stream(spark: SparkSession, path: str,
-                    max_files_per_trigger: int | None = None) -> DataFrame:
-    """S1 — streaming read.  ``maxFilesPerTrigger`` is the backpressure
-    knob (≙ the reference's 200 MB reader buffer + bounded queue,
-    CdcReader.java:43 / YqlWriter.java:130)."""
+                    max_files_per_trigger: int | None = None,
+                    max_bytes_per_trigger: str | int | None = None
+                    ) -> DataFrame:
+    """S1 — streaming read.  ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+    are the backpressure knobs (≙ the reference's 200 MB reader buffer +
+    bounded queue, CdcReader.java:43 / YqlWriter.java:130; pass
+    ``max_bytes_per_trigger="200m"`` for exact buffer parity)."""
     reader = spark.readStream.schema(RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.json(path)
 
 
