@@ -144,3 +144,66 @@ def test_last_wins_matches_sequential_apply(spark, seq):
         last_kind[key] = kind
     assert got_del == {k for k, kind in last_kind.items() if kind == "D"}
     assert not (got_del & set(got_up))
+
+
+engine_ops = st.lists(
+    st.tuples(st.integers(0, 7),                  # key
+              st.sampled_from(["U", "D"]),        # kind
+              st.integers(0, 10**6)),             # value
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(engine_ops, min_size=1, max_size=3),
+       config=st.sampled_from(["both", "no_delete", "no_update"]))
+def test_engine_matches_sequential_apply(spark, tmp_path_factory,
+                                         batches, config):
+    """Full-engine property: random U/D envelope interleavings applied in
+    several micro-batches equal a strict sequential per-message apply —
+    including the skip semantics when a kind is unconfigured (a skipped
+    message is a NO-OP, not a cancellation)."""
+    import json
+    import tempfile
+
+    from pyspark.sql import types as T
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
+
+    # python sequential oracle
+    state: dict[int, int] = {}
+    for batch in batches:
+        for key, kind, val in batch:
+            if kind == "U" and config != "no_update":
+                state[key] = val
+            elif kind == "D" and config != "no_delete":
+                state.pop(key, None)
+
+    source_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("val", T.LongType(), True),
+    ])
+    p = CdcPipeline(
+        name="prop", source_schema=source_schema, pk=["id"],
+        members={"id": "Int64", "val": "Optional<Int64>"},
+        update_sql=None if config == "no_update"
+        else "SELECT id, val FROM rows",
+        delete_sql=None if config == "no_delete"
+        else "SELECT id FROM rows").validate(spark)
+
+    work = tempfile.mkdtemp(dir=str(tmp_path_factory.mktemp("engprop")))
+    eng = CdcBatchEngine(spark, p, work + "/view")
+    for batch in batches:
+        lines = []
+        for off, (key, kind, val) in enumerate(batch):
+            env = ({"key": [key], "erase": {}} if kind == "D"
+                   else {"key": [key], "update": {"val": val}})
+            lines.append((json.dumps(env), 0, off))
+        raw = spark.createDataFrame(
+            lines, "value string, _partition int, _offset long")
+        eng.apply_raw_batch(raw)
+
+    if not state and not eng._target(None).exists():
+        return  # nothing ever written — consistent with empty state
+    got = {r.id: r.val for r in eng.read_view().collect()}
+    assert got == state
