@@ -90,14 +90,25 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
 
 
 def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.4,
-                          n_planes: int = 6, seed: int = 42,
+                          n_planes: int | None = None, seed: int = 42,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          target_occupancy: int = 8) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
     are same-SRP-bucket pairs only — a self *equi*-join on bucket id, hash
     partitioned, never all-pairs.  Misses cross-bucket pairs by design
     (recall tunable via n_planes; multi-table OR-amplification extends it).
+
+    ``n_planes`` defaults to ``ceil(log2(n / target_occupancy))`` so bucket
+    occupancy stays ~constant as the corpus grows.  A FIXED plane count is
+    the classic LSH scaling bug: same-bucket pair count grows
+    quadratically with corpus size (measured 29× time for 10× data at
+    4 planes before this default — tools/scaling.py).
     """
+    if n_planes is None:
+        import math
+        n = emb.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_occupancy)))
     sig = srp_buckets(ensure_min_partitions(emb), n_planes, seed,
                       id_col, vec_col) \
         .withColumn("_nv", norm(F.col(vec_col)))

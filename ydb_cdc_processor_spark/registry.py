@@ -701,7 +701,7 @@ def q_dedup_embed(spark, sf_dir):
 def q_dedup_embed_lsh(spark, sf_dir):
     """Embedding near-dup via SRP bucket equi-join (never all-pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4)
+    return similarity.embedding_neardup_lsh(emb, threshold=0.4)
 
 
 @register("q_similarity_ivf")  # approximate by design → rows-only check
