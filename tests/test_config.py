@@ -161,3 +161,67 @@ UPSERT INTO v SELECT no_such_col FROM AS_TABLE($rows);
         return describe_table(spark, sf_dir, "events")
     (p,) = load_config_xml(xml, spark, describe=describe)
     assert any("unknown column no_such_col" in w for w in p.warnings)
+
+
+README_V1_VERBATIM = """
+DECLARE $rows AS List<Struct<
+    event_time: Text,
+    event_type: Text,
+    product_id: Uint32,
+    category_id: Uint64,
+    category_code: Text?,
+    user_id: Uint32,
+    user_session: Text
+>>;
+
+$parse=DateTime::Parse('%Y-%m-%d %H:%M:%S %Z');
+
+UPSERT INTO mat_view1 SELECT
+    Unwrap(DateTime::MakeTimestamp($parse(event_time))) AS event_time,
+    event_type,
+    product_id,
+    user_id,
+    category_id,
+    user_session
+FROM AS_TABLE($rows);
+"""
+
+README_V2_VERBATIM = """
+DECLARE $rows AS List<Struct<
+    event_type: Text,
+    category_id: Uint64,
+    category_code: Text?,
+    brand: Text?,
+    price: Double,
+    user_id: Uint32,
+    user_session: Text
+>>;
+UPSERT INTO mat_view2 SELECT * FROM AS_TABLE($rows);
+"""
+
+
+def test_translate_reference_readme_verbatim():
+    """The EXACT YQL bodies from the reference's README (README.md:75-117)
+    translate: complete member extraction (incl. Uint32/Uint64 and the
+    Text? optional shorthand), strptime conversion with the %Z zone
+    directive, Unwrap wrapping, and action-clause extraction."""
+    t1 = translate_yql(README_V1_VERBATIM)
+    assert t1.members == {
+        "event_time": "Text", "event_type": "Text",
+        "product_id": "Uint32", "category_id": "Uint64",
+        "category_code": "Optional<Text>", "user_id": "Uint32",
+        "user_session": "Text"}
+    assert t1.action_table == "mat_view1"
+    assert "to_timestamp(event_time, 'yyyy-MM-dd HH:mm:ss zzz')" in t1.sql
+    assert t1.sql.count("coalesce(") == 1 and "raise_error" in t1.sql
+    assert "$" not in t1.sql and "AS_TABLE" not in t1.sql
+
+    t2 = translate_yql(README_V2_VERBATIM)
+    assert t2.members["brand"] == "Optional<Text>"
+    assert t2.action_table == "mat_view2"
+    assert t2.sql == "SELECT * FROM rows"
+
+    # the declared members build a real Spark schema (type-surface check)
+    from ydb_cdc_processor_spark.types import struct_of
+    s = struct_of(t1.members)
+    assert s["category_code"].nullable and not s["event_type"].nullable

@@ -23,8 +23,19 @@ the YDB server; no custom rules are needed (SURVEY.md §4).
 """
 
 from ydb_cdc_processor_spark.session import get_spark
-from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
-from ydb_cdc_processor_spark.engine import CdcBatchEngine
+from ydb_cdc_processor_spark.plans.pipeline import (
+    ActionMode, CdcPipeline, PipelineValidationError)
+from ydb_cdc_processor_spark.plans.config import load_config_xml
+from ydb_cdc_processor_spark.plans.yql_compat import translate_yql
+from ydb_cdc_processor_spark.engine import CdcBatchEngine, run_transform
+from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    BucketedMaterializedView)
+from ydb_cdc_processor_spark.streaming import CdcStreamEngine
 
-__all__ = ["get_spark", "ActionMode", "CdcPipeline", "CdcBatchEngine"]
+__all__ = [
+    "get_spark", "ActionMode", "CdcPipeline", "PipelineValidationError",
+    "load_config_xml", "translate_yql", "CdcBatchEngine", "run_transform",
+    "ParquetMaterializedView", "BucketedMaterializedView", "CdcStreamEngine",
+]
 __version__ = "0.1.0"
