@@ -116,8 +116,12 @@ def extract_byte_features(media: DataFrame,
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": lens,
-                "mean_byte": np.where(empty, np.nan, mean),
-                "byte_entropy": np.where(empty, np.nan, ent),
+                # None (SQL NULL), not NaN, for empty blobs — matches the
+                # all-empty-batch branch above and the oracle's NULL rows
+                "mean_byte": [None if e else float(m)
+                              for e, m in zip(empty, mean)],
+                "byte_entropy": [None if e else float(x)
+                                 for e, x in zip(empty, ent)],
                 "histogram16": [None if e else row.tolist()
                                 for e, row in zip(empty, p)]})
 

@@ -736,22 +736,96 @@ def q_media_meta(spark, sf_dir):
         F.col("meta.height").alias("height"))
 
 
-@register("q_media_features")  # numpy mapInPandas features → rows-only check
+# The media feature/decode outputs carry array<double> columns, which the
+# driver's pandas canonicalization cannot hash — the gate wrappers explode
+# them to one scalar row per (doc, bin/pixel).  Everything is deterministic
+# byte arithmetic over the UTF-8 blob, so a full DuckDB oracle exists: the
+# blob's bytes are recovered in SQL from hex(encode(text)) two hex digits at
+# a time.  Floats rounded to 6 digits on both sides (SURVEY.md §6 rule).
+
+_HEX_BYTE = ("(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16"
+             " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
+
+@register("q_media_features", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0),
+byt AS (
+  SELECT doc_id, n, {_HEX_BYTE} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)),
+binc AS (
+  SELECT doc_id, byte // 16 AS bin, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM byt GROUP BY doc_id, byte // 16),
+doc AS (
+  SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+         round(SUM(byte) / any_value(n), 6) AS mean_byte
+  FROM byt GROUP BY doc_id),
+ent AS (
+  SELECT bc.doc_id,
+         round(-SUM((bc.c / d.n_bytes) * log2(bc.c / d.n_bytes)), 6)
+           AS byte_entropy
+  FROM binc bc JOIN doc d USING (doc_id) GROUP BY bc.doc_id),
+hist AS (
+  SELECT d.doc_id, g.bin, round(COALESCE(bc.c, 0) / d.n_bytes, 6) AS p
+  FROM doc d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) g
+  LEFT JOIN binc bc ON bc.doc_id = d.doc_id AND bc.bin = g.bin)
+SELECT d.doc_id, d.n_bytes, d.mean_byte, e.byte_entropy,
+       CAST(h.bin AS INT) AS bin, h.p
+FROM doc d JOIN ent e USING (doc_id) JOIN hist h USING (doc_id)
+""")
 def q_media_features(spark, sf_dir):
     """Arrow-batched byte-level feature extraction over the binary media
-    column (n_bytes, mean byte, entropy, 16-bin histogram)."""
+    column (n_bytes, mean byte, entropy, 16-bin histogram), exploded to
+    one row per (doc, bin) so every output column is scalar/hashable."""
     from ydb_cdc_processor_spark.operators import multimodal
     media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return multimodal.extract_byte_features(media)
+    feats = multimodal.extract_byte_features(media)
+    return (feats.where(F.col("n_bytes") > 0)
+            .select("doc_id", "n_bytes",
+                    F.round("mean_byte", 6).alias("mean_byte"),
+                    F.round("byte_entropy", 6).alias("byte_entropy"),
+                    F.posexplode("histogram16").alias("bin", "p"))
+            .select("doc_id", "n_bytes", "mean_byte", "byte_entropy",
+                    F.col("bin").cast("int").alias("bin"),
+                    F.round("p", 6).alias("p")))
 
 
-@register("q_media_decode")  # deterministic fake codec → rows-only check
+@register("q_media_decode", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
+           AS side
+  FROM documents WHERE octet_length(encode(text)) > 0),
+byt AS (
+  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= side * side),
+pooled AS (
+  SELECT doc_id, side,
+         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
+         round(SUM(byte) / COUNT(*), 6) AS lum
+  FROM byt
+  GROUP BY doc_id, side,
+           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side))
+SELECT b.doc_id, CAST(b.side AS INT) AS width, CAST(b.side AS INT) AS height,
+       CAST(c.px_idx AS INT) AS px_idx, COALESCE(p.lum, 0.0) AS lum
+FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
+LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx
+""")
 def q_media_decode(spark, sf_dir):
-    """Stub-codec decode to fixed-size luminance thumbnails — exercises the
-    real mapInPandas plumbing (schema, batching, null handling)."""
+    """Stub-codec decode to 4×4 luminance thumbnails — exercises the real
+    mapInPandas plumbing; pixels exploded to one row per (doc, px_idx) for
+    the gate.  The fake codec is pure byte arithmetic (truncate to side²,
+    average-pool), so the oracle recomputes it in SQL."""
     from ydb_cdc_processor_spark.operators import multimodal
     media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return multimodal.decode_image(media, codec="fake", thumb=4)
+    dec = multimodal.decode_image(media, codec="fake", thumb=4)
+    return (dec.where(F.col("pixels").isNotNull())
+            .select("doc_id", "width", "height",
+                    F.posexplode("pixels").alias("px_idx", "lum"))
+            .select("doc_id", "width", "height",
+                    F.col("px_idx").cast("int").alias("px_idx"), "lum"))
 
 
 @register("q_ngram_jaccard", r"""
