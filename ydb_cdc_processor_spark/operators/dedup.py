@@ -71,19 +71,29 @@ def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str,
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_shingle: int = 3,
-                       k: int = 16) -> DataFrame:
-    """(doc, mh0..mh{k-1}) — k-permutation MinHash via k salted xxhash64
+                       k: int = 16, hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc, mh0..mh{k-1}) — k-permutation MinHash via k salted hash
     min-aggregates over exploded shingles (all codegen, map-side
-    combined; the shuffle carries one row per doc)."""
+    combined; the shuffle carries one row per doc).
+
+    ``hash_fn``: ``"xxhash64"`` (fastest, JVM-only) or ``"md5"`` — salted
+    md5 hex strings, whose lexicographic MIN is an equally valid uniform
+    permutation ordering AND is computable verbatim by any engine with
+    ``md5()`` (the cross-engine oracle path; DuckDB lacks xxhash64)."""
     ex = _exploded_shingles(docs, id_col, text_col, n_shingle)
-    return ex.groupBy("doc").agg(*[
-        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"mh{i}")
-        for i in range(k)])
+    if hash_fn == "md5":
+        cols = [F.min(F.md5(F.concat_ws(":", F.col("_s"), F.lit(str(i)))))
+                 .alias(f"mh{i}") for i in range(k)]
+    else:
+        cols = [F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"mh{i}")
+                for i in range(k)]
+    return ex.groupBy("doc").agg(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_shingle: int = 3,
-                      k: int = 16, bands: int = 4) -> DataFrame:
+                      k: int = 16, bands: int = 4,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     signature (k minhashes) → ``bands`` bands of k/bands rows → a doc
@@ -93,12 +103,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_shingle, k)
+    sig = minhash_signatures(docs, id_col, text_col, n_shingle, k, hash_fn)
+    bucket_of = F.md5 if hash_fn == "md5" else F.xxhash64
     band_rows = sig.select(
         "doc",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
+                     bucket_of(F.concat_ws(
                          ",", *[F.col(f"mh{b * rows_per_band + r}")
                                 for r in range(rows_per_band)])).alias("bucket"))
             for b in range(bands)])).alias("bb")) \
@@ -134,21 +145,43 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       n_shingle: int = 2) -> DataFrame:
+                       n_shingle: int = 2,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(doc, simhash) — 64-bit SimHash: per-bit majority vote of shingle
     hashes as 64 codegen'd ±1 sum-aggregates over exploded shingles.
 
     Bit b is set when at least half the shingle hashes have bit b set
     (ties → set, matching the classic formulation); docs with no shingles
     get all-bits-set (vacuous majority), keeping them in one bucket
-    together.  Near-duplicate documents have small Hamming distance."""
-    ex = _exploded_shingles(docs, id_col, text_col, n_shingle) \
-        .withColumn("_h", F.xxhash64("_s"))
+    together.  Near-duplicate documents have small Hamming distance.
+
+    ``hash_fn="md5"`` takes the low 64 bits of md5 (last 16 hex chars,
+    big-endian) as the shingle hash — bit-reconstructable in plain SQL via
+    hex-digit parsing, so an external engine can replay the vote exactly
+    (the cross-engine oracle path)."""
+    ex = _exploded_shingles(docs, id_col, text_col, n_shingle)
+    if hash_fn == "md5":
+        # 16 hex digits of the low 64 bits, _d1 most significant; computed
+        # once per shingle in a projection, reused by all 64 vote aggs
+        ex = ex.withColumn("_h64", F.substring(F.md5(F.col("_s")), 17, 16))
+        ex = ex.select(
+            "doc", "_s",
+            *[F.conv(F.substring("_h64", d, 1), 16, 10).cast("int")
+               .alias(f"_d{d}") for d in range(1, 17)])
+
+        def bit(b: int) -> Column:
+            d, j = 16 - b // 4, b % 4
+            return F.shiftright(f"_d{d}", j).bitwiseAND(F.lit(1))
+    else:
+        ex = ex.withColumn("_h", F.xxhash64("_s"))
+
+        def bit(b: int) -> Column:
+            return F.shiftright("_h", b).bitwiseAND(F.lit(1))
     # ±1 vote per shingle per bit; null shingle (empty doc) votes 0 so the
     # sum is 0 → majority-true for every bit, matching ones*2 >= size.
     votes = [
         F.sum(F.when(F.col("_s").isNull(), F.lit(0))
-               .when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+               .when(bit(b) == 1, F.lit(1))
                .otherwise(F.lit(-1))).alias(f"v{b}")
         for b in range(64)]
     agg = ex.groupBy("doc").agg(*votes)
@@ -162,10 +195,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       prefix_bits: int = 16) -> DataFrame:
+                       prefix_bits: int = 16,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Bucket docs by the top ``prefix_bits`` of their SimHash — candidate
     near-dup groups come from shared buckets (multi-probe/rotation tables
     extend recall; one table here)."""
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, hash_fn=hash_fn)
     return sig.withColumn(
         "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
