@@ -50,6 +50,41 @@ def test_insert_strict_collision(spark, base):
     assert out == {1: "a", 2: "b", 3: "c"}  # collision dropped
 
 
+def test_broadcast_gated_on_small_delta(spark, base):
+    """The merge must NOT force a delta broadcast (OOM at table-sized
+    deltas); with no hint the optimizer picks from sizes, with
+    small_delta=True the bounded-micro-batch caller pins the hint."""
+    delta = spark.createDataFrame([Row(k=2, v="B")])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (merge.merge_upsert, merge.merge_update):
+            unhinted = fn(base, delta, ["k"])._jdf \
+                .queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in unhinted
+            pinned = fn(base, delta, ["k"], small_delta=True)._jdf \
+                .queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in pinned
+        unhinted = merge.merge_delete(base, delta.select("k"), ["k"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in unhinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_view_swap_crash_recovery(spark, base, tmp_path):
+    """A crash between the swap's two renames must not lose the view: the
+    deterministic .old sibling is restored on the next read."""
+    import os
+    path = str(tmp_path / "mv")
+    mv = merge.ParquetMaterializedView(spark, path, ["k"], schema=base.schema)
+    mv.apply(base, "upsertInto")
+    # simulate the crash window: view renamed away, new view not yet in place
+    os.rename(path, mv._old_dir())
+    assert not os.path.exists(path)
+    assert _as_dict(mv.read()) == {1: "a", 2: "b", 3: "c"}  # recovered
+
+
 def test_parquet_view_apply_idempotent(spark, base, tmp_path):
     mv = merge.ParquetMaterializedView(
         spark, str(tmp_path / "mv"), ["k"], schema=base.schema)

@@ -77,8 +77,11 @@ def skip_messages(df: DataFrame, reason: str,
                   stats: BatchStats | None = None) -> DataFrame:
     """T3 — the skip operator (YqlQuery.java:168-183): when a kind has no
     configured query, count and drop its messages (offsets still commit).
-    Uses ``observe`` so the count rides the job that processes the rest of
-    the batch — no extra action at scale."""
+
+    Standalone use counts with an explicit ``df.count()`` (one job — fine
+    for ad-hoc calls).  The engine's batch path never calls this: its skip
+    counts ride the decode ``Observation`` inside the one materialization
+    job per batch (see :meth:`CdcBatchEngine.apply_raw_batch`)."""
     if stats is not None:
         stats.details[f"skipped:{reason}"] = df.count()
         stats.skipped += stats.details[f"skipped:{reason}"]
@@ -92,16 +95,24 @@ class CdcBatchEngine:
     Application.java:99-100)."""
 
     def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
-                 target_path: str, n_buckets: int | None = None):
+                 target_path: str, n_buckets: int | None = None,
+                 small_delta: bool | None = None):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
         a single rewrite.  Default stays the flat view for small targets.
-        """
+
+        ``small_delta=True`` asserts every batch fed to this engine is
+        bounded (e.g. a trigger-capped streaming micro-batch ≙ the
+        reference's batchSize, XmlConfig.java:18) and pins the merge's
+        broadcast hint; the default lets AQE pick the join strategy from
+        runtime sizes, which is the safe choice for replays/backfills of
+        arbitrary size."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
         self.n_buckets = n_buckets
+        self.small_delta = small_delta
         self._mv = None
 
     # -- target plumbing ----------------------------------------------------
@@ -162,11 +173,21 @@ class CdcBatchEngine:
             typed = typed.where(F.col("op") != decode.OP_UPSERT)
         if skip_d:
             typed = typed.where(F.col("op") != decode.OP_DELETE)
-        # B2/B4: final state per key inside the batch.
-        typed = collapse_last_wins(typed, self.p.pk,
-                                   order_col=order_col).persist()
+        # B2/B4: final state per key inside the batch.  The post-collapse
+        # U/D routing counts ride a second Observation on the SAME
+        # materialization — the one typed.count() below is the batch's only
+        # driver-side counting job (the merge writes launch no extra ones).
+        obs2 = Observation(f"cdc_routed_{id(self)}")
+        typed = collapse_last_wins(typed, self.p.pk, order_col=order_col) \
+            .observe(
+                obs2,
+                F.sum((F.col("op") == decode.OP_UPSERT).cast("long"))
+                 .alias("n_up"),
+                F.sum((F.col("op") == decode.OP_DELETE).cast("long"))
+                 .alias("n_del")) \
+            .persist()
         try:
-            typed.count()  # materialize: decode + collapse, fires the observe
+            typed.count()  # materialize: decode + collapse, fires both observes
             m = obs.get
             stats.malformed = int(m["malformed"] or 0)
             if skip_u:
@@ -177,24 +198,33 @@ class CdcBatchEngine:
                 stats.skipped += int(m["n_d"] or 0)
                 stats.details["skipped:delete query not configured"] = \
                     int(m["n_d"] or 0)
+            m2 = obs2.get
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
             if not skip_u:
-                self._apply_upserts(ups, stats)
+                self._apply_upserts(ups, stats, int(m2["n_up"] or 0))
             if not skip_d:
-                self._apply_deletes(dels, stats)
+                self._apply_deletes(dels, stats, int(m2["n_del"] or 0))
         finally:
             typed.unpersist()
         return stats
 
-    def _apply_upserts(self, ups: DataFrame, stats: BatchStats) -> None:
+    def _apply_upserts(self, ups: DataFrame, stats: BatchStats,
+                       n_rows: int) -> None:
+        """``n_rows`` is the collapsed upsert-message count from the batch
+        Observation — the reference's per-message counter semantics
+        (printDebugStats, YqlWriter.java:217-231); for the row-wise
+        transforms CDC pipelines run it equals the transform's output
+        row count, without a second Spark action."""
         if self.p.update_sql is None:
             skip_messages(ups, "update query not configured", stats)
             return
+        stats.upserted = n_rows
+        if n_rows == 0 and self._target_exists():
+            return  # nothing to merge; skip the rewrite entirely
         # persist the transform result: the merge evaluates it twice
-        # (broadcast key-set + union), and the stats count reuses the cache
-        # afterwards instead of re-running the transform
+        # (anti-join key-set + union)
         result = run_transform(self.spark, ups, self.p.update_sql).persist()
         try:
             action = ("upsertInto" if self.p.action_mode is ActionMode.DIRECT
@@ -202,17 +232,22 @@ class CdcBatchEngine:
             # K5 DIRECT: the inline body's SELECT result IS the upsert
             # payload (README.md:93-100 — `$q = SELECT …; UPSERT INTO …
             # SELECT * FROM $q`).
-            self._target(result.schema).apply(result, action=action)
-            stats.upserted = result.count()
+            self._target(result.schema).apply(result, action=action,
+                                              small_delta=self.small_delta)
         finally:
             result.unpersist()
 
-    def _apply_deletes(self, dels: DataFrame, stats: BatchStats) -> None:
+    def _apply_deletes(self, dels: DataFrame, stats: BatchStats,
+                       n_rows: int) -> None:
         if self.p.delete_sql is None:
             skip_messages(dels, "delete query not configured", stats)
             return
-        key_rows = run_transform(self.spark, dels, self.p.delete_sql)
-        stats.deleted = key_rows.count()
-        if stats.deleted == 0 and self._target(key_rows.schema).exists():
+        stats.deleted = n_rows
+        if n_rows == 0 and self._target_exists():
             return  # no deletions; skip the anti-join rewrite entirely
-        self._target(key_rows.schema).apply(key_rows, action="deleteFrom")
+        key_rows = run_transform(self.spark, dels, self.p.delete_sql)
+        self._target(key_rows.schema).apply(key_rows, action="deleteFrom",
+                                            small_delta=self.small_delta)
+
+    def _target_exists(self) -> bool:
+        return self._mv is not None and self._mv.exists()

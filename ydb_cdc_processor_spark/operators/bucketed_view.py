@@ -91,7 +91,8 @@ class BucketedMaterializedView:
     # -- the incremental merge ------------------------------------------------
 
     def apply(self, delta: DataFrame, action: str = "upsertInto",
-              order_col: str | None = None) -> None:
+              order_col: str | None = None,
+              small_delta: bool | None = None) -> None:
         existed = self.exists()
         if not existed and action == "deleteFrom":
             if self.schema is None:
@@ -120,11 +121,13 @@ class BucketedMaterializedView:
 
             keys_b = self.keys + [BUCKET_COL]
             if action == "deleteFrom":
-                merged = merge_delete(target, delta, keys_b)
+                merged = merge_delete(target, delta, keys_b,
+                                      small_delta=small_delta)
             elif action == "insertInto":
                 merged = merge_insert(target, delta, keys_b, strict=True)
             else:
-                merged = MERGE_FNS[action](target, delta, keys_b, order_col)
+                merged = MERGE_FNS[action](target, delta, keys_b, order_col,
+                                           small_delta)
             merged = merged.localCheckpoint(eager=True)
 
             # dynamic partition overwrite: only partitions present in

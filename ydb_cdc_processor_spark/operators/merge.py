@@ -16,9 +16,13 @@ MERGE, so we provide:
 
 Scale notes (100 TB):
 - Every mode is a single equi-join on the PK — shuffle-on-key both sides, or
-  broadcast when the delta (a micro-batch, default 1000 rows,
-  XmlConfig.java:18) is small, which it essentially always is.  We broadcast
-  the delta side explicitly.
+  broadcast when the delta is small.  The broadcast decision is NOT forced:
+  by default AQE + ``spark.sql.autoBroadcastJoinThreshold`` pick the
+  strategy from actual runtime sizes, so a table-sized delta (backfill,
+  replay, two-phase result) gets a shuffle join instead of an OOM-ing
+  forced broadcast.  Callers that KNOW the delta is bounded (a micro-batch
+  capped by trigger/batchSize, XmlConfig.java:18 default 1000) may pass
+  ``small_delta=True`` to pin the hint and skip AQE's first-stage stats.
 - ``left_anti`` + ``unionByName`` avoids a full-outer join; the union does
   not shuffle.
 - A real deployment partitions the target table by a PK prefix so the
@@ -29,7 +33,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,30 +52,42 @@ def _dedup_delta(delta: DataFrame, keys: list[str],
     return delta.dropDuplicates(keys)
 
 
+def _hint(key_set: DataFrame, small_delta: bool | None) -> DataFrame:
+    """Broadcast the delta key-set only when the caller GUARANTEES it is
+    bounded; otherwise emit no hint and let AQE choose from runtime sizes
+    (a forced broadcast of a table-sized delta OOMs at scale)."""
+    return F.broadcast(key_set) if small_delta else key_set
+
+
 def merge_upsert(target: DataFrame, delta: DataFrame, keys: list[str],
-                 order_col: str | None = None) -> DataFrame:
+                 order_col: str | None = None,
+                 small_delta: bool | None = None) -> DataFrame:
     """K1 ``upsertInto`` (CdcMsgParser.java:228-231): matched → replace row,
     not matched → insert.  target ⟕anti delta  ∪  delta."""
     delta = _dedup_delta(delta, keys, order_col).select(*target.columns)
-    kept = target.join(F.broadcast(delta.select(*keys)), on=keys, how="left_anti")
+    kept = target.join(_hint(delta.select(*keys), small_delta),
+                       on=keys, how="left_anti")
     return kept.unionByName(delta)
 
 
 def merge_delete(target: DataFrame, delete_keys: DataFrame,
-                 keys: list[str]) -> DataFrame:
+                 keys: list[str],
+                 small_delta: bool | None = None) -> DataFrame:
     """K2 ``deleteFrom`` (CdcMsgParser.java:232-235): delete rows whose PK
     appears in the delete set — an anti-join."""
-    return target.join(F.broadcast(delete_keys.select(*keys).dropDuplicates(keys)),
-                       on=keys, how="left_anti")
+    key_set = delete_keys.select(*keys).dropDuplicates(keys)
+    return target.join(_hint(key_set, small_delta), on=keys, how="left_anti")
 
 
 def merge_update(target: DataFrame, delta: DataFrame, keys: list[str],
-                 order_col: str | None = None) -> DataFrame:
+                 order_col: str | None = None,
+                 small_delta: bool | None = None) -> DataFrame:
     """K3 ``updateOn`` (CdcMsgParser.java:236-239): matched → replace row,
     NOT matched → ignore (delta rows without an existing PK are dropped)."""
     delta = _dedup_delta(delta, keys, order_col).select(*target.columns)
     matched = delta.join(target.select(*keys), on=keys, how="left_semi")
-    kept = target.join(F.broadcast(delta.select(*keys)), on=keys, how="left_anti")
+    kept = target.join(_hint(delta.select(*keys), small_delta),
+                       on=keys, how="left_anti")
     return kept.unionByName(matched)
 
 
@@ -120,7 +135,22 @@ class ParquetMaterializedView:
         self.keys = keys
         self.schema = schema
 
+    def _old_dir(self) -> str:
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        return os.path.join(parent, f".{os.path.basename(self.path)}.old")
+
+    def _recover(self) -> None:
+        """Repair a crash between the swap's two renames: if the view
+        directory is gone but the deterministic ``.old`` sibling survives,
+        the old view is still complete — restore it.  (Without this, a
+        streaming-checkpoint replay would silently rebuild the view from
+        just the replayed delta — the accumulated state would be lost.)"""
+        old = self._old_dir()
+        if os.path.isdir(old) and not os.path.exists(self.path):
+            os.rename(old, self.path)
+
     def exists(self) -> bool:
+        self._recover()
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
     def read(self) -> DataFrame:
@@ -134,27 +164,34 @@ class ParquetMaterializedView:
         """Write ``df`` then atomically swap it into place.
 
         The swap (write-to-temp + rename) keeps readers consistent: they see
-        either the old or the new complete view, never a partial write."""
+        either the old or the new complete view, never a partial write.  The
+        displaced view goes to a DETERMINISTIC ``.old`` sibling so
+        :meth:`_recover` can restore it if we crash mid-swap."""
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         tmp = os.path.join(parent, f".{os.path.basename(self.path)}.tmp-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
-        old = None
+        old = self._old_dir()
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
+        displaced = False
         if os.path.exists(self.path):
-            old = tempfile.mkdtemp(dir=parent)
-            os.rename(self.path, os.path.join(old, "old"))
+            os.rename(self.path, old)
+            displaced = True
         os.rename(tmp, self.path)
-        if old:
+        if displaced:
             shutil.rmtree(old, ignore_errors=True)
 
     def apply(self, delta: DataFrame, action: str = "upsertInto",
-              order_col: str | None = None) -> None:
+              order_col: str | None = None,
+              small_delta: bool | None = None) -> None:
         target = self.read()
         if action == "deleteFrom":
-            merged = merge_delete(target, delta, self.keys)
+            merged = merge_delete(target, delta, self.keys,
+                                  small_delta=small_delta)
         elif action == "insertInto":
             merged = merge_insert(target, delta, self.keys, strict=True)
         else:
-            merged = MERGE_FNS[action](target, delta, self.keys, order_col)
+            merged = MERGE_FNS[action](target, delta, self.keys, order_col,
+                                       small_delta)
         # No pre-materialization needed: ``overwrite`` writes to a TEMP
         # sibling directory while ``merged`` still reads the old files, and
         # only then swaps — one materialization total.  (The bucketed view

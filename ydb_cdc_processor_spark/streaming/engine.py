@@ -94,10 +94,15 @@ class CdcStreamEngine:
     def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
                  target_path: str, checkpoint_dir: str,
                  error_threshold: int | None = None,
-                 max_retries: int | None = None):
+                 max_retries: int | None = None,
+                 n_buckets: int | None = None):
         self.spark = spark
         self.pipeline = pipeline
-        self.batch_engine = CdcBatchEngine(spark, pipeline, target_path)
+        # streaming micro-batches are trigger-bounded (B1/B3) → the merge
+        # may safely pin the delta broadcast (small_delta=True)
+        self.batch_engine = CdcBatchEngine(spark, pipeline, target_path,
+                                           n_buckets=n_buckets,
+                                           small_delta=True)
         self.checkpoint_dir = checkpoint_dir
         self.error_threshold = (pipeline.error_threshold
                                 if error_threshold is None else error_threshold)
