@@ -124,7 +124,10 @@ def test_load_config_end_to_end(spark, sf_dir, tmp_path):
     assert p.name == "events/cdc_topic:v1_consumer"
     assert p.batch_size == 10
     assert p.pk == ["event_id"]
-    assert p.action_mode is ActionMode.DIRECT
+    # the inline body's own UPSERT clause propagates (executed verbatim in
+    # the reference via YqlQuery.executeYql — same verb, not forced DIRECT)
+    assert p.action_mode is ActionMode.UPSERT
+    assert p.action_table == "mat_view1"
     assert p.members["value"] == "Optional<Double>"
     assert p.members["ts"] == "Timestamp"
     assert p.delete_sql is not None
@@ -138,6 +141,28 @@ def test_load_config_end_to_end(spark, sf_dir, tmp_path):
     assert view.count() == stats.upserted
     # the translated to_timestamp really retyped the ISO text column
     assert dict(view.dtypes)["ts"] == "timestamp"
+
+
+def test_inline_action_verb_propagates(spark, sf_dir):
+    """An inline body whose action clause is INSERT/UPDATE must keep that
+    verb — the reference executes the inline statement verbatim
+    (YqlQuery.executeYql); forcing DIRECT would silently turn a strict
+    INSERT (PK collisions fail) into an upsert (collisions replace)."""
+    def describe(table):
+        return describe_table(spark, sf_dir, "events")
+    for verb, mode in (("INSERT INTO", ActionMode.INSERT),
+                       ("UPDATE", ActionMode.UPDATE),
+                       ("UPSERT INTO", ActionMode.UPSERT)):
+        tbl_clause = "t1 ON" if verb == "UPDATE" else "t1"
+        xml = f"""<config>
+          <cdc changefeed="events/t" consumer="c"><![CDATA[
+DECLARE $rows AS List<Struct<event_id: Int64>>;
+{verb} {tbl_clause} SELECT event_id FROM AS_TABLE($rows);
+]]></cdc>
+        </config>"""
+        (p,) = load_config_xml(xml, spark, describe=describe)
+        assert p.action_mode is mode, (verb, p.action_mode)
+        assert p.action_table == "t1"
 
 
 def test_load_config_bad_query_id():

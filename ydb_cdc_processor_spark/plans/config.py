@@ -106,9 +106,13 @@ def load_config_xml(xml_text: str, spark: SparkSession | None, *,
                 action_mode = ActionMode(el_mode)
                 action_table = upd[1].get("actionTable")
             elif t.action_mode != "direct":
-                # the inline statement carries its own action clause (K5 —
-                # we still honor it through the merge writer)
-                action_mode, action_table = ActionMode.DIRECT, t.action_table
+                # the inline statement carries its own action clause — honor
+                # its verb through the merge writer, exactly as the reference
+                # executes the inline statement verbatim (YqlQuery.executeYql):
+                # an inline `INSERT INTO t SELECT …` must run strict-insert
+                # semantics (PK collisions fail), not silently become upsert
+                action_mode = ActionMode(t.action_mode)
+                action_table = t.action_table
         delete_members = None
         if dlt is not None:
             td = translate_yql(dlt[0])

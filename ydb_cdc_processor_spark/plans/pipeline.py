@@ -76,7 +76,7 @@ class CdcPipeline:
     batch_size: int = 1000          # XmlConfig.java:18 default
     threads_count: int = 1          # XmlConfig.java:19 default
     timeout_seconds: int = 0        # XmlConfig.java:139-144 default (off)
-    error_threshold: int = 10
+    error_threshold: int = 0        # XmlConfig.java:146-150 default
     warnings: list[str] = field(default_factory=list)
 
     # ---- validation (V3, CdcMsgParser.java:160-252) ----
@@ -169,5 +169,5 @@ class CdcPipeline:
             batch_size=int(spec.get("batch_size", 1000)),
             threads_count=int(spec.get("threads_count", 1)),
             timeout_seconds=int(spec.get("timeout_seconds", 0)),
-            error_threshold=int(spec.get("error_threshold", 10)),
+            error_threshold=int(spec.get("error_threshold", 0)),
         )
