@@ -81,14 +81,29 @@ def main() -> None:
 
     # steady-state incremental maintenance: 4 ~1000-row micro-batches
     # (reference default batchSize, XmlConfig.java:18) against the built
-    # view.  At this view size the flat rewrite is fastest; the
-    # hash-bucketed view (operators/bucketed_view.py, engine n_buckets=...)
-    # is the 100 TB path where per-batch IO must be ∝ touched buckets.
+    # view.  Two variants:
+    #   cdc_incremental_4b          — flat view, O(|view|) rewrite/batch;
+    #                                 fastest at THIS view size (task overhead)
+    #   cdc_incremental_bucketed_4b — hash-bucketed view (n_buckets=64),
+    #                                 partition-pruned read + dynamic
+    #                                 overwrite of touched buckets only:
+    #                                 per-batch cost ∝ touched buckets, the
+    #                                 100 TB path (see SCALING.md view-growth
+    #                                 curve: flat grows with |view|, bucketed
+    #                                 stays flat).
     from pyspark.sql import functions as F
     t0 = time.perf_counter()
     for i in range(4):
         eng.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
     timings["cdc_incremental_4b"] = round(time.perf_counter() - t0, 3)
+
+    eng_b = CdcBatchEngine(spark, pipe, os.path.join(work, "view_bucketed"),
+                           n_buckets=64)
+    eng_b.apply_raw_batch(raw)  # build the bucketed view (untimed)
+    t0 = time.perf_counter()
+    for i in range(4):
+        eng_b.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
+    timings["cdc_incremental_bucketed_4b"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1

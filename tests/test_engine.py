@@ -140,3 +140,58 @@ def test_validation_rejects_bad_pipelines(spark, sf_dir):
                     members={"event_id": "Int32"},
                     update_sql="SELECT * FROM rows").validate_warn(spark)
     assert p.warnings
+
+
+# -- R5: per-query timeout enforcement (YdbService.java:160-175) -------------
+
+def test_query_timeout_cancels_slow_job(spark):
+    """A job that outlives timeoutSeconds is cancelled and surfaces as
+    BatchTimeoutError; the session stays usable afterwards."""
+    import time as _time
+    from ydb_cdc_processor_spark.engine import BatchTimeoutError, query_timeout
+
+    slow = F.udf(lambda x: (_time.sleep(30), x)[1], "long")
+    # aggregate the UDF column so Catalyst cannot prune the slow projection
+    df = spark.range(4, numPartitions=4).select(slow("id").alias("v"))
+    t0 = _time.perf_counter()
+    with pytest.raises(BatchTimeoutError, match="timeoutSeconds=1"):
+        with query_timeout(spark, 1, "slow-test"):
+            df.agg(F.sum("v")).collect()
+    assert _time.perf_counter() - t0 < 25  # cancelled, not slept out
+    assert spark.range(3).count() == 3  # session healthy after cancel
+
+
+def test_query_timeout_zero_is_no_limit(spark):
+    """timeoutSeconds <= 0 means no limit (XmlConfig.java:139-144 default)."""
+    from ydb_cdc_processor_spark.engine import query_timeout
+    with query_timeout(spark, 0, "unlimited"):
+        assert spark.range(5).count() == 5
+
+
+def test_timeout_enforced_in_batch_apply(spark, sf_dir, fixture_dir, tmp_path):
+    """End-to-end R5: a pipeline whose transform stalls past
+    timeout_seconds raises BatchTimeoutError from apply_raw_batch, and the
+    R1 retry path sees it as a retryable failure."""
+    import time as _time
+    from ydb_cdc_processor_spark.engine import BatchTimeoutError
+    from ydb_cdc_processor_spark.streaming.engine import retry_forever
+
+    spark.udf.register("slow_ident_r5",
+                       lambda x: (_time.sleep(30), x)[1], "long")
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="r5_timeout", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value,"
+                   " slow_ident_r5(event_id) AS slow FROM rows",
+        timeout_seconds=2)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"))
+    raw = cdc_json.read_cdc_batch(spark, fixture_dir)
+    with pytest.raises(BatchTimeoutError):
+        eng.apply_raw_batch(raw)
+    # R1 escalation: the timeout is an ordinary retryable failure
+    attempts = []
+    with pytest.raises(BatchTimeoutError):
+        retry_forever(lambda: attempts.append(1) or eng.apply_raw_batch(raw),
+                      max_retries=1, sleep=lambda s: None)
+    assert len(attempts) == 2  # original + one retry

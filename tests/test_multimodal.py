@@ -109,3 +109,28 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
                                            n_planes=4).collect()
     for r in lsh:
         assert exact[(r.vec_a, r.vec_b)] == r.cos_sim
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark, sf_dir):
+    """Lloyd refinement (similarity.kmeans_refine) must lift recall@5 vs
+    the sampled-centroid quantizer at the same n_cells/n_probe, stay
+    deterministic, and keep candidate sims exact (measured on the sf0.01
+    fixture: 0.32 → 0.52 with 2 iterations)."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    truth = {(r.probe_id, r.vec_id) for r in
+             similarity.cosine_topk(emb, probes, k=5).collect()}
+
+    def recall(iters):
+        got = similarity.cosine_topk_ivf(
+            emb, probes, k=5, n_cells=16, n_probe=4,
+            kmeans_iters=iters, dim=dim).collect()
+        return len({(r.probe_id, r.vec_id) for r in got} & truth) / len(truth)
+
+    base, refined = recall(0), recall(2)
+    assert refined > base
+    # deterministic across runs (rounded means, rounded sims, id tiebreaks)
+    assert recall(2) == refined

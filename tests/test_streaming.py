@@ -280,3 +280,47 @@ def test_two_consumers_one_changefeed(spark, sf_dir, fixture_dir, tmp_path):
     assert {"event_id", "ts", "user_id", "event_type",
             "value", "props"} <= set(v2.columns)
     assert s1.status_dict()["ok"] and s2.status_dict()["ok"]
+
+
+def test_status_http_endpoints(spark, sf_dir, fixture_dir, tmp_path):
+    """O3 — /config, /status, POST /stop over a live stream
+    (WebController.java:25-84 shapes)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ydb_cdc_processor_spark.streaming.web import StatusServer
+
+    p = _pipeline(spark, sf_dir)
+    se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                         str(tmp_path / "ckpt"), max_retries=2)
+    se.start(fixture_dir, processing_time="1 second")
+    srv = StatusServer([se], warnings=["w1"]).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        cfg = _json.load(urllib.request.urlopen(f"{base}/config", timeout=10))
+        assert cfg["warnings"] == ["w1"]
+        assert cfg["readers"] == [{"id": "stream_view1",
+                                   "changefeed": "stream_view1",
+                                   "consumer": ""}]
+
+        st = _json.load(urllib.request.urlopen(f"{base}/status", timeout=10))
+        assert len(st) == 1 and st[0]["id"] == "stream_view1"
+        assert {"ok", "status", "readed", "writed"} <= set(st[0])
+
+        # GET /stop is 405; unknown path 404 (REST hygiene)
+        with pytest.raises(urllib.error.HTTPError) as e405:
+            urllib.request.urlopen(f"{base}/stop", timeout=10)
+        assert e405.value.code == 405
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            urllib.request.urlopen(f"{base}/nope", timeout=10)
+        assert e404.value.code == 404
+
+        out = _json.load(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/stop", method="POST"),
+            timeout=60))
+        assert out == {"stopped": True}
+        assert se.status().status == "stopped"
+    finally:
+        srv.close()
+        se.stop()  # idempotent if /stop already stopped it

@@ -11,6 +11,9 @@ sink is the keyed merge writer.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +26,79 @@ from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
 
 ROWS_VIEW = "rows"
+
+
+class BatchTimeoutError(RuntimeError):
+    """R5 — the configured ``timeoutSeconds`` elapsed before the batch
+    apply finished; the batch's Spark jobs were cancelled.  Raised out of
+    :meth:`CdcBatchEngine.apply_raw_batch`, which inside the streaming
+    engine escalates to the R1 retry-with-backoff path (retry_forever) —
+    the same failure→retry flow the reference follows when a query hits
+    its request timeout (YqlWriter.java:244-262)."""
+
+
+@contextlib.contextmanager
+def query_timeout(spark: SparkSession, seconds: int | None, desc: str = ""):
+    """R5 — per-query timeout enforcement.
+
+    Reference semantics (YdbService.java:160-175,181-191): when
+    ``timeoutSeconds > 0``, every YQL execution runs under a request
+    timeout; ``<= 0`` means no limit.  Spark analogue: the enclosed
+    actions run in a dedicated job group; a driver-side timer cancels the
+    group (interrupting running tasks) when the budget elapses, and the
+    resulting failure is re-raised as :class:`BatchTimeoutError`.
+    """
+    if not seconds or seconds <= 0:
+        yield
+        return
+    sc = spark.sparkContext
+    group = f"cdc-timeout-{uuid.uuid4().hex[:8]}"
+    fired = threading.Event()
+    done = threading.Event()
+    timer_box: list[threading.Timer] = []
+
+    def _cancel() -> None:
+        # Re-fire until the context exits: the apply is SEVERAL Spark jobs,
+        # and a one-shot cancel that lands in the gap between two of them
+        # cancels nothing ("cannot find active jobs") while the next job
+        # runs unbounded.  Repeating the cancel bounds that race to ~1 s.
+        fired.set()
+        sc.cancelJobGroup(group)
+        if not done.is_set():
+            t = threading.Timer(1.0, _cancel)
+            t.daemon = True
+            timer_box.append(t)
+            t.start()
+
+    sc.setJobGroup(group, f"{desc} (timeoutSeconds={seconds})",
+                   interruptOnCancel=True)
+    first = threading.Timer(seconds, _cancel)
+    first.daemon = True
+    timer_box.append(first)
+    first.start()
+    try:
+        yield
+        if fired.is_set():
+            # expiry landed between jobs and everything already submitted
+            # finished — the batch still exceeded its budget
+            raise BatchTimeoutError(
+                f"{desc or 'batch'} exceeded timeoutSeconds={seconds}")
+    except BatchTimeoutError:
+        raise
+    except Exception as ex:
+        if fired.is_set():
+            raise BatchTimeoutError(
+                f"{desc or 'batch'} exceeded timeoutSeconds={seconds}; "
+                f"jobs cancelled") from ex
+        raise
+    finally:
+        done.set()
+        for t in timer_box:
+            t.cancel()
+        # clear the group so later jobs on this thread aren't cancellable
+        # by a stale timer
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
 
 @dataclass
@@ -142,7 +218,18 @@ class CdcBatchEngine:
         """raw JSON lines (+ per-partition ``order_col``) → decode → per-key
         last-wins → route U/D → transform → merge.  This is the reference's
         whole writer loop (YqlWriter.java:163-215) as one declarative plan.
+
+        R5: when the pipeline sets ``timeout_seconds > 0``, the whole apply
+        (≙ one update-query + one delete-query execution in the reference)
+        runs under :func:`query_timeout`; on expiry the batch's jobs are
+        cancelled and :class:`BatchTimeoutError` propagates to the R1
+        retry path.
         """
+        with query_timeout(self.spark, self.p.timeout_seconds, self.p.name):
+            return self._apply_raw_batch(raw_df, raw_col, order_col)
+
+    def _apply_raw_batch(self, raw_df: DataFrame, raw_col: str,
+                         order_col: str) -> BatchStats:
         from pyspark.sql import Observation
 
         stats = BatchStats()

@@ -21,8 +21,7 @@ their raw text when the target type is string, which gives us:
 - tolerance of unknown source columns (the reference reads only declared
   members, CdcMsgParser.java:200-207 — free column pruning);
 - the ability to distinguish ``"update": {}`` (non-null empty map → fall
-  back to ``newImage``, CdcMsgParser.java:62-69) from an absent ``update``
-  (null map);
+  back to ``newImage``) from an absent ``update`` (null map);
 - nested JSON values (``Json``/``JsonDocument`` members) preserved verbatim.
 """
 
@@ -87,13 +86,22 @@ def decode_envelope(raw: DataFrame,
     """P1 — parse + route.  Input: one string column of JSON lines.
 
     Output columns: ``key array<string>``, ``payload map<string,string>``,
-    ``op`` (U/D/X).  Routing (CdcMsgParser.java:59-83):
+    ``op`` (U/D/X).  Routing (after CdcMsgParser.java:59-83):
 
     - ``update`` present → U; payload is ``update`` unless it is EMPTY, in
-      which case ``newImage`` (CdcMsgParser.java:62-69);
+      which case ``newImage``;
     - ``erase`` present → D (payload irrelevant; key only);
     - missing/invalid ``key`` or neither update/newImage/erase → X
       (reference logs and skips, CdcMsgParser.java:47-57,72-82).
+
+    DOCUMENTED DEVIATION (COVERAGE.md "Documented deviations" #1): the
+    reference's literal code (CdcMsgParser.java:61 duplicates the
+    ``update.isObject()`` check) never reaches its ``newImage`` fallback —
+    ``update:{}`` there yields a keys-only upsert with a NULL payload, and
+    ``newImage`` WITHOUT ``update`` is skipped as unsupported.  This
+    decoder implements what that fallback was written to do: the
+    ``newImage`` payload is used in both cases (SURVEY.md §2 P1 prescribes
+    this reading).
 
     Extra input columns (e.g. a source ``_offset``) are passed through.
     """

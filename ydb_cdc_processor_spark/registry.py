@@ -587,12 +587,15 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+# One regex scan per language (alternation of literal ' word ' patterns)
+# over space-doubled padded text — mirrors operators/text.py marker_hits.
+# Plain literals: Java regex (Spark) and RE2 (DuckDB) count identical
+# non-overlapping matches.
+_MARKER_PADDED_SQL = "' ' || replace(lower(text), ' ', '  ') || ' '"
 _LANG_HITS_SQL = {
-    "en": "(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4 AS BIGINT))",
-    "de": "(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' ist ', ''))) / 5 AS BIGINT))",
-    "es": "(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) / 4 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) / 4 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' es ', ''))) / 4 AS BIGINT))",
-    "fr": "(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) / 4 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' les ', ''))) / 5 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' est ', ''))) / 5 AS BIGINT))",
-    "zh": "(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' 的 ', ''))) / 3 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' 是 ', ''))) / 3 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' 了 ', ''))) / 3 AS BIGINT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' 在 ', ''))) / 3 AS BIGINT))",
+    code: ("CAST(len(regexp_extract_all(" + _MARKER_PADDED_SQL + ", '"
+           + "|".join(f" {w} " for w in words) + "')) AS BIGINT)")
+    for code, words in text.LANG_MARKERS.items()
 }
 
 _LANG_ID_SQL = f"""

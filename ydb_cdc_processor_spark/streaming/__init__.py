@@ -3,7 +3,8 @@ from ydb_cdc_processor_spark.streaming.engine import (
 from ydb_cdc_processor_spark.streaming.sessionize import (
     sessionize, sessionize_cdc_stream)
 from ydb_cdc_processor_spark.streaming.stateful import user_activity_profile
+from ydb_cdc_processor_spark.streaming.web import StatusServer
 
-__all__ = ["CdcStreamEngine", "StreamStatus", "ThroughputListener",
-           "retry_forever", "sessionize", "sessionize_cdc_stream",
-           "user_activity_profile"]
+__all__ = ["CdcStreamEngine", "StatusServer", "StreamStatus",
+           "ThroughputListener", "retry_forever", "sessionize",
+           "sessionize_cdc_stream", "user_activity_profile"]
