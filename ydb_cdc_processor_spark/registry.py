@@ -781,6 +781,67 @@ def q_similarity_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=16, n_probe=4)
 
 
+def _lloyd_iter_sql(cent_in: str, tag: str) -> str:
+    """One Lloyd iteration in DuckDB: assign every corpus vector to its
+    nearest centroid (same rounded-cosine + cell-asc tiebreak as
+    similarity.kmeans_refine), then component-wise mean per cell via
+    generate_series(1, dim) + list(c ORDER BY i).  Components round to 6
+    digits exactly like the Spark side, keeping both engines bit-stable."""
+    return f"""
+a{tag} AS (SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN {cent_in}),
+m{tag} AS (SELECT cell, i, round(avg(emb[i]), 6) AS c
+       FROM (SELECT cell, emb FROM a{tag} WHERE cr = 1) t
+       CROSS JOIN generate_series(1, {_EMB_DIM}) AS g(i)
+       GROUP BY cell, i),
+cent{tag} AS (SELECT cell, list(c ORDER BY i) AS cemb FROM m{tag} GROUP BY cell)"""
+
+
+@register("q_similarity_ivf_kmeans", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent0 AS (SELECT vec_id AS cell, emb AS cemb FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
+{_lloyd_iter_sql("cent0", "1")},
+{_lloyd_iter_sql("cent1", "2")},
+ca AS (SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN cent2),
+cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
+p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
+pa AS (SELECT probe_id, pemb, cell,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM p CROSS JOIN cent2),
+pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
+s AS (SELECT pc.probe_id, cc.vec_id,
+             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
+      FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
+r AS (SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""")
+def q_similarity_ivf_kmeans(spark, sf_dir):
+    """IVF-flat ANN with a 2-iteration Lloyd-refined coarse quantizer
+    (similarity.kmeans_refine): recall@5 0.32 → 0.52 vs the sampled
+    quantizer on this fixture, and the ENTIRE iterative training loop is
+    replayed by the DuckDB oracle (rounded component means, rounded
+    cosine assignment, cell-asc tiebreaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=16,
+                                      n_probe=4, kmeans_iters=2,
+                                      dim=_EMB_DIM)
+
+
 @register("q_media_meta", """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
