@@ -134,3 +134,20 @@ def test_ivf_kmeans_refinement_improves_recall(spark, sf_dir):
     assert refined > base
     # deterministic across runs (rounded means, rounded sims, id tiebreaks)
     assert recall(2) == refined
+
+
+def test_resize_nearest_semantics(spark, sf_dir):
+    """Nearest-neighbor map: out[i][j] = grid[i*4//H][j*4//W], verified
+    against a hand-computed doc."""
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(
+        load_table(spark, sf_dir, "documents"))
+    dec = multimodal.decode_image(media, codec="fake", thumb=4)
+    one = dec.where(F.col("pixels").isNotNull()).orderBy("doc_id").first()
+    rez = multimodal.resize_nearest(dec, out_w=3, out_h=2)
+    got = rez.where(F.col("doc_id") == one.doc_id).first()
+    assert got.out_w == 3 and got.out_h == 2 and len(got.pixels) == 6
+    expect = [one.pixels[(i * 4 // 2) * 4 + (j * 4 // 3)]
+              for i in range(2) for j in range(3)]
+    assert got.pixels == expect

@@ -195,17 +195,54 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
     the sampling plan (explode + filter, no Python) is the real 100 TB
     shape — frames fan out as rows, codec work stays in mapInPandas."""
     frames = media.select(
-        "doc_id", "content",
+        "doc_id", "content", "meta",
         F.explode(F.sequence(
             F.lit(0), F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1))
          .alias("frame_idx"))
     return frames.where(F.col("frame_idx") % every_n == 0)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("out_w", T.IntegerType(), False),
+    T.StructField("out_h", T.IntegerType(), False),
+    T.StructField("pixels", T.ArrayType(T.DoubleType()), True),
+])
+
+
+def resize_nearest(decoded: DataFrame, out_w: int, out_h: int,
+                   grid: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of decoded ``grid × grid`` luminance
+    thumbnails to ``out_h × out_w`` — REAL resize semantics, pure numpy
+    (single-channel grids need no imaging library): the source-index map
+    is precomputed once on the driver and applied as one fancy-index per
+    row inside each Arrow batch.  Library-backed interpolation (bilinear
+    over full-resolution decodes) stays behind :func:`resize_stub`."""
+    import numpy as np
+
+    rows = (np.arange(out_h) * grid) // out_h
+    cols = (np.arange(out_w) * grid) // out_w
+    flat = (rows[:, None] * grid + cols[None, :]).ravel()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [None if px is None or len(px) == 0
+                   else np.asarray(px, dtype=np.float64)[flat].tolist()
+                   for px in pdf["pixels"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "out_w": out_w, "out_h": out_h,
+                                "pixels": out})
+
+    return decoded.select("doc_id", "pixels").mapInPandas(
+        batches, schema=RESIZED_SCHEMA)
+
+
 def resize_stub(decoded: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize is a pure numpy step over DECODED_SCHEMA batches; real
-    interpolation needs a codec/imaging library → explicit stub."""
+    """Interpolating resize over full-resolution decodes needs a
+    codec/imaging library (PIL/cv2), not shipped in this container →
+    explicit stub.  :func:`resize_nearest` is the library-free real
+    implementation over the decoded luminance grids."""
     raise NotImplementedError(
-        "resize requires an imaging library (PIL/cv2), not shipped in this "
-        "container; decode_image(codec='fake') already pools to a "
-        "fixed-size thumbnail for pipeline testing")
+        "interpolating resize requires an imaging library (PIL/cv2), not "
+        "shipped in this container; use resize_nearest for the "
+        "single-channel nearest-neighbor path")

@@ -956,6 +956,71 @@ def q_media_decode(spark, sf_dir):
                     F.col("px_idx").cast("int").alias("px_idx"), "lum"))
 
 
+@register("q_media_frames", """
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(doc_id % 24 + 1 AS INT) AS n_frames
+FROM documents
+CROSS JOIN generate_series(0, 23) AS g(k)
+WHERE k <= doc_id % 24 AND k % 4 = 0
+""")
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (multimodal.frame_sample): frames fan out as
+    rows via explode(sequence(...)), every-4th kept — pure Catalyst, the
+    codec work stays out of the sampling plan."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return (multimodal.frame_sample(media, every_n=4)
+            .select("doc_id",
+                    F.col("frame_idx").cast("int").alias("frame_idx"),
+                    F.col("meta.n_frames").alias("n_frames")))
+
+
+_RESIZE_W, _RESIZE_H = 3, 2  # non-square output catches transposed maps
+
+
+@register("q_media_resize", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
+           AS side
+  FROM documents WHERE octet_length(encode(text)) > 0),
+byt AS (
+  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= side * side),
+pooled AS (
+  SELECT doc_id, side,
+         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
+         round(SUM(byte) / COUNT(*), 6) AS lum
+  FROM byt
+  GROUP BY doc_id, side,
+           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side)),
+px AS (
+  SELECT b.doc_id, c.px_idx, COALESCE(p.lum, 0.0) AS lum
+  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
+  LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx)
+SELECT px.doc_id, CAST(o.k AS INT) AS px_idx, px.lum
+FROM (SELECT unnest(generate_series(0, {_RESIZE_W * _RESIZE_H - 1})) AS k) o
+JOIN px ON px.px_idx =
+    ((o.k // {_RESIZE_W}) * 4 // {_RESIZE_H}) * 4
+    + ((o.k % {_RESIZE_W}) * 4 // {_RESIZE_W})
+""")
+def q_media_resize(spark, sf_dir):
+    """Nearest-neighbor resize of the decoded 4×4 luminance thumbnails to
+    {h}×{w} (multimodal.resize_nearest — real numpy resize, driver-built
+    index map, one fancy-index per row per Arrow batch).  The oracle
+    replays decode + the index map in SQL.""".format(h=_RESIZE_H,
+                                                     w=_RESIZE_W)
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    dec = multimodal.decode_image(media, codec="fake", thumb=4)
+    rez = multimodal.resize_nearest(dec, out_w=_RESIZE_W, out_h=_RESIZE_H)
+    return (rez.where(F.col("pixels").isNotNull())
+            .select("doc_id", F.posexplode("pixels").alias("px_idx", "lum"))
+            .select("doc_id", F.col("px_idx").cast("int").alias("px_idx"),
+                    "lum"))
+
+
 @register("q_ngram_jaccard", r"""
 WITH n AS (
   SELECT doc_id,
