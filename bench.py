@@ -35,6 +35,7 @@ HEADLINE = [
     "q_similarity_ivf", "q_similarity_ivf_kmeans",
     "q_dedup_embed", "q_dedup_embed_lsh",
     "q_media_meta", "q_media_features", "q_media_decode",
+    "q_media_resize", "q_media_frames",
 ]
 
 

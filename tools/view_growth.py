@@ -37,7 +37,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SIZES = [10_000_000, 100_000_000]
+SIZES = [10_000_000, 100_000_000]   # override: argv row counts
 BUCKET_ROWS = 4000      # constant bucket size; n_buckets = |view| / this
 BATCH_ROWS = 1000
 
@@ -49,6 +49,10 @@ def main() -> None:
         BucketedMaterializedView)
     from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
     from ydb_cdc_processor_spark.session import get_spark
+
+    global SIZES
+    if len(sys.argv) > 1:
+        SIZES = [int(a) for a in sys.argv[1:]]
 
     spark = get_spark("view-growth")
     spark.sparkContext.setLogLevel("ERROR")
