@@ -2,9 +2,11 @@
 no-reprocessing, replay idempotence, retry backoff semantics (R1), and
 the /status surface (O1-O3)."""
 
+import os
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.engine import CdcBatchEngine
 from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
@@ -324,3 +326,52 @@ def test_status_http_endpoints(spark, sf_dir, fixture_dir, tmp_path):
     finally:
         srv.close()
         se.stop()  # idempotent if /stop already stopped it
+
+
+def test_dedup_redelivered_stream(spark, sf_dir, fixture_dir, tmp_path):
+    """Source-level exactly-once: a fixture delivered TWICE (same
+    partition/offset records under new file names) dedupes back to the
+    single-delivery row count, with watermark-bounded state."""
+    import shutil
+
+    from ydb_cdc_processor_spark.streaming.dedup import dedup_redelivered
+
+    doubled = str(tmp_path / "doubled")
+    shutil.copytree(fixture_dir, doubled)
+    for fn in os.listdir(fixture_dir):
+        if not fn.startswith("."):
+            shutil.copy(os.path.join(fixture_dir, fn),
+                        os.path.join(doubled, "redeliver-" + fn))
+    single = cdc_json.read_cdc_batch(spark, fixture_dir).count()
+    assert cdc_json.read_cdc_batch(spark, doubled).count() == 2 * single
+
+    seen = []
+    deduped = dedup_redelivered(cdc_json.read_cdc_stream(spark, doubled))
+    q = (deduped.writeStream
+         .foreachBatch(lambda df, _id: seen.append(df.count()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sum(seen) == single
+
+
+def test_dedup_documents_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Content-level streaming dedup == batch exact-dedup group count."""
+    from ydb_cdc_processor_spark.streaming.dedup import dedup_documents_stream
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").json(src)
+    n_groups = (docs.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")))
+        .distinct().count())
+
+    seen = []
+    stream = (spark.readStream.schema("doc_id long, text string").json(src))
+    q = (dedup_documents_stream(stream).writeStream
+         .foreachBatch(lambda df, _id: seen.append(df.count()))
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sum(seen) == n_groups

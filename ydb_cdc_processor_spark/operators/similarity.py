@@ -95,11 +95,21 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.4,
                           vec_col: str = "embedding",
                           target_occupancy: int = 8,
                           dim: int | None = None,
-                          n_hint: int | None = None) -> DataFrame:
+                          n_hint: int | None = None,
+                          n_tables: int = 1) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
     are same-SRP-bucket pairs only — a self *equi*-join on bucket id, hash
-    partitioned, never all-pairs.  Misses cross-bucket pairs by design
-    (recall tunable via n_planes; multi-table OR-amplification extends it).
+    partitioned, never all-pairs.  Misses cross-bucket pairs by design;
+    recall is tunable two ways:
+
+    - ``n_planes`` (AND-amplification): more planes → smaller buckets →
+      fewer candidates, lower recall;
+    - ``n_tables`` (OR-amplification): independent plane sets (seeds
+      ``seed, seed+1, …``); a pair is a candidate if it collides in ANY
+      table.  Physical shape: ``n_tables`` bucket equi-joins unioned,
+      pair-deduped with an aggregate on (vec_a, vec_b) — each join stays
+      an equi-join, the union adds no shuffle of its own, and the dedup
+      rides the same hash partitioning the pair id gives it.
 
     ``n_planes`` defaults to ``ceil(log2(n / target_occupancy))`` so bucket
     occupancy stays ~constant as the corpus grows.  A FIXED plane count is
@@ -114,20 +124,31 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.4,
         import math
         n = n_hint if n_hint is not None else emb.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_occupancy)))
-    sig = srp_buckets(ensure_min_partitions(emb), n_planes, seed,
-                      id_col, vec_col, dim=dim) \
-        .withColumn("_nv", norm(F.col(vec_col)))
-    a = sig.select(F.col(id_col).alias("vec_a"),
-                   F.col(vec_col).alias("_va"),
-                   F.col("_nv").alias("_na"), "bucket")
-    b = sig.select(F.col(id_col).alias("vec_b"),
-                   F.col(vec_col).alias("_vb"),
-                   F.col("_nv").alias("_nb"), "bucket")
-    pairs = a.join(b, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
-    sim = F.round(dot(F.col("_va"), F.col("_vb")) /
-                  (F.col("_na") * F.col("_nb")), 6)
-    return (pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
-                 .where(F.col("cos_sim") >= threshold))
+    base = ensure_min_partitions(emb)
+    all_pairs = None
+    for t in range(n_tables):
+        sig = srp_buckets(base, n_planes, seed + t, id_col, vec_col,
+                          dim=dim) \
+            .withColumn("_nv", norm(F.col(vec_col)))
+        a = sig.select(F.col(id_col).alias("vec_a"),
+                       F.col(vec_col).alias("_va"),
+                       F.col("_nv").alias("_na"), "bucket")
+        b = sig.select(F.col(id_col).alias("vec_b"),
+                       F.col(vec_col).alias("_vb"),
+                       F.col("_nv").alias("_nb"), "bucket")
+        pairs = a.join(b, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
+        sim = F.round(dot(F.col("_va"), F.col("_vb")) /
+                      (F.col("_na") * F.col("_nb")), 6)
+        scored = (pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+                       .where(F.col("cos_sim") >= threshold))
+        all_pairs = scored if all_pairs is None \
+            else all_pairs.unionByName(scored)
+    if n_tables == 1:
+        return all_pairs
+    # OR-amplification dedup: a pair colliding in several tables appears
+    # once; cos_sim is identical in every copy (same rounded dot product)
+    return all_pairs.groupBy("vec_a", "vec_b").agg(
+        F.first("cos_sim").alias("cos_sim"))
 
 
 def kmeans_refine(corpus: DataFrame, centroids: DataFrame, dim: int,

@@ -649,6 +649,39 @@ def q_quality_score(spark, sf_dir):
                        text.quality_score(F.col("text")).alias("q_score"))
 
 
+@register("q_doc_percentiles", """
+SELECT lang,
+  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 6) AS p50,
+  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.9), 6) AS p90,
+  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.99), 6) AS p99,
+  CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', ''))
+                   + 1 END AS n_tok
+  FROM documents) t
+GROUP BY lang
+""")
+def q_doc_percentiles(spark, sf_dir):
+    """Per-language token-count distribution: EXACT interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both
+    linear interpolation — deliberately not approx_percentile, whose
+    sketch is engine-specific and un-oracle-able).  The length-filtering
+    stats a C4-style corpus curation pass cuts on."""
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select("lang",
+                       text.token_count(F.col("text")).alias("n_tok"))
+    return (toks.groupBy("lang").agg(
+        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.5)), 6)
+         .alias("p50"),
+        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.9)), 6)
+         .alias("p90"),
+        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.99)), 6)
+         .alias("p99"),
+        F.max("n_tok").cast("long").alias("max_tok")))
+
+
 @register("q_similarity_topk", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
@@ -743,6 +776,38 @@ def q_dedup_embed_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=6,
                                             dim=_EMB_DIM)
+
+
+@register("q_dedup_embed_lsh_multi", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cb AS (SELECT vec_id, emb,
+              {_srp_bucket_sql(8, "emb", seed=42)} AS b0,
+              {_srp_bucket_sql(8, "emb", seed=43)} AS b1
+       FROM e),
+pairs AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM cb a JOIN cb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM cb a JOIN cb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id))
+SELECT * FROM (
+  SELECT p.vec_a, p.vec_b,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+  FROM pairs p
+  JOIN e a ON a.vec_id = p.vec_a
+  JOIN e b ON b.vec_id = p.vec_b) t
+WHERE cos_sim >= 0.4
+""")
+def q_dedup_embed_lsh_multi(spark, sf_dir):
+    """OR-amplified SRP near-dup: 2 independent 8-plane tables (seeds
+    42/43), candidates = union of both bucket equi-joins, pair-deduped.
+    Tighter buckets per table (8 planes vs 6) with the second table
+    recovering recall — the standard LSH recall/cost dial, each table
+    still an equi-join, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=8,
+                                            dim=_EMB_DIM, n_tables=2)
 
 
 @register("q_similarity_ivf", """

@@ -1,3 +1,5 @@
+from ydb_cdc_processor_spark.streaming.dedup import (
+    dedup_documents_stream, dedup_redelivered)
 from ydb_cdc_processor_spark.streaming.engine import (
     CdcStreamEngine, StreamStatus, ThroughputListener, retry_forever)
 from ydb_cdc_processor_spark.streaming.sessionize import (
@@ -6,5 +8,6 @@ from ydb_cdc_processor_spark.streaming.stateful import user_activity_profile
 from ydb_cdc_processor_spark.streaming.web import StatusServer
 
 __all__ = ["CdcStreamEngine", "StatusServer", "StreamStatus",
-           "ThroughputListener", "retry_forever", "sessionize",
+           "ThroughputListener", "dedup_documents_stream",
+           "dedup_redelivered", "retry_forever", "sessionize",
            "sessionize_cdc_stream", "user_activity_profile"]
