@@ -54,3 +54,26 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join == plain join for every supported how, including on a
+    deliberately skewed left side (90% one key)."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+    from ydb_cdc_processor_spark.functions.partitioning import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=1 if i % 10 else i, v=i) for i in range(1000)])
+    right = spark.createDataFrame(
+        [Row(k=i, name=f"n{i}") for i in range(0, 1000, 7)])
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = salted_join(left, right, ["k"], n_salts=8, how=how)
+        exp = left.join(right, on=["k"], how=how)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect())), how
+        assert "_salt" not in got.columns
+
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(left, right, ["k"], how="right")

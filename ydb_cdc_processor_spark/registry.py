@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.aggregates import dec_avg, dec_sum, long_sum
-from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
+from ydb_cdc_processor_spark.functions.partitioning import (
+    ensure_min_partitions, salted_join)
 from ydb_cdc_processor_spark.operators import dedup, merge, similarity, text
 from ydb_cdc_processor_spark.operators.last_wins import collapse_last_wins
 from ydb_cdc_processor_spark.sources.catalog import load_table
@@ -647,6 +648,30 @@ def q_quality_score(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     return docs.select("doc_id",
                        text.quality_score(F.col("text")).alias("q_score"))
+
+
+@register("q_skew_join", """
+SELECT s.s_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS sum_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""")
+def q_skew_join(spark, sf_dir):
+    """Skew-tolerant salted join (functions/partitioning.salted_join):
+    the fact side salted into 16 sub-keys, the dimension side replicated
+    per salt — a hot join key spreads over 16 reducers instead of one.
+    Results are exactly the plain join's (oracle is the unsalted SQL);
+    the salting changes only the physical key distribution."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    joined = salted_join(li, supp, ["l_suppkey"], n_salts=16)
+    return (joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dec_sum("l_extendedprice", "sum_price")))
 
 
 @register("q_doc_percentiles", """
