@@ -121,6 +121,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .select("doc_a", "doc_b").distinct())
 
 
+def minhash_jaccard_estimate(docs: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n_shingle: int = 3, k: int = 16,
+                             hash_fn: str = "xxhash64") -> DataFrame:
+    """Signature-level Jaccard ESTIMATE for candidate pairs: the fraction
+    of agreeing MinHash components (E[estimate] = true Jaccard — the
+    defining MinHash property).
+
+    100 TB shape: the estimate joins k-integer signatures only — the
+    corpus is never re-read or re-shingled per pair.  The cheap filter
+    before :func:`ngram_jaccard`'s exact verify: estimate every LSH
+    candidate, run the exact set intersection only on survivors."""
+    sig = minhash_signatures(docs, id_col, text_col, n_shingle, k, hash_fn)
+    a = sig.select(F.col("doc").alias("doc_a"),
+                   *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)])
+    b = sig.select(F.col("doc").alias("doc_b"),
+                   *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)])
+    matches = None
+    for i in range(k):
+        m = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        matches = m if matches is None else matches + m
+    return (pairs.join(a, on="doc_a").join(b, on="doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(matches / F.lit(float(k)), 6)
+                     .alias("est_jaccard")))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:

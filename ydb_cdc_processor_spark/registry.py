@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.aggregates import dec_avg, dec_sum, long_sum
@@ -1204,6 +1204,78 @@ def q_dedup_minhash(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
     return dedup.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
+
+
+@register("q_top_terms", r"""
+WITH w AS (
+  SELECT lang, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents),
+c AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w WHERE length(word) >= 4
+  GROUP BY lang, word),
+r AS (
+  SELECT lang, word, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, word ASC) AS rnk
+  FROM c)
+SELECT lang, word, n, rnk FROM r WHERE rnk <= 5
+""")
+def q_top_terms(spark, sf_dir):
+    """Top-5 terms (≥4 chars) per language: explode → hash-agg (map-side
+    partials carry (lang, word) partial counts) → per-lang top-N window.
+    The corpus-vocabulary profile a curation pipeline reports; at scale
+    the only full-width shuffle carries one row per distinct (lang, word).
+    """
+    docs = load_docs(spark, sf_dir)
+    words = docs.select(
+        "lang",
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " "))
+         .alias("word")).where(F.length("word") >= 4)
+    counts = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(),
+                                           F.col("word").asc())
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5))
+
+
+_MINHASH_EST = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16))
+
+@register("q_minhash_estimate", f"""
+WITH nrm AS ({_NORM_WORDS}),
+sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
+sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+shd AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh3 FROM nrm)
+SELECT p.doc_a, p.doc_b,
+       round(({_MINHASH_EST}) / 16.0, 6) AS est_jaccard,
+       round(CAST(len(list_intersect(sa.sh3, sb.sh3)) AS DOUBLE) /
+             greatest(len(list_distinct(list_concat(sa.sh3, sb.sh3))), 1), 6)
+         AS jaccard
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+JOIN shd sa ON sa.doc_id = p.doc_a
+JOIN shd sb ON sb.doc_id = p.doc_b
+""")
+def q_minhash_estimate(spark, sf_dir):
+    """Signature-level Jaccard estimate next to the exact value for every
+    LSH candidate pair (dedup.minhash_jaccard_estimate): the estimate
+    joins 16-component signatures only — at 100 TB the corpus is never
+    re-shingled per pair; exact verification runs on estimate survivors.
+    Oracle replays signatures, bands, estimate, and exact Jaccard."""
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    est = dedup.minhash_jaccard_estimate(docs, pairs, hash_fn="md5")
+    exact = dedup.ngram_jaccard(docs, pairs)
+    return est.join(exact, on=["doc_a", "doc_b"])
 
 
 def _simhash_votes_sql() -> tuple[str, str]:
