@@ -24,16 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
-    "q_batch_agg", "q_join_enrich", "q_two_phase",
+    "q_batch_agg", "q_join_enrich", "q_two_phase", "q_skew_join",
     "q_upsert_semantics", "q_delete_anti", "q_update_on",
     "q_last_wins", "q_project_retype", "q_key_merge",
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_fingerprint",
     "q_quality_score", "q_lang_id", "q_token_bpe", "q_ngram_jaccard",
+    "q_doc_percentiles", "q_top_terms", "q_minhash_estimate",
     "q_window_topn", "q_rollup", "q_topn_global", "q_json_extract",
     "q_tumbling_agg", "q_sessionize",
     "q_similarity_topk", "q_dedup_minhash", "q_similarity_lsh",
     "q_similarity_ivf", "q_similarity_ivf_kmeans",
-    "q_dedup_embed", "q_dedup_embed_lsh",
+    "q_dedup_embed", "q_dedup_embed_lsh", "q_dedup_embed_lsh_multi",
     "q_media_meta", "q_media_features", "q_media_decode",
     "q_media_resize", "q_media_frames",
 ]
