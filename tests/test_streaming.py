@@ -375,3 +375,20 @@ def test_dedup_documents_stream_matches_batch(spark, sf_dir, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert sum(seen) == n_groups
+
+
+def test_stream_bucketed_target_matches_flat(spark, sf_dir, fixture_dir,
+                                             tmp_path):
+    """CdcStreamEngine(n_buckets=...) drains to the hash-bucketed view
+    with the same final contents as the flat-target stream."""
+    p = _pipeline(spark, sf_dir)
+    flat = CdcStreamEngine(spark, p, str(tmp_path / "vf"),
+                           str(tmp_path / "cf"), max_retries=2)
+    flat.run_available(fixture_dir)
+    p2 = _pipeline(spark, sf_dir)
+    buck = CdcStreamEngine(spark, p2, str(tmp_path / "vb"),
+                           str(tmp_path / "cb"), max_retries=2, n_buckets=8)
+    buck.run_available(fixture_dir)
+    a = {r.event_id: r.value for r in flat.batch_engine.read_view().collect()}
+    b = {r.event_id: r.value for r in buck.batch_engine.read_view().collect()}
+    assert a == b
