@@ -392,3 +392,50 @@ def test_stream_bucketed_target_matches_flat(spark, sf_dir, fixture_dir,
     a = {r.event_id: r.value for r in flat.batch_engine.read_view().collect()}
     b = {r.event_id: r.value for r in buck.batch_engine.read_view().collect()}
     assert a == b
+
+
+def test_app_runs_two_pipelines(spark, sf_dir, fixture_dir, tmp_path):
+    """L1/L2 full shape (Application.java:60-115): one XML with two <cdc>
+    elements -> two streams maintained in one app, one /status listing
+    both readers, stop() quiesces everything."""
+    import json as _json
+    import urllib.request
+
+    from ydb_cdc_processor_spark.app import CdcApp
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    body = """
+DECLARE $rows AS List<Struct<event_id: Int64, ts: Timestamp,
+    event_type: Text, user_id: Int64, value: Double?>>;
+UPSERT INTO {table} SELECT event_id, ts, event_type, user_id, value
+FROM AS_TABLE($rows);
+"""
+    xml = f"""<config>
+      <cdc changefeed="events/topic" consumer="c1"><![CDATA[{body.format(table="v1")}]]></cdc>
+      <cdc changefeed="events/topic" consumer="c2"><![CDATA[{body.format(table="v2")}]]></cdc>
+    </config>"""
+    app = CdcApp.from_xml(
+        spark, xml,
+        describe=lambda t: describe_table(spark, sf_dir, "events"),
+        targets_root=str(tmp_path / "targets"),
+        checkpoints_root=str(tmp_path / "ckpts"))
+    assert len(app.engines) == 2 and app.warnings == []
+
+    statuses = app.run_available(lambda p: fixture_dir)
+    assert [s["ok"] for s in statuses] == [True, True]
+    n1 = app.engines[0].batch_engine.read_view().count()
+    n2 = app.engines[1].batch_engine.read_view().count()
+    assert n1 == n2 > 0
+
+    # the shared O3 surface over both readers (run_available doesn't
+    # start HTTP; start it standalone)
+    from ydb_cdc_processor_spark.streaming.web import StatusServer
+    srv = StatusServer(app.engines, warnings=app.warnings).start()
+    try:
+        st = _json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/status", timeout=10))
+        assert {s["id"] for s in st} == {"events/topic:c1", "events/topic:c2"}
+    finally:
+        srv.close()
+    app.stop()
+    assert all(e.status().status == "stopped" for e in app.engines)

@@ -32,10 +32,12 @@ from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BucketedMaterializedView)
 from ydb_cdc_processor_spark.streaming import CdcStreamEngine
+from ydb_cdc_processor_spark.app import CdcApp
 
 __all__ = [
     "get_spark", "ActionMode", "CdcPipeline", "PipelineValidationError",
     "load_config_xml", "translate_yql", "CdcBatchEngine", "run_transform",
     "ParquetMaterializedView", "BucketedMaterializedView", "CdcStreamEngine",
+    "CdcApp",
 ]
 __version__ = "0.1.0"
