@@ -77,3 +77,18 @@ def test_salted_join_matches_plain(spark):
 
     with pytest.raises(ValueError, match="does not support"):
         salted_join(left, right, ["k"], how="right")
+
+
+def test_duplicate_clusters_chain(spark):
+    """Min-label propagation reaches the fixpoint on a chain (diameter >
+    1) and keeps disjoint components apart."""
+    from pyspark.sql import Row
+    from ydb_cdc_processor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([
+        Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=4),
+        Row(doc_a=10, doc_b=11),
+        Row(doc_a=7, doc_b=5),   # min id arrives via the 'b' side too
+    ])
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}

@@ -121,6 +121,54 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .select("doc_a", "doc_b").distinct())
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components, each labeled by its minimum doc id (the canonical
+    survivor a curation pipeline keeps).
+
+    Algorithm: iterative min-label propagation — per round, every doc
+    takes the min of its own label and its neighbors'; fixpoint when no
+    label changes.  Each round is one equi-join + hash-agg (shuffle on
+    doc id both times — the partitioning is reused), with
+    ``localCheckpoint`` cutting the plan lineage so round N's plan does
+    not embed rounds 1..N-1.  Rounds needed = graph diameter; duplicate
+    clusters are near-cliques (diameter ~1-2), so this converges in 2-3
+    rounds in practice.  For adversarial long-chain graphs at 100 TB the
+    large-star/small-star variant (alternating conditional joins, same
+    per-round shape, O(log n) rounds) drops in without changing the
+    interface.  The per-round convergence count is an action — O(rounds)
+    extra driver round-trips, inherent to any fixpoint on Spark.
+
+    Input: (doc_a, doc_b) pairs.  Output: (doc_id, cluster_id) for every
+    doc appearing in a pair.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("doc"))
+              .distinct()
+              .withColumn("label", F.col("doc"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("doc", "src"), on="src")
+               .groupBy(F.col("dst").alias("doc"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, on="doc", how="left")
+                      .select("doc",
+                              F.least("label", F.coalesce("nbr_min", "label"))
+                               .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="doc")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").cast("long").alias("doc_id"),
+                         F.col("label").cast("long").alias("cluster_id"))
+
+
 def minhash_jaccard_estimate(docs: DataFrame, pairs: DataFrame,
                              id_col: str = "doc_id", text_col: str = "text",
                              n_shingle: int = 3, k: int = 16,

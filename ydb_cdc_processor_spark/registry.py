@@ -1278,6 +1278,49 @@ def q_minhash_estimate(spark, sf_dir):
     return est.join(exact, on=["doc_a", "doc_b"])
 
 
+@register("q_dedup_clusters", f"""
+WITH RECURSIVE nrm AS ({_NORM_WORDS}),
+sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
+sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+shd AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh3 FROM nrm),
+vp AS (
+  SELECT * FROM (
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE) /
+                 greatest(len(list_distinct(list_concat(a.sh3, b.sh3))), 1), 6)
+             AS jaccard
+    FROM cand p
+    JOIN shd a ON a.doc_id = p.doc_a
+    JOIN shd b ON b.doc_id = p.doc_b) t
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vp),
+reach AS (
+  SELECT src AS doc, src AS r FROM edges
+  UNION
+  SELECT e.dst AS doc, reach.r AS r FROM reach JOIN edges e ON e.src = reach.doc)
+SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc
+""")
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: the verified MinHash near-dup pairs
+    (jaccard ≥ 0.5) resolved into connected components, each labeled by
+    its min doc id — the canonical-survivor step after pair generation
+    (dedup.duplicate_clusters, iterative min-label propagation).  The
+    oracle computes the same components with a recursive CTE."""
+    docs = load_docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
+    return dedup.duplicate_clusters(verified.select("doc_a", "doc_b"))
+
+
 def _simhash_votes_sql() -> tuple[str, str]:
     """(vote column SQL, bucket assembly SQL) for the top-16 SimHash bits
     — bit b of the low-64 md5 half lives in hex digit 16 - b//4 (1-based,
