@@ -146,10 +146,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst"))))
-    labels = (edges.select(F.col("src").alias("doc"))
-              .distinct()
-              .withColumn("label", F.col("doc"))
+    # round 0 fused into the init: label = min(self ∪ neighbors) is one
+    # hash-agg over the edge list, no join — diameter-1 components (the
+    # common near-dup clique) are already final here
+    labels = (edges.groupBy(F.col("src").alias("doc"))
+              .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("doc", "src"), on="src")
                .groupBy(F.col("dst").alias("doc"))
@@ -164,7 +167,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "duplicate_clusters: no fixpoint after %d rounds — labels may "
+            "be non-canonical for components of diameter > %d (raise "
+            "max_iter, or use a large-star/small-star variant)",
+            max_iter, max_iter + 1)
     return labels.select(F.col("doc").cast("long").alias("doc_id"),
                          F.col("label").cast("long").alias("cluster_id"))
 
