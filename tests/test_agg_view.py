@@ -1,0 +1,59 @@
+"""Incremental aggregate-view maintenance (operators/agg_view.py):
+after any mix of insert/update/delete batches, the incrementally-kept
+rollup equals a full recompute over the final row state."""
+
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+from ydb_cdc_processor_spark.operators.merge import (
+    ParquetMaterializedView, merge_delete, merge_upsert)
+from ydb_cdc_processor_spark.sources.catalog import load_table
+
+
+def test_agg_view_tracks_row_view(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    key = ["o_orderkey"]
+    av = AggregateView(spark, str(tmp_path / "agg"), ["o_custkey"],
+                       {"sum_price": "o_totalprice"}, count_col="n_orders")
+
+    # batch 1: initial load (no old images)
+    state = orders
+    av.apply_delta(new_rows=orders, old_rows=None)
+    assert av.recompute_check(state)
+
+    # batch 2: update 10% (price x1.1) + insert ghosts with NEW custkeys
+    upd = (orders.where(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    ghosts = spark.createDataFrame(
+        [(10_000_000 + i, 99_000 + i, 100.0 * (i + 1)) for i in range(5)],
+        schema=orders.schema)
+    ups = upd.unionByName(ghosts)
+    old = state.join(ups.select(*key), on=key, how="left_semi")
+    av.apply_delta(new_rows=ups, old_rows=old)
+    state = merge_upsert(state, ups, key)
+    assert av.recompute_check(state)
+
+    # batch 3: delete every 7th key (incl. some updated ones) — groups
+    # that empty out must VANISH from the view
+    del_keys = state.where(F.col("o_orderkey") % 7 == 0).select(*key)
+    old = state.join(del_keys, on=key, how="left_semi")
+    av.apply_delta(new_rows=None, old_rows=old)
+    state = merge_delete(state, del_keys, key)
+    assert av.recompute_check(state)
+
+    # a ghost custkey with its only order deleted is GONE
+    n_ghost_groups = av.read().where(F.col("o_custkey") >= 99_000).count()
+    expect_ghosts = state.where(F.col("o_custkey") >= 99_000) \
+        .select("o_custkey").distinct().count()
+    assert n_ghost_groups == expect_ghosts
+
+    # read() surfaces doubles matching a plain recompute
+    got = {r.o_custkey: (r.n_orders, round(r.sum_price, 4))
+           for r in av.read().collect()}
+    exp = {r.o_custkey: (r.n, round(r.s, 4)) for r in
+           state.groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                 .cast("double").alias("s")).collect()}
+    assert got == exp

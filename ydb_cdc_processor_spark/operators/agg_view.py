@@ -1,0 +1,131 @@
+"""Incrementally-maintained aggregate view (IVM) over a keyed row view.
+
+The reference maintains ROW materialized views (README.md:37-56); the
+natural next view class a CDC engine serves is the GROUP BY rollup —
+kept current per micro-batch WITHOUT recomputing the aggregation over
+the full row view.  Classic incremental view maintenance for
+self-commutative aggregates (COUNT, SUM — AVG derives as SUM/COUNT):
+
+    batch contributions = (+1, +measures) for every new/updated row
+                          (−1, −measures) for every OLD image of an
+                          updated or deleted row
+    view' = view ⊎ contributions, groups whose count reaches 0 dropped
+
+The OLD images come from the row view the engine already maintains —
+a partition-pruned lookup of just the affected keys, not a scan.
+
+Exactness: measures are stored as DECIMAL(38,6) inside the view, so the
+incremental sum equals the full recompute bit-for-bit at any batch
+order/parallelism (functions/aggregates.py rationale); they surface as
+DOUBLE on read.
+
+100 TB shape: contributions are one hash-agg over the (bounded) batch +
+its key-pruned old images; the view update unions |groups-touched| rows
+with the (compact) aggregate view and re-aggregates — the shuffle
+carries one row per group.  An aggregate view with group cardinality
+approaching the fact table defeats the point of a rollup; for that
+shape, keep the row view and aggregate at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
+
+_DEC = "decimal(38,6)"
+
+
+class AggregateView:
+    """A persisted ``GROUP BY group_cols`` rollup with COUNT + SUMs,
+    maintained incrementally from CDC deltas.
+
+    ``sum_cols``: ``{output_name: source_column}``.  ``count_col`` names
+    the row-count measure.  The backing store is the same atomic-swap
+    parquet view the row views use.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 group_cols: list[str], sum_cols: dict[str, str],
+                 count_col: str = "n_rows"):
+        self.spark = spark
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+        self.count_col = count_col
+        self._mv: ParquetMaterializedView | None = None
+        self.path = path
+
+    # -- internals -----------------------------------------------------------
+
+    def _contributions(self, rows: DataFrame, sign: int) -> DataFrame:
+        sgn = F.lit(sign)
+        return rows.select(
+            *self.group_cols,
+            sgn.cast("long").alias(self.count_col),
+            *[(sgn * F.col(src)).cast(_DEC).alias(out)
+              for out, src in self.sum_cols.items()])
+
+    def _store(self, agg: DataFrame) -> ParquetMaterializedView:
+        if self._mv is None:
+            self._mv = ParquetMaterializedView(
+                self.spark, self.path, self.group_cols, schema=agg.schema)
+        return self._mv
+
+    def _reagg(self, contrib: DataFrame) -> DataFrame:
+        return (contrib.groupBy(*self.group_cols)
+                .agg(F.sum(self.count_col).cast("long")
+                      .alias(self.count_col),
+                     *[F.sum(out).cast(_DEC).alias(out)
+                       for out in self.sum_cols]))
+
+    # -- the maintenance step ------------------------------------------------
+
+    def apply_delta(self, new_rows: DataFrame | None,
+                    old_rows: DataFrame | None) -> None:
+        """One maintenance step.
+
+        ``new_rows``: post-transform rows being upserted (None for a
+        pure-delete batch).  ``old_rows``: the PREVIOUS images of every
+        row the batch updates or deletes — read them from the row view
+        (key-pruned) BEFORE applying the batch's row merge.
+        """
+        parts = []
+        if new_rows is not None:
+            parts.append(self._contributions(new_rows, +1))
+        if old_rows is not None:
+            parts.append(self._contributions(old_rows, -1))
+        if not parts:
+            return
+        contrib = parts[0]
+        for p in parts[1:]:
+            contrib = contrib.unionByName(p)
+        delta = self._reagg(contrib)
+        store = self._store(delta)
+        base = store.read() if store.exists() else None
+        merged = self._reagg(delta.unionByName(base) if base is not None
+                             else delta) \
+            .where(F.col(self.count_col) > 0)
+        store.overwrite(merged)
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The rollup, sums surfaced as DOUBLE."""
+        mv = self._mv if self._mv is not None else ParquetMaterializedView(
+            self.spark, self.path, self.group_cols)
+        return mv.read().select(
+            *self.group_cols,
+            F.col(self.count_col),
+            *[F.col(out).cast("double").alias(out)
+              for out in self.sum_cols])
+
+    def recompute_check(self, rows: DataFrame) -> bool:
+        """True iff the incremental state equals a full recompute over
+        ``rows`` (the invariant tests assert)."""
+        full = self._reagg(self._contributions(rows, +1)) \
+            .where(F.col(self.count_col) > 0)
+        cur = self._store(full).read()
+        a = {tuple(r) for r in full.collect()}
+        b = {tuple(r) for r in cur.collect()}
+        return a == b

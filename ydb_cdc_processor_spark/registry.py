@@ -650,6 +650,55 @@ def q_quality_score(spark, sf_dir):
                        text.quality_score(F.col("text")).alias("q_score"))
 
 
+@register("q_agg_view", """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0),
+state AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice FROM delta)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS sum_price
+FROM state WHERE o_orderkey % 7 <> 0
+GROUP BY o_custkey
+""")
+def q_agg_view(spark, sf_dir):
+    """Incremental aggregate-view maintenance (operators/agg_view.py):
+    a per-customer rollup kept current through an initial load, a 10%
+    price-update batch, and a delete batch — by ±contribution deltas
+    (old images from the row view, key-pruned), never a recompute.  The
+    oracle computes the same rollup from the post-merge row state; the
+    incremental and recomputed aggregates match exactly because sums are
+    decimal-routed."""
+    import tempfile
+
+    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+
+    key = ["o_orderkey"]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    av = AggregateView(
+        spark, tempfile.mkdtemp(prefix="aggview_") + "/agg",
+        ["o_custkey"], {"sum_price": "o_totalprice"}, count_col="n_orders")
+
+    av.apply_delta(new_rows=orders, old_rows=None)          # initial load
+    upd = (orders.where(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    av.apply_delta(new_rows=upd,                            # update batch
+                   old_rows=orders.join(upd.select(*key), on=key,
+                                        how="left_semi"))
+    state = merge.merge_upsert(orders, upd, key)
+    dels = state.where(F.col("o_orderkey") % 7 == 0)
+    av.apply_delta(new_rows=None, old_rows=dels)            # delete batch
+    return av.read().select(
+        "o_custkey", "n_orders",
+        F.round("sum_price", 4).alias("sum_price"))
+
+
 @register("q_skew_join", """
 SELECT s.s_nationkey AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_items,
