@@ -57,3 +57,44 @@ def test_agg_view_tracks_row_view(spark, sf_dir, tmp_path):
                 F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
                  .cast("double").alias("s")).collect()}
     assert got == exp
+
+
+def test_engine_maintains_agg_view(spark, sf_dir, tmp_path):
+    """CdcBatchEngine(agg_views=[...]): the rollup is maintained inline
+    with each CDC batch and equals a recompute over the row view — and
+    stays correct under a full replay (old image == new row, so replayed
+    contributions cancel)."""
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="agg_e2e", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value"
+                   " FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    av = AggregateView(spark, str(tmp_path / "agg"), ["event_type"],
+                       {"sum_value": "value"}, count_col="n_events")
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"), agg_views=[av])
+
+    def check():
+        got = {r.event_type: (r.n_events, None if r.sum_value is None
+                              else round(r.sum_value, 4))
+               for r in av.read().collect()}
+        exp = {r.event_type: (r.n, None if r.s is None else round(r.s, 4))
+               for r in eng.read_view().groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("s")).collect()}
+        assert got == exp
+
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    check()
+    # idempotent replay: rollup must not drift
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    check()

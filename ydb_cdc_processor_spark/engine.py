@@ -172,7 +172,8 @@ class CdcBatchEngine:
 
     def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
                  target_path: str, n_buckets: int | None = None,
-                 small_delta: bool | None = None):
+                 small_delta: bool | None = None,
+                 agg_views: list | None = None):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
@@ -183,12 +184,19 @@ class CdcBatchEngine:
         reference's batchSize, XmlConfig.java:18) and pins the merge's
         broadcast hint; the default lets AQE pick the join strategy from
         runtime sizes, which is the safe choice for replays/backfills of
-        arbitrary size."""
+        arbitrary size.
+
+        ``agg_views``: :class:`~ydb_cdc_processor_spark.operators.agg_view.
+        AggregateView` rollups maintained INCREMENTALLY alongside the row
+        view — per batch, each gets +new/−old contribution deltas, with
+        the old images key-pruned from the row view before the merge
+        swaps it (no rollup recompute, ever)."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
         self.n_buckets = n_buckets
         self.small_delta = small_delta
+        self.agg_views = list(agg_views or [])
         self._mv = None
 
     # -- target plumbing ----------------------------------------------------
@@ -316,6 +324,7 @@ class CdcBatchEngine:
         try:
             action = ("upsertInto" if self.p.action_mode is ActionMode.DIRECT
                       else self.p.action_mode.value)
+            self._maintain_agg_views(new_rows=result, affected_keys=result)
             # K5 DIRECT: the inline body's SELECT result IS the upsert
             # payload (README.md:93-100 — `$q = SELECT …; UPSERT INTO …
             # SELECT * FROM $q`).
@@ -333,8 +342,27 @@ class CdcBatchEngine:
         if n_rows == 0 and self._target_exists():
             return  # no deletions; skip the anti-join rewrite entirely
         key_rows = run_transform(self.spark, dels, self.p.delete_sql)
+        self._maintain_agg_views(new_rows=None, affected_keys=key_rows)
         self._target(key_rows.schema).apply(key_rows, action="deleteFrom",
                                             small_delta=self.small_delta)
+
+    def _maintain_agg_views(self, new_rows, affected_keys) -> None:
+        """Feed each attached AggregateView its ±contributions BEFORE the
+        row merge swaps the view: old images are the CURRENT view rows
+        whose keys the batch touches (key-pruned semi-join), checkpointed
+        eagerly because the lazy plan would otherwise list the SWAPPED
+        directory at evaluation time and read post-merge rows."""
+        if not self.agg_views:
+            return
+        keys = self.p.target_keys or self.p.pk
+        old = None
+        if self._target_exists():
+            old = (self._mv.read()
+                   .join(affected_keys.select(*keys), on=keys,
+                         how="left_semi")
+                   .localCheckpoint(eager=True))
+        for av in self.agg_views:
+            av.apply_delta(new_rows=new_rows, old_rows=old)
 
     def _target_exists(self) -> bool:
         return self._mv is not None and self._mv.exists()
