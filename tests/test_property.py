@@ -207,3 +207,65 @@ def test_engine_matches_sequential_apply(spark, tmp_path_factory,
         return  # nothing ever written — consistent with empty state
     got = {r.id: r.val for r in eng.read_view().collect()}
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# 4. IVM invariant: over ANY random sequence of upsert/delete batches, the
+#    incrementally-maintained rollup equals a full recompute of the final
+#    row state (operators/agg_view.py).
+# ---------------------------------------------------------------------------
+
+ivm_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 15),              # key
+                  st.integers(0, 3),               # group
+                  st.none() | st.integers(-100, 100),  # measure (nullable)
+                  st.booleans()),                  # True = delete
+        min_size=1, max_size=12),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(batches=ivm_batches)
+def test_agg_view_random_batches(spark, tmp_path_factory, batches):
+    from pyspark.sql import functions as F
+
+    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+    from ydb_cdc_processor_spark.operators.merge import (
+        merge_delete, merge_upsert)
+
+    root = str(tmp_path_factory.mktemp("ivm"))
+    schema = "k long, g long, v double"
+    state = spark.createDataFrame([], schema)
+    av = AggregateView(spark, root + "/agg", ["g"], {"sv": "v"},
+                       count_col="n")
+    for bi, batch in enumerate(batches):
+        # last occurrence of a key wins inside a batch (B4 semantics)
+        final = {}
+        for k, g, v, is_del in batch:
+            final[k] = (k, g, v, is_del)
+        ups = [(k, g, float(v) if v is not None else None)
+               for k, g, v, d in final.values() if not d]
+        dels = [(k,) for k, g, v, d in final.values() if d]
+        keys = [r[0] for r in final.values()]
+        old = state.where(F.col("k").isin(keys)).localCheckpoint(eager=True)
+        new_rows = spark.createDataFrame(ups, schema) if ups else None
+        # one contribution step per batch covers both kinds: -old for
+        # every touched key, +new for the upserted rows
+        av.apply_delta(new_rows=new_rows, old_rows=old)
+        if ups:
+            state = merge_upsert(state, spark.createDataFrame(ups, schema),
+                                 ["k"])
+        if dels:
+            state = merge_delete(
+                state, spark.createDataFrame(dels, "k long"), ["k"])
+        state = state.localCheckpoint(eager=True)
+    got = {(r.g, r.n, None if r.sv is None else round(r.sv, 6))
+           for r in av.read().collect()}
+    exp = {(r.g, r.n, None if r.sv is None else round(r.sv, 6))
+           for r in state.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(38,6)"))
+                 .cast("double").alias("sv")).collect()}
+    assert got == exp
