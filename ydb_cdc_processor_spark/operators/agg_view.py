@@ -110,15 +110,23 @@ class AggregateView:
 
     # -- reads ---------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """The rollup, sums surfaced as DOUBLE."""
+    def read(self, with_avg: bool = False) -> DataFrame:
+        """The rollup, sums surfaced as DOUBLE.  ``with_avg=True`` adds a
+        derived ``avg_<name>`` per sum — AVG is maintainable for free as
+        SUM/COUNT (the standard IVM decomposition); MIN/MAX are NOT
+        (deleting the extremum needs a group re-scan) and are deliberately
+        not offered."""
         mv = self._mv if self._mv is not None else ParquetMaterializedView(
             self.spark, self.path, self.group_cols)
+        avgs = [(F.col(out).cast("double") / F.col(self.count_col))
+                .alias(f"avg_{out}")
+                for out in self.sum_cols] if with_avg else []
         return mv.read().select(
             *self.group_cols,
             F.col(self.count_col),
             *[F.col(out).cast("double").alias(out)
-              for out in self.sum_cols])
+              for out in self.sum_cols],
+            *avgs)
 
     def recompute_check(self, rows: DataFrame) -> bool:
         """True iff the incremental state equals a full recompute over
