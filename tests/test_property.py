@@ -72,7 +72,7 @@ def _wire(v):
     return v
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(row_strategy, min_size=1, max_size=30))
 def test_decode_round_trip(spark, rows):
@@ -111,7 +111,7 @@ ops = st.lists(
     min_size=1, max_size=60)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(seq=ops)
 def test_last_wins_matches_sequential_apply(spark, seq):
@@ -153,7 +153,7 @@ engine_ops = st.lists(
     min_size=1, max_size=40)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(batches=st.lists(engine_ops, min_size=1, max_size=3),
        config=st.sampled_from(["both", "no_delete", "no_update"]))
@@ -225,7 +225,7 @@ ivm_batches = st.lists(
     min_size=1, max_size=4)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=25, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(batches=ivm_batches)
 def test_agg_view_random_batches(spark, tmp_path_factory, batches):

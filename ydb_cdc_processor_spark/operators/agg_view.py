@@ -19,6 +19,14 @@ incremental sum equals the full recompute bit-for-bit at any batch
 order/parallelism (functions/aggregates.py rationale); they surface as
 DOUBLE on read.
 
+NULL semantics: SQL ``SUM`` over a group whose values are all NULL is
+NULL, not 0 — an incremental sum alone cannot distinguish the two once
+the last non-NULL row is updated away or deleted.  Each sum therefore
+carries a hidden per-measure NON-NULL contribution counter (``±1`` when
+the source value is non-NULL); ``read()`` surfaces the sum as NULL when
+its counter is 0.  ``AVG`` likewise divides by the non-null counter (SQL
+AVG ignores NULLs), not the row count.
+
 100 TB shape: contributions are one hash-agg over the (bounded) batch +
 its key-pruned old images; the view update unions |groups-touched| rows
 with the (compact) aggregate view and re-aggregates — the shuffle
@@ -58,13 +66,22 @@ class AggregateView:
 
     # -- internals -----------------------------------------------------------
 
+    @staticmethod
+    def _nn(out: str) -> str:
+        """Hidden non-null-contribution counter column for sum ``out``."""
+        return f"_nn_{out}"
+
     def _contributions(self, rows: DataFrame, sign: int) -> DataFrame:
         sgn = F.lit(sign)
-        return rows.select(
-            *self.group_cols,
-            sgn.cast("long").alias(self.count_col),
-            *[(sgn * F.col(src)).cast(_DEC).alias(out)
-              for out, src in self.sum_cols.items()])
+        cols = [*self.group_cols, sgn.cast("long").alias(self.count_col)]
+        for out, src in self.sum_cols.items():
+            # COALESCE keeps the running sum itself never-NULL; NULLness
+            # of the surfaced result is decided solely by the counter.
+            cols.append((sgn * F.coalesce(F.col(src), F.lit(0)))
+                        .cast(_DEC).alias(out))
+            cols.append((sgn * F.col(src).isNotNull().cast("long"))
+                        .cast("long").alias(self._nn(out)))
+        return rows.select(*cols)
 
     def _store(self, agg: DataFrame) -> ParquetMaterializedView:
         if self._mv is None:
@@ -73,11 +90,12 @@ class AggregateView:
         return self._mv
 
     def _reagg(self, contrib: DataFrame) -> DataFrame:
-        return (contrib.groupBy(*self.group_cols)
-                .agg(F.sum(self.count_col).cast("long")
-                      .alias(self.count_col),
-                     *[F.sum(out).cast(_DEC).alias(out)
-                       for out in self.sum_cols]))
+        aggs = [F.sum(self.count_col).cast("long").alias(self.count_col)]
+        for out in self.sum_cols:
+            aggs.append(F.sum(out).cast(_DEC).alias(out))
+            aggs.append(F.sum(self._nn(out)).cast("long")
+                         .alias(self._nn(out)))
+        return contrib.groupBy(*self.group_cols).agg(*aggs)
 
     # -- the maintenance step ------------------------------------------------
 
@@ -111,21 +129,25 @@ class AggregateView:
     # -- reads ---------------------------------------------------------------
 
     def read(self, with_avg: bool = False) -> DataFrame:
-        """The rollup, sums surfaced as DOUBLE.  ``with_avg=True`` adds a
-        derived ``avg_<name>`` per sum — AVG is maintainable for free as
-        SUM/COUNT (the standard IVM decomposition); MIN/MAX are NOT
-        (deleting the extremum needs a group re-scan) and are deliberately
-        not offered."""
+        """The rollup, sums surfaced as DOUBLE (NULL when the group holds
+        no non-NULL values — SQL SUM semantics, via the per-measure
+        counter).  ``with_avg=True`` adds a derived ``avg_<name>`` per sum
+        — AVG is maintainable for free as SUM/non-null-count (the standard
+        IVM decomposition); MIN/MAX are NOT (deleting the extremum needs a
+        group re-scan) and are deliberately not offered."""
         mv = self._mv if self._mv is not None else ParquetMaterializedView(
             self.spark, self.path, self.group_cols)
-        avgs = [(F.col(out).cast("double") / F.col(self.count_col))
-                .alias(f"avg_{out}")
+
+        def _sum(out):
+            return (F.when(F.col(self._nn(out)) == 0, F.lit(None))
+                    .otherwise(F.col(out)).cast("double"))
+
+        avgs = [(_sum(out) / F.col(self._nn(out))).alias(f"avg_{out}")
                 for out in self.sum_cols] if with_avg else []
         return mv.read().select(
             *self.group_cols,
             F.col(self.count_col),
-            *[F.col(out).cast("double").alias(out)
-              for out in self.sum_cols],
+            *[_sum(out).alias(out) for out in self.sum_cols],
             *avgs)
 
     def recompute_check(self, rows: DataFrame) -> bool:

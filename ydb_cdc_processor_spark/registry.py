@@ -652,8 +652,15 @@ def q_quality_score(spark, sf_dir):
 
 @register("q_agg_view", """
 WITH delta AS (
-  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 = 0),
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 30 = 0 THEN NULL
+              ELSE o_totalprice * 1.1 END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 900000001 + 7 * g.i AS o_orderkey,
+         990000 + g.i AS o_custkey,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM generate_series(0, 4) AS g(i)),
 state AS (
   SELECT o_orderkey, o_custkey, o_totalprice FROM orders
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
@@ -668,12 +675,14 @@ GROUP BY o_custkey
 """)
 def q_agg_view(spark, sf_dir):
     """Incremental aggregate-view maintenance (operators/agg_view.py):
-    a per-customer rollup kept current through an initial load, a 10%
-    price-update batch, and a delete batch — by ±contribution deltas
-    (old images from the row view, key-pruned), never a recompute.  The
-    oracle computes the same rollup from the post-merge row state; the
-    incremental and recomputed aggregates match exactly because sums are
-    decimal-routed."""
+    a per-customer rollup kept current through an initial load, an
+    update batch that NULLs some prices and inserts all-NULL ghost
+    groups, and a delete batch — by ±contribution deltas (old images
+    from the row view, key-pruned), never a recompute.  The oracle
+    computes the same rollup from the post-merge row state; NULL
+    measures pin SQL SUM semantics (all-NULL group → NULL, not 0 — the
+    per-measure non-null counters), and sums match exactly because they
+    are decimal-routed."""
     import tempfile
 
     from ydb_cdc_processor_spark.operators.agg_view import AggregateView
@@ -687,11 +696,20 @@ def q_agg_view(spark, sf_dir):
 
     av.apply_delta(new_rows=orders, old_rows=None)          # initial load
     upd = (orders.where(F.col("o_orderkey") % 10 == 0)
-           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
-    av.apply_delta(new_rows=upd,                            # update batch
-                   old_rows=orders.join(upd.select(*key), on=key,
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 30 == 0, F.lit(None))
+                        .otherwise(F.col("o_totalprice") * 1.1)))
+    # ghost customers whose ONLY orders carry NULL measures: their groups
+    # must surface sum_price = NULL (never 0.0); keys ≡ 5 (mod 7) so the
+    # delete batch below leaves them alive
+    ghosts = spark.createDataFrame(
+        [(900000001 + 7 * i, 990000 + i, None) for i in range(5)],
+        schema=upd.schema)
+    ups = upd.unionByName(ghosts)
+    av.apply_delta(new_rows=ups,                            # update batch
+                   old_rows=orders.join(ups.select(*key), on=key,
                                         how="left_semi"))
-    state = merge.merge_upsert(orders, upd, key)
+    state = merge.merge_upsert(orders, ups, key)
     dels = state.where(F.col("o_orderkey") % 7 == 0)
     av.apply_delta(new_rows=None, old_rows=dels)            # delete batch
     return av.read().select(
