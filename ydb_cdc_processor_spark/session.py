@@ -37,6 +37,8 @@ def get_spark(app_name: str = "ydb-cdc-processor-spark",
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long ns, converted in sources.catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet micros → plain TIMESTAMP (session tz is UTC), not NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -63,6 +63,11 @@ def _ns_timestamp_cols(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = expand_path(sf_dir, name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (non-UTC-adjusted) parquet timestamps must surface as plain
+    # TIMESTAMP, not TIMESTAMP_NTZ: the session zone is pinned to UTC so
+    # values are identical, and it keeps one timestamp type across the
+    # engine and the DuckDB oracle (which reads them as naive micros).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
