@@ -98,3 +98,46 @@ def test_engine_maintains_agg_view(spark, sf_dir, tmp_path):
     # idempotent replay: rollup must not drift
     eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
     check()
+
+
+def test_agg_view_batch_token_replay_fence(spark, tmp_path):
+    """±contribution deltas are not idempotent — the persisted batch token
+    (swapped atomically with the rollup) must make a replayed delta a
+    no-op, while a new token applies normally."""
+    rows = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)],
+                                 "g int, v double")
+    av = AggregateView(spark, str(tmp_path / "agg"), ["g"], {"sv": "v"})
+
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0:u")
+    first = {(r.g, r.n_rows, r.sv) for r in av.read().collect()}
+    assert first == {(1, 2, 30.0), (2, 1, 5.0)}
+
+    # replay of the SAME token: skipped (no double counting)
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0:u")
+    assert {(r.g, r.n_rows, r.sv) for r in av.read().collect()} == first
+
+    # a fresh AggregateView object over the same store (engine restart)
+    # still honors the fence — the token lives with the data, not in memory
+    av2 = AggregateView(spark, str(tmp_path / "agg"), ["g"], {"sv": "v"})
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b0:u")
+    assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == first
+
+    # a NEW token applies
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b1:u")
+    assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == \
+        {(1, 4, 60.0), (2, 2, 10.0)}
+
+
+def test_agg_view_compact_rollup_guard(spark, tmp_path, caplog):
+    """The documented compact-rollup assumption is enforced, not just
+    stated: exceeding max_groups_warn logs a warning."""
+    import logging
+
+    rows = spark.range(50).select(
+        F.col("id").alias("g"), F.lit(1.0).alias("v"))
+    av = AggregateView(spark, str(tmp_path / "agg"), ["g"], {"sv": "v"},
+                       max_groups_warn=10)
+    with caplog.at_level(logging.WARNING,
+                         logger="ydb_cdc_processor_spark.operators.agg_view"):
+        av.apply_delta(new_rows=rows, old_rows=None)
+    assert any("compact-rollup" in r.message for r in caplog.records)

@@ -439,3 +439,73 @@ FROM AS_TABLE($rows);
         srv.close()
     app.stop()
     assert all(e.status().status == "stopped" for e in app.engines)
+
+
+def test_stream_maintains_agg_view_across_restart(spark, sf_dir, tmp_path):
+    """Continuous IVM (the reference's whole point — YqlWriter.java:163-215
+    maintains views per consumed batch): a rollup attached to the STREAM
+    engine is maintained across >=3 micro-batches, survives a kill/restart
+    (fresh engine objects, same checkpoint), and equals a full recompute
+    over the row view after new post-restart data (upserts + deletes)."""
+    import json as _json
+
+    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+
+    # private fixture copy — this test appends files mid-stream
+    src = str(tmp_path / "cdc_src")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                          n_partitions=3, limit=600)
+    assert n > 0
+
+    p = _pipeline(spark, sf_dir)
+    view, ckpt, agg = (str(tmp_path / "view"), str(tmp_path / "ckpt"),
+                       str(tmp_path / "agg"))
+
+    def engine():
+        av = AggregateView(spark, agg, ["event_type"],
+                           {"sum_value": "value"}, count_col="n_events")
+        return CdcStreamEngine(spark, p, view, ckpt, max_retries=2,
+                               agg_views=[av]), av
+
+    def check(se, av):
+        got = {r.event_type: (r.n_events, None if r.sum_value is None
+                              else round(r.sum_value, 4))
+               for r in av.read().collect()}
+        exp = {r.event_type: (r.n, None if r.s is None else round(r.s, 4))
+               for r in se.batch_engine.read_view().groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("s")).collect()}
+        assert got == exp
+
+    # phase 1: one file per trigger over 3 part files -> >=3 micro-batches
+    se1, av1 = engine()
+    q = se1.start(src, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert se1.status().batches >= 3
+    check(se1, av1)
+    se1.stop()  # "kill": engine + view objects discarded
+
+    # phase 2: new changefeed data lands while we're down — updates,
+    # deletes, and a brand-new event_type group
+    ids = [r.event_id for r in
+           se1.batch_engine.read_view().orderBy("event_id")
+           .limit(40).collect()]
+    lines = [cdc_json.envelope([i], erase=True) for i in ids[:10]]
+    lines += [cdc_json.envelope(
+        [i], {"ts": "2024-06-01T00:00:00Z", "user_id": 1,
+              "event_type": "restarted", "value": 7.5, "props": None})
+        for i in ids[10:20]]
+    with open(os.path.join(src, "part-late.json"), "w") as f:
+        for off, line in enumerate(lines):
+            f.write(_json.dumps({"value": line, "_partition": 0,
+                                 "_offset": 10_000 + off}) + "\n")
+
+    # restart: fresh engine, same checkpoint — only the new file processes
+    se2, av2 = engine()
+    status = se2.run_available(src)
+    assert status.ok and status.batches >= 1
+    assert status.totals.deleted > 0 and status.totals.upserted > 0
+    check(se2, av2)
+    grp = {r.event_type for r in av2.read().collect()}
+    assert "restarted" in grp

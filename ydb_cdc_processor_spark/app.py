@@ -35,7 +35,10 @@ class CdcApp:
     def __init__(self, spark: SparkSession, pipelines: list[CdcPipeline],
                  targets_root: str, checkpoints_root: str,
                  n_buckets: int | None = None,
-                 warnings: list[str] | None = None):
+                 warnings: list[str] | None = None,
+                 agg_views: dict[str, list] | None = None):
+        """``agg_views``: ``{pipeline_name: [AggregateView, ...]}`` —
+        rollups maintained continuously by that pipeline's stream."""
         self.spark = spark
         self.warnings = list(warnings or [])
         if not pipelines:
@@ -48,7 +51,8 @@ class CdcApp:
                 spark, p,
                 target_path=os.path.join(targets_root, safe),
                 checkpoint_dir=os.path.join(checkpoints_root, safe),
-                n_buckets=n_buckets))
+                n_buckets=n_buckets,
+                agg_views=(agg_views or {}).get(p.name)))
         self._server: StatusServer | None = None
 
     @classmethod

@@ -213,6 +213,10 @@ class CdcBatchEngine:
             else:
                 self._mv = ParquetMaterializedView(
                     self.spark, self.target_path, keys, schema=schema)
+        elif schema is not None and self._mv.schema is None:
+            # instantiated schema-less by an existence probe before the
+            # first merge of this process (engine restart path)
+            self._mv.schema = schema
         return self._mv
 
     def read_view(self) -> DataFrame:
@@ -222,7 +226,8 @@ class CdcBatchEngine:
     # -- the batch apply path ----------------------------------------------
 
     def apply_raw_batch(self, raw_df: DataFrame, raw_col: str = "value",
-                        order_col: str = "_offset") -> BatchStats:
+                        order_col: str = "_offset",
+                        batch_token: str | None = None) -> BatchStats:
         """raw JSON lines (+ per-partition ``order_col``) → decode → per-key
         last-wins → route U/D → transform → merge.  This is the reference's
         whole writer loop (YqlWriter.java:163-215) as one declarative plan.
@@ -232,12 +237,21 @@ class CdcBatchEngine:
         runs under :func:`query_timeout`; on expiry the batch's jobs are
         cancelled and :class:`BatchTimeoutError` propagates to the R1
         retry path.
+
+        ``batch_token``: a caller-stable identity for this batch (the
+        streaming engine passes ``<pipeline>:<batch_id>``), used as the
+        attached aggregate views' replay fence — a checkpoint replay or
+        R1 retry of an already-applied batch must not double-count the
+        rollups' ±contributions (the row merge itself is idempotent and
+        needs no fence).
         """
         with query_timeout(self.spark, self.p.timeout_seconds, self.p.name):
-            return self._apply_raw_batch(raw_df, raw_col, order_col)
+            return self._apply_raw_batch(raw_df, raw_col, order_col,
+                                         batch_token)
 
     def _apply_raw_batch(self, raw_df: DataFrame, raw_col: str,
-                         order_col: str) -> BatchStats:
+                         order_col: str,
+                         batch_token: str | None = None) -> BatchStats:
         from pyspark.sql import Observation
 
         stats = BatchStats()
@@ -298,15 +312,17 @@ class CdcBatchEngine:
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
             if not skip_u:
-                self._apply_upserts(ups, stats, int(m2["n_up"] or 0))
+                self._apply_upserts(ups, stats, int(m2["n_up"] or 0),
+                                    batch_token)
             if not skip_d:
-                self._apply_deletes(dels, stats, int(m2["n_del"] or 0))
+                self._apply_deletes(dels, stats, int(m2["n_del"] or 0),
+                                    batch_token)
         finally:
             typed.unpersist()
         return stats
 
     def _apply_upserts(self, ups: DataFrame, stats: BatchStats,
-                       n_rows: int) -> None:
+                       n_rows: int, batch_token: str | None = None) -> None:
         """``n_rows`` is the collapsed upsert-message count from the batch
         Observation — the reference's per-message counter semantics
         (printDebugStats, YqlWriter.java:217-231); for the row-wise
@@ -324,7 +340,8 @@ class CdcBatchEngine:
         try:
             action = ("upsertInto" if self.p.action_mode is ActionMode.DIRECT
                       else self.p.action_mode.value)
-            self._maintain_agg_views(new_rows=result, affected_keys=result)
+            self._maintain_agg_views(new_rows=result, affected_keys=result,
+                                     batch_token=batch_token, kind="u")
             # K5 DIRECT: the inline body's SELECT result IS the upsert
             # payload (README.md:93-100 — `$q = SELECT …; UPSERT INTO …
             # SELECT * FROM $q`).
@@ -334,7 +351,7 @@ class CdcBatchEngine:
             result.unpersist()
 
     def _apply_deletes(self, dels: DataFrame, stats: BatchStats,
-                       n_rows: int) -> None:
+                       n_rows: int, batch_token: str | None = None) -> None:
         if self.p.delete_sql is None:
             skip_messages(dels, "delete query not configured", stats)
             return
@@ -342,27 +359,41 @@ class CdcBatchEngine:
         if n_rows == 0 and self._target_exists():
             return  # no deletions; skip the anti-join rewrite entirely
         key_rows = run_transform(self.spark, dels, self.p.delete_sql)
-        self._maintain_agg_views(new_rows=None, affected_keys=key_rows)
+        self._maintain_agg_views(new_rows=None, affected_keys=key_rows,
+                                 batch_token=batch_token, kind="d")
         self._target(key_rows.schema).apply(key_rows, action="deleteFrom",
                                             small_delta=self.small_delta)
 
-    def _maintain_agg_views(self, new_rows, affected_keys) -> None:
+    def _maintain_agg_views(self, new_rows, affected_keys,
+                            batch_token: str | None = None,
+                            kind: str = "u") -> None:
         """Feed each attached AggregateView its ±contributions BEFORE the
         row merge swaps the view: old images are the CURRENT view rows
         whose keys the batch touches (key-pruned semi-join), checkpointed
         eagerly because the lazy plan would otherwise list the SWAPPED
-        directory at evaluation time and read post-merge rows."""
+        directory at evaluation time and read post-merge rows.
+
+        ``kind`` ("u"/"d") suffixes the replay fence: one micro-batch
+        updates each rollup twice (upsert side, then delete side), and
+        both sub-steps need their own token."""
         if not self.agg_views:
             return
         keys = self.p.target_keys or self.p.pk
         old = None
         if self._target_exists():
-            old = (self._mv.read()
+            old = (self._target(None).read()
                    .join(affected_keys.select(*keys), on=keys,
                          how="left_semi")
                    .localCheckpoint(eager=True))
+        token = None if batch_token is None else f"{batch_token}:{kind}"
         for av in self.agg_views:
-            av.apply_delta(new_rows=new_rows, old_rows=old)
+            av.apply_delta(new_rows=new_rows, old_rows=old,
+                           batch_token=token)
 
     def _target_exists(self) -> bool:
-        return self._mv is not None and self._mv.exists()
+        # probe the PATH, not the cached object: after an engine restart
+        # the view exists on disk while ``_mv`` is still None — a
+        # cached-object check would miss it, and the first post-restart
+        # batch would skip its aggregate-view old images (undercounted
+        # −contributions) and the empty-batch rewrite shortcuts.
+        return self._target(None).exists()

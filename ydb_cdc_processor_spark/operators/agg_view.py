@@ -37,10 +37,14 @@ shape, keep the row view and aggregate at query time.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
+
+logger = logging.getLogger(__name__)
 
 _DEC = "decimal(38,6)"
 
@@ -54,15 +58,26 @@ class AggregateView:
     parquet view the row views use.
     """
 
+    #: compact-rollup guard: warn when the maintained rollup's group
+    #: cardinality exceeds this — a rollup approaching fact-table size
+    #: defeats incremental maintenance (the O(|view|) rewrite per batch
+    #: stops being bounded); keep the row view and aggregate at query
+    #: time, or back the rollup with the bucketed view.
+    max_groups_warn: int = 1_000_000
+
     def __init__(self, spark: SparkSession, path: str,
                  group_cols: list[str], sum_cols: dict[str, str],
-                 count_col: str = "n_rows"):
+                 count_col: str = "n_rows",
+                 max_groups_warn: int | None = None):
         self.spark = spark
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols)
         self.count_col = count_col
         self._mv: ParquetMaterializedView | None = None
         self.path = path
+        if max_groups_warn is not None:
+            self.max_groups_warn = max_groups_warn
+        self._size_warned = False
 
     # -- internals -----------------------------------------------------------
 
@@ -100,14 +115,31 @@ class AggregateView:
     # -- the maintenance step ------------------------------------------------
 
     def apply_delta(self, new_rows: DataFrame | None,
-                    old_rows: DataFrame | None) -> None:
+                    old_rows: DataFrame | None,
+                    batch_token: str | None = None) -> None:
         """One maintenance step.
 
         ``new_rows``: post-transform rows being upserted (None for a
         pure-delete batch).  ``old_rows``: the PREVIOUS images of every
         row the batch updates or deletes — read them from the row view
         (key-pruned) BEFORE applying the batch's row merge.
+
+        ``batch_token``: replay fence for at-least-once callers (the
+        streaming engine's checkpoint replays a micro-batch after a crash,
+        YqlWriter.java:181-206 delivery model).  The row merge is
+        idempotent per key, but ±contribution deltas are NOT — re-applying
+        one double-counts.  The token is persisted atomically WITH the
+        rollup swap (overwrite ``meta``); a delta whose token equals the
+        stored one is skipped, making the rollup exactly-once under
+        replay/retry.
         """
+        store = self._mv or ParquetMaterializedView(
+            self.spark, self.path, self.group_cols)
+        if (batch_token is not None and store.exists()
+                and store.read_meta().get("batch_token") == batch_token):
+            logger.info("agg view %s: batch token %r already applied; "
+                        "skipping replay", self.path, batch_token)
+            return
         parts = []
         if new_rows is not None:
             parts.append(self._contributions(new_rows, +1))
@@ -124,7 +156,24 @@ class AggregateView:
         merged = self._reagg(delta.unionByName(base) if base is not None
                              else delta) \
             .where(F.col(self.count_col) > 0)
-        store.overwrite(merged)
+        # group-cardinality guard rides the write as an observe metric —
+        # no extra job (same pattern as the engine's decode counters)
+        from pyspark.sql import Observation
+        obs = Observation(f"agg_view_size_{id(self)}")
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("n_groups"))
+        store.overwrite(
+            merged, meta=None if batch_token is None
+            else {"batch_token": batch_token})
+        n_groups = int(obs.get["n_groups"] or 0)
+        if n_groups > self.max_groups_warn and not self._size_warned:
+            self._size_warned = True
+            logger.warning(
+                "AggregateView %s holds %d groups (> max_groups_warn=%d): "
+                "the per-batch rollup rewrite is O(groups) — this view is "
+                "outgrowing the compact-rollup assumption; keep the row "
+                "view and aggregate at query time, or back the rollup "
+                "with BucketedMaterializedView",
+                self.path, n_groups, self.max_groups_warn)
 
     # -- reads ---------------------------------------------------------------
 

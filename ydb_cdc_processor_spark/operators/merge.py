@@ -160,16 +160,28 @@ class ParquetMaterializedView:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(self.path)
 
-    def overwrite(self, df: DataFrame) -> None:
+    META_FILE = "_view_meta.json"
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         """Write ``df`` then atomically swap it into place.
 
         The swap (write-to-temp + rename) keeps readers consistent: they see
         either the old or the new complete view, never a partial write.  The
         displaced view goes to a DETERMINISTIC ``.old`` sibling so
-        :meth:`_recover` can restore it if we crash mid-swap."""
+        :meth:`_recover` can restore it if we crash mid-swap.
+
+        ``meta``: an optional small JSON dict written INTO the temp
+        directory before the swap (underscore-prefixed, so Spark's parquet
+        reader ignores it) — it becomes visible atomically WITH the data.
+        Used by the incremental aggregate view to persist the last applied
+        batch token for exactly-once replay (see agg_view.py)."""
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         tmp = os.path.join(parent, f".{os.path.basename(self.path)}.tmp-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
+        if meta is not None:
+            import json
+            with open(os.path.join(tmp, self.META_FILE), "w") as fh:
+                json.dump(meta, fh)
         old = self._old_dir()
         shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
         displaced = False
@@ -179,6 +191,18 @@ class ParquetMaterializedView:
         os.rename(tmp, self.path)
         if displaced:
             shutil.rmtree(old, ignore_errors=True)
+
+    def read_meta(self) -> dict:
+        """The JSON dict last written via ``overwrite(meta=...)`` (empty if
+        none).  Atomic with the data it was swapped in with."""
+        if not self.exists():
+            return {}
+        p = os.path.join(self.path, self.META_FILE)
+        if not os.path.exists(p):
+            return {}
+        import json
+        with open(p) as fh:
+            return json.load(fh)
 
     def apply(self, delta: DataFrame, action: str = "upsertInto",
               order_col: str | None = None,

@@ -95,14 +95,23 @@ class CdcStreamEngine:
                  target_path: str, checkpoint_dir: str,
                  error_threshold: int | None = None,
                  max_retries: int | None = None,
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 agg_views: list | None = None):
+        """``agg_views``: AggregateView rollups maintained CONTINUOUSLY
+        alongside the row view — the reference's whole purpose is
+        continuous view maintenance (YqlWriter.java:163-215); here each
+        micro-batch feeds the rollups their ±contribution deltas before
+        the row merge.  The streaming batch id is the rollups' replay
+        fence (persisted with each rollup swap), so checkpoint replay
+        after a crash, and R1 retries, stay exactly-once."""
         self.spark = spark
         self.pipeline = pipeline
         # streaming micro-batches are trigger-bounded (B1/B3) → the merge
         # may safely pin the delta broadcast (small_delta=True)
         self.batch_engine = CdcBatchEngine(spark, pipeline, target_path,
                                            n_buckets=n_buckets,
-                                           small_delta=True)
+                                           small_delta=True,
+                                           agg_views=agg_views)
         self.checkpoint_dir = checkpoint_dir
         self.error_threshold = (pipeline.error_threshold
                                 if error_threshold is None else error_threshold)
@@ -120,7 +129,9 @@ class CdcStreamEngine:
             self._status.status = f"processing batch {batch_id}"
         try:
             stats = retry_forever(
-                lambda: self.batch_engine.apply_raw_batch(batch_df),
+                lambda: self.batch_engine.apply_raw_batch(
+                    batch_df,
+                    batch_token=f"{self.pipeline.name}:{batch_id}"),
                 error_threshold=self.error_threshold,
                 max_retries=self.max_retries)
         except Exception as ex:
