@@ -195,3 +195,28 @@ def test_timeout_enforced_in_batch_apply(spark, sf_dir, fixture_dir, tmp_path):
         retry_forever(lambda: attempts.append(1) or eng.apply_raw_batch(raw),
                       max_retries=1, sleep=lambda s: None)
     assert len(attempts) == 2  # original + one retry
+
+
+def test_timeout_enforced_in_two_phase(spark, tmp_path):
+    """R5 over the standalone T2 path: two_phase(timeout_seconds=N) bounds
+    the select + merge, not just apply_raw_batch (YdbService.java:160-175
+    runs both phases under one request timeout)."""
+    import time as _time
+    from ydb_cdc_processor_spark.engine import (
+        BatchTimeoutError, two_phase)
+
+    slow = F.udf(lambda x: (_time.sleep(30), x)[1], "long")
+    batch = spark.range(4, numPartitions=4).select(
+        F.col("id").alias("k"), slow("id").alias("v"))
+    t0 = _time.perf_counter()
+    with pytest.raises(BatchTimeoutError):
+        two_phase(spark, batch, "SELECT k, SUM(v) AS sv FROM rows GROUP BY k",
+                  target_path=str(tmp_path / "t2"), keys=["k"],
+                  timeout_seconds=1)
+    assert _time.perf_counter() - t0 < 25
+    # untimed call still works, session healthy
+    fast = spark.range(3).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v"))
+    out = two_phase(spark, fast, "SELECT k, v FROM rows",
+                    target_path=str(tmp_path / "t2b"), keys=["k"])
+    assert out.count() == 3

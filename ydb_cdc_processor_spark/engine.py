@@ -134,7 +134,8 @@ def run_transform(spark: SparkSession, batch_df: DataFrame, sql: str,
 def two_phase(spark: SparkSession, batch_df: DataFrame, select_sql: str,
               view_cls: type = ParquetMaterializedView, *,
               target_path: str, keys: list[str],
-              action: str = "upsertInto") -> DataFrame:
+              action: str = "upsertInto",
+              timeout_seconds: int | None = None) -> DataFrame:
     """T2 — two-phase read-then-act (YqlQuery.java:198-247).
 
     Phase 1: run the user SELECT over the batch (reference: SNAPSHOT_RO
@@ -142,10 +143,16 @@ def two_phase(spark: SparkSession, batch_df: DataFrame, select_sql: str,
     result-set schema and SYNTHESIZES a new typed statement
     (YqlQuery.java:217-235); in Spark ``result.schema`` is free and the
     action is a direct merge of the result DataFrame — no text synthesis.
-    Returns the phase-1 result (also written to the target)."""
-    result = run_transform(spark, batch_df, select_sql)
-    mv = view_cls(spark, target_path, keys, schema=result.schema)
-    mv.apply(result, action=action)
+    Returns the phase-1 result (also written to the target).
+
+    R5 applies here too (the reference runs BOTH phases under the same
+    request timeout, YdbService.java:160-175): ``timeout_seconds``
+    bounds the select + merge; on expiry the jobs are cancelled and
+    :class:`BatchTimeoutError` raises."""
+    with query_timeout(spark, timeout_seconds, "two_phase"):
+        result = run_transform(spark, batch_df, select_sql)
+        mv = view_cls(spark, target_path, keys, schema=result.schema)
+        mv.apply(result, action=action)
     return result
 
 
