@@ -98,3 +98,67 @@ def test_touched_bucket_read_is_partition_pruned(spark, tmp_path, orders):
     # and the pruned read returns only those buckets' rows
     got = {r[0] for r in pruned.select(BUCKET_COL).distinct().collect()}
     assert got <= {1, 3}
+
+
+def test_manifest_overrides_constructor(spark, tmp_path, orders):
+    """Bucket count is a property of the on-disk LAYOUT: a fresh instance
+    constructed with a different n_buckets adopts the manifest's count
+    (a mismatched count would route keys to wrong buckets)."""
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=8)
+    assert buck._read_manifest() == 8
+    reopened = BucketedMaterializedView(
+        spark, str(tmp_path / "buck"), KEYS, n_buckets=64)
+    assert reopened.n_buckets == 8
+
+
+def test_rebucket_preserves_contents(spark, tmp_path, orders):
+    """rebucket(): one full rewrite to a new bucket count; contents
+    identical, manifest updated, merges keep working at the new layout."""
+    flat, buck = _mk(spark, tmp_path, orders, n_buckets=4)
+    before = _rows(buck.read())
+    buck.rebucket(16)
+    assert buck.n_buckets == 16
+    assert _rows(buck.read()) == before
+    assert buck._read_manifest() == 16
+    assert buck.n_nonempty_buckets() <= 16
+
+    # a post-rebucket merge must agree with the flat view
+    delta = orders.limit(50).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2)
+    flat.apply(delta, "upsertInto")
+    buck2 = BucketedMaterializedView(  # fresh instance: manifest-driven
+        spark, str(tmp_path / "buck"), KEYS, n_buckets=4)
+    assert buck2.n_buckets == 16
+    buck2.apply(delta, "upsertInto")
+    assert _rows(buck2.read()) == _rows(flat.read())
+
+
+def test_maybe_rebucket_growth_trigger(spark, tmp_path, orders):
+    """The documented growth rule (SCALING.md: n_buckets ∝ |view|): mean
+    bucket size over target×4 → rebucket to ceil-pow2(total/target);
+    under it → no-op.  Sizing comes from file metadata only."""
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=2)
+    total = buck.total_bytes()
+    assert total > 0
+    # generous target: no rebucket
+    assert buck.maybe_rebucket(target_bucket_bytes=total * 10) is False
+    assert buck.n_buckets == 2
+    # tiny target: must grow to a power of two > 2, contents preserved
+    before = _rows(buck.read())
+    assert buck.maybe_rebucket(target_bucket_bytes=max(total // 16, 1)) is True
+    assert buck.n_buckets > 2 and buck.n_buckets & (buck.n_buckets - 1) == 0
+    assert _rows(buck.read()) == before
+
+
+def test_read_touched_probes_only_touched_dirs(spark, tmp_path, orders):
+    """_read_touched: direct-path read of the touched buckets only — a
+    bucket that does not exist on disk is simply absent (no error), and
+    untouched buckets contribute no rows."""
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=8)
+    got = buck._read_touched([1, 3, 999], orders.schema)
+    assert {r[0] for r in got.select(BUCKET_COL).distinct().collect()} \
+        <= {1, 3}
+    # all-missing probe → empty frame with the right schema
+    empty = buck._read_touched([999, 1000], orders.schema)
+    assert empty.count() == 0
+    assert BUCKET_COL in empty.columns

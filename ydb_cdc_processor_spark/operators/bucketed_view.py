@@ -8,9 +8,10 @@ directory partitions (``_bucket = pmod(xxhash64(pk...), n)``) so a batch:
 
 1. computes the distinct buckets its keys touch — at most
    ``min(|delta|, n_buckets)``;
-2. reads ONLY those partitions (Catalyst partition pruning on the
-   ``_bucket IN (...)`` filter — verify with ``PartitionFilters`` in the
-   scan node);
+2. reads ONLY those partitions — by DIRECT directory path, not a
+   filtered full-table scan: planning lists O(touched) directories, not
+   O(n_buckets) (the SCALING.md residual — at n_buckets ≈ 10⁴-10⁵ the
+   directory listing itself dominated per-batch time);
 3. merges and rewrites ONLY those partitions (dynamic partition
    overwrite), deleting partitions the merge emptied.
 
@@ -20,15 +21,30 @@ with the default 1000-row batch and 1024 buckets over a 100 TB view,
 same layout co-locates future PK merges and joins (bucket ≙ a fixed hash
 partitioning reused across batches).
 
+Bucket-count evolution (SCALING.md deployment rule: n_buckets ∝ |view| —
+a FIXED count degrades back toward O(|view|) per batch as the view
+grows): the count lives in a ``_buckets.json`` manifest next to the
+data, so every instance agrees on the on-disk layout, and
+:meth:`rebucket` rewrites the view at a new count (one full rewrite,
+amortized over the growth that triggered it).  :meth:`maybe_rebucket`
+applies the documented trigger — mean bucket size, measured from file
+metadata only (no Spark scan), exceeding ``target_bucket_bytes × 4``.
+
 Delivery semantics match the flat view: merges are idempotent per key, so
 checkpoint replay after a mid-write crash converges (a torn dynamic
-overwrite is repaired by the replay rewriting the same buckets).
+overwrite is repaired by the replay rewriting the same buckets).  The
+touched-bucket read probes the filesystem per touched bucket, so a
+crash-torn state (bucket directory present/absent vs any cached
+expectation) is always re-observed, never assumed.
 """
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +52,10 @@ from pyspark.sql import functions as F
 from ydb_cdc_processor_spark.operators.merge import (
     MERGE_FNS, merge_delete, merge_insert)
 
+logger = logging.getLogger(__name__)
+
 BUCKET_COL = "_bucket"
+MANIFEST = "_buckets.json"
 
 
 class BucketedMaterializedView:
@@ -48,16 +67,43 @@ class BucketedMaterializedView:
         self.path = path
         self.keys = keys
         self.schema = schema
-        self.n_buckets = n_buckets
+        # the on-disk manifest wins over the constructor: bucket count is
+        # a property of the LAYOUT, not of whoever re-instantiated the
+        # view after a restart/rebucket with a stale default
+        stored = self._read_manifest()
+        if stored is not None and stored != n_buckets:
+            logger.info("bucketed view %s: manifest n_buckets=%d overrides "
+                        "constructor n_buckets=%d", path, stored, n_buckets)
+        self.n_buckets = stored if stored is not None else n_buckets
 
     # -- bucketing -----------------------------------------------------------
 
-    def bucket_expr(self) -> F.Column:
+    def bucket_expr(self, n_buckets: int | None = None) -> F.Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
-                      F.lit(self.n_buckets)).cast("int")
+                      F.lit(n_buckets or self.n_buckets)).cast("int")
 
-    def _with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(BUCKET_COL, self.bucket_expr())
+    def _with_bucket(self, df: DataFrame,
+                     n_buckets: int | None = None) -> DataFrame:
+        return df.withColumn(BUCKET_COL, self.bucket_expr(n_buckets))
+
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _read_manifest(self) -> int | None:
+        try:
+            with open(self._manifest_path()) as fh:
+                return int(json.load(fh)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_manifest(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"n_buckets": self.n_buckets}, fh)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
 
     # -- IO ------------------------------------------------------------------
 
@@ -81,12 +127,35 @@ class BucketedMaterializedView:
                 raise FileNotFoundError(self.path)
             return self._with_bucket(
                 self.spark.createDataFrame([], self.schema))
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.option("basePath", self.path) \
+            .parquet(self.path)
+
+    def _read_touched(self, touched: list[int],
+                      delta_schema) -> DataFrame:
+        """Read ONLY the touched buckets, by direct directory path.
+
+        O(touched) filesystem probes + O(touched) directory listings at
+        plan time — never a listing of all ``n_buckets`` partitions (the
+        ``isin``-filter formulation prunes FILES but still lists every
+        partition directory to plan the scan).  Probing ``isdir`` per
+        bucket also makes the read crash-honest: a bucket emptied (or
+        never written) is simply absent."""
+        dirs = [os.path.join(self.path, f"{BUCKET_COL}={b}")
+                for b in touched]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            base = (self.spark.createDataFrame([], self.schema)
+                    if self.schema is not None
+                    else self.spark.createDataFrame([], delta_schema))
+            return self._with_bucket(base.limit(0))
+        # basePath keeps the _bucket=N directory name as a partition column
+        return self.spark.read.option("basePath", self.path).parquet(*dirs)
 
     def _write_full(self, df: DataFrame) -> None:
         (self._with_bucket(df)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
+        self._write_manifest()
 
     # -- the incremental merge ------------------------------------------------
 
@@ -108,9 +177,9 @@ class BucketedMaterializedView:
             if not touched:
                 return
             if existed:
-                # partition-pruned read: only the touched buckets
-                target = self._read_raw().where(
-                    F.col(BUCKET_COL).isin(touched))
+                # direct-path read of only the touched buckets
+                target = self._read_touched(touched, delta.drop(BUCKET_COL)
+                                            .schema)
             else:
                 # first batch: merge against an empty target (keeps the
                 # per-action dedup/collision semantics)
@@ -147,5 +216,80 @@ class BucketedMaterializedView:
                     shutil.rmtree(
                         os.path.join(self.path, f"{BUCKET_COL}={b}"),
                         ignore_errors=True)
+            if not existed:
+                self._write_manifest()
         finally:
             delta.unpersist()
+
+    # -- bucket-count evolution (SCALING.md: n_buckets ∝ |view|) -------------
+
+    def total_bytes(self) -> int:
+        """On-disk data size from file METADATA only — no Spark scan, no
+        count job.  O(#files) driver-side stat calls."""
+        total = 0
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def n_nonempty_buckets(self) -> int:
+        if not os.path.isdir(self.path):
+            return 0
+        return sum(1 for e in os.listdir(self.path)
+                   if e.startswith(f"{BUCKET_COL}="))
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Rewrite the view at a new bucket count — ONE full O(|view|)
+        rewrite, amortized over the growth that triggered it (vs paying
+        O(oversized bucket) on EVERY subsequent batch).  Swap is atomic:
+        written to a temp sibling while the old layout still serves, then
+        renamed into place."""
+        if n_buckets == self.n_buckets:
+            return
+        df = self.read()
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = os.path.join(
+            parent, f".{os.path.basename(self.path)}.rebucket-"
+                    f"{uuid.uuid4().hex[:8]}")
+        (self._with_bucket(df, n_buckets)
+         .repartition(BUCKET_COL)
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
+        old_n = self.n_buckets
+        self.n_buckets = n_buckets
+        with open(os.path.join(tmp, MANIFEST), "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        old = os.path.join(parent, f".{os.path.basename(self.path)}.old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        logger.info("bucketed view %s: rebucketed %d → %d buckets",
+                    self.path, old_n, n_buckets)
+
+    def maybe_rebucket(self, target_bucket_bytes: int = 128 << 20,
+                       growth_factor: int = 4) -> bool:
+        """The documented growth trigger: when the MEAN bucket size (from
+        file metadata, no scan) exceeds ``target_bucket_bytes ×
+        growth_factor``, rebucket to ``total / target`` rounded up to a
+        power of two.  Call between batches (e.g. every N micro-batches);
+        returns True when a rebucket ran.
+
+        The ×4 slack keeps rebuckets rare (each is one full rewrite) while
+        bounding per-batch touched-bucket cost to 4× the target — the
+        amortized-growth policy SCALING.md's view-growth curve prescribes.
+        """
+        n = self.n_nonempty_buckets()
+        if n == 0:
+            return False
+        total = self.total_bytes()
+        if total / n <= target_bucket_bytes * growth_factor:
+            return False
+        want = max(1, -(-total // target_bucket_bytes))  # ceil div
+        new_n = 1
+        while new_n < want:
+            new_n *= 2
+        if new_n <= self.n_buckets:
+            return False
+        self.rebucket(new_n)
+        return True

@@ -96,14 +96,22 @@ class CdcStreamEngine:
                  error_threshold: int | None = None,
                  max_retries: int | None = None,
                  n_buckets: int | None = None,
-                 agg_views: list | None = None):
+                 agg_views: list | None = None,
+                 rebucket_every: int | None = 64,
+                 target_bucket_bytes: int = 128 << 20):
         """``agg_views``: AggregateView rollups maintained CONTINUOUSLY
         alongside the row view — the reference's whole purpose is
         continuous view maintenance (YqlWriter.java:163-215); here each
         micro-batch feeds the rollups their ±contribution deltas before
         the row merge.  The streaming batch id is the rollups' replay
         fence (persisted with each rollup swap), so checkpoint replay
-        after a crash, and R1 retries, stay exactly-once."""
+        after a crash, and R1 retries, stay exactly-once.
+
+        ``rebucket_every`` (bucketed targets only): every N successful
+        batches, apply the bucket-growth policy (SCALING.md: n_buckets ∝
+        |view|) — a metadata-only size check, and a one-off full rewrite
+        when mean bucket size crossed ``target_bucket_bytes × 4``.  None
+        disables."""
         self.spark = spark
         self.pipeline = pipeline
         # streaming micro-batches are trigger-bounded (B1/B3) → the merge
@@ -113,6 +121,8 @@ class CdcStreamEngine:
                                            small_delta=True,
                                            agg_views=agg_views)
         self.checkpoint_dir = checkpoint_dir
+        self.rebucket_every = rebucket_every if n_buckets else None
+        self.target_bucket_bytes = target_bucket_bytes
         self.error_threshold = (pipeline.error_threshold
                                 if error_threshold is None else error_threshold)
         self.max_retries = max_retries
@@ -140,6 +150,15 @@ class CdcStreamEngine:
                 self._status.status = "error"
                 self._status.last_error = repr(ex)
             raise
+        if (self.rebucket_every
+                and (batch_id + 1) % self.rebucket_every == 0):
+            # between-batch growth check: metadata-only unless the mean
+            # bucket size crossed the threshold (then one amortized
+            # rewrite keeps per-batch cost ∝ target bucket size)
+            mv = self.batch_engine._target(None)
+            if mv.exists():
+                mv.maybe_rebucket(
+                    target_bucket_bytes=self.target_bucket_bytes)
         dt = max(time.perf_counter() - t0, 1e-9)
         with self._lock:
             s = self._status
