@@ -164,26 +164,54 @@ def decode_image(media: DataFrame, *, codec: str = "fake",
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully batch-vectorized (the extract_byte_features shape):
+        # concatenate every blob's used prefix into ONE byte buffer, map
+        # each byte to its (doc, pooled-row, pooled-col) cell arithmetically,
+        # and average-pool the whole batch with two np.add.at scatters —
+        # no per-row Python in the hot loop.
         for pdf in it:
-            out = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                if blob is None or len(blob) == 0:
-                    out.append((doc_id, None, None, None))
-                    continue
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype("float64")
-                side = max(int(len(arr) ** 0.5), 1)
-                arr = arr[:side * side].reshape(side, side)
-                # average-pool to thumb × thumb
-                idx = (np.arange(side) * thumb // side)
-                pooled = np.zeros((thumb, thumb))
-                cnt = np.zeros((thumb, thumb))
-                np.add.at(pooled, (idx[:, None].repeat(side, 1), idx[None, :].repeat(side, 0)), arr)
-                np.add.at(cnt, (idx[:, None].repeat(side, 1), idx[None, :].repeat(side, 0)), 1.0)
-                grid = pooled / np.maximum(cnt, 1.0)
-                out.append((doc_id, side, side,
-                            [round(v, 6) for v in grid.ravel().tolist()]))
-            yield pd.DataFrame(out, columns=["doc_id", "width", "height",
-                                             "pixels"])
+            blobs = [b if b is not None else b"" for b in pdf["content"]]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=n)
+            sides = np.maximum(np.sqrt(lens).astype(np.int64), 1)
+            used = np.where(lens == 0, 0, sides * sides)
+            if used.sum() == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "width": pd.array([None] * n,
+                                                      dtype="Int32"),
+                                    "height": pd.array([None] * n,
+                                                       dtype="Int32"),
+                                    "pixels": [None] * n})
+                continue
+            flat = np.frombuffer(
+                b"".join(b[:u] for b, u in zip(blobs, used)),
+                dtype=np.uint8).astype(np.float64)
+            doc_idx = np.repeat(np.arange(n), used)
+            starts = np.concatenate(([0], np.cumsum(used)[:-1]))
+            pos = np.arange(used.sum()) - starts[doc_idx]
+            side_b = sides[doc_idx]
+            row = pos // side_b
+            col = pos - row * side_b
+            rt = row * thumb // side_b
+            ct = col * thumb // side_b
+            pooled = np.zeros((n, thumb, thumb))
+            cnt = np.zeros((n, thumb, thumb))
+            np.add.at(pooled, (doc_idx, rt, ct), flat)
+            np.add.at(cnt, (doc_idx, rt, ct), 1.0)
+            grid = np.round(pooled / np.maximum(cnt, 1.0), 6) \
+                .reshape(n, thumb * thumb)
+            empty = lens == 0
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array([None if e else int(s)
+                                   for e, s in zip(empty, sides)],
+                                  dtype="Int32"),
+                "height": pd.array([None if e else int(s)
+                                    for e, s in zip(empty, sides)],
+                                   dtype="Int32"),
+                "pixels": [None if e else r.tolist()
+                           for e, r in zip(empty, grid)]})
 
     return media.select("doc_id", "content").mapInPandas(
         batches, schema=DECODED_SCHEMA)
