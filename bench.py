@@ -30,7 +30,7 @@ HEADLINE = [
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_fingerprint",
     "q_quality_score", "q_lang_id", "q_token_bpe", "q_ngram_jaccard",
     "q_doc_percentiles", "q_top_terms", "q_minhash_estimate",
-    "q_dedup_clusters", "q_agg_view",
+    "q_dedup_clusters", "q_dedup_clusters_star", "q_agg_view",
     "q_window_topn", "q_rollup", "q_topn_global", "q_json_extract",
     "q_tumbling_agg", "q_sessionize",
     "q_similarity_topk", "q_dedup_minhash", "q_similarity_lsh",

@@ -92,3 +92,78 @@ def test_duplicate_clusters_chain(spark):
     ])
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def _uf_components(edges):
+    """Driver-side union-find oracle: {doc: min-id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_duplicate_clusters_random_graphs(spark, algorithm):
+    """Both CC algorithms agree with a union-find oracle over random
+    chain/clique/cross-link mixes (the adversarial shapes: long chains
+    defeat diameter-bound propagation; the star variant must still be
+    exact on cliques and isolated pairs)."""
+    import random as _random
+    from ydb_cdc_processor_spark.operators.dedup import duplicate_clusters
+
+    rnd = _random.Random(20260813)
+    for trial in range(3):
+        edges = []
+        nid = 0
+        for _ in range(rnd.randint(1, 4)):      # chains
+            n = rnd.randint(2, 30)
+            ids = [nid + i for i in range(n)]
+            rnd.shuffle(ids)
+            edges += list(zip(ids, ids[1:]))
+            nid += n
+        for _ in range(rnd.randint(1, 3)):      # cliques
+            n = rnd.randint(2, 8)
+            ids = list(range(nid, nid + n))
+            edges += [(a, b) for i, a in enumerate(ids)
+                      for b in ids[i + 1:]]
+            nid += n
+        rnd.shuffle(edges)
+        exp = _uf_components(edges)
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long")
+        # label needs diameter rounds (chains up to 30 long); star's
+        # default budget is already far above its O(log n) need
+        max_iter = 40 if algorithm == "label" else 20
+        got = {r.doc_id: r.cluster_id
+               for r in duplicate_clusters(pairs, max_iter=max_iter,
+                                           algorithm=algorithm)
+               .collect()}
+        assert got == exp, f"trial {trial}"
+
+
+def test_star_converges_in_log_rounds(spark, caplog):
+    """The point of large-star/small-star: a 64-node chain (diameter 63)
+    converges within O(log n) rounds — max_iter=10 must NOT hit the
+    no-fixpoint warning that label propagation would."""
+    import logging
+    from ydb_cdc_processor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    with caplog.at_level(logging.WARNING,
+                         logger="ydb_cdc_processor_spark.operators.dedup"):
+        got = {r.doc_id: r.cluster_id
+               for r in duplicate_clusters(pairs, max_iter=10,
+                                           algorithm="star").collect()}
+    assert not any("no fixpoint" in r.message for r in caplog.records)
+    assert got == {i: 0 for i in range(64)}

@@ -121,27 +121,39 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .select("doc_a", "doc_b").distinct())
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
+                       algorithm: str = "label") -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components, each labeled by its minimum doc id (the canonical
     survivor a curation pipeline keeps).
 
-    Algorithm: iterative min-label propagation — per round, every doc
-    takes the min of its own label and its neighbors'; fixpoint when no
-    label changes.  Each round is one equi-join + hash-agg (shuffle on
-    doc id both times — the partitioning is reused), with
-    ``localCheckpoint`` cutting the plan lineage so round N's plan does
-    not embed rounds 1..N-1.  Rounds needed = graph diameter; duplicate
-    clusters are near-cliques (diameter ~1-2), so this converges in 2-3
-    rounds in practice.  For adversarial long-chain graphs at 100 TB the
-    large-star/small-star variant (alternating conditional joins, same
-    per-round shape, O(log n) rounds) drops in without changing the
-    interface.  The per-round convergence count is an action — O(rounds)
-    extra driver round-trips, inherent to any fixpoint on Spark.
+    ``algorithm="label"`` (default): iterative min-label propagation —
+    per round, every doc takes the min of its own label and its
+    neighbors'; fixpoint when no label changes.  Each round is one
+    equi-join + hash-agg (shuffle on doc id both times — the
+    partitioning is reused), with ``localCheckpoint`` cutting the plan
+    lineage so round N's plan does not embed rounds 1..N-1.  Rounds
+    needed = graph diameter; duplicate clusters are near-cliques
+    (diameter ~1-2), so this converges in 2-3 rounds in practice.
+
+    ``algorithm="star"``: alternating large-star/small-star (the
+    MapReduce connected-components construction of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, re-expressed as DataFrame joins/aggregations).  Converges
+    in O(log n) rounds REGARDLESS of diameter — the scale-safe choice
+    for adversarial chain-shaped duplicate graphs, at the price of ~2×
+    the per-round work (two conditional join+agg passes per round).
+
+    The per-round convergence count is an action — O(rounds) extra
+    driver round-trips, inherent to any fixpoint on Spark.
 
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, cluster_id) for every
     doc appearing in a pair.
     """
+    if algorithm == "star":
+        return _clusters_star(pairs, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -178,6 +190,82 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             max_iter, max_iter + 1)
     return labels.select(F.col("doc").cast("long").alias("doc_id"),
                          F.col("label").cast("long").alias("cluster_id"))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u=min, v=max), no self-loops."""
+    return (e.select(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _clusters_star(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation.  Per round:
+
+    - **large-star**: every node links its strictly-LARGER neighbors to
+      the minimum of its neighborhood (∪ itself) — long chains collapse
+      toward minima from everywhere at once, halving component height.
+    - **small-star**: every node links its smaller-or-equal neighbors
+      (and itself) to the neighborhood minimum — stars re-form so the
+      next large-star acts on shallow trees.
+
+    Both steps are a symmetric edge list → per-node min aggregate →
+    conditional equi-join, all codegen; the edge set is checkpointed per
+    round (lineage cut, same as the label variant).  Fixpoint when the
+    canonical edge set stops changing — then every component is a star
+    centered on its minimum id, and labels read off the star edges."""
+    edges = _canon(pairs.select(F.col("doc_a").alias("a"),
+                                F.col("doc_b").alias("b"))) \
+        .localCheckpoint(eager=True)
+    all_docs = (pairs.select(F.col("doc_a").alias("doc"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+                .distinct())
+    converged = False
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (sym.join(mins, on="u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        e1 = _canon(large)
+        # small-star: on edges pointing down (v < u):
+        # m(u) = min of smaller neighbors; emit (v, m) ∀v and (u, m)
+        sym1 = e1.unionByName(
+            e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        down = sym1.where(F.col("v") < F.col("u"))
+        mins2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (down.join(mins2, on="u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .unionByName(mins2.select(F.col("u").alias("a"),
+                                           F.col("m").alias("b"))))
+        e2 = _canon(small).localCheckpoint(eager=True)
+        # fixpoint: canonical edge sets equal (two anti-join counts —
+        # one action per round, same cost shape as the label variant)
+        changed = (e2.exceptAll(edges).count()
+                   + edges.exceptAll(e2).count())
+        edges = e2
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "duplicate_clusters(star): no fixpoint after %d rounds — "
+            "labels may be non-canonical (raise max_iter; expected "
+            "rounds are O(log n))", max_iter)
+    # post-fixpoint the graph is a union of stars centered on component
+    # minima: label(node) = min(neighbors ∪ self)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("label"))
+    return (all_docs.join(labels, all_docs.doc == labels.u, "left")
+            .select(F.col("doc").cast("long").alias("doc_id"),
+                    F.coalesce("label", "doc").cast("long")
+                     .alias("cluster_id")))
 
 
 def minhash_jaccard_estimate(docs: DataFrame, pairs: DataFrame,

@@ -1388,6 +1388,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(verified.select("doc_a", "doc_b"))
 
 
+@register("q_dedup_clusters_star", None)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same components as q_dedup_clusters, via the O(log n)-round
+    large-star/small-star algorithm (dedup._clusters_star) — the
+    adversarial-diameter scale path.  Shares q_dedup_clusters' recursive-
+    CTE oracle: identical labels regardless of algorithm."""
+    docs = load_docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
+    return dedup.duplicate_clusters(verified.select("doc_a", "doc_b"),
+                                    algorithm="star")
+
+
+ORACLES["q_dedup_clusters_star"] = ORACLES["q_dedup_clusters"]
+
+
 def _simhash_votes_sql() -> tuple[str, str]:
     """(vote column SQL, bucket assembly SQL) for the top-16 SimHash bits
     — bit b of the low-64 md5 half lives in hex digit 16 - b//4 (1-based,
