@@ -2,19 +2,23 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>, "runs": <n>}
 
 Each query is forced end-to-end with a noop sink (full materialization,
-no driver collect).  ``cdc_apply`` measures the flagship CDC path:
-envelope decode → per-key last-wins → SQL transform → keyed merge into a
-parquet materialized view, over a changefeed replay of the whole events
-table.
+no driver collect), timed ``runs`` times (default 3), and reported as the
+per-query MEDIAN — run-to-run noise on a shared box is ±25%+, so single
+samples made round-over-round deltas untrustworthy.  ``cdc_apply``
+measures the flagship CDC path: envelope decode → per-key last-wins →
+SQL transform → keyed merge into a parquet materialized view, over a
+changefeed replay of the whole events table; each of its runs merges
+into a FRESH view directory so every sample times the same work.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -22,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 HEADLINE = [
     "q_batch_agg", "q_join_enrich", "q_two_phase", "q_skew_join",
@@ -45,6 +50,17 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _median_of(fn) -> float:
+    """Median of RUNS timed executions of ``fn`` (each must redo the same
+    work — callers reset any mutated state inside ``fn``)."""
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     from ydb_cdc_processor_spark.session import get_spark
     from ydb_cdc_processor_spark.registry import QUERIES
@@ -57,11 +73,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _median_of(
+            lambda name=name: _force(QUERIES[name](spark, SF_DIR)))
 
     # flagship CDC engine throughput: replay events as a changefeed
+    import shutil
+
     from ydb_cdc_processor_spark.engine import CdcBatchEngine
     from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
     from ydb_cdc_processor_spark.sources import cdc_json
@@ -77,11 +94,15 @@ def main() -> None:
         update_sql="SELECT event_id, ts, user_id, event_type, value FROM rows",
         delete_sql="SELECT event_id FROM rows",
         action_mode=ActionMode.DIRECT)
-    eng = CdcBatchEngine(spark, pipe, os.path.join(work, "view"))
     raw = cdc_json.read_cdc_batch(spark, fixture)
-    t0 = time.perf_counter()
-    eng.apply_raw_batch(raw)
-    timings["cdc_apply"] = round(time.perf_counter() - t0, 3)
+
+    def fresh_apply():
+        # fresh view dir per sample: every run times the initial build
+        path = os.path.join(work, "view")
+        shutil.rmtree(path, ignore_errors=True)
+        CdcBatchEngine(spark, pipe, path).apply_raw_batch(raw)
+
+    timings["cdc_apply"] = _median_of(fresh_apply)
 
     # steady-state incremental maintenance: 4 ~1000-row micro-batches
     # (reference default batchSize, XmlConfig.java:18) against the built
@@ -95,19 +116,22 @@ def main() -> None:
     #                                 100 TB path (see SCALING.md view-growth
     #                                 curve: flat grows with |view|, bucketed
     #                                 stays flat).
+    # The micro-batches upsert/delete the SAME keys each run, so the view
+    # returns to an identical state — every sample times identical work.
     from pyspark.sql import functions as F
-    t0 = time.perf_counter()
-    for i in range(4):
-        eng.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
-    timings["cdc_incremental_4b"] = round(time.perf_counter() - t0, 3)
+    eng = CdcBatchEngine(spark, pipe, os.path.join(work, "view"))
+    eng.apply_raw_batch(raw)  # (re)build the base view (untimed)
+
+    def incr(engine):
+        for i in range(4):
+            engine.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
+
+    timings["cdc_incremental_4b"] = _median_of(lambda: incr(eng))
 
     eng_b = CdcBatchEngine(spark, pipe, os.path.join(work, "view_bucketed"),
                            n_buckets=64)
     eng_b.apply_raw_batch(raw)  # build the bucketed view (untimed)
-    t0 = time.perf_counter()
-    for i in range(4):
-        eng_b.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
-    timings["cdc_incremental_bucketed_4b"] = round(time.perf_counter() - t0, 3)
+    timings["cdc_incremental_bucketed_4b"] = _median_of(lambda: incr(eng_b))
 
     total = round(sum(timings.values()), 3)
     sf = 0.1
@@ -118,13 +142,14 @@ def main() -> None:
         except ValueError:
             pass
     print(json.dumps({
-        "metric": "headline query set total wall time",
+        "metric": "headline query set total wall time (per-query medians)",
         "value": total, "unit": "sec",
         "queries": timings, "sf": sf,
         # the headline set GROWS as operators land (round 1: 36 entries,
         # round 2: 44) — compare rounds on the per-query timings / the
         # common subset, not the raw total
         "n_queries": len(timings),
+        "runs": RUNS,
     }))
 
 
