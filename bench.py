@@ -43,6 +43,8 @@ HEADLINE = [
     "q_dedup_embed", "q_dedup_embed_lsh", "q_dedup_embed_lsh_multi",
     "q_media_meta", "q_media_features", "q_media_decode",
     "q_media_resize", "q_media_frames",
+    "q_asof_join", "q_range_join", "q_stratified_sample",
+    "q_tfidf_top_terms", "q_doc_chunks",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Round-5 pipeline operators: as-of join, binned range join,
+deterministic sampling, tf-idf, document chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_as_of_join_semantics(spark):
+    """Backward as-of: latest build at-or-before the probe ts per key;
+    equal timestamps match; no prior build → NULL payload."""
+    from ydb_cdc_processor_spark.operators.temporal import as_of_join
+
+    probe = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 50)],
+        "id long, k string, ts long")
+    build = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 15, "b"), ("w", 1, "z")],
+        "k string, ts long, val string")
+    got = {r.id: r.val_asof
+           for r in as_of_join(probe, build, keys=["k"]).collect()}
+    # id=1: ts=10 matches the equal-ts build row 'a'; id=2: latest <=20
+    # is 'b'; id=3: nothing at-or-before 5; id=4: key has no build rows
+    assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+
+def test_range_join_binned_matches_plain_join(spark):
+    """The bin-replication lowering returns exactly the plain theta-join
+    result, including intervals spanning many bins and probe values on
+    bin boundaries."""
+    from ydb_cdc_processor_spark.operators.temporal import range_join_binned
+
+    probe = spark.range(0, 200).select(
+        F.col("id").alias("pid"), (F.col("id") * 0.7).alias("v"))
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 6.0), (2, 9.9, 140.0), (3, 200.0, 300.0)],
+        "iv_id long, lo double, hi double")
+    got = sorted((r.pid, r.iv_id) for r in range_join_binned(
+        probe, iv, "v", "lo", "hi", bin_width=8.0).collect())
+    exp = sorted((r.pid, r.iv_id) for r in probe.join(
+        iv, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect())
+    assert got == exp and len(got) > 0
+
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    """The kept id-set is a pure function of (id, rate): immune to
+    repartitioning and re-execution (df.sample is neither)."""
+    from ydb_cdc_processor_spark.functions.sampling import (
+        deterministic_sample)
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    a = {r.id for r in deterministic_sample(df, "id", 0.25).collect()}
+    b = {r.id for r in deterministic_sample(
+        df.repartition(17), "id", 0.25).collect()}
+    assert a == b
+    assert 0.15 < len(a) / 2000 < 0.35  # ~rate, hash-uniform
+    # monotone in rate: smaller sample nests inside the larger
+    c = {r.id for r in deterministic_sample(df, "id", 0.10).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rates(spark):
+    """Per-group rates honored: rate-1.0 groups keep everything,
+    rate-0.0 (default) groups drop everything."""
+    from ydb_cdc_processor_spark.functions.sampling import stratified_sample
+
+    df = spark.range(0, 300).select(
+        "id", F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                           (F.col("id") % 3 + 1).cast("int")).alias("g"))
+    out = stratified_sample(df, "id", "g", {"a": 1.0, "b": 0.5},
+                            default_rate=0.0)
+    per = {r.g: r.n for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per.get("a") == 100          # rate 1.0: all 100 'a' rows
+    assert "c" not in per               # default 0.0: none
+    assert 20 < per.get("b", 0) < 80    # ~half
+
+
+def test_chunk_documents_overlap(spark):
+    """64/48 word windows: starts at 0,48,96,...; last chunk short;
+    overlap region repeats the previous chunk's tail."""
+    from ydb_cdc_processor_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame([(1, " ".join(words)), (2, ""),
+                                  (3, "one two")],
+                                 "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, chunk_words=64, stride=48)
+                  .collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.chunk_start for r in by_doc[1]] == [0, 48, 96]
+    assert [r.n_words for r in by_doc[1]] == [64, 52, 4]
+    assert by_doc[1][0].chunk_text.split(" ")[:2] == ["w0", "w1"]
+    # overlap: chunk 1 starts at w48, inside chunk 0's [0, 64) window
+    assert by_doc[1][1].chunk_text.split(" ")[0] == "w48"
+    assert 2 not in by_doc                      # empty doc → no chunks
+    assert [r.n_words for r in by_doc[3]] == [2]  # short doc → one chunk
+
+
+def test_tfidf_top_terms(spark):
+    """Rational tf-idf: corpus-wide terms score low, doc-unique terms
+    rank first; ties break on term text."""
+    from ydb_cdc_processor_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common apple apple"), (2, "common banana"),
+         (3, "common cherry cherry cherry")],
+        "doc_id long, text string")
+    top1 = {r.doc_id: r.term for r in
+            tfidf_top_terms(docs, k=1).collect()}
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+    # score check for doc 1 'apple': tf=2, N=3, df=1 → 6.0
+    all_rows = {(r.doc_id, r.term): r.score
+                for r in tfidf_top_terms(docs, k=3).collect()}
+    assert all_rows[(1, "apple")] == 6.0
+    assert all_rows[(1, "common")] == 1.0  # tf=1 × 3/3

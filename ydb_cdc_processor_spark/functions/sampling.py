@@ -1,0 +1,50 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` is seed-dependent per partitioning — re-running a
+pipeline after a repartition draws a DIFFERENT sample, which poisons
+incremental/reproducible curation.  These samplers hash a stable row id
+instead: a row's keep/drop decision is a pure function of (id, rate),
+so the sample is stable across runs, partitionings, engines — and
+exactly replayable by any engine with ``md5()`` (the cross-engine
+oracle path, same construction as the MinHash family).
+
+Scale shape: pure codegen projections + filter — no shuffle, no RNG
+state, trivially pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash-fraction resolution: the first 8 md5 hex chars → [0, 2^32)
+_DENOM = float(1 << 32)
+
+
+def hash_fraction(id_col: Column) -> Column:
+    """Uniform-[0,1) fraction from the row id: first 8 hex chars of
+    ``md5(id)`` as an integer / 2^32.  ``conv`` is exact here (2^32 ≪
+    2^63)."""
+    return (F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+            .cast("long") / F.lit(_DENOM))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by id hash (stable, rerunnable)."""
+    return df.where(hash_fraction(F.col(id_col)) < F.lit(float(rate)))
+
+
+def stratified_sample(df: DataFrame, id_col: str, group_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-group sampling rates (e.g. downweight boilerplate languages,
+    keep all rare ones): ``rates`` maps group value → keep rate; groups
+    not listed use ``default_rate``.
+
+    The rate lookup is a literal CASE chain (broadcast-free: rates are
+    config, not data).  Decision = id-hash fraction < group rate."""
+    expr = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == F.lit(k),
+                      F.lit(float(v))).otherwise(expr)
+    return df.where(hash_fraction(F.col(id_col)) < expr)

@@ -126,3 +126,82 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def normalize_words(text: Column) -> Column:
+    """Word array of the whitespace-normalized lowercase text (shared by
+    tf-idf and chunking; same normalization as dedup.normalize_text)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by a tf-idf-style score.
+
+    Score = ``tf × N / df`` — the RATIONAL idf variant (no logarithm):
+    one integer product and one IEEE-754 division, so Spark and any SQL
+    oracle produce bit-identical doubles (``ln`` is not guaranteed
+    correctly rounded across engines, which would poison hash equality;
+    within a document the ranking differs from log-idf only in how hard
+    rare terms are boosted).
+
+    Plan shape (100 TB): explode → (doc, term) hash-agg (map-side
+    combined) → term-level df agg → broadcast-sized join back + window
+    top-k per doc.  Ties break on term text for determinism.
+    """
+    words = docs.select(F.col(id_col).alias("doc"),
+                        F.explode(normalize_words(F.col(text_col)))
+                         .alias("term")).where(F.col("term") != "")
+    tf = words.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"))
+    from pyspark.sql import Window
+    scored = (tf.join(df_, on="term").crossJoin(F.broadcast(n_docs))
+              .select("doc", "term", "tf", "df",
+                      (F.col("tf") * F.col("n_docs") / F.col("df"))
+                      .cast("double").alias("score")))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("doc").alias(id_col), "term", "tf", "df",
+                    "score", F.col("rank").cast("int").alias("rank")))
+
+
+def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_words: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Split documents into fixed-size overlapping word-window chunks
+    (the standard pre-embedding segmentation for long documents):
+    windows of ``chunk_words`` words starting every ``stride`` words
+    (overlap = chunk_words − stride).
+
+    Pure Catalyst: sequence → explode → slice → concat_ws, no Python.
+    Chunks fan out as rows, so downstream embedding/indexing parallelism
+    scales with chunks, not documents.  Trailing windows shorter than
+    ``stride`` would duplicate the previous chunk's tail, so start
+    positions run while ``start < n_words`` only; empty docs yield no
+    chunks.
+    """
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    n = F.size(F.col("_words"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    chunk = F.slice("_words", F.col("chunk_start") + 1, chunk_words)
+    return (docs.select(F.col(id_col),
+                        normalize_words(F.col(text_col)).alias("_words"))
+            .select(F.col(id_col), "_words",
+                    F.explode(starts).alias("chunk_start"))
+            .where((F.col("chunk_start") < n) & (n > 0))
+            .select(F.col(id_col),
+                    (F.col("chunk_start") / stride).cast("int")
+                    .alias("chunk_idx"),
+                    F.col("chunk_start").cast("int").alias("chunk_start"),
+                    F.size(chunk).cast("int").alias("n_words"),
+                    F.concat_ws(" ", chunk).alias("chunk_text")))
