@@ -199,6 +199,15 @@ def _canon(e: DataFrame) -> DataFrame:
             .where(F.col("u") != F.col("v")).distinct())
 
 
+def _edge_digest(e: DataFrame) -> tuple:
+    """(row count, order-independent hash sum) of a canonical edge set —
+    the cheap set-equality probe for the fixpoint check."""
+    r = e.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+               .alias("h")).first()
+    return (r["n"], r["h"])
+
+
 def _clusters_star(pairs: DataFrame, max_iter: int) -> DataFrame:
     """Large-star/small-star alternation.  Per round:
 
@@ -221,6 +230,7 @@ def _clusters_star(pairs: DataFrame, max_iter: int) -> DataFrame:
                 .unionByName(pairs.select(F.col("doc_b").alias("doc")))
                 .distinct())
     converged = False
+    prev_digest = _edge_digest(edges)
     for _ in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -242,12 +252,18 @@ def _clusters_star(pairs: DataFrame, max_iter: int) -> DataFrame:
                  .unionByName(mins2.select(F.col("u").alias("a"),
                                            F.col("m").alias("b"))))
         e2 = _canon(small).localCheckpoint(eager=True)
-        # fixpoint: canonical edge sets equal (two anti-join counts —
-        # one action per round, same cost shape as the label variant)
-        changed = (e2.exceptAll(edges).count()
-                   + edges.exceptAll(e2).count())
+        # fixpoint: canonical edge sets equal — compared as (count,
+        # order-independent hash-sum), one cheap aggregate per side
+        # instead of two anti-join shuffles per round.  A hash-sum
+        # collision (two different edge sets with equal count AND equal
+        # 64-bit sum) would stop one round early at probability ~2^-64;
+        # the star fixpoint is also self-certifying — a star set maps to
+        # itself — so a premature stop still returns star-shaped labels.
+        digest = _edge_digest(e2)
+        changed = digest != prev_digest
+        prev_digest = digest
         edges = e2
-        if changed == 0:
+        if not changed:
             converged = True
             break
     if not converged:
