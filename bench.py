@@ -120,13 +120,20 @@ def main() -> None:
     #                                 stays flat).
     # The micro-batches upsert/delete the SAME keys each run, so the view
     # returns to an identical state — every sample times identical work.
+    # Batches are pre-materialized (localCheckpoint) OUTSIDE the timed
+    # region: a real source delivers ~1000 rows per trigger; re-scanning
+    # the full 100k-line fixture to filter each batch out would charge
+    # fixture IO, not view maintenance, to the incremental numbers.
+    # (Envelope JSON decode still happens inside the timed apply.)
     from pyspark.sql import functions as F
     eng = CdcBatchEngine(spark, pipe, os.path.join(work, "view"))
     eng.apply_raw_batch(raw)  # (re)build the base view (untimed)
+    batches = [raw.where(F.col("_offset") % 100 == i)
+               .localCheckpoint(eager=True) for i in range(4)]
 
     def incr(engine):
-        for i in range(4):
-            engine.apply_raw_batch(raw.where(F.col("_offset") % 100 == i))
+        for b in batches:
+            engine.apply_raw_batch(b)
 
     timings["cdc_incremental_4b"] = _median_of(lambda: incr(eng))
 

@@ -318,15 +318,52 @@ class CdcBatchEngine:
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
-            if not skip_u:
-                self._apply_upserts(ups, stats, int(m2["n_up"] or 0),
-                                    batch_token)
-            if not skip_d:
-                self._apply_deletes(dels, stats, int(m2["n_del"] or 0),
-                                    batch_token)
+            if not skip_u and not skip_d:
+                # both sinks configured → ONE read-merge-write pass over
+                # the target (sides are key-disjoint post-collapse); at
+                # scale the target IO dominates, so this halves it
+                self._apply_fused(ups, dels, stats, int(m2["n_up"] or 0),
+                                  int(m2["n_del"] or 0), batch_token)
+            else:
+                if not skip_u:
+                    self._apply_upserts(ups, stats, int(m2["n_up"] or 0),
+                                        batch_token)
+                if not skip_d:
+                    self._apply_deletes(dels, stats, int(m2["n_del"] or 0),
+                                        batch_token)
         finally:
             typed.unpersist()
         return stats
+
+    def _apply_fused(self, ups: DataFrame, dels: DataFrame,
+                     stats: BatchStats, n_up: int, n_del: int,
+                     batch_token: str | None = None) -> None:
+        """Both sinks in one pass: transform each side, then a single
+        ``apply_batch`` (compose_merge) against the target — the view is
+        read once and rewritten once per batch (≙ the reference executing
+        its update-YQL and delete-YQL against the same server table; the
+        server, too, pays per-statement row IO — here we pay it once).
+        Aggregate rollups get ONE ±delta step: −old images over the union
+        of both sides' keys, +new over the upsert results."""
+        stats.upserted = n_up
+        stats.deleted = n_del
+        if n_up == 0 and n_del == 0 and self._target_exists():
+            return
+        result = run_transform(self.spark, ups, self.p.update_sql).persist()
+        try:
+            key_rows = run_transform(self.spark, dels, self.p.delete_sql)
+            action = ("upsertInto" if self.p.action_mode is ActionMode.DIRECT
+                      else self.p.action_mode.value)
+            keys = self.p.target_keys or self.p.pk
+            affected = (result.select(*keys)
+                        .unionByName(key_rows.select(*keys)))
+            self._maintain_agg_views(new_rows=result, affected_keys=affected,
+                                     batch_token=batch_token, kind="f")
+            self._target(result.schema).apply_batch(
+                result, key_rows, action=action,
+                small_delta=self.small_delta)
+        finally:
+            result.unpersist()
 
     def _apply_upserts(self, ups: DataFrame, stats: BatchStats,
                        n_rows: int, batch_token: str | None = None) -> None:

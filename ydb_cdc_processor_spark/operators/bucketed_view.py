@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.merge import (
-    MERGE_FNS, merge_delete, merge_insert)
+    MERGE_FNS, compose_merge, merge_delete, merge_insert)
 
 logger = logging.getLogger(__name__)
 
@@ -220,6 +220,75 @@ class BucketedMaterializedView:
                 self._write_manifest()
         finally:
             delta.unpersist()
+
+    def apply_batch(self, ups: DataFrame | None, dels: DataFrame | None,
+                    action: str = "upsertInto",
+                    order_col: str | None = None,
+                    small_delta: bool | None = None) -> None:
+        """One batch's upsert + delete sides in a SINGLE touched-bucket
+        read → merge → dynamic-overwrite pass (sides are key-disjoint by
+        the engine's last-wins routing — see merge.compose_merge).
+        Halves per-batch bucket IO vs two apply() calls."""
+        if ups is None and dels is None:
+            return
+        if ups is None:
+            return self.apply(dels, action="deleteFrom",
+                              small_delta=small_delta)
+        if dels is None:
+            return self.apply(ups, action=action, order_col=order_col,
+                              small_delta=small_delta)
+
+        existed = self.exists()
+        ups = self._with_bucket(ups).persist()
+        dels = self._with_bucket(dels).persist()
+        try:
+            # ONE collect for both sides' bucket sets (tagged union):
+            # bucket fan-out is bounded by n_buckets, and per-batch jobs
+            # are the fixed cost that dominates small micro-batches
+            tagged = (ups.select(BUCKET_COL, F.lit(False).alias("_d"))
+                      .unionByName(
+                          dels.select(BUCKET_COL, F.lit(True).alias("_d")))
+                      .groupBy(BUCKET_COL)
+                      .agg(F.max("_d").alias("_d")).collect())
+            touched = [r[0] for r in tagged]
+            del_buckets = {r[0] for r in tagged if r[1]}
+            if not touched:
+                return
+            if existed:
+                target = self._read_touched(
+                    touched, ups.drop(BUCKET_COL).schema)
+            else:
+                base = (self.spark.createDataFrame([], self.schema)
+                        if self.schema is not None
+                        else ups.drop(BUCKET_COL).limit(0))
+                target = self._with_bucket(base)
+
+            keys_b = self.keys + [BUCKET_COL]
+            merged = compose_merge(target, ups, dels, keys_b, action,
+                                   order_col, small_delta) \
+                .localCheckpoint(eager=True)
+            (merged.repartition(BUCKET_COL)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(BUCKET_COL).parquet(self.path))
+            if existed:
+                # only DELETES can empty a bucket; restrict the emptied-
+                # bucket probe to the delete side's buckets (skipped
+                # entirely for upsert-only batches — no extra job)
+                if del_buckets:
+                    remaining = {r[0] for r in
+                                 merged.where(F.col(BUCKET_COL)
+                                              .isin(list(del_buckets)))
+                                 .select(BUCKET_COL).distinct().collect()}
+                    for b in del_buckets - remaining:
+                        shutil.rmtree(
+                            os.path.join(self.path, f"{BUCKET_COL}={b}"),
+                            ignore_errors=True)
+            else:
+                self._write_manifest()
+        finally:
+            ups.unpersist()
+            dels.unpersist()
 
     # -- bucket-count evolution (SCALING.md: n_buckets ∝ |view|) -------------
 

@@ -117,6 +117,30 @@ MERGE_FNS = {
 }
 
 
+def compose_merge(target: DataFrame, ups: DataFrame | None,
+                  dels: DataFrame | None, keys: list[str], action: str,
+                  order_col: str | None = None,
+                  small_delta: bool | None = None) -> DataFrame:
+    """Fuse one batch's upsert AND delete sides into a single merge plan.
+
+    Valid because the engine's per-key last-wins collapse routes each key
+    to EXACTLY one side (operators/last_wins.py) — the sides are
+    key-disjoint, so applying them in either order (or at once) yields
+    the same view.  The payoff: the target is read ONCE and rewritten
+    ONCE per batch instead of once per side — at 100 TB the target
+    read/write dominates, so this halves per-batch IO."""
+    merged = target
+    if ups is not None:
+        if action == "insertInto":
+            merged = merge_insert(merged, ups, keys, strict=True)
+        else:
+            merged = MERGE_FNS[action](merged, ups, keys, order_col,
+                                       small_delta)
+    if dels is not None:
+        merged = merge_delete(merged, dels, keys, small_delta=small_delta)
+    return merged
+
+
 class ParquetMaterializedView:
     """A keyed materialized view persisted as a parquet directory.
 
@@ -221,4 +245,15 @@ class ParquetMaterializedView:
         # only then swaps — one materialization total.  (The bucketed view
         # can't do this: dynamic partition overwrite writes into the same
         # directory tree it reads, so it localCheckpoints first.)
+        self.overwrite(merged)
+
+    def apply_batch(self, ups: DataFrame | None, dels: DataFrame | None,
+                    action: str = "upsertInto",
+                    order_col: str | None = None,
+                    small_delta: bool | None = None) -> None:
+        """One batch's upsert + delete sides in a SINGLE read→merge→write
+        pass (see :func:`compose_merge`; sides are key-disjoint by the
+        engine's last-wins routing)."""
+        merged = compose_merge(self.read(), ups, dels, self.keys, action,
+                               order_col, small_delta)
         self.overwrite(merged)
