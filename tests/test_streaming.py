@@ -509,3 +509,24 @@ def test_stream_maintains_agg_view_across_restart(spark, sf_dir, tmp_path):
     check(se2, av2)
     grp = {r.event_type for r in av2.read().collect()}
     assert "restarted" in grp
+
+
+def test_status_web_page():
+    """O4 — GET / serves the status page (index.html:16-70 analogue):
+    the table scaffold + fetch polling of /config and /status, no
+    external dependencies.  Served without any engine (config-empty)."""
+    import urllib.request
+
+    from ydb_cdc_processor_spark.streaming.web import StatusServer
+
+    srv = StatusServer([], warnings=["w1"]).start()
+    try:
+        for path in ("/", "/index.html"):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}{path}", timeout=10) as r:
+                body = r.read().decode()
+                assert r.headers["Content-Type"].startswith("text/html")
+            assert "fetch('status')" in body and "fetch('config')" in body
+            assert "td class=\"status\"" in body.replace("'", '"')
+    finally:
+        srv.close()

@@ -11,10 +11,13 @@ controller, served by a stdlib ``http.server`` on a daemon thread:
   the validation-warning view Application.java:95-97 feeds);
 - ``POST /stop``   → graceful shutdown of every engine
   (≙ ``Application.stop``, WebController.java:25-28); GET on /stop is
-  405, unknown paths 404.
-
-O4 (the status web page, index.html) is intentionally skipped per
-SURVEY.md §2 — the Spark UI covers it.
+  405, unknown paths 404;
+- ``GET /`` (and ``/index.html``) → O4, the status web page
+  (≙ static/index.html:16-70): per-reader table (changefeed, consumer,
+  readed, writed, status) polling ``/status`` every second, config
+  warnings, and a stop button POSTing ``/stop``.  Re-expressed
+  dependency-free (vanilla ``fetch``; the reference pulls jQuery from a
+  CDN) so it serves air-gapped.  Deep metrics stay in the Spark UI.
 """
 
 from __future__ import annotations
@@ -22,6 +25,73 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+INDEX_HTML = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>CDC Processor Status</title>
+<style>
+ body { font-family: sans-serif; margin: 2em; }
+ table { border-collapse: collapse; }
+ td, th { border: 1px solid #999; padding: 4px 10px; }
+ td.status.error { background: #fbb; }
+ #warnings p { color: #a00; }
+ button { margin-top: 1em; }
+</style>
+</head>
+<body>
+<h1>CDC Processor</h1>
+<div id="warnings"></div>
+<table>
+ <thead><tr><th>changefeed</th><th>consumer</th><th>readed</th>
+ <th>writed</th><th>status</th></tr></thead>
+ <tbody id="status"></tbody>
+</table>
+<button id="stop">stop</button>
+<script>
+function esc(s) {
+  const d = document.createElement('div');
+  d.textContent = String(s); return d.innerHTML;
+}
+async function loadConfig() {
+  const json = await (await fetch('config')).json();
+  for (const w of (json.warnings || [])) {
+    const p = document.createElement('p');
+    p.textContent = w;
+    document.getElementById('warnings').appendChild(p);
+  }
+  const tb = document.getElementById('status');
+  for (const r of (json.readers || [])) {
+    const tr = document.createElement('tr');
+    tr.id = r.id;
+    tr.innerHTML = '<td>' + esc(r.changefeed) + '</td><td>'
+      + esc(r.consumer) + '</td><td class="readed"></td>'
+      + '<td class="writed"></td><td class="status"></td>';
+    tb.appendChild(tr);
+  }
+  updateStatus();
+}
+async function updateStatus() {
+  const json = await (await fetch('status')).json();
+  for (const r of json) {
+    const row = document.getElementById(r.id);
+    if (!row) continue;
+    if (r.readed) row.querySelector('td.readed').textContent = r.readed;
+    if (r.writed) row.querySelector('td.writed').textContent = r.writed;
+    const s = row.querySelector('td.status');
+    if (r.ok) { s.classList.remove('error'); s.textContent = 'OK'; }
+    else { s.classList.add('error'); s.textContent = r.status; }
+  }
+  setTimeout(updateStatus, 1000);
+}
+document.getElementById('stop').onclick =
+  () => fetch('stop', {method: 'POST'});
+loadConfig();
+</script>
+</body>
+</html>
+"""
 
 
 class StatusServer:
@@ -53,6 +123,14 @@ class StatusServer:
                     self._json([e.status_dict() for e in outer.engines])
                 elif self.path == "/config":
                     self._json(outer.config_dict())
+                elif self.path in ("/", "/index.html"):
+                    body = INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/stop":
                     self._json({"error": "use POST"}, 405)
                 else:
