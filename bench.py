@@ -44,7 +44,7 @@ HEADLINE = [
     "q_media_meta", "q_media_features", "q_media_decode",
     "q_media_resize", "q_media_frames",
     "q_asof_join", "q_range_join", "q_stratified_sample",
-    "q_tfidf_top_terms", "q_doc_chunks",
+    "q_sample_per_group", "q_tfidf_top_terms", "q_doc_chunks",
 ]
 
 

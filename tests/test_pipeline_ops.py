@@ -116,3 +116,22 @@ def test_tfidf_top_terms(spark):
                 for r in tfidf_top_terms(docs, k=3).collect()}
     assert all_rows[(1, "apple")] == 6.0
     assert all_rows[(1, "common")] == 1.0  # tf=1 × 3/3
+
+
+def test_sample_per_group_exact_k(spark):
+    """Exactly min(k, |group|) rows per group, identical across
+    partitionings."""
+    from ydb_cdc_processor_spark.functions.sampling import sample_per_group
+
+    df = spark.range(0, 500).select(
+        "id", (F.col("id") % 3).cast("string").alias("g"))
+    small = spark.createDataFrame([(1000, "tiny"), (1001, "tiny")],
+                                  "id long, g string")
+    df = df.unionByName(small)
+    out = sample_per_group(df, "id", "g", k=25)
+    per = {r.g: r.n for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 25, "1": 25, "2": 25, "tiny": 2}
+    again = {tuple(r) for r in sample_per_group(
+        df.repartition(13), "id", "g", k=25).collect()}
+    assert again == {tuple(r) for r in out.collect()}

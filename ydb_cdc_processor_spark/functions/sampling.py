@@ -34,6 +34,25 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.where(hash_fraction(F.col(id_col)) < F.lit(float(rate)))
 
 
+def sample_per_group(df: DataFrame, id_col: str, group_col: str,
+                     k: int) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group ("take 1000 docs per
+    language"), chosen deterministically: rows rank by md5(id) within
+    their group, lowest k win.  A hash-ranked reservoir — stable across
+    runs/partitionings/engines, and uniform because the hash order is
+    independent of any data order.
+
+    One shuffle (window partition by group); at 100 TB prefer this over
+    ``RDD.takeSample``-style reservoirs — it is a plain window top-k that
+    AQE/codegen handle, with no driver-side state."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))
+
+
 def stratified_sample(df: DataFrame, id_col: str, group_col: str,
                       rates: dict[str, float],
                       default_rate: float = 0.0) -> DataFrame:

@@ -1572,6 +1572,29 @@ def q_stratified_sample(spark, sf_dir):
                        .alias("frac"))
 
 
+@register("q_sample_per_group", """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20
+""")
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic k-per-group sampling (functions/sampling.py):
+    exactly min(k, |group|) docs per language, ranked by md5(id) — a
+    hash-ranked reservoir that is stable across runs, partitionings, and
+    engines (the oracle replays the identical ranking)."""
+    from pyspark.sql import Window
+    from ydb_cdc_processor_spark.functions.sampling import sample_per_group
+    docs = load_docs(spark, sf_dir)
+    out = sample_per_group(docs, id_col="doc_id", group_col="lang", k=20)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+    return out.select("doc_id", "lang",
+                      F.row_number().over(w).cast("int").alias("rk"))
+
+
 @register("q_tfidf_top_terms", f"""
 WITH nrm AS ({_NORM_WORDS}),
 terms AS (SELECT doc_id, unnest(w) AS term FROM nrm),
