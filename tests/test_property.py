@@ -269,3 +269,41 @@ def test_agg_view_random_batches(spark, tmp_path_factory, batches):
                 F.sum(F.col("v").cast("decimal(38,6)"))
                  .cast("double").alias("sv")).collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# 4. As-of join: random (probe, build) sets vs a driver-side reference.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_asof_join_matches_reference(spark, data):
+    """operators/temporal.as_of_join equals the per-row definition
+    (latest build with ts <= probe ts per key; ties match) on random
+    key/timestamp mixes with duplicate probe timestamps and keys that
+    exist on only one side."""
+    from ydb_cdc_processor_spark.operators.temporal import as_of_join
+
+    keys = ["k0", "k1", "k2"]
+    probe_rows = data.draw(st.lists(
+        st.tuples(st.integers(0, 99), st.sampled_from(keys),
+                  st.integers(0, 50)),
+        min_size=1, max_size=25))
+    build_rows = data.draw(st.lists(
+        st.tuples(st.sampled_from(keys + ["only_build"]),
+                  st.integers(0, 50), st.integers(0, 9)),
+        min_size=0, max_size=25, unique_by=lambda r: (r[0], r[1])))
+
+    probe = spark.createDataFrame(probe_rows, "id long, k string, ts long")
+    build = spark.createDataFrame(build_rows, "k string, ts long, val long")
+    got = {(r.id, r.k, r.ts): r.val_asof
+           for r in as_of_join(probe, build, keys=["k"]).collect()}
+
+    def ref(k, ts):
+        cands = [(bts, v) for bk, bts, v in build_rows
+                 if bk == k and bts <= ts]
+        return max(cands)[1] if cands else None
+
+    exp = {(i, k, ts): ref(k, ts) for i, k, ts in probe_rows}
+    assert got == exp
