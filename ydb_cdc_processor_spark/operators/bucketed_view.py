@@ -12,8 +12,10 @@ directory partitions (``_bucket = pmod(xxhash64(pk...), n)``) so a batch:
    filtered full-table scan: planning lists O(touched) directories, not
    O(n_buckets) (the SCALING.md residual — at n_buckets ≈ 10⁴-10⁵ the
    directory listing itself dominated per-batch time);
-3. merges and rewrites ONLY those partitions (dynamic partition
-   overwrite), deleting partitions the merge emptied.
+3. merges and rewrites ONLY those partitions — written to a temp
+   sibling (the merge plan still lazily reads the old files, so ONE
+   materialization and no checkpoint) and promoted by per-bucket
+   rename, with emptied partitions dropped in the same pass.
 
 Per-batch cost drops from O(|view|) to O(touched_buckets × bucket_size):
 with the default 1000-row batch and 1024 buckets over a 100 TB view,
@@ -157,6 +159,39 @@ class BucketedMaterializedView:
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
         self._write_manifest()
 
+    def _overwrite_touched(self, merged: DataFrame,
+                           touched: list[int]) -> None:
+        """Replace the touched bucket partitions with ``merged``'s rows:
+        write to a TEMP sibling (``merged`` still lazily reads the OLD
+        partition files — no checkpoint needed, ONE materialization),
+        then promote per-bucket by rename.  A touched bucket absent from
+        the temp output was emptied by the merge — its old directory is
+        removed, which folds the emptied-bucket cleanup into the same
+        pass (no post-write distinct/collect jobs at all).
+
+        Promotion is per-bucket renames, not atomic across buckets —
+        the same visibility window Spark's dynamic partition overwrite
+        has (per-partition commit).  A crash mid-promotion leaves a mix
+        of old/new buckets; checkpoint replay re-merges the same batch
+        over that mix and converges, because every action mode is
+        idempotent per key."""
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = os.path.join(
+            parent,
+            f".{os.path.basename(self.path)}.batch-{uuid.uuid4().hex[:8]}")
+        (merged.repartition(BUCKET_COL)
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
+        os.makedirs(self.path, exist_ok=True)  # first batch: no root yet
+        for b in touched:
+            new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            if os.path.isdir(new_d):
+                shutil.rmtree(old_d, ignore_errors=True)
+                os.rename(new_d, old_d)
+            else:
+                shutil.rmtree(old_d, ignore_errors=True)  # emptied
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # -- the incremental merge ------------------------------------------------
 
     def apply(self, delta: DataFrame, action: str = "upsertInto",
@@ -197,25 +232,7 @@ class BucketedMaterializedView:
             else:
                 merged = MERGE_FNS[action](target, delta, keys_b, order_col,
                                            small_delta)
-            merged = merged.localCheckpoint(eager=True)
-
-            # dynamic partition overwrite: only partitions present in
-            # ``merged`` are replaced ...
-            (merged.repartition(BUCKET_COL)
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(BUCKET_COL).parquet(self.path))
-            # ... so buckets the merge EMPTIED (all rows deleted) must be
-            # dropped explicitly or stale files survive.  Only deleteFrom
-            # can empty a bucket — upsert/update/insert keep ≥ the delta's
-            # own rows in every touched bucket.
-            if existed and action == "deleteFrom":
-                remaining = {r[0] for r in
-                             merged.select(BUCKET_COL).distinct().collect()}
-                for b in set(touched) - remaining:
-                    shutil.rmtree(
-                        os.path.join(self.path, f"{BUCKET_COL}={b}"),
-                        ignore_errors=True)
+            self._overwrite_touched(merged, touched)
             if not existed:
                 self._write_manifest()
         finally:
@@ -242,16 +259,12 @@ class BucketedMaterializedView:
         ups = self._with_bucket(ups).persist()
         dels = self._with_bucket(dels).persist()
         try:
-            # ONE collect for both sides' bucket sets (tagged union):
-            # bucket fan-out is bounded by n_buckets, and per-batch jobs
-            # are the fixed cost that dominates small micro-batches
-            tagged = (ups.select(BUCKET_COL, F.lit(False).alias("_d"))
-                      .unionByName(
-                          dels.select(BUCKET_COL, F.lit(True).alias("_d")))
-                      .groupBy(BUCKET_COL)
-                      .agg(F.max("_d").alias("_d")).collect())
-            touched = [r[0] for r in tagged]
-            del_buckets = {r[0] for r in tagged if r[1]}
+            # ONE collect for both sides' bucket set — bucket fan-out is
+            # bounded by n_buckets, and per-batch job count is the fixed
+            # cost that dominates small micro-batches
+            touched = [r[0] for r in
+                       ups.select(BUCKET_COL).unionByName(
+                           dels.select(BUCKET_COL)).distinct().collect()]
             if not touched:
                 return
             if existed:
@@ -265,26 +278,9 @@ class BucketedMaterializedView:
 
             keys_b = self.keys + [BUCKET_COL]
             merged = compose_merge(target, ups, dels, keys_b, action,
-                                   order_col, small_delta) \
-                .localCheckpoint(eager=True)
-            (merged.repartition(BUCKET_COL)
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(BUCKET_COL).parquet(self.path))
-            if existed:
-                # only DELETES can empty a bucket; restrict the emptied-
-                # bucket probe to the delete side's buckets (skipped
-                # entirely for upsert-only batches — no extra job)
-                if del_buckets:
-                    remaining = {r[0] for r in
-                                 merged.where(F.col(BUCKET_COL)
-                                              .isin(list(del_buckets)))
-                                 .select(BUCKET_COL).distinct().collect()}
-                    for b in del_buckets - remaining:
-                        shutil.rmtree(
-                            os.path.join(self.path, f"{BUCKET_COL}={b}"),
-                            ignore_errors=True)
-            else:
+                                   order_col, small_delta)
+            self._overwrite_touched(merged, touched)
+            if not existed:
                 self._write_manifest()
         finally:
             ups.unpersist()
