@@ -530,3 +530,25 @@ def test_status_web_page():
             assert "td class=\"status\"" in body.replace("'", '"')
     finally:
         srv.close()
+
+
+def test_stream_rebucket_growth_policy(spark, sf_dir, fixture_dir, tmp_path):
+    """The bucket-growth policy runs inside the stream (rebucket_every):
+    with a tiny byte target every check triggers, the manifest tracks the
+    new count, and the view contents stay identical to a flat target."""
+    p = _pipeline(spark, sf_dir)
+    flat = CdcStreamEngine(spark, p, str(tmp_path / "vf"),
+                           str(tmp_path / "cf"), max_retries=2)
+    flat.run_available(fixture_dir)
+
+    p2 = _pipeline(spark, sf_dir)
+    buck = CdcStreamEngine(spark, p2, str(tmp_path / "vb"),
+                           str(tmp_path / "cb"), max_retries=2, n_buckets=4,
+                           rebucket_every=1, target_bucket_bytes=64)
+    buck.run_available(fixture_dir)
+    mv = buck.batch_engine._target(None)
+    assert mv.n_buckets > 4                  # policy fired
+    assert mv._read_manifest() == mv.n_buckets
+    a = {r.event_id: r.value for r in flat.batch_engine.read_view().collect()}
+    b = {r.event_id: r.value for r in buck.batch_engine.read_view().collect()}
+    assert a == b
