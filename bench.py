@@ -38,7 +38,8 @@ HEADLINE = [
     "q_dedup_clusters", "q_dedup_clusters_star", "q_agg_view",
     "q_window_topn", "q_rollup", "q_topn_global", "q_json_extract",
     "q_tumbling_agg", "q_sessionize",
-    "q_similarity_topk", "q_dedup_minhash", "q_similarity_lsh",
+    "q_similarity_topk", "q_similarity_quantized",
+    "q_dedup_minhash", "q_similarity_lsh",
     "q_similarity_ivf", "q_similarity_ivf_kmeans",
     "q_dedup_embed", "q_dedup_embed_lsh", "q_dedup_embed_lsh_multi",
     "q_media_meta", "q_media_features", "q_media_decode",

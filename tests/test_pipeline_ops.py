@@ -135,3 +135,29 @@ def test_sample_per_group_exact_k(spark):
     again = {tuple(r) for r in sample_per_group(
         df.repartition(13), "id", "g", k=25).collect()}
     assert again == {tuple(r) for r in out.collect()}
+
+
+def test_quantized_cosine_recall(spark, sf_dir):
+    """Int8-quantized top-5 stays close to exact top-5 (unit-norm
+    embeddings; quantization error ~1/127 per component): mean overlap
+    >= 0.7, and quantized similarities within 0.05 of exact for shared
+    pairs."""
+    from ydb_cdc_processor_spark.operators import similarity
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = similarity.cosine_topk(emb, probes, k=5).collect()
+    quant = similarity.cosine_topk_quantized(emb, probes, k=5).collect()
+    ex, qu, qsim, esim = {}, {}, {}, {}
+    for r in exact:
+        ex.setdefault(r.probe_id, set()).add(r.vec_id)
+        esim[(r.probe_id, r.vec_id)] = r.cos_sim
+    for r in quant:
+        qu.setdefault(r.probe_id, set()).add(r.vec_id)
+        qsim[(r.probe_id, r.vec_id)] = r.cos_sim
+    overlaps = [len(ex[p] & qu[p]) / 5 for p in ex]
+    assert sum(overlaps) / len(overlaps) >= 0.7
+    shared = set(qsim) & set(esim)
+    assert shared and all(abs(qsim[k] - esim[k]) < 0.05 for k in shared)

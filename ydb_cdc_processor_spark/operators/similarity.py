@@ -338,3 +338,54 @@ def cosine_topk_lsh(corpus: DataFrame, probes: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .where(F.col("rnk") <= k))
+
+
+def quantize_int8(vec: F.Column) -> F.Column:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i·127 /
+    max|x|) ∈ [−127, 127].  4× smaller vectors (and 8× vs double) — at
+    100 TB of embeddings brute-force scan cost is memory bandwidth, so
+    quantization is the standard first scale lever before ANN indexing.
+
+    Deterministic and engine-replayable: the quantized COSINE needs no
+    dequantization — the per-vector scales cancel in cos = q·q' /
+    (|q||q'|), leaving exact integer arithmetic + one sqrt/divide."""
+    m = F.greatest(F.array_max(F.transform(vec, lambda x: F.abs(x))),
+                   F.lit(1e-30))
+    return F.transform(vec, lambda x: F.round(x * 127.0 / m, 0)
+                       .cast("long"))
+
+
+def cosine_topk_quantized(corpus: DataFrame, probes: DataFrame, k: int = 5,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          probe_id_col: str = "probe_id",
+                          round_digits: int = 6) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors — same plan shape as
+    :func:`cosine_topk` (probes broadcast, corpus scanned once, local
+    top-k window) with the dot product in integer arithmetic.  Returns
+    (probe_id, vec_id, cos_sim, rnk); cos_sim is the QUANTIZED cosine
+    (≈ true cosine to ~1/127 per component)."""
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def prep(df, src_id, out_id, repartition):
+        base = df.select(F.col(src_id).alias(out_id),
+                         quantize_int8(as_double_array(vec_col)).alias("_q"))
+        if repartition:
+            base = ensure_min_partitions(base)
+        return base.withColumn(
+            "_n", F.sqrt(idot(F.col("_q"), F.col("_q")).cast("double")))
+
+    c = prep(corpus, id_col, "vec_id", True)
+    p = (prep(probes, probe_id_col, "probe_id", False)
+         .withColumnRenamed("_q", "_pq").withColumnRenamed("_n", "_pn"))
+    pairs = c.crossJoin(F.broadcast(p)) \
+             .where(F.col("vec_id") != F.col("probe_id"))
+    sim = F.round(idot(F.col("_q"), F.col("_pq")).cast("double")
+                  / (F.col("_n") * F.col("_pn")), round_digits)
+    scored = pairs.select("probe_id", "vec_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= k))

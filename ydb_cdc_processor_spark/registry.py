@@ -796,6 +796,39 @@ def q_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, probes, k=5)
 
 
+@register("q_similarity_quantized", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb,
+             greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30) AS mx
+      FROM e),
+q AS (SELECT vec_id,
+             list_transform(emb, x -> CAST(round(x * 127.0 / mx) AS BIGINT))
+               AS qv
+      FROM m),
+n AS (SELECT vec_id, qv,
+             sqrt(list_inner_product(qv, qv)) AS nq FROM q),
+p AS (SELECT vec_id AS probe_id, qv AS pv, nq AS np FROM n
+      WHERE vec_id % 100 = 0),
+s AS (SELECT probe_id, vec_id,
+             round(list_inner_product(qv, pv) / (nq * np), 6) AS cos_sim
+      FROM n CROSS JOIN p WHERE vec_id <> probe_id),
+r AS (SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""")
+def q_similarity_quantized(spark, sf_dir):
+    """Int8-quantized cosine top-k (similarity.cosine_topk_quantized):
+    4× smaller vectors, integer dot products — the memory-bandwidth
+    scale lever before ANN indexing.  Per-vector scales cancel in the
+    cosine, so the oracle replays the exact integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return similarity.cosine_topk_quantized(emb, probes, k=5)
+
+
 @register("q_token_bpe", """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
