@@ -46,6 +46,7 @@ HEADLINE = [
     "q_media_resize", "q_media_frames",
     "q_asof_join", "q_range_join", "q_stratified_sample",
     "q_sample_per_group", "q_tfidf_top_terms", "q_doc_chunks",
+    "q_curation_pipeline",
 ]
 
 

@@ -1652,6 +1652,68 @@ def q_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(load_docs(spark, sf_dir), k=3)
 
 
+@register("q_curation_pipeline", f"""
+WITH keep AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+quality AS (
+  SELECT d.doc_id, d.lang, d.text,
+    CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+               WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN (length(text) -
+                     length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]',
+                                           '', 'g')))
+                    / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN {_LANG_HITS_SQL["en"]} > 0 THEN 1.0 ELSE 0.5 END
+         ) / 3.0 AS DOUBLE) AS q_score
+  FROM documents d JOIN keep USING (doc_id)),
+sampled AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+    FROM quality WHERE q_score >= 0.5) t
+  WHERE CAST({_HEX8} AS BIGINT) / 4294967296.0 <
+        CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END),
+nrm AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS w
+  FROM sampled
+  WHERE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) > 0),
+st AS (
+  SELECT doc_id, lang, w, unnest(range(0, greatest(len(w), 1), 48)) AS cs
+  FROM nrm)
+SELECT doc_id, lang,
+       CAST(cs // 48 AS INT) AS chunk_idx,
+       CAST(len(list_slice(w, cs + 1, cs + 64)) AS INT) AS n_words,
+       md5(array_to_string(list_slice(w, cs + 1, cs + 64), ' '))
+         AS chunk_fp
+FROM st WHERE cs < len(w)
+""")
+def q_curation_pipeline(spark, sf_dir):
+    """The composite training-data pass, operators chained end-to-end:
+    exact dedup (keep min-id per content digest) → quality gate
+    (q_score ≥ 0.5) → deterministic stratified sample (en at 0.5, the
+    rest kept) → 64/48 word-window chunking, each chunk fingerprinted.
+    One declarative plan — Catalyst fuses the gates into the scan and
+    the whole pipeline shuffles only at the dedup group-by and the
+    chunk explode.  The oracle composes the same stages in SQL."""
+    from ydb_cdc_processor_spark.functions.sampling import stratified_sample
+    docs = load_docs(spark, sf_dir)
+    keep = (dedup.exact_dedup_groups(docs)
+            .select(F.col("keep_doc_id").alias("doc_id")))
+    deduped = docs.join(keep, on="doc_id", how="left_semi")
+    gated = deduped.where(
+        text.quality_score(F.col("text")) >= 0.5)
+    sampled = stratified_sample(gated, id_col="doc_id", group_col="lang",
+                                rates={"en": 0.5}, default_rate=1.0)
+    chunks = text.chunk_documents(sampled.select("doc_id", "lang", "text"),
+                                  chunk_words=64, stride=48)
+    return (chunks.join(sampled.select("doc_id", "lang"), on="doc_id")
+            .select("doc_id", "lang", "chunk_idx", "n_words",
+                    F.md5("chunk_text").alias("chunk_fp")))
+
+
 @register("q_doc_chunks", r"""
 WITH nrm AS (
   SELECT doc_id,
