@@ -97,3 +97,33 @@ def test_parquet_view_apply_idempotent(spark, base, tmp_path):
     mv.apply(dels, "deleteFrom")
     mv.apply(dels, "deleteFrom")
     assert _as_dict(mv.read()) == {2: "B", 3: "c", 4: "d"}
+
+
+def test_compose_merge_equals_sequential(spark):
+    """The fused single-pass merge equals applying the upsert side then
+    the delete side sequentially, for every action mode — valid because
+    the engine guarantees key-disjoint sides (last-wins routing)."""
+    from ydb_cdc_processor_spark.operators.merge import (
+        MERGE_FNS, compose_merge, merge_delete)
+
+    target = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string")
+    ups = spark.createDataFrame(
+        [(i, f"new{i}") for i in (1, 3, 25, 27)], "k long, v string")
+    dels = spark.createDataFrame([(2,), (4,), (30,)], "k long")
+
+    for action in ("upsertInto", "updateOn"):
+        fused = compose_merge(target, ups, dels, ["k"], action)
+        seq = merge_delete(MERGE_FNS[action](target, ups, ["k"], None, None),
+                           dels, ["k"])
+        assert sorted(map(tuple, fused.collect())) == \
+            sorted(map(tuple, seq.collect())), action
+
+    # insertInto: fused keeps the strict collision check
+    fresh = spark.createDataFrame([(100, "x")], "k long, v string")
+    fused = compose_merge(target, fresh, dels, ["k"], "insertInto")
+    assert (100, "x") in {tuple(r) for r in fused.collect()}
+    import pytest as _pytest
+    from ydb_cdc_processor_spark.operators.merge import StrictInsertError
+    with _pytest.raises(StrictInsertError):
+        compose_merge(target, ups, dels, ["k"], "insertInto").collect()
