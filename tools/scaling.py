@@ -43,8 +43,18 @@ def main() -> None:
                 print(f"{name}@{sf}: FAILED {ex}")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_results.json")
+    # merge into the existing file: a SUBSET run must not clobber the
+    # full sweep's entries for queries it did not time
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(f"{'query':24s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} "
           f"{'x(.01→.1)':>10s}")
     for name, r in sorted(results.items()):
