@@ -162,3 +162,68 @@ def test_read_touched_probes_only_touched_dirs(spark, tmp_path, orders):
     empty = buck._read_touched([999, 1000], orders.schema)
     assert empty.count() == 0
     assert BUCKET_COL in empty.columns
+
+
+def test_rebucket_crash_between_renames_recovers(spark, tmp_path, orders):
+    """A crash between rebucket()'s two renames leaves the view path
+    missing and the complete old layout at the deterministic .old
+    sibling; the next observation must restore it instead of treating
+    the view as never-written (which would silently rebuild it from one
+    delta)."""
+    import os
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=4)
+    before = _rows(buck.read())
+    # simulate the torn swap: view renamed aside, new layout never landed
+    os.rename(buck.path, buck._old_dir())
+    reopened = BucketedMaterializedView(
+        spark, str(tmp_path / "buck"), KEYS, n_buckets=4)
+    assert reopened.exists() is True          # _recover restored it
+    assert _rows(reopened.read()) == before
+    assert reopened._read_manifest() == 4     # old layout, old count
+
+
+def test_rebucket_failure_keeps_n_buckets_consistent(
+        spark, tmp_path, orders, monkeypatch):
+    """An exception during the swap must leave self.n_buckets agreeing
+    with the on-disk layout (a premature mutation would mis-bucket every
+    subsequent delta in-process)."""
+    import os
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=4)
+    real_rename = os.rename
+    def boom(src, dst):
+        raise OSError("simulated crash during swap")
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        buck.rebucket(16)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert buck.n_buckets == 4
+    assert buck._read_manifest() == 4
+    # and the view still merges correctly at the unchanged layout
+    delta = orders.limit(20).withColumn("o_orderstatus", F.lit("X"))
+    buck.apply(delta, "upsertInto")
+    assert _rows(buck.read()) != []
+
+
+def test_displaced_bucket_recovers(spark, tmp_path, orders):
+    """_overwrite_touched's crash window: a live bucket renamed aside to
+    .displaced-_bucket=N with no replacement promoted yet.  The next
+    observation restores the displaced copy (pre-batch rows are NOT
+    lost); a displaced leftover whose bucket was already promoted is
+    dropped."""
+    import os
+    import shutil
+    _, buck = _mk(spark, tmp_path, orders, n_buckets=4)
+    before = _rows(buck.read())
+    live = [e for e in os.listdir(buck.path)
+            if e.startswith(f"{BUCKET_COL}=")]
+    victim = os.path.join(buck.path, live[0])
+    disp = os.path.join(buck.path, f".displaced-{live[0]}")
+    # window (a): bucket renamed aside, replacement never landed
+    os.rename(victim, disp)
+    assert buck.exists() is True
+    assert _rows(buck.read()) == before       # restored, nothing lost
+    # window (b): crash after promotion — displaced leftover + live bucket
+    shutil.copytree(victim, disp)
+    assert buck.exists() is True
+    assert not os.path.exists(disp)           # leftover dropped
+    assert _rows(buck.read()) == before

@@ -58,6 +58,8 @@ logger = logging.getLogger(__name__)
 
 BUCKET_COL = "_bucket"
 MANIFEST = "_buckets.json"
+DISPLACED_PREFIX = ".displaced-"  # dot-prefixed → invisible to Spark scans
+TOKEN_FILE = "_token"             # underscore-prefixed → ignored by Spark
 
 
 class BucketedMaterializedView:
@@ -93,24 +95,80 @@ class BucketedMaterializedView:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST)
 
-    def _read_manifest(self) -> int | None:
+    def _read_manifest_dict(self) -> dict:
         try:
             with open(self._manifest_path()) as fh:
-                return int(json.load(fh)["n_buckets"])
-        except (OSError, ValueError, KeyError):
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _read_manifest(self) -> int | None:
+        try:
+            return int(self._read_manifest_dict()["n_buckets"])
+        except (ValueError, KeyError, TypeError):
             return None
 
-    def _write_manifest(self) -> None:
+    def _write_manifest(self, last_token: str | None = None) -> None:
+        """Atomically persist the layout manifest.  ``last_token`` (when
+        given) records the most recent replay fence applied via
+        :meth:`apply_merge` — :meth:`rebucket` re-seeds the per-bucket
+        token files from it, since a rebucket rewrites the view from
+        state that already INCLUDES that batch."""
         os.makedirs(self.path, exist_ok=True)
+        doc = self._read_manifest_dict()
+        doc["n_buckets"] = self.n_buckets
+        if last_token is not None:
+            doc["last_token"] = last_token
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"n_buckets": self.n_buckets}, fh)
+            json.dump(doc, fh)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- crash recovery ------------------------------------------------------
+
+    def _old_dir(self) -> str:
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        return os.path.join(parent, f".{os.path.basename(self.path)}.old")
+
+    def _recover(self) -> None:
+        """Repair crash-torn on-disk state before it is observed.
+
+        Two windows exist (both narrowed to single renames):
+
+        1. :meth:`rebucket`'s swap — view renamed to the deterministic
+           ``.old`` sibling, crash before the new layout is renamed in.
+           The old layout is still complete: restore it.  (Same pattern
+           as ``ParquetMaterializedView._recover`` — without it a
+           streaming replay would see ``exists() == False`` and silently
+           rebuild the view from one delta, losing accumulated state.)
+        2. :meth:`_overwrite_touched`'s per-bucket promotion — a live
+           bucket renamed aside to ``.displaced-_bucket=N``, crash before
+           its replacement is renamed in.  The displaced copy is the
+           pre-batch bucket: restore it (checkpoint replay then re-merges
+           the same batch over it and converges).  A displaced dir whose
+           bucket DOES exist means the crash hit after promotion — the
+           new bucket is live, drop the leftover copy.
+        """
+        old = self._old_dir()
+        if os.path.isdir(old) and not os.path.exists(self.path):
+            os.rename(old, self.path)
+        if not os.path.isdir(self.path):
+            return
+        for e in os.listdir(self.path):
+            if not e.startswith(DISPLACED_PREFIX):
+                continue
+            disp = os.path.join(self.path, e)
+            live = os.path.join(self.path, e[len(DISPLACED_PREFIX):])
+            if os.path.isdir(live):
+                shutil.rmtree(disp, ignore_errors=True)
+            else:
+                os.rename(disp, live)
 
     # -- IO ------------------------------------------------------------------
 
     def exists(self) -> bool:
-        # the dynamic-partition-overwrite committer does not emit _SUCCESS;
+        self._recover()
+        # the per-bucket-promotion committer does not emit _SUCCESS;
         # presence of any bucket partition directory is the marker
         if not os.path.isdir(self.path):
             return False
@@ -174,7 +232,12 @@ class BucketedMaterializedView:
         has (per-partition commit).  A crash mid-promotion leaves a mix
         of old/new buckets; checkpoint replay re-merges the same batch
         over that mix and converges, because every action mode is
-        idempotent per key."""
+        idempotent per key.  Within a single bucket the live directory
+        is never deleted before its replacement is in place: it is
+        renamed ASIDE (``.displaced-…``, invisible to Spark) and only
+        dropped after the new bucket is promoted, so the one remaining
+        crash window — between the two renames — leaves a recoverable
+        copy that :meth:`_recover` restores on the next observation."""
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         tmp = os.path.join(
             parent,
@@ -185,9 +248,17 @@ class BucketedMaterializedView:
         for b in touched:
             new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
             old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            disp = os.path.join(self.path,
+                                f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
             if os.path.isdir(new_d):
-                shutil.rmtree(old_d, ignore_errors=True)
+                shutil.rmtree(disp, ignore_errors=True)  # stale leftover
+                displaced = False
+                if os.path.isdir(old_d):
+                    os.rename(old_d, disp)
+                    displaced = True
                 os.rename(new_d, old_d)
+                if displaced:
+                    shutil.rmtree(disp, ignore_errors=True)
             else:
                 shutil.rmtree(old_d, ignore_errors=True)  # emptied
         shutil.rmtree(tmp, ignore_errors=True)
@@ -320,15 +391,18 @@ class BucketedMaterializedView:
         (self._with_bucket(df, n_buckets)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
-        old_n = self.n_buckets
-        self.n_buckets = n_buckets
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
             json.dump({"n_buckets": n_buckets}, fh)
-        old = os.path.join(parent, f".{os.path.basename(self.path)}.old")
-        shutil.rmtree(old, ignore_errors=True)
+        # deterministic .old sibling → _recover() can restore the complete
+        # old layout if we crash between the two renames; the in-memory
+        # count mutates only AFTER the swap succeeds, so an exception
+        # here leaves self.n_buckets agreeing with the on-disk layout
+        old = self._old_dir()
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        old_n, self.n_buckets = self.n_buckets, n_buckets
         logger.info("bucketed view %s: rebucketed %d → %d buckets",
                     self.path, old_n, n_buckets)
 
