@@ -128,6 +128,23 @@ def test_agg_view_batch_token_replay_fence(spark, tmp_path):
         {(1, 4, 60.0), (2, 2, 10.0)}
 
 
+def test_agg_view_untokenized_apply_keeps_fence(spark, tmp_path):
+    """An un-tokenized apply_delta between tokenized batches must NOT
+    clobber the persisted replay fence: a later replay of the last
+    tokenized batch would otherwise double-count."""
+    rows = spark.createDataFrame([(1, 10.0)], "g int, v double")
+    av = AggregateView(spark, str(tmp_path / "agg"), ["g"], {"sv": "v"})
+
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0:u")
+    av.apply_delta(new_rows=rows, old_rows=None)  # ad-hoc, no token
+    mid = {(r.g, r.n_rows, r.sv) for r in av.read().collect()}
+    assert mid == {(1, 2, 20.0)}
+
+    # the b0 fence survived the un-tokenized apply → replay is a no-op
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0:u")
+    assert {(r.g, r.n_rows, r.sv) for r in av.read().collect()} == mid
+
+
 def test_agg_view_compact_rollup_guard(spark, tmp_path, caplog):
     """The documented compact-rollup assumption is enforced, not just
     stated: exceeding max_groups_warn logs a warning."""

@@ -111,6 +111,25 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
         assert exact[(r.vec_a, r.vec_b)] == r.cos_sim
 
 
+def test_neardup_lsh_warns_without_sizing(spark, caplog):
+    """Omitting BOTH n_planes and n_hint costs a full count() scan just
+    to size the planes — the library warns, naming the extra scan; a
+    caller passing either sizing input stays silent."""
+    import logging
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING, logger=similarity.__name__):
+        similarity.embedding_neardup_lsh(emb, threshold=0.9)
+    assert any("count() pass" in m for m in caplog.messages)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=similarity.__name__):
+        similarity.embedding_neardup_lsh(emb, threshold=0.9, n_hint=32)
+        similarity.embedding_neardup_lsh(emb, threshold=0.9, n_planes=4)
+    assert not any("count() pass" in m for m in caplog.messages)
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark, sf_dir):
     """Lloyd refinement (similarity.kmeans_refine) must lift recall@5 vs
     the sampled-centroid quantizer at the same n_cells/n_probe, stay

@@ -23,6 +23,49 @@ def test_as_of_join_semantics(spark):
     assert got == {1: "a", 2: "b", 3: None, 4: None}
 
 
+def test_as_of_join_null_payload_from_matched_row(spark):
+    """A matched build row whose payload value is NULL must yield NULL —
+    not fall through to an OLDER build row's value (true as-of / DuckDB
+    ASOF semantics; the struct-fill regression test)."""
+    from ydb_cdc_processor_spark.operators.temporal import as_of_join
+
+    probe = spark.createDataFrame([(1, "u", 20)], "id long, k string, ts long")
+    build = spark.createDataFrame(
+        [("u", 10, "older"), ("u", 15, None)], "k string, ts long, val string")
+    [r] = as_of_join(probe, build, keys=["k"]).collect()
+    assert r.val_asof is None  # matched row (ts=15) carries NULL
+
+
+def test_range_join_auto_bin_width(spark, caplog):
+    """bin_width=None derives the median interval width and returns the
+    exact theta-join result; a pathologically wide interval triggers the
+    replication warning."""
+    import logging
+
+    from ydb_cdc_processor_spark.operators import temporal
+    from ydb_cdc_processor_spark.operators.temporal import range_join_binned
+
+    probe = spark.range(0, 100).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.3).alias("v"))
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 6.0), (2, 9.9, 40.0), (3, 90.0, 95.0)],
+        "iv_id long, lo double, hi double")
+    got = sorted((r.pid, r.iv_id) for r in range_join_binned(
+        probe, iv, "v", "lo", "hi").collect())
+    exp = sorted((r.pid, r.iv_id) for r in probe.join(
+        iv, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect())
+    assert got == exp and len(got) > 0
+
+    wide = spark.createDataFrame(
+        [(0, 0.0, 0.001), (1, 0.0, 0.001), (2, 0.0, 0.001),
+         (3, 0.0, 50.0)],  # 50 / 0.001 ≫ MAX_REPLICATION_WARN bins
+        "iv_id long, lo double, hi double")
+    with caplog.at_level(logging.WARNING, logger=temporal.__name__):
+        range_join_binned(probe.limit(1), wide, "v", "lo", "hi").collect()
+    assert any("replicates into" in m for m in caplog.messages)
+
+
 def test_range_join_binned_matches_plain_join(spark):
     """The bin-replication lowering returns exactly the plain theta-join
     result, including intervals spanning many bins and probe values on

@@ -417,9 +417,11 @@ class CdcBatchEngine:
         eagerly because the lazy plan would otherwise list the SWAPPED
         directory at evaluation time and read post-merge rows.
 
-        ``kind`` ("u"/"d") suffixes the replay fence: one micro-batch
-        updates each rollup twice (upsert side, then delete side), and
-        both sub-steps need their own token."""
+        ``kind`` suffixes the replay fence and is exactly ONE of "u"
+        (upsert-only batch), "d" (delete-only batch) or "f" (fused
+        batch: both sides in one ±delta step) — the `_apply_raw_batch`
+        routing guarantees at most one ``apply_delta`` per batch per
+        rollup, so each rollup swap persists exactly one token."""
         if not self.agg_views:
             return
         keys = self.p.target_keys or self.p.pk

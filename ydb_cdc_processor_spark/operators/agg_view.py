@@ -161,9 +161,14 @@ class AggregateView:
         from pyspark.sql import Observation
         obs = Observation(f"agg_view_size_{id(self)}")
         merged = merged.observe(obs, F.count(F.lit(1)).alias("n_groups"))
-        store.overwrite(
-            merged, meta=None if batch_token is None
-            else {"batch_token": batch_token})
+        # an un-tokenized apply must not clobber a previously persisted
+        # replay fence: overwrite(meta=None) would drop the meta file and
+        # a later replay of the last tokenized batch would double-count
+        if batch_token is not None:
+            meta = {"batch_token": batch_token}
+        else:
+            meta = (store.read_meta() or None) if store.exists() else None
+        store.overwrite(merged, meta=meta)
         n_groups = int(obs.get["n_groups"] or 0)
         if n_groups > self.max_groups_warn and not self._size_warned:
             self._size_warned = True

@@ -24,11 +24,15 @@ through ``ensure_min_partitions`` because the math is CPU-bound.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
 from ydb_cdc_processor_spark.functions.vector import as_double_array, dot, norm
+
+logger = logging.getLogger(__name__)
 
 
 def _with_norm(df: DataFrame, id_col: str, out_id: str, vec_col: str,
@@ -122,7 +126,15 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.4,
     """
     if n_planes is None:
         import math
-        n = n_hint if n_hint is not None else emb.count()
+        if n_hint is None:
+            logger.warning(
+                "embedding_neardup_lsh: neither n_planes nor n_hint given "
+                "— sizing the plane count with a full count() pass over "
+                "the corpus (an extra scan; at scale, pass n_hint from "
+                "catalog statistics or choose n_planes explicitly)")
+            n = emb.count()
+        else:
+            n = n_hint
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_occupancy)))
     base = ensure_min_partitions(emb)
     all_pairs = None

@@ -24,8 +24,17 @@ compositions of existing DataFrame ops, never per-row Python:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: warn when some interval would replicate into more bins than this —
+#: the caller's (or auto-derived) bin width is far below the widest
+#: interval and the explode is amplifying the shuffle
+MAX_REPLICATION_WARN = 1000
 
 
 def as_of_join(probe: DataFrame, build: DataFrame, keys: list[str],
@@ -38,23 +47,31 @@ def as_of_join(probe: DataFrame, build: DataFrame, keys: list[str],
 
     Probe rows with no prior build row keep NULL payload.  Returns all
     probe columns + ``<payload><suffix>`` columns.
+
+    The fill carries the matched build row as ONE struct (non-NULL even
+    when its fields are NULL), so ``last(..., ignorenulls)`` skips only
+    probe rows — a matched build row whose payload VALUE is NULL yields
+    NULL, exactly as DuckDB's native ASOF does, instead of falling
+    through to an older build row's value.
     """
     if payload is None:
         payload = [c for c in build.columns
                    if c not in keys and c != build_ts]
+    if not payload:
+        return probe
     out_payload = [f"{c}{suffix}" for c in payload]
 
     b = build.select(
         *keys,
         F.col(build_ts).alias("_t"),
         F.lit(1).alias("_is_build"),
-        *[F.col(c).alias(o) for c, o in zip(payload, out_payload)])
+        F.struct(*[F.col(c).alias(o)
+                   for c, o in zip(payload, out_payload)]).alias("_asof_row"))
     p = probe.select(
         "*",
         F.col(probe_ts).alias("_t"),
         F.lit(0).alias("_is_build"),
-        *[F.lit(None).cast(b.schema[o].dataType).alias(o)
-          for o in out_payload])
+        F.lit(None).cast(b.schema["_asof_row"].dataType).alias("_asof_row"))
     # align schemas: build rows carry NULL for the probe-only columns
     probe_only = [c for c in p.columns if c not in b.columns]
     b = b.select(
@@ -68,23 +85,50 @@ def as_of_join(probe: DataFrame, build: DataFrame, keys: list[str],
          .orderBy(F.col("_t").asc(), F.col("_is_build").desc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = u.select(
-        *[c for c in u.columns if c not in out_payload],
-        *[F.last(o, ignorenulls=True).over(w).alias(o)
-          for o in out_payload])
+        *[c for c in u.columns if c != "_asof_row"],
+        F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"))
     return (filled.where(F.col("_is_build") == 0)
-            .drop("_t", "_is_build"))
+            .select(*[c for c in filled.columns
+                      if c not in ("_t", "_is_build", "_asof_row")],
+                    *[F.col("_asof_row").getField(o).alias(o)
+                      for o in out_payload]))
 
 
 def range_join_binned(probe: DataFrame, intervals: DataFrame,
                       value_col: str, lo_col: str, hi_col: str,
-                      bin_width: float) -> DataFrame:
+                      bin_width: float | None = None) -> DataFrame:
     """Join each probe row to every interval with ``lo <= value < hi``
     via bin-replication + equi-join (the scalable range-join lowering).
 
     ``bin_width`` should be on the order of the TYPICAL interval width:
     too small multiplies interval replication, too large weakens the
-    pre-filter.  Returns probe columns + interval columns.
+    pre-filter.  When ``None`` it is derived as the MEDIAN interval
+    width (``percentile_approx(hi - lo, 0.5)``) — one tiny aggregate
+    over the (small) interval side; the median bounds the typical
+    interval's replication to ~2 bins.  Either way a warning fires when
+    the WIDEST interval would replicate into more than
+    ``MAX_REPLICATION_WARN`` bins (explode amplification).  Returns
+    probe columns + interval columns.
     """
+    if bin_width is None:
+        width = F.col(hi_col).cast("double") - F.col(lo_col).cast("double")
+        st = intervals.select(
+            F.percentile_approx(width, F.lit(0.5)).alias("p50"),
+            F.max(width).alias("mx")).first()
+        p50 = float(st["p50"] or 0.0)
+        mx = float(st["mx"] or 0.0)
+        # degenerate medians (point intervals) fall back to the widest
+        # interval, then to 1.0 for an empty/all-point interval table
+        bin_width = p50 if p50 > 0 else (mx if mx > 0 else 1.0)
+        logger.info("range_join_binned: auto bin_width=%s "
+                    "(median interval width; max width %s)", bin_width, mx)
+        if mx / bin_width + 1 > MAX_REPLICATION_WARN:
+            logger.warning(
+                "range_join_binned: widest interval (%s) replicates into "
+                "~%d bins at bin_width=%s — heavily skewed interval "
+                "widths; consider splitting outlier intervals or passing "
+                "an explicit bin_width", mx, int(mx / bin_width) + 1,
+                bin_width)
     pb = probe.withColumn(
         "_bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
     iv = intervals.withColumn(
