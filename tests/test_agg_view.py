@@ -2,6 +2,7 @@
 after any mix of insert/update/delete batches, the incrementally-kept
 rollup equals a full recompute over the final row state."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.agg_view import AggregateView
@@ -10,12 +11,14 @@ from ydb_cdc_processor_spark.operators.merge import (
 from ydb_cdc_processor_spark.sources.catalog import load_table
 
 
-def test_agg_view_tracks_row_view(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("backend", ["flat", "bucketed"])
+def test_agg_view_tracks_row_view(spark, sf_dir, tmp_path, backend):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
     key = ["o_orderkey"]
     av = AggregateView(spark, str(tmp_path / "agg"), ["o_custkey"],
-                       {"sum_price": "o_totalprice"}, count_col="n_orders")
+                       {"sum_price": "o_totalprice"}, count_col="n_orders",
+                       backend=backend, n_buckets=8)
 
     # batch 1: initial load (no old images)
     state = orders
@@ -126,6 +129,93 @@ def test_agg_view_batch_token_replay_fence(spark, tmp_path):
     av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b1:u")
     assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == \
         {(1, 4, 60.0), (2, 2, 10.0)}
+
+
+def test_agg_view_bucketed_per_bucket_fence(spark, tmp_path):
+    """Bucketed backend exactly-once: full-replay skip, restart-object
+    skip, and — the case the flat atomic swap never faces — a crash MID-
+    PROMOTION (some buckets promoted under the new token, some still on
+    the old one): replay must re-apply ONLY the un-promoted buckets."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "agg")
+    rows = spark.range(0, 40).select(
+        (F.col("id") % 20).alias("g"), F.lit(1.0).alias("v"))
+    av = AggregateView(spark, path, ["g"], {"sv": "v"},
+                       backend="bucketed", n_buckets=8)
+
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0")
+    b0 = {(r.g, r.n_rows, r.sv) for r in av.read().collect()}
+    assert b0 == {(g, 2, 2.0) for g in range(20)}
+
+    # replay of b0: fully fenced (manifest fast-path)
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0")
+    assert {(r.g, r.n_rows, r.sv) for r in av.read().collect()} == b0
+
+    # engine restart: fence lives on disk, not in the object
+    av2 = AggregateView(spark, path, ["g"], {"sv": "v"},
+                        backend="bucketed", n_buckets=8)
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b0")
+    assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == b0
+
+    # apply b1, then SIMULATE a crash mid-promotion: restore one bucket
+    # to its pre-b1 content (with its b0 token) and roll the manifest's
+    # last_token back to b0 (the crash precedes the manifest write)
+    pre = str(tmp_path / "pre_b1")
+    shutil.copytree(path, pre)
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b1")
+    b1 = {(r.g, r.n_rows, r.sv) for r in av2.read().collect()}
+    assert b1 == {(g, 4, 4.0) for g in range(20)}
+
+    victim = next(e for e in sorted(os.listdir(pre))
+                  if e.startswith("_bucket="))
+    shutil.rmtree(os.path.join(path, victim))
+    shutil.copytree(os.path.join(pre, victim), os.path.join(path, victim))
+    mf = os.path.join(path, "_buckets.json")
+    doc = json.load(open(mf))
+    doc["last_token"] = "b0"
+    json.dump(doc, open(mf, "w"))
+
+    # the torn state is visibly mixed (victim bucket back at b0 counts)
+    torn = {(r.g, r.n_rows, r.sv) for r in av2.read().collect()}
+    assert torn != b1
+
+    # replay b1 from a FRESH object (restart after the crash): only the
+    # un-promoted bucket is re-applied; promoted buckets must not double
+    av3 = AggregateView(spark, path, ["g"], {"sv": "v"},
+                        backend="bucketed", n_buckets=8)
+    av3.apply_delta(new_rows=rows, old_rows=None, batch_token="b1")
+    assert {(r.g, r.n_rows, r.sv) for r in av3.read().collect()} == b1
+
+
+def test_agg_view_bucketed_rebucket_keeps_fence(spark, tmp_path):
+    """rebucket() re-seeds the per-bucket fence from the manifest's
+    last_token: a replay of the last batch AFTER a rebucket stays a
+    no-op, and new batches apply normally at the new bucket count."""
+    path = str(tmp_path / "agg")
+    rows = spark.range(0, 30).select(
+        (F.col("id") % 15).alias("g"), F.lit(2.0).alias("v"))
+    av = AggregateView(spark, path, ["g"], {"sv": "v"},
+                       backend="bucketed", n_buckets=4)
+    av.apply_delta(new_rows=rows, old_rows=None, batch_token="b0")
+    b0 = {(r.g, r.n_rows, r.sv) for r in av.read().collect()}
+
+    av._store().rebucket(16)
+    assert {(r.g, r.n_rows, r.sv) for r in av.read().collect()} == b0
+
+    # replay of b0 across the rebucket: still fenced (re-seeded tokens)
+    av2 = AggregateView(spark, path, ["g"], {"sv": "v"},
+                        backend="bucketed")
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b0")
+    assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == b0
+
+    # and a NEW batch lands at the new count
+    av2.apply_delta(new_rows=rows, old_rows=None, batch_token="b1")
+    assert {(r.g, r.n_rows, r.sv) for r in av2.read().collect()} == \
+        {(g, 4, 8.0) for g in range(15)}
+    assert av2._store().n_buckets == 16
 
 
 def test_agg_view_untokenized_apply_keeps_fence(spark, tmp_path):

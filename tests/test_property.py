@@ -225,10 +225,16 @@ ivm_batches = st.lists(
     min_size=1, max_size=4)
 
 
-@settings(max_examples=25, deadline=None, derandomize=True,
-          suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.parametrize("backend", ["flat", "bucketed"])
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
 @given(batches=ivm_batches)
-def test_agg_view_random_batches(spark, tmp_path_factory, batches):
+def test_agg_view_random_batches(spark, tmp_path_factory, backend, batches):
+    """Both store backends; every batch is applied under a replay fence
+    token and immediately REPLAYED with the same token — the replay must
+    be a no-op (flat: meta-file fence; bucketed: per-bucket tokens), so
+    the final rollup still equals a full recompute."""
     from pyspark.sql import functions as F
 
     from ydb_cdc_processor_spark.operators.agg_view import AggregateView
@@ -239,7 +245,7 @@ def test_agg_view_random_batches(spark, tmp_path_factory, batches):
     schema = "k long, g long, v double"
     state = spark.createDataFrame([], schema)
     av = AggregateView(spark, root + "/agg", ["g"], {"sv": "v"},
-                       count_col="n")
+                       count_col="n", backend=backend, n_buckets=4)
     for bi, batch in enumerate(batches):
         # last occurrence of a key wins inside a batch (B4 semantics)
         final = {}
@@ -253,7 +259,12 @@ def test_agg_view_random_batches(spark, tmp_path_factory, batches):
         new_rows = spark.createDataFrame(ups, schema) if ups else None
         # one contribution step per batch covers both kinds: -old for
         # every touched key, +new for the upserted rows
-        av.apply_delta(new_rows=new_rows, old_rows=old)
+        av.apply_delta(new_rows=new_rows, old_rows=old,
+                       batch_token=f"b{bi}")
+        # at-least-once delivery: the same batch redelivered must not
+        # double-count (±deltas are not idempotent; the fence is)
+        av.apply_delta(new_rows=new_rows, old_rows=old,
+                       batch_token=f"b{bi}")
         if ups:
             state = merge_upsert(state, spark.createDataFrame(ups, schema),
                                  ["k"])

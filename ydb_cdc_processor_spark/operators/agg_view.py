@@ -54,27 +54,45 @@ class AggregateView:
     maintained incrementally from CDC deltas.
 
     ``sum_cols``: ``{output_name: source_column}``.  ``count_col`` names
-    the row-count measure.  The backing store is the same atomic-swap
-    parquet view the row views use.
+    the row-count measure.
+
+    ``backend`` picks the store:
+
+    - ``"flat"`` (default): the atomic-swap parquet view the row views
+      use — per-batch cost O(|rollup|) full rewrite.  Right for compact
+      rollups (≲10⁶ groups), where the rewrite is one small file set.
+    - ``"bucketed"``: :class:`~ydb_cdc_processor_spark.operators.
+      bucketed_view.BucketedMaterializedView` hash-partitioned on the
+      group columns — per-batch cost O(delta + touched buckets), the
+      bounded-maintenance shape a 10⁷+-group rollup (per-URL-domain
+      stats over a web corpus) needs.  The replay fence is PER-BUCKET
+      (token promoted atomically with each bucket), so exactly-once
+      holds even across a crash mid-promotion; bucket-count evolution
+      (``rebucket``/``maybe_rebucket``) re-seeds the fence.
     """
 
-    #: compact-rollup guard: warn when the maintained rollup's group
-    #: cardinality exceeds this — a rollup approaching fact-table size
-    #: defeats incremental maintenance (the O(|view|) rewrite per batch
-    #: stops being bounded); keep the row view and aggregate at query
-    #: time, or back the rollup with the bucketed view.
+    #: compact-rollup guard (flat backend only): warn when the rollup's
+    #: group cardinality exceeds this — a rollup approaching fact-table
+    #: size defeats the flat store's O(|view|)-rewrite-per-batch
+    #: assumption; switch to backend="bucketed", or keep the row view
+    #: and aggregate at query time.
     max_groups_warn: int = 1_000_000
 
     def __init__(self, spark: SparkSession, path: str,
                  group_cols: list[str], sum_cols: dict[str, str],
                  count_col: str = "n_rows",
-                 max_groups_warn: int | None = None):
+                 max_groups_warn: int | None = None,
+                 backend: str = "flat", n_buckets: int = 64):
+        if backend not in ("flat", "bucketed"):
+            raise ValueError(f"unknown AggregateView backend {backend!r}")
         self.spark = spark
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols)
         self.count_col = count_col
-        self._mv: ParquetMaterializedView | None = None
+        self._mv = None  # lazily created store (flat or bucketed)
         self.path = path
+        self.backend = backend
+        self.n_buckets = n_buckets
         if max_groups_warn is not None:
             self.max_groups_warn = max_groups_warn
         self._size_warned = False
@@ -98,19 +116,35 @@ class AggregateView:
                         .cast("long").alias(self._nn(out)))
         return rows.select(*cols)
 
-    def _store(self, agg: DataFrame) -> ParquetMaterializedView:
-        if self._mv is None:
-            self._mv = ParquetMaterializedView(
-                self.spark, self.path, self.group_cols, schema=agg.schema)
+    def _store(self, schema=None):
+        """The backing store, created lazily (``schema`` lets a first
+        read/merge against a not-yet-written store plan an empty frame)."""
+        if self._mv is None or (schema is not None
+                                and getattr(self._mv, "schema", None) is None):
+            if self.backend == "bucketed":
+                from ydb_cdc_processor_spark.operators.bucketed_view import (
+                    BucketedMaterializedView)
+                self._mv = BucketedMaterializedView(
+                    self.spark, self.path, self.group_cols, schema=schema,
+                    n_buckets=self.n_buckets)
+            else:
+                self._mv = ParquetMaterializedView(
+                    self.spark, self.path, self.group_cols, schema=schema)
         return self._mv
 
-    def _reagg(self, contrib: DataFrame) -> DataFrame:
+    def _reagg(self, contrib: DataFrame,
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
+        """``extra_cols``: additional grouping columns carried through —
+        the bucketed path groups by ``(_bucket, *group_cols)``; since the
+        bucket is a pure function of the group columns this changes no
+        group boundaries, it just keeps the partition column in the
+        output."""
         aggs = [F.sum(self.count_col).cast("long").alias(self.count_col)]
         for out in self.sum_cols:
             aggs.append(F.sum(out).cast(_DEC).alias(out))
             aggs.append(F.sum(self._nn(out)).cast("long")
                          .alias(self._nn(out)))
-        return contrib.groupBy(*self.group_cols).agg(*aggs)
+        return contrib.groupBy(*self.group_cols, *extra_cols).agg(*aggs)
 
     # -- the maintenance step ------------------------------------------------
 
@@ -128,18 +162,13 @@ class AggregateView:
         streaming engine's checkpoint replays a micro-batch after a crash,
         YqlWriter.java:181-206 delivery model).  The row merge is
         idempotent per key, but ±contribution deltas are NOT — re-applying
-        one double-counts.  The token is persisted atomically WITH the
-        rollup swap (overwrite ``meta``); a delta whose token equals the
-        stored one is skipped, making the rollup exactly-once under
-        replay/retry.
+        one double-counts.  Flat backend: the token is persisted atomically
+        WITH the rollup swap (overwrite ``meta``) and a matching delta is
+        skipped whole.  Bucketed backend: the token promotes atomically
+        with EACH touched bucket, so a replay after a crash mid-promotion
+        re-applies only the un-promoted buckets — still exactly-once,
+        without a view-wide atomic swap.
         """
-        store = self._mv or ParquetMaterializedView(
-            self.spark, self.path, self.group_cols)
-        if (batch_token is not None and store.exists()
-                and store.read_meta().get("batch_token") == batch_token):
-            logger.info("agg view %s: batch token %r already applied; "
-                        "skipping replay", self.path, batch_token)
-            return
         parts = []
         if new_rows is not None:
             parts.append(self._contributions(new_rows, +1))
@@ -151,7 +180,19 @@ class AggregateView:
         for p in parts[1:]:
             contrib = contrib.unionByName(p)
         delta = self._reagg(contrib)
-        store = self._store(delta)
+        if self.backend == "bucketed":
+            self._apply_delta_bucketed(delta, batch_token)
+        else:
+            self._apply_delta_flat(delta, batch_token)
+
+    def _apply_delta_flat(self, delta: DataFrame,
+                          batch_token: str | None) -> None:
+        store = self._store(delta.schema)
+        if (batch_token is not None and store.exists()
+                and store.read_meta().get("batch_token") == batch_token):
+            logger.info("agg view %s: batch token %r already applied; "
+                        "skipping replay", self.path, batch_token)
+            return
         base = store.read() if store.exists() else None
         merged = self._reagg(delta.unionByName(base) if base is not None
                              else delta) \
@@ -175,10 +216,29 @@ class AggregateView:
             logger.warning(
                 "AggregateView %s holds %d groups (> max_groups_warn=%d): "
                 "the per-batch rollup rewrite is O(groups) — this view is "
-                "outgrowing the compact-rollup assumption; keep the row "
-                "view and aggregate at query time, or back the rollup "
-                "with BucketedMaterializedView",
+                "outgrowing the compact-rollup assumption; switch to "
+                "backend=\"bucketed\", or keep the row view and aggregate "
+                "at query time",
                 self.path, n_groups, self.max_groups_warn)
+
+    def _apply_delta_bucketed(self, delta: DataFrame,
+                              batch_token: str | None) -> None:
+        """O(delta + touched buckets) maintenance: the per-group delta is
+        bucketed on the group columns, ONLY the touched buckets are read,
+        re-aggregated with the delta, and promoted — never an O(|rollup|)
+        rewrite.  (No group-cardinality guard here: unbounded group counts
+        are exactly what this backend is for.)"""
+        from ydb_cdc_processor_spark.operators.bucketed_view import BUCKET_COL
+        store = self._store(delta.schema)
+        applied = store.merge_touched(
+            delta,
+            lambda target, d: self._reagg(
+                target.unionByName(d), extra_cols=(BUCKET_COL,))
+            .where(F.col(self.count_col) > 0),
+            batch_token=batch_token)
+        if not applied and batch_token is not None:
+            logger.info("agg view %s: batch token %r already applied; "
+                        "skipping replay", self.path, batch_token)
 
     # -- reads ---------------------------------------------------------------
 
@@ -189,8 +249,7 @@ class AggregateView:
         — AVG is maintainable for free as SUM/non-null-count (the standard
         IVM decomposition); MIN/MAX are NOT (deleting the extremum needs a
         group re-scan) and are deliberately not offered."""
-        mv = self._mv if self._mv is not None else ParquetMaterializedView(
-            self.spark, self.path, self.group_cols)
+        mv = self._store()
 
         def _sum(out):
             return (F.when(F.col(self._nn(out)) == 0, F.lit(None))
@@ -209,7 +268,7 @@ class AggregateView:
         ``rows`` (the invariant tests assert)."""
         full = self._reagg(self._contributions(rows, +1)) \
             .where(F.col(self.count_col) > 0)
-        cur = self._store(full).read()
+        cur = self._store(full.schema).read()
         a = {tuple(r) for r in full.collect()}
         b = {tuple(r) for r in cur.collect()}
         return a == b

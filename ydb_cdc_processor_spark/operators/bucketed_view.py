@@ -211,14 +211,47 @@ class BucketedMaterializedView:
         # basePath keeps the _bucket=N directory name as a partition column
         return self.spark.read.option("basePath", self.path).parquet(*dirs)
 
+    # -- per-bucket replay tokens --------------------------------------------
+
+    def bucket_token(self, b: int) -> str | None:
+        """The replay-fence token promoted WITH bucket ``b`` (None when the
+        bucket is absent or was never written under a token).  Written into
+        the bucket directory in the temp sibling before promotion, so data
+        and token become visible in the same atomic rename — the unit of
+        exactly-once for non-idempotent (±delta) merges is the bucket."""
+        try:
+            with open(os.path.join(self.path, f"{BUCKET_COL}={b}",
+                                   TOKEN_FILE)) as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    def last_token(self) -> str | None:
+        """Manifest fast-path: the token of the last FULLY promoted batch
+        (written after every touched bucket promoted).  Equality here means
+        the whole batch landed; inequality falls back to the per-bucket
+        check, which is what makes a mid-promotion crash recoverable."""
+        t = self._read_manifest_dict().get("last_token")
+        return str(t) if t is not None else None
+
+    def pending_buckets(self, touched: list[int],
+                        batch_token: str | None) -> list[int]:
+        """The subset of ``touched`` NOT yet promoted under ``batch_token``
+        — O(touched) driver-side file reads, no Spark job.  After a crash
+        mid-promotion this is exactly the un-promoted remainder, so a
+        replayed non-idempotent batch re-applies to those buckets only."""
+        if batch_token is None:
+            return list(touched)
+        return [b for b in touched if self.bucket_token(b) != batch_token]
+
     def _write_full(self, df: DataFrame) -> None:
         (self._with_bucket(df)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
         self._write_manifest()
 
-    def _overwrite_touched(self, merged: DataFrame,
-                           touched: list[int]) -> None:
+    def _overwrite_touched(self, merged: DataFrame, touched: list[int],
+                           token: str | None = None) -> None:
         """Replace the touched bucket partitions with ``merged``'s rows:
         write to a TEMP sibling (``merged`` still lazily reads the OLD
         partition files — no checkpoint needed, ONE materialization),
@@ -237,13 +270,25 @@ class BucketedMaterializedView:
         renamed ASIDE (``.displaced-…``, invisible to Spark) and only
         dropped after the new bucket is promoted, so the one remaining
         crash window — between the two renames — leaves a recoverable
-        copy that :meth:`_recover` restores on the next observation."""
+        copy that :meth:`_recover` restores on the next observation.
+
+        ``token``: optional replay-fence token dropped into every new
+        bucket directory BEFORE promotion — data and token promote in the
+        same rename, giving per-bucket exactly-once for callers whose
+        merge is NOT idempotent (the aggregate view's ±deltas; see
+        :meth:`bucket_token` / :meth:`pending_buckets`)."""
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         tmp = os.path.join(
             parent,
             f".{os.path.basename(self.path)}.batch-{uuid.uuid4().hex[:8]}")
         (merged.repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
+        if token is not None:
+            for b in touched:
+                d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+                if os.path.isdir(d):
+                    with open(os.path.join(d, TOKEN_FILE), "w") as fh:
+                        fh.write(token)
         os.makedirs(self.path, exist_ok=True)  # first batch: no root yet
         for b in touched:
             new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
@@ -357,6 +402,55 @@ class BucketedMaterializedView:
             ups.unpersist()
             dels.unpersist()
 
+    def merge_touched(self, delta: DataFrame, merge_fn,
+                      batch_token: str | None = None) -> bool:
+        """Generic touched-bucket maintenance step with a per-bucket
+        replay fence — the primitive non-idempotent incremental view
+        maintenance (the aggregate view's ±deltas) needs from a bucketed
+        store.
+
+        ``merge_fn(target, delta)`` receives the touched buckets' current
+        rows and the delta rows, BOTH carrying ``_bucket``, and returns
+        the touched buckets' NEW rows (still carrying ``_bucket``).
+
+        ``batch_token`` fencing is per-bucket (see
+        :meth:`_overwrite_touched`): a crash mid-promotion leaves some
+        buckets promoted under the token and some not; the replay
+        re-applies the delta ONLY to the un-promoted remainder — per-
+        bucket exactly-once, which composes to batch exactly-once because
+        a group lives in exactly one bucket.  The manifest ``last_token``
+        (written after full promotion) short-circuits a fully-applied
+        replay without any Spark job.
+
+        Returns True when a merge ran, False when the batch was entirely
+        fenced out (or the delta was empty)."""
+        if batch_token is not None and self.last_token() == batch_token:
+            logger.info("bucketed view %s: batch token %r already fully "
+                        "applied; skipping replay", self.path, batch_token)
+            return False
+        delta_b = self._with_bucket(delta).persist()
+        try:
+            touched = [r[0] for r in
+                       delta_b.select(BUCKET_COL).distinct().collect()]
+            if not touched:
+                return False
+            pending = self.pending_buckets(touched, batch_token)
+            if not pending:
+                # every touched bucket already promoted under this token —
+                # only the manifest write crashed; heal it
+                self._write_manifest(last_token=batch_token)
+                return False
+            target = self._read_touched(pending, delta.schema)
+            d = (delta_b if len(pending) == len(touched)
+                 else delta_b.where(
+                     F.col(BUCKET_COL).isin([int(b) for b in pending])))
+            merged = merge_fn(target, d)
+            self._overwrite_touched(merged, pending, token=batch_token)
+            self._write_manifest(last_token=batch_token)
+            return True
+        finally:
+            delta_b.unpersist()
+
     # -- bucket-count evolution (SCALING.md: n_buckets ∝ |view|) -------------
 
     def total_bytes(self) -> int:
@@ -391,8 +485,19 @@ class BucketedMaterializedView:
         (self._with_bucket(df, n_buckets)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
+        manifest: dict = {"n_buckets": n_buckets}
+        last = self.last_token()
+        if last is not None:
+            # the rewrite was built from state that already INCLUDES the
+            # last fenced batch — re-seed every new bucket's token so a
+            # replay of that batch after the rebucket stays a no-op
+            manifest["last_token"] = last
+            for e in os.listdir(tmp):
+                if e.startswith(f"{BUCKET_COL}="):
+                    with open(os.path.join(tmp, e, TOKEN_FILE), "w") as fh:
+                        fh.write(last)
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
+            json.dump(manifest, fh)
         # deterministic .old sibling → _recover() can restore the complete
         # old layout if we crash between the two renames; the in-memory
         # count mutates only AFTER the swap succeeds, so an exception

@@ -650,7 +650,7 @@ def q_quality_score(spark, sf_dir):
                        text.quality_score(F.col("text")).alias("q_score"))
 
 
-@register("q_agg_view", """
+_AGG_VIEW_ORACLE = """
 WITH delta AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 30 = 0 THEN NULL
@@ -660,7 +660,22 @@ WITH delta AS (
   SELECT 900000001 + 7 * g.i AS o_orderkey,
          990000 + g.i AS o_custkey,
          CAST(NULL AS DOUBLE) AS o_totalprice
-  FROM generate_series(0, 4) AS g(i)),
+  FROM generate_series(0, 4) AS g(i)
+  UNION ALL
+  SELECT 910000000 + 7 * g.i AS o_orderkey,   -- ≡0 (mod 7): deleted →
+         995000 + g.i AS o_custkey,           -- group empties, must vanish
+         50.0 + g.i AS o_totalprice
+  FROM generate_series(0, 2) AS g(i)
+  UNION ALL
+  SELECT 910000021 + 7 * g.i AS o_orderkey,   -- the group's only non-NULL
+         997000 + g.i AS o_custkey,           -- row, deleted below →
+         60.0 + g.i AS o_totalprice           -- sum must TRANSITION to NULL
+  FROM generate_series(0, 2) AS g(i)
+  UNION ALL
+  SELECT 930000002 + 7 * g.i AS o_orderkey,   -- ≡1 (mod 7): survives with
+         997000 + g.i AS o_custkey,           -- a NULL measure
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM generate_series(0, 2) AS g(i)),
 state AS (
   SELECT o_orderkey, o_custkey, o_totalprice FROM orders
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
@@ -672,17 +687,14 @@ SELECT o_custkey,
          AS sum_price
 FROM state WHERE o_orderkey % 7 <> 0
 GROUP BY o_custkey
-""")
-def q_agg_view(spark, sf_dir):
-    """Incremental aggregate-view maintenance (operators/agg_view.py):
-    a per-customer rollup kept current through an initial load, an
-    update batch that NULLs some prices and inserts all-NULL ghost
-    groups, and a delete batch — by ±contribution deltas (old images
-    from the row view, key-pruned), never a recompute.  The oracle
-    computes the same rollup from the post-merge row state; NULL
-    measures pin SQL SUM semantics (all-NULL group → NULL, not 0 — the
-    per-measure non-null counters), and sums match exactly because they
-    are decimal-routed."""
+"""
+
+
+def _agg_view_scenario(spark, sf_dir, backend: str):
+    """Shared IVM scenario (initial load → NULLing update + all-NULL
+    ghost inserts → delete batch) run against either store backend —
+    both must produce the identical rollup, checked against the same
+    DuckDB recompute oracle."""
     import tempfile
 
     from ydb_cdc_processor_spark.operators.agg_view import AggregateView
@@ -692,18 +704,28 @@ def q_agg_view(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice")
     av = AggregateView(
         spark, tempfile.mkdtemp(prefix="aggview_") + "/agg",
-        ["o_custkey"], {"sum_price": "o_totalprice"}, count_col="n_orders")
+        ["o_custkey"], {"sum_price": "o_totalprice"}, count_col="n_orders",
+        backend=backend, n_buckets=16)
 
     av.apply_delta(new_rows=orders, old_rows=None)          # initial load
     upd = (orders.where(F.col("o_orderkey") % 10 == 0)
            .withColumn("o_totalprice",
                        F.when(F.col("o_orderkey") % 30 == 0, F.lit(None))
                         .otherwise(F.col("o_totalprice") * 1.1)))
-    # ghost customers whose ONLY orders carry NULL measures: their groups
-    # must surface sum_price = NULL (never 0.0); keys ≡ 5 (mod 7) so the
-    # delete batch below leaves them alive
+    # adversarial ghost families (the batches a weak IVM silently
+    # corrupts — the driver gate must be able to catch each class):
+    #   990000+: only-NULL measures, keys ≡5 (mod 7) → survive deletes;
+    #            group must surface sum_price = NULL (never 0.0)
+    #   995000+: keys ≡0 (mod 7) → fully deleted; group count reaches 0
+    #            and the group must VANISH from the view
+    #   997000+: two rows each — the only NON-NULL one is ≡0 (mod 7) and
+    #            gets deleted → the sum must TRANSITION non-NULL → NULL
+    #            (the per-measure counter, not the running sum, decides)
     ghosts = spark.createDataFrame(
-        [(900000001 + 7 * i, 990000 + i, None) for i in range(5)],
+        [(900000001 + 7 * i, 990000 + i, None) for i in range(5)]
+        + [(910000000 + 7 * i, 995000 + i, 50.0 + i) for i in range(3)]
+        + [(910000021 + 7 * i, 997000 + i, 60.0 + i) for i in range(3)]
+        + [(930000002 + 7 * i, 997000 + i, None) for i in range(3)],
         schema=upd.schema)
     ups = upd.unionByName(ghosts)
     av.apply_delta(new_rows=ups,                            # update batch
@@ -715,6 +737,30 @@ def q_agg_view(spark, sf_dir):
     return av.read().select(
         "o_custkey", "n_orders",
         F.round("sum_price", 4).alias("sum_price"))
+
+
+@register("q_agg_view", _AGG_VIEW_ORACLE)
+def q_agg_view(spark, sf_dir):
+    """Incremental aggregate-view maintenance (operators/agg_view.py):
+    a per-customer rollup kept current through an initial load, an
+    update batch that NULLs some prices and inserts all-NULL ghost
+    groups, and a delete batch — by ±contribution deltas (old images
+    from the row view, key-pruned), never a recompute.  The oracle
+    computes the same rollup from the post-merge row state; NULL
+    measures pin SQL SUM semantics (all-NULL group → NULL, not 0 — the
+    per-measure non-null counters), and sums match exactly because they
+    are decimal-routed."""
+    return _agg_view_scenario(spark, sf_dir, backend="flat")
+
+
+@register("q_agg_view_bucketed", _AGG_VIEW_ORACLE)
+def q_agg_view_bucketed(spark, sf_dir):
+    """Same IVM scenario on the BUCKETED store (agg_view.py
+    backend="bucketed" → bucketed_view.merge_touched): maintenance cost
+    is O(delta + touched buckets) instead of an O(|rollup|) rewrite per
+    batch, with a per-bucket replay fence instead of the flat swap's
+    meta file.  Identical oracle — storage must never change results."""
+    return _agg_view_scenario(spark, sf_dir, backend="bucketed")
 
 
 @register("q_skew_join", """
