@@ -50,6 +50,56 @@ def test_insert_strict_collision(spark, base):
     assert out == {1: "a", 2: "b", 3: "c"}  # collision dropped
 
 
+def test_strict_insert_single_pass_through_view(spark, tmp_path):
+    """View-backed strict insert must evaluate the delta ONCE (collision
+    count rides the write as an Observation) — the old separate count()
+    job re-ran the delta's whole upstream transform every batch.  Also:
+    a colliding batch still leaves the view untouched, and the collision
+    still raises StrictInsertError."""
+    from pyspark.sql import functions as F
+
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView, StrictInsertError)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+    tick = F.udf(_tick, "long").asNondeterministic()
+
+    base_rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string")
+    mv = ParquetMaterializedView(spark, str(tmp_path / "mv"), ["k"],
+                                 schema=base_rows.schema)
+    mv.apply(base_rows, "upsertInto")
+
+    fresh = spark.range(100, 120).select(
+        tick(F.col("id")).alias("k"),
+        F.concat(F.lit("n"), F.col("id")).alias("v"))
+    acc.value = 0
+    mv.apply(fresh, "insertInto")
+    assert acc.value == 20  # one evaluation per row — single pass
+    assert mv.read().count() == 30
+
+    # colliding batch: raises AND the view is unchanged
+    clash = spark.createDataFrame([(5, "boom"), (200, "ok")],
+                                  "k long, v string")
+    with pytest.raises(StrictInsertError):
+        mv.apply(clash, "insertInto")
+    got = {r.k: r.v for r in mv.read().collect()}
+    assert len(got) == 30 and got[5] == "v5" and 200 not in got
+
+    # fused path (apply_batch) keeps both properties
+    with pytest.raises(StrictInsertError):
+        mv.apply_batch(clash, None, "insertInto")
+    assert mv.read().count() == 30
+    mv.apply_batch(spark.createDataFrame([(300, "x")], "k long, v string"),
+                   spark.createDataFrame([(1,)], "k long"), "insertInto")
+    got = {r.k: r.v for r in mv.read().collect()}
+    assert got[300] == "x" and 1 not in got
+
+
 def test_broadcast_gated_on_small_delta(spark, base):
     """The merge must NOT force a delta broadcast (OOM at table-sized
     deltas); with no hint the optimizer picks from sizes, with

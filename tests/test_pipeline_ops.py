@@ -23,6 +23,41 @@ def test_as_of_join_semantics(spark):
     assert got == {1: "a", 2: "b", 3: None, 4: None}
 
 
+def test_curation_pipeline_no_rejoin(spark, sf_dir):
+    """carry_cols rides `lang` through the chunk explode — the pipeline
+    plan must contain exactly ONE join (the dedup semi-join, broadcast)
+    and NO doc_id hash-shuffle: the old formulation re-joined chunks to
+    recover lang, shuffling the (larger) chunk set a third time."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    import re
+
+    df = QUERIES["q_curation_pipeline"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # the formatted plan names each node in the tree AND the details
+    # section — count node headers, not substrings
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "lang" in df.columns
+
+
+def test_chunk_documents_carry_cols(spark):
+    """carry_cols values are replicated onto every chunk of their doc."""
+    from ydb_cdc_processor_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(f"w{i}" for i in range(100))),
+         (2, "de", "kurz")],
+        "doc_id long, lang string, text string")
+    out = chunk_documents(docs, chunk_words=64, stride=48,
+                          carry_cols=["lang"]).collect()
+    langs = {(r.doc_id, r.lang) for r in out}
+    assert langs == {(1, "en"), (2, "de")}
+    assert sum(1 for r in out if r.doc_id == 1) == 3  # starts 0,48,96
+
+
 def test_as_of_join_null_payload_from_matched_row(spark):
     """A matched build row whose payload value is NULL must yield NULL —
     not fall through to an OLDER build row's value (true as-of / DuckDB

@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.merge import (
-    MERGE_FNS, compose_merge, merge_delete, merge_insert)
+    MERGE_FNS, compose_merge, merge_delete, merge_insert,
+    raise_on_collisions)
 
 logger = logging.getLogger(__name__)
 
@@ -251,7 +252,8 @@ class BucketedMaterializedView:
         self._write_manifest()
 
     def _overwrite_touched(self, merged: DataFrame, touched: list[int],
-                           token: str | None = None) -> None:
+                           token: str | None = None,
+                           pre_promote=None) -> None:
         """Replace the touched bucket partitions with ``merged``'s rows:
         write to a TEMP sibling (``merged`` still lazily reads the OLD
         partition files — no checkpoint needed, ONE materialization),
@@ -283,6 +285,15 @@ class BucketedMaterializedView:
             f".{os.path.basename(self.path)}.batch-{uuid.uuid4().hex[:8]}")
         (merged.repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
+        if pre_promote is not None:
+            # checks riding the write's own materialization (single-pass
+            # strict-insert collisions): abort BEFORE any bucket promotes,
+            # discarding the temp output — the live view stays untouched
+            try:
+                pre_promote()
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         if token is not None:
             for b in touched:
                 d = os.path.join(tmp, f"{BUCKET_COL}={b}")
@@ -340,15 +351,22 @@ class BucketedMaterializedView:
                 target = self._with_bucket(base)
 
             keys_b = self.keys + [BUCKET_COL]
+            pre = None
             if action == "deleteFrom":
                 merged = merge_delete(target, delta, keys_b,
                                       small_delta=small_delta)
             elif action == "insertInto":
-                merged = merge_insert(target, delta, keys_b, strict=True)
+                # single-pass strict insert: collision count rides the
+                # bucket write, checked before any bucket promotes
+                from pyspark.sql import Observation
+                obs = Observation(f"strict_insert_{uuid.uuid4().hex[:8]}")
+                merged = merge_insert(target, delta, keys_b, strict=True,
+                                      collision_obs=obs)
+                pre = (lambda: raise_on_collisions(obs))
             else:
                 merged = MERGE_FNS[action](target, delta, keys_b, order_col,
                                            small_delta)
-            self._overwrite_touched(merged, touched)
+            self._overwrite_touched(merged, touched, pre_promote=pre)
             if not existed:
                 self._write_manifest()
         finally:
@@ -393,9 +411,16 @@ class BucketedMaterializedView:
                 target = self._with_bucket(base)
 
             keys_b = self.keys + [BUCKET_COL]
+            pre = None
+            obs = None
+            if action == "insertInto":
+                from pyspark.sql import Observation
+                obs = Observation(f"strict_insert_{uuid.uuid4().hex[:8]}")
+                pre = (lambda: raise_on_collisions(obs))
             merged = compose_merge(target, ups, dels, keys_b, action,
-                                   order_col, small_delta)
-            self._overwrite_touched(merged, touched)
+                                   order_col, small_delta,
+                                   collision_obs=obs)
+            self._overwrite_touched(merged, touched, pre_promote=pre)
             if not existed:
                 self._write_manifest()
         finally:

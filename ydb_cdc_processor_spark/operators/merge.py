@@ -92,14 +92,36 @@ def merge_update(target: DataFrame, delta: DataFrame, keys: list[str],
 
 
 def merge_insert(target: DataFrame, delta: DataFrame, keys: list[str],
-                 strict: bool = False) -> DataFrame:
+                 strict: bool = False,
+                 collision_obs=None) -> DataFrame:
     """K4 ``insertInto`` (CdcMsgParser.java:240-243): strict append.
 
     ``strict=True`` reproduces the server-side PK-violation failure by
     raising on collision; ``strict=False`` appends only non-colliding rows
     (documented deviation — the reference would fail the whole batch and
-    retry forever, YqlWriter.java:244-262)."""
+    retry forever, YqlWriter.java:244-262).
+
+    ``collision_obs`` (a ``pyspark.sql.Observation``, strict mode only)
+    selects the SINGLE-PASS strict path: instead of an eager separate
+    ``count()`` job over the delta before the plan is even built (an
+    extra driver action + a second evaluation of the delta's upstream
+    transform per batch), colliding delta rows are marked via a left
+    join and the collision count rides the merge's own materialization
+    as an observe metric.  The CALLER owns the commit protocol: after
+    materializing (e.g. writing the view to its temp directory) call
+    :func:`raise_on_collisions` BEFORE the commit/swap, and discard the
+    materialization on failure — the view classes do exactly this, so a
+    colliding batch still leaves the view untouched."""
     delta = delta.select(*target.columns)
+    if strict and collision_obs is not None:
+        hits = target.select(*keys).withColumn("__collision", F.lit(1))
+        marked = delta.join(hits, on=keys, how="left")
+        observed = marked.observe(
+            collision_obs,
+            F.sum(F.coalesce(F.col("__collision"), F.lit(0)))
+             .alias("n_collisions"))
+        return target.unionByName(
+            observed.drop("__collision").select(*target.columns))
     if strict:
         n = delta.join(target.select(*keys), on=keys, how="left_semi").count()
         if n:
@@ -107,6 +129,16 @@ def merge_insert(target: DataFrame, delta: DataFrame, keys: list[str],
         return target.unionByName(delta)
     fresh = delta.join(target.select(*keys), on=keys, how="left_anti")
     return target.unionByName(fresh)
+
+
+def raise_on_collisions(collision_obs) -> None:
+    """Check a single-pass strict-insert Observation (see
+    :func:`merge_insert`) after its plan materialized; raises
+    :class:`StrictInsertError` exactly as the eager path does."""
+    n = int(collision_obs.get["n_collisions"] or 0)
+    if n:
+        raise StrictInsertError(
+            f"{n} rows collide with existing primary keys")
 
 
 MERGE_FNS = {
@@ -120,7 +152,8 @@ MERGE_FNS = {
 def compose_merge(target: DataFrame, ups: DataFrame | None,
                   dels: DataFrame | None, keys: list[str], action: str,
                   order_col: str | None = None,
-                  small_delta: bool | None = None) -> DataFrame:
+                  small_delta: bool | None = None,
+                  collision_obs=None) -> DataFrame:
     """Fuse one batch's upsert AND delete sides into a single merge plan.
 
     Valid because the engine's per-key last-wins collapse routes each key
@@ -132,7 +165,8 @@ def compose_merge(target: DataFrame, ups: DataFrame | None,
     merged = target
     if ups is not None:
         if action == "insertInto":
-            merged = merge_insert(merged, ups, keys, strict=True)
+            merged = merge_insert(merged, ups, keys, strict=True,
+                                  collision_obs=collision_obs)
         else:
             merged = MERGE_FNS[action](merged, ups, keys, order_col,
                                        small_delta)
@@ -186,7 +220,8 @@ class ParquetMaterializedView:
 
     META_FILE = "_view_meta.json"
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+    def overwrite(self, df: DataFrame, meta: dict | None = None,
+                  pre_swap=None) -> None:
         """Write ``df`` then atomically swap it into place.
 
         The swap (write-to-temp + rename) keeps readers consistent: they see
@@ -198,10 +233,22 @@ class ParquetMaterializedView:
         directory before the swap (underscore-prefixed, so Spark's parquet
         reader ignores it) — it becomes visible atomically WITH the data.
         Used by the incremental aggregate view to persist the last applied
-        batch token for exactly-once replay (see agg_view.py)."""
+        batch token for exactly-once replay (see agg_view.py).
+
+        ``pre_swap``: optional callable run AFTER the temp write but
+        BEFORE the swap — the hook for checks that ride the write's own
+        materialization (the single-pass strict-insert collision
+        Observation).  If it raises, the temp directory is discarded and
+        the live view stays untouched."""
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         tmp = os.path.join(parent, f".{os.path.basename(self.path)}.tmp-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
+        if pre_swap is not None:
+            try:
+                pre_swap()
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         if meta is not None:
             import json
             with open(os.path.join(tmp, self.META_FILE), "w") as fh:
@@ -228,15 +275,27 @@ class ParquetMaterializedView:
         with open(p) as fh:
             return json.load(fh)
 
+    def _insert_obs(self, action: str, ups) -> "Observation | None":
+        """Single-pass strict insert: the collision count rides the view
+        write as an Observation (one job per batch instead of a separate
+        count() pass — see merge_insert); checked pre-swap so a colliding
+        batch still leaves the view untouched."""
+        if action != "insertInto" or ups is None:
+            return None
+        from pyspark.sql import Observation
+        return Observation(f"strict_insert_{uuid.uuid4().hex[:8]}")
+
     def apply(self, delta: DataFrame, action: str = "upsertInto",
               order_col: str | None = None,
               small_delta: bool | None = None) -> None:
         target = self.read()
+        obs = self._insert_obs(action, delta)
         if action == "deleteFrom":
             merged = merge_delete(target, delta, self.keys,
                                   small_delta=small_delta)
         elif action == "insertInto":
-            merged = merge_insert(target, delta, self.keys, strict=True)
+            merged = merge_insert(target, delta, self.keys, strict=True,
+                                  collision_obs=obs)
         else:
             merged = MERGE_FNS[action](target, delta, self.keys, order_col,
                                        small_delta)
@@ -245,7 +304,8 @@ class ParquetMaterializedView:
         # only then swaps — one materialization total.  (The bucketed view
         # can't do this: dynamic partition overwrite writes into the same
         # directory tree it reads, so it localCheckpoints first.)
-        self.overwrite(merged)
+        self.overwrite(merged, pre_swap=None if obs is None
+                       else (lambda: raise_on_collisions(obs)))
 
     def apply_batch(self, ups: DataFrame | None, dels: DataFrame | None,
                     action: str = "upsertInto",
@@ -254,6 +314,8 @@ class ParquetMaterializedView:
         """One batch's upsert + delete sides in a SINGLE read→merge→write
         pass (see :func:`compose_merge`; sides are key-disjoint by the
         engine's last-wins routing)."""
+        obs = self._insert_obs(action, ups)
         merged = compose_merge(self.read(), ups, dels, self.keys, action,
-                               order_col, small_delta)
-        self.overwrite(merged)
+                               order_col, small_delta, collision_obs=obs)
+        self.overwrite(merged, pre_swap=None if obs is None
+                       else (lambda: raise_on_collisions(obs)))

@@ -175,7 +175,8 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
 
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", chunk_words: int = 64,
-                    stride: int = 48) -> DataFrame:
+                    stride: int = 48,
+                    carry_cols: list[str] | None = None) -> DataFrame:
     """Split documents into fixed-size overlapping word-window chunks
     (the standard pre-embedding segmentation for long documents):
     windows of ``chunk_words`` words starting every ``stride`` words
@@ -187,19 +188,25 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
     ``stride`` would duplicate the previous chunk's tail, so start
     positions run while ``start < n_words`` only; empty docs yield no
     chunks.
+
+    ``carry_cols``: document columns to carry onto every chunk row
+    (language, source, quality score …) — they ride the explode for
+    free, where re-joining them back on ``id_col`` afterwards would cost
+    an extra shuffle of the (larger) chunk set.
     """
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
+    carry = list(carry_cols or [])
     n = F.size(F.col("_words"))
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
                         F.lit(stride))
     chunk = F.slice("_words", F.col("chunk_start") + 1, chunk_words)
-    return (docs.select(F.col(id_col),
+    return (docs.select(F.col(id_col), *carry,
                         normalize_words(F.col(text_col)).alias("_words"))
-            .select(F.col(id_col), "_words",
+            .select(F.col(id_col), *carry, "_words",
                     F.explode(starts).alias("chunk_start"))
             .where((F.col("chunk_start") < n) & (n > 0))
-            .select(F.col(id_col),
+            .select(F.col(id_col), *carry,
                     (F.col("chunk_start") / stride).cast("int")
                     .alias("chunk_idx"),
                     F.col("chunk_start").cast("int").alias("chunk_start"),

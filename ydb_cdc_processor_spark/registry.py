@@ -1741,9 +1741,12 @@ def q_curation_pipeline(spark, sf_dir):
     exact dedup (keep min-id per content digest) → quality gate
     (q_score ≥ 0.5) → deterministic stratified sample (en at 0.5, the
     rest kept) → 64/48 word-window chunking, each chunk fingerprinted.
-    One declarative plan — Catalyst fuses the gates into the scan and
-    the whole pipeline shuffles only at the dedup group-by and the
-    chunk explode.  The oracle composes the same stages in SQL."""
+    One declarative plan — Catalyst fuses the gates into the scan; the
+    only data shuffle is the dedup group-by (the keep-set then
+    BROADCASTS into the semi-join, and `lang` rides the chunk explode
+    via carry_cols instead of a chunk-set re-join — pinned by
+    test_curation_pipeline_no_rejoin).  The oracle composes the same
+    stages in SQL."""
     from ydb_cdc_processor_spark.functions.sampling import stratified_sample
     docs = load_docs(spark, sf_dir)
     keep = (dedup.exact_dedup_groups(docs)
@@ -1753,11 +1756,13 @@ def q_curation_pipeline(spark, sf_dir):
         text.quality_score(F.col("text")) >= 0.5)
     sampled = stratified_sample(gated, id_col="doc_id", group_col="lang",
                                 rates={"en": 0.5}, default_rate=1.0)
+    # lang rides the chunk explode via carry_cols — re-joining it back on
+    # doc_id would shuffle the (larger) chunk set a third time
     chunks = text.chunk_documents(sampled.select("doc_id", "lang", "text"),
-                                  chunk_words=64, stride=48)
-    return (chunks.join(sampled.select("doc_id", "lang"), on="doc_id")
-            .select("doc_id", "lang", "chunk_idx", "n_words",
-                    F.md5("chunk_text").alias("chunk_fp")))
+                                  chunk_words=64, stride=48,
+                                  carry_cols=["lang"])
+    return chunks.select("doc_id", "lang", "chunk_idx", "n_words",
+                         F.md5("chunk_text").alias("chunk_fp"))
 
 
 @register("q_doc_chunks", r"""
