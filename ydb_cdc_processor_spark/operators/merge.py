@@ -12,7 +12,10 @@ MERGE, so we provide:
 2. A path-backed :class:`ParquetMaterializedView` — read-modify-write with
    atomic directory swap.  The interface is Delta-swappable: on a real
    deployment you'd point the same pipeline at a Delta/Iceberg table and get
-   file-level MERGE instead of full rewrite.
+   file-level MERGE instead of full rewrite — that adapter exists as
+   :class:`~ydb_cdc_processor_spark.operators.delta_view.
+   DeltaMaterializedView` (import-guarded; the container ships no
+   delta-spark).
 
 Scale notes (100 TB):
 - Every mode is a single equi-join on the PK — shuffle-on-key both sides, or
