@@ -47,6 +47,9 @@ HEADLINE = [
     "q_asof_join", "q_range_join", "q_stratified_sample",
     "q_sample_per_group", "q_tfidf_top_terms", "q_doc_chunks",
     "q_curation_pipeline",
+    "q_decontaminate", "q_repetition_stats", "q_pii_redact",
+    "q_pack_sequences", "q_temperature_sample", "q_dedup_keep_best",
+    "q_embed_centroids",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Round-6 curation operators: decontamination, repetition signals,
+PII redaction, sequence packing, temperature resampling, keep-best."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_contamination_flags_overlap(spark):
+    from ydb_cdc_processor_spark.operators.curation import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "x y alpha beta gamma z"),     # shares 'alpha beta gamma'
+         (2, "beta gamma delta q r"),       # shares 'beta gamma delta'
+         (3, "totally different words here"),
+         (4, "alpha beta gamma delta")],    # shares both grams
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_hits, r.first_hit)
+           for r in contamination(docs, bench, n=3).collect()}
+    assert out == {1: (1, "alpha beta gamma"),
+                   2: (1, "beta gamma delta"),
+                   4: (2, "alpha beta gamma")}
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """Scale shape: the benchmark gram set must broadcast — the corpus
+    side is never shuffled for the probe join."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    df = QUERIES["q_decontaminate"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats(spark):
+    from ydb_cdc_processor_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),     # words {a,b}: dup 4/6; top bigram 'a b'×3 of 5
+         (2, "q w e r t y"),     # all distinct: dup 0; every bigram once
+         (3, "solo")],           # single word: no real bigram, 1-word gram
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_words == 6
+    assert r1.dup_word_frac == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert r1.top_bigram == "a b" and r1.top_bigram_frac == pytest.approx(3 / 5)
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0
+    # ties on count=1 break to the lexicographically smallest bigram
+    assert r2.top_bigram == "e r"
+    assert rows[3].n_words == 1
+
+
+def test_pii_redact_and_counts(spark):
+    from ydb_cdc_processor_spark.operators.curation import (
+        pii_counts, redact_pii)
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 555-123-4567 "
+             "from 192.168.0.12 thanks"),
+         (2, "no pii at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *pii_counts(F.col("text")),
+        redact_pii(F.col("text")).alias("red")).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 1)
+    assert out[1].red == ("mail <EMAIL> or <PHONE> from <IP> thanks")
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+    assert out[2].red == "no pii at all"
+
+
+def _expected_packing(rows, budget):
+    """Single-threaded reference: global (md5(id), id) order prefix sum."""
+    ordered = sorted(rows, key=lambda r: (
+        hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    out, cum = {}, 0
+    for doc_id, n_tokens in ordered:
+        out[doc_id] = (n_tokens, cum // budget, cum % budget)
+        cum += n_tokens
+    return out
+
+
+def test_pack_sequences_matches_global_prefix_sum(spark):
+    """The 256-shard distributed prefix sum must equal the flat global
+    cumsum — and be invariant to input partitioning."""
+    from ydb_cdc_processor_spark.operators.curation import pack_sequences
+
+    data = [(i, "w " * (3 + i % 7) + "end") for i in range(200)]
+    expected = _expected_packing(
+        [(i, 4 + i % 7) for i in range(200)], budget=16)
+    for n_parts in (1, 7):
+        docs = spark.createDataFrame(
+            data, "doc_id long, text string").repartition(n_parts)
+        got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_pos)
+               for r in pack_sequences(docs, budget=16).collect()}
+        assert got == expected
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from ydb_cdc_processor_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from ydb_cdc_processor_spark.operators.curation import temperature_sample
+
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "rare") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(docs, group_col="lang", alpha=0.5)
+    got = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("keep_rate").alias("rate")).collect()
+    by_lang = {r.lang: r for r in got}
+    # the rarest group keeps rate 1.0 → all rows survive
+    assert by_lang["rare"].n == 4 and by_lang["rare"].rate == 1.0
+    # the big group keeps ~sqrt(4/400) = 10%
+    assert by_lang["big"].rate == pytest.approx((4 / 400) ** 0.5, abs=1e-6)
+    assert 20 <= by_lang["big"].n <= 60
+    # decisions are id-hash functions → rerun on a different
+    # partitioning keeps the identical doc set
+    ids_a = {r.doc_id for r in out.collect()}
+    ids_b = {r.doc_id for r in temperature_sample(
+        docs.repartition(13), group_col="lang", alpha=0.5).collect()}
+    assert ids_a == ids_b
+
+
+def test_keep_best_in_clusters(spark):
+    from ydb_cdc_processor_spark.operators.curation import (
+        keep_best_in_clusters)
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        "doc_id long, q_score double")
+    out = {r.cluster_id: r for r in
+           keep_best_in_clusters(members, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 → smaller id wins
+    assert out[1].keep == 2 and out[1].n_members == 3
+    assert out[1].best_score == pytest.approx(0.9)
+    # cluster 7: tie at 0.5 → keep 7
+    assert out[7].keep == 7 and out[7].n_members == 2

@@ -1,0 +1,321 @@
+"""Training-data curation operators (SURVEY.md §7 M4 — beyond-reference
+scope, the ops a 100 TB pre-training pipeline runs between raw crawl and
+tokenized shards).
+
+All built from codegen'd Catalyst expressions + hash/broadcast joins —
+no Python in any hot path, and every decision (sampling, packing order,
+representatives) is a pure function of row content so reruns, resumes
+and re-partitionings reproduce byte-identical outputs (the same
+determinism contract as functions/sampling.py).
+
+Operators:
+
+- :func:`contamination` — test-set decontamination by word n-gram
+  overlap (the GPT-3/PaLM-style published recipe): flag corpus docs
+  sharing any n-gram with a benchmark set.
+- :func:`repetition_stats` — Gopher-style repetition signals
+  (duplicate-word fraction, most-frequent-bigram share) used to drop
+  degenerate/boilerplate text.
+- :func:`pii_counts` / :func:`redact_pii` — regex PII detection and
+  redaction (email / phone / IPv4), RE2-safe patterns so Spark (Java
+  regex) and any RE2 engine (DuckDB, Go) match identically.
+- :func:`pack_sequences` — deterministic document→training-sequence
+  packing by token budget, as a DISTRIBUTED prefix sum (a global
+  ``ORDER BY`` window would funnel 100 TB through one reducer).
+- :func:`temperature_sample` — per-group temperature resampling
+  (multilingual mixture flattening, share^alpha reweighting).
+- :func:`keep_best_in_clusters` — duplicate-cluster representative
+  selection by quality score (keep-best, not keep-first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.functions.sampling import hash_fraction
+from ydb_cdc_processor_spark.operators.dedup import shingles
+from ydb_cdc_processor_spark.operators.text import token_count
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination
+# ---------------------------------------------------------------------------
+
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with a
+    benchmark/eval set — the standard published decontamination step
+    (exact n-gram collision, word-level, normalized text).
+
+    Returns one row per contaminated document:
+    ``(id_col, n_hits BIGINT, first_hit STRING)`` where ``n_hits`` is
+    the number of DISTINCT benchmark n-grams found in the document and
+    ``first_hit`` the lexicographically smallest (a stable audit
+    sample).
+
+    Plan shape (100 TB corpus, benchmark ≪ corpus — the real-world
+    regime): the benchmark side collapses to a distinct n-gram set and
+    is BROADCAST, so the corpus is scanned once, its n-grams exploded
+    and hash-probed with no corpus shuffle; the only shuffle is the
+    final per-doc count over the (tiny) hit set.  Never materializes
+    corpus n-grams to disk.
+
+    Documents shorter than ``n`` words contribute their whole text as a
+    single short gram (same convention as dedup.shingles, mirrored by
+    the SQL oracle).
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(F.col(text_col), n))
+                           .alias("gram"))
+                   .where(F.col("gram") != "")
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"))
+    hits = doc_grams.join(F.broadcast(bench_grams), on="gram")
+    return (hits.groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hits"),
+                 F.min("gram").alias("first_hit")))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / degeneracy signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals in the shape of the published
+    Gopher rules: ``dup_word_frac`` (1 − distinct words / words — the
+    duplicate-token share) and ``top_bigram_frac`` (occurrences of the
+    most frequent word bigram / total bigrams — boilerplate and
+    degenerate-loop detector).
+
+    ``dup_word_frac`` is a pure per-row array expression (zero
+    shuffle).  The bigram mode needs a (doc, bigram) count: explode →
+    map-side-combined hash agg → per-doc max via one more hash agg
+    keyed on the doc — two shuffles of bigram-count rows (≪ text
+    bytes), then a hash join back to the per-row stats.  Ties on count
+    break to the lexicographically smallest bigram so engines agree.
+
+    Output: ``(id_col, n_words INT, dup_word_frac DOUBLE,
+    top_bigram STRING, top_bigram_frac DOUBLE)`` with fractions rounded
+    to 6 digits (integer ratios — exact in IEEE, rounding is cosmetic
+    cross-engine safety).
+    """
+    from pyspark.sql import Window
+    from ydb_cdc_processor_spark.operators.text import normalize_words
+    words = F.col("_w")
+    base = (docs
+            .select(F.col(id_col),
+                    normalize_words(F.col(text_col)).alias("_w"))
+            .select(F.col(id_col),
+                    F.size(words).alias("n_words"),
+                    F.size(F.array_distinct(words)).alias("_nd"),
+                    shingles_col(words, 2).alias("_bg")))
+    per_row = base.select(
+        F.col(id_col), "n_words",
+        F.when(F.col("n_words") == 0, F.lit(0.0))
+         .otherwise(F.round(F.lit(1.0) - F.col("_nd") / F.col("n_words"), 6))
+         .alias("dup_word_frac"),
+        F.col("_bg"))
+    bg_counts = (per_row
+                 .select(F.col(id_col), F.explode("_bg").alias("bigram"))
+                 .where(F.col("bigram") != "")
+                 .groupBy(id_col, "bigram")
+                 .agg(F.count(F.lit(1)).alias("bg_n")))
+    # per-doc argmax with an EXPLICIT total order (count desc, bigram
+    # asc) — a window row_number, which every engine sorts identically
+    # (max/arg-max tie behavior is engine-specific for strings)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("bg_n").desc(), F.col("bigram").asc())
+    top = (bg_counts
+           .withColumn("_rk", F.row_number().over(w))
+           .withColumn("n_bigrams",
+                       F.sum("bg_n").over(Window.partitionBy(id_col)))
+           .where(F.col("_rk") == 1)
+           .select(F.col(id_col),
+                   F.col("bigram").alias("top_bigram"),
+                   F.round(F.col("bg_n") / F.col("n_bigrams"), 6)
+                    .alias("top_bigram_frac")))
+    return (per_row.drop("_bg")
+            .join(top, on=id_col, how="left")
+            .select(F.col(id_col), "n_words", "dup_word_frac",
+                    "top_bigram", "top_bigram_frac"))
+
+
+def shingles_col(words: Column, n: int) -> Column:
+    """n-gram array from an already-split word array (shares
+    dedup.shingles' boundary convention: short docs yield one short
+    gram)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookarounds/backrefs): Java regex and RE2 (DuckDB, Go)
+# find the same non-overlapping matches left-to-right.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\d+\.\d+\.\d+\.\d+"
+
+_PII = [("email", PII_EMAIL, "<EMAIL>"),
+        ("phone", PII_PHONE, "<PHONE>"),
+        ("ipv4", PII_IPV4, "<IP>")]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-category PII match counts: ``n_email, n_phone, n_ipv4``
+    columns (codegen regexp_count — one regex scan per category)."""
+    return [F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in _PII]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its category token.  Order matters:
+    emails first (an email contains no phone/IP match but shares
+    character classes), then phones, then IPv4 — the same fixed chain on
+    every engine."""
+    out = text
+    for _, pat, token in _PII:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 2048,
+                   shard_hex_chars: int = 2) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences in a
+    deterministic global order — the document→sequence packing step
+    before tokenized-shard writing.  A document lands in the sequence
+    where the running token total before it falls: sequence
+    ``seq_id = floor(cum_before / budget)`` at offset
+    ``seq_pos = cum_before % budget`` (greedy fill in hash order,
+    overflow rides into the next sequence — the standard
+    concat-then-split packing, so no token is dropped and no sequence
+    but the last is under-full).
+
+    The global order is ``(md5(id), id)`` — a deterministic shuffle that
+    also decorrelates neighboring source documents (what training wants)
+    and is reproducible by any engine.
+
+    Scale shape: a global ordered window would move the whole corpus to
+    ONE reducer, so the running total is a two-level distributed prefix
+    sum instead: the md5-prefix (``shard_hex_chars`` hex chars → 256
+    shards by default) both partitions the data and IS the leading key
+    of the global order, so per-shard window cumsums + a broadcast
+    256-row shard-offset table compose to the exact global prefix sum
+    with one partitioned shuffle and no single-reducer stage.
+
+    Output: ``(id_col, n_tokens BIGINT, seq_id BIGINT, seq_pos
+    BIGINT)``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+    h = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col), h.alias("_h"),
+        F.substring(h, 1, shard_hex_chars).alias("_shard"),
+        token_count(F.col(text_col)).alias("n_tokens"))
+    intra_w = (Window.partitionBy("_shard")
+               .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    base = base.withColumn(
+        "_intra", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0)))
+    # ~16^shard_hex_chars rows: a driver-sized table; the window below
+    # runs on one partition BY DESIGN (it is tiny), then broadcasts.
+    offs_w = (Window.orderBy(F.col("_shard").asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy("_shard")
+               .agg(F.sum("n_tokens").alias("_shard_total"))
+               .withColumn("_offset",
+                           F.coalesce(F.sum("_shard_total").over(offs_w),
+                                      F.lit(0)))
+               .select("_shard", "_offset"))
+    packed = (base.join(F.broadcast(offsets), on="_shard")
+              .withColumn("_cum_before", F.col("_offset") + F.col("_intra")))
+    return packed.select(
+        F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("_cum_before") / budget).cast("long").alias("seq_id"),
+        (F.col("_cum_before") % budget).cast("long").alias("seq_pos"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling
+# ---------------------------------------------------------------------------
+
+def temperature_sample(docs: DataFrame, id_col: str = "doc_id",
+                       group_col: str = "lang",
+                       alpha: float = 0.5) -> DataFrame:
+    """Flatten a skewed group mixture (the multilingual-training
+    ``share^alpha`` reweighting): group ``g`` keeps rate
+    ``(n_min / n_g)^(1-alpha)`` where ``n_min`` is the smallest group's
+    count — the rarest group keeps everything, a group 100× larger
+    keeps ``100^(alpha-1)`` of itself (``alpha=1`` → no resampling,
+    ``alpha=0`` → fully uniform mixture).
+
+    Keep decisions are id-hash fractions (functions/sampling.py), so
+    the sample is deterministic and engine-replayable.  ``alpha=0.5``
+    routes through ``sqrt`` (IEEE correctly-rounded everywhere);
+    other exponents use ``pow``, whose last-ulp behavior is
+    engine-specific — fine for sampling, but pin 0.5 when an exact
+    cross-engine oracle must replay the rates.
+
+    Plan: one tiny group-count agg (map-side combined), min via a
+    1-row cross join, rates BROADCAST back onto the corpus — the corpus
+    itself is never shuffled.  Returns kept rows plus their
+    ``keep_rate`` (rounded to 6 digits, decision uses the unrounded
+    value).
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    ratio = F.col("_n_min") / F.col("_n")
+    rate = (F.sqrt(ratio) if alpha == 0.5
+            else F.pow(ratio, F.lit(1.0 - alpha)))
+    rates = (counts.crossJoin(F.broadcast(n_min))
+             .select(group_col, rate.alias("_rate")))
+    return (docs.join(F.broadcast(rates), on=group_col)
+            .where(hash_fraction(F.col(id_col)) < F.col("_rate"))
+            .withColumn("keep_rate", F.round("_rate", 6))
+            .drop("_rate"))
+
+
+# ---------------------------------------------------------------------------
+# Keep-best duplicate-cluster representative
+# ---------------------------------------------------------------------------
+
+def keep_best_in_clusters(members: DataFrame, scores: DataFrame,
+                          id_col: str = "doc_id",
+                          cluster_col: str = "cluster_id",
+                          score_col: str = "q_score") -> DataFrame:
+    """Pick each duplicate cluster's representative by QUALITY rather
+    than keep-first: the member with the highest ``score_col`` (ties →
+    smallest id) survives.  ``members`` is (id, cluster) — e.g.
+    dedup.duplicate_clusters output — and ``scores`` maps id → score.
+
+    One hash join on the id + one hash agg on the cluster (max_by over
+    a (score, −id)-ordered key).  Output: ``(cluster_col, keep BIGINT,
+    n_members BIGINT, best_score DOUBLE)``.
+    """
+    scored = members.join(scores.select(F.col(id_col), F.col(score_col)),
+                          on=id_col)
+    # total order: higher score wins, ties → smaller id.  Encoded as a
+    # lexicographic struct key (score, −id) so a single hash-agg max_by
+    # suffices — no per-cluster window/sort shuffle.
+    return (scored.groupBy(cluster_col)
+            .agg(F.max_by(F.col(id_col),
+                          F.struct(F.col(score_col).alias("s"),
+                                   (-F.col(id_col)).alias("nid")))
+                  .cast("long").alias("keep"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.max(score_col), 6).alias("best_score")))

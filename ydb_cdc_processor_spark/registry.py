@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from ydb_cdc_processor_spark.functions.aggregates import dec_avg, dec_sum, long_sum
 from ydb_cdc_processor_spark.functions.partitioning import (
     ensure_min_partitions, salted_join)
-from ydb_cdc_processor_spark.operators import dedup, merge, similarity, text
+from ydb_cdc_processor_spark.operators import (
+    curation, dedup, merge, similarity, text)
+from ydb_cdc_processor_spark.operators.curation import (
+    PII_EMAIL, PII_IPV4, PII_PHONE)
 from ydb_cdc_processor_spark.operators.last_wins import collapse_last_wins
 from ydb_cdc_processor_spark.sources.catalog import load_table
 
@@ -632,14 +635,18 @@ def q_lang_id(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-@register("q_quality_score", """
-SELECT doc_id,
-  CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+# the quality heuristic as ANSI SQL over a `text` column — shared by the
+# quality query and every composite that gates or ranks on q_score
+_QSCORE_SQL = """CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
              WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END
       + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
                   / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END
       + CASE WHEN """ + _LANG_HITS_SQL["en"] + """ > 0 THEN 1.0 ELSE 0.5 END
-       ) / 3.0 AS DOUBLE) AS q_score
+       ) / 3.0 AS DOUBLE)"""
+
+
+@register("q_quality_score", f"""
+SELECT doc_id, {_QSCORE_SQL} AS q_score
 FROM documents
 """)
 def q_quality_score(spark, sf_dir):
@@ -1789,3 +1796,212 @@ def q_doc_chunks(spark, sf_dir):
     embedding parallelism scales with chunks."""
     return text.chunk_documents(load_docs(spark, sf_dir),
                                 chunk_words=64, stride=48)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 curation operators (operators/curation.py): decontamination,
+# repetition signals, PII redaction, sequence packing, temperature
+# resampling, keep-best dedup, embedding centroids
+# ---------------------------------------------------------------------------
+
+@register("q_decontaminate", f"""
+WITH nrm AS ({_NORM_WORDS}),
+g AS (SELECT doc_id, unnest({_SHINGLE3}) AS gram FROM nrm),
+bench AS (SELECT DISTINCT gram FROM g
+          WHERE doc_id % 97 = 0 AND gram <> ''),
+hits AS (SELECT g.doc_id, g.gram FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 97 <> 0)
+SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits,
+       min(gram) AS first_hit
+FROM hits GROUP BY doc_id
+""")
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination (curation.contamination): docs sharing
+    any word 3-gram with the benchmark slice (doc_id % 97 = 0) are
+    flagged with their distinct-hit count and a stable audit gram.
+    The benchmark n-gram set BROADCASTS, so the corpus is scanned once
+    with no shuffle before the per-doc hit count."""
+    docs = load_docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return curation.contamination(corpus, bench, n=3)
+
+
+@register("q_repetition_stats", f"""
+WITH nrm AS ({_NORM_WORDS}),
+pr AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS nd
+       FROM nrm),
+bg AS (SELECT doc_id, unnest({_SHINGLE2}) AS bigram FROM nrm),
+bgc AS (SELECT doc_id, bigram, count(*) AS bg_n FROM bg
+        WHERE bigram <> '' GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, bigram, bg_n,
+               sum(bg_n) OVER (PARTITION BY doc_id) AS n_bigrams,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY bg_n DESC, bigram ASC) AS rk
+        FROM bgc)
+SELECT p.doc_id, CAST(p.n_words AS INT) AS n_words,
+       CASE WHEN p.n_words = 0 THEN 0.0
+            ELSE round(1.0 - CAST(p.nd AS DOUBLE) / p.n_words, 6)
+       END AS dup_word_frac,
+       t.bigram AS top_bigram,
+       round(CAST(t.bg_n AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac
+FROM pr p LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
+""")
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (curation.repetition_stats):
+    duplicate-word fraction (pure per-row array expression, zero
+    shuffle) + most-frequent-bigram share (map-side-combined bigram
+    counts, explicit (count desc, bigram asc) tie order so every engine
+    picks the same mode)."""
+    return curation.repetition_stats(load_docs(spark, sf_dir))
+
+
+@register("q_pii_redact", f"""
+WITH t AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 13 = 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+         THEN ' call 555-010-4242 or ping 10.0.0.1 ok' ELSE '' END AS t2
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t2, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t2, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g'),
+      '{PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+FROM t
+""")
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (curation.pii_counts / redact_pii) over
+    text with deterministically injected emails/phones/IPs (doc_id-mod
+    families), so the regex paths are exercised on true positives.  The
+    RE2-safe patterns match identically under Java regex (Spark) and
+    RE2 (DuckDB); redaction equality is proven by md5 of the redacted
+    text."""
+    from ydb_cdc_processor_spark.operators.curation import (
+        pii_counts, redact_pii)
+    docs = load_docs(spark, sf_dir)
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit(" call 555-010-4242 or ping 10.0.0.1 ok"))
+         .otherwise(F.lit("")))
+    return docs.select(
+        "doc_id", *pii_counts(t2),
+        F.md5(redact_pii(t2)).alias("redacted_md5"))
+
+
+@register("q_pack_sequences", """
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text))
+                   - length(replace(trim(text), ' ', '')) + 1 END
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+       CAST(cum_before % 512 AS BIGINT) AS seq_pos
+FROM c
+""")
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (curation.pack_sequences): docs
+    ordered by (md5(id), id) fill 512-token training sequences greedily.
+    The engine computes the running total as a two-level DISTRIBUTED
+    prefix sum (256 md5-prefix shards + a broadcast offset table — no
+    single-reducer global window); the oracle replays it as one flat
+    window, proving the decomposition exact."""
+    return curation.pack_sequences(load_docs(spark, sf_dir), budget=512)
+
+
+_TEMP_HEX8 = _HEX8  # id-hash fraction digits, as in q_stratified_sample
+
+@register("q_temperature_sample", f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM c, m),
+d AS (SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents)
+SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+FROM d JOIN r USING (lang)
+WHERE CAST({_TEMP_HEX8} AS BIGINT) / 4294967296.0 < r.rate
+""")
+def q_temperature_sample(spark, sf_dir):
+    """Temperature resampling (curation.temperature_sample, alpha=0.5):
+    language l keeps sqrt(n_min/n_l) of its docs — the multilingual
+    share^alpha mixture flattening.  Rates come from one tiny
+    broadcast agg; keep decisions are engine-replayable id-hash
+    fractions; sqrt is IEEE correctly-rounded on every engine."""
+    out = curation.temperature_sample(load_docs(spark, sf_dir),
+                                      group_col="lang", alpha=0.5)
+    return out.select("doc_id", "lang", "keep_rate")
+
+
+@register("q_dedup_keep_best", f"""
+WITH cl AS ({{clusters}}),
+q AS (SELECT doc_id, {_QSCORE_SQL} AS q_score FROM documents),
+s AS (SELECT cl.cluster_id, cl.doc_id, q.q_score
+      FROM cl JOIN q USING (doc_id)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           ORDER BY q_score DESC, doc_id ASC) AS rn
+       FROM s)
+SELECT r.cluster_id, CAST(r.doc_id AS BIGINT) AS keep,
+       n.n_members, round(n.best_score, 6) AS best_score
+FROM (SELECT * FROM rk WHERE rn = 1) r
+JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             max(q_score) AS best_score
+      FROM s GROUP BY cluster_id) n USING (cluster_id)
+""")
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST duplicate-cluster survivors
+    (curation.keep_best_in_clusters): the MinHash near-dup clusters
+    (same pipeline as q_dedup_clusters) each keep their highest-quality
+    member (ties → smallest id) instead of keep-first — one hash join +
+    one max_by hash agg, no per-cluster sort."""
+    docs = load_docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
+    clusters = dedup.duplicate_clusters(verified.select("doc_a", "doc_b"))
+    scores = docs.select(
+        "doc_id", text.quality_score(F.col("text")).alias("q_score"))
+    return curation.keep_best_in_clusters(clusters, scores)
+
+# splice the full recursive-CTE cluster oracle in as a nested CTE (the
+# {clusters} placeholder keeps the f-string readable above)
+ORACLES["q_dedup_keep_best"] = ORACLES["q_dedup_keep_best"].replace(
+    "{clusters}", ORACLES["q_dedup_clusters"])
+
+
+@register("q_embed_centroids", """
+SELECT label, CAST(i AS INT) AS dim,
+       CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,10)))
+            AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i)
+GROUP BY label, i
+""")
+def q_embed_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the class-prototype/statistics
+    pass over a vector column): posexplode → per-(label, dim)
+    decimal-exact mean — order-independent, so Spark's partitioned agg
+    and the single-threaded oracle agree bit-for-bit.  One shuffle of
+    (label, dim) partial sums; vectors never collect to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "_x"))
+    return (ex.groupBy("label", F.col("dim").cast("int").alias("dim"))
+            .agg(dec_avg(F.col("_x").cast("double"), "centroid", scale=10),
+                 F.count(F.lit(1)).alias("n_vecs")))
