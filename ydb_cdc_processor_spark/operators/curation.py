@@ -66,14 +66,21 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     single short gram (same convention as dedup.shingles, mirrored by
     the SQL oracle).
     """
+    # explode_outer, not explode: explode lets Catalyst infer a
+    # `size(shingles(...)) > 0` pre-filter that re-evaluates the whole
+    # shingle transform below the exchange (2× the dominant CPU, and on
+    # a small input it lands in the single scan task) — the NULL rows
+    # explode_outer keeps are dropped by the gram filter anyway
     bench_grams = (benchmark
-                   .select(F.explode(shingles(F.col(text_col), n))
+                   .select(F.explode_outer(shingles(F.col(text_col), n))
                            .alias("gram"))
                    .where(F.col("gram") != "")
                    .distinct())
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"))
+    doc_grams = (docs
+                 .select(F.col(id_col),
+                         F.explode_outer(shingles(F.col(text_col), n))
+                          .alias("gram"))
+                 .where(F.col("gram").isNotNull()))
     hits = doc_grams.join(F.broadcast(bench_grams), on="gram")
     return (hits.groupBy(id_col)
             .agg(F.countDistinct("gram").alias("n_hits"),
@@ -94,17 +101,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
     ``dup_word_frac`` is a pure per-row array expression (zero
     shuffle).  The bigram mode needs a (doc, bigram) count: explode →
-    map-side-combined hash agg → per-doc max via one more hash agg
-    keyed on the doc — two shuffles of bigram-count rows (≪ text
-    bytes), then a hash join back to the per-row stats.  Ties on count
-    break to the lexicographically smallest bigram so engines agree.
+    map-side-combined hash agg → per-doc argmax via one more hash agg
+    keyed on the doc (a struct-min, NOT a window — no per-doc sort) —
+    two shuffles of bigram-count rows (≪ text bytes), then a hash join
+    back to the per-row stats.  Ties on count break to the
+    lexicographically smallest bigram so engines agree.
 
     Output: ``(id_col, n_words INT, dup_word_frac DOUBLE,
     top_bigram STRING, top_bigram_frac DOUBLE)`` with fractions rounded
     to 6 digits (integer ratios — exact in IEEE, rounding is cosmetic
     cross-engine safety).
     """
-    from pyspark.sql import Window
     from ydb_cdc_processor_spark.operators.text import normalize_words
     words = F.col("_w")
     base = (docs
@@ -120,24 +127,28 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
          .otherwise(F.round(F.lit(1.0) - F.col("_nd") / F.col("n_words"), 6))
          .alias("dup_word_frac"),
         F.col("_bg"))
+    # explode_outer: explode would let Catalyst infer `size(_bg) > 0`
+    # and push the whole bigram transform below the exchange as a
+    # pre-filter — 2× the dominant CPU, serialized into the scan task
+    # on small inputs (measured 8 s → 1 s at sf0.1)
     bg_counts = (per_row
-                 .select(F.col(id_col), F.explode("_bg").alias("bigram"))
+                 .select(F.col(id_col), F.explode_outer("_bg").alias("bigram"))
                  .where(F.col("bigram") != "")
                  .groupBy(id_col, "bigram")
                  .agg(F.count(F.lit(1)).alias("bg_n")))
-    # per-doc argmax with an EXPLICIT total order (count desc, bigram
-    # asc) — a window row_number, which every engine sorts identically
-    # (max/arg-max tie behavior is engine-specific for strings)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("bg_n").desc(), F.col("bigram").asc())
+    # per-doc argmax as ONE hash agg (map-side combined), not a window
+    # (a window would sort every (doc, bigram) row; the agg only keeps
+    # one struct per doc).  The EXPLICIT total order — count desc, then
+    # bigram asc — is encoded lexicographically as min(−count, bigram):
+    # struct comparison is field-by-field in every engine.
     top = (bg_counts
-           .withColumn("_rk", F.row_number().over(w))
-           .withColumn("n_bigrams",
-                       F.sum("bg_n").over(Window.partitionBy(id_col)))
-           .where(F.col("_rk") == 1)
+           .groupBy(id_col)
+           .agg(F.min(F.struct((-F.col("bg_n")).alias("nn"),
+                               F.col("bigram").alias("bg"))).alias("_t"),
+                F.sum("bg_n").alias("n_bigrams"))
            .select(F.col(id_col),
-                   F.col("bigram").alias("top_bigram"),
-                   F.round(F.col("bg_n") / F.col("n_bigrams"), 6)
+                   F.col("_t.bg").alias("top_bigram"),
+                   F.round((-F.col("_t.nn")) / F.col("n_bigrams"), 6)
                     .alias("top_bigram_frac")))
     return (per_row.drop("_bg")
             .join(top, on=id_col, how="left")
