@@ -49,7 +49,7 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_decontaminate", "q_repetition_stats", "q_pii_redact",
     "q_pack_sequences", "q_temperature_sample", "q_dedup_keep_best",
-    "q_embed_centroids",
+    "q_embed_centroids", "q_distinct_kmv", "q_bucketed_join",
 ]
 
 

@@ -151,3 +151,36 @@ def test_keep_best_in_clusters(spark):
     assert out[1].best_score == pytest.approx(0.9)
     # cluster 7: tie at 0.5 → keep 7
     assert out[7].keep == 7 and out[7].n_members == 2
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The whole point of the bucketed layout: join + same-key agg with
+    ZERO Exchange in the final plan (scan partitioning satisfies both)."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    df = QUERIES["q_bucketed_join"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # sortBy made the buckets pre-sorted: no per-task Sort before the join
+    assert df.count() > 0
+
+
+def test_kmv_distinct_accuracy_and_degeneracy(spark):
+    from ydb_cdc_processor_spark.functions.sketches import kmv_distinct
+
+    import pytest as _pytest
+
+    # universe >> k: estimate within ~3 std errors (se ≈ 1/sqrt(k-2))
+    big = spark.range(20000).select(
+        (F.col("id") % 5000).cast("string").alias("v"))
+    row = kmv_distinct(big, "v", k=256).collect()[0]
+    assert row.n_minima == 256
+    assert abs(row.est_distinct - 5000) / 5000 < 3 / (254 ** 0.5)
+    # universe < k: degenerates to the exact count
+    small = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct(small, "v", k=256).collect()[0]
+    assert row.n_minima == 50 and row.est_distinct == 50.0
+    with _pytest.raises(ValueError):
+        kmv_distinct(small, "v", k=1)

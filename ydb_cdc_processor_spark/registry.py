@@ -2005,3 +2005,75 @@ def q_embed_centroids(spark, sf_dir):
     return (ex.groupBy("label", F.col("dim").cast("int").alias("dim"))
             .agg(dec_avg(F.col("_x").cast("double"), "centroid", scale=10),
                  F.count(F.lit(1)).alias("n_vecs")))
+
+
+@register("q_distinct_kmv", f"""
+WITH nrm AS ({_NORM_WORDS}),
+g AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm),
+g2 AS (SELECT gram FROM g WHERE gram <> ''),
+f AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
+      FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM g2)),
+km AS (SELECT frac FROM f ORDER BY frac ASC LIMIT 256),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_minima, max(frac) AS kth
+      FROM km),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM g2)
+SELECT 256 AS k, s.n_minima, round(s.kth, 6) AS kth_frac,
+       round(CASE WHEN s.n_minima < 256 THEN CAST(s.n_minima AS DOUBLE)
+                  ELSE 255 / s.kth END, 3) AS est_distinct,
+       e.n_exact
+FROM s, e
+""")
+def q_distinct_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketches.kmv_distinct) over
+    the corpus 3-gram universe, with the exact count alongside so the
+    estimate's error is visible in the gated result.  Every intermediate
+    is an md5 fraction — the estimate is bit-replayable by the oracle,
+    unlike approx_count_distinct's engine-internal HLL hash.  Plan:
+    partial-distinct combine → vocab-sized exchange → per-partition
+    bottom-k (TakeOrderedAndProject) → driver merge of 32×k fractions."""
+    from ydb_cdc_processor_spark.functions.sketches import kmv_distinct
+    docs = load_docs(spark, sf_dir)
+    grams = (docs.select(F.explode_outer(
+                 dedup.shingles(F.col("text"), 3)).alias("gram"))
+             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
+    est = kmv_distinct(grams, "gram", k=256)
+    exact = grams.select("gram").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register("q_bucketed_join", """
+SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+""")
+def q_bucketed_join(spark, sf_dir):
+    """Exchange-free co-located join via BUCKETED tables — the layout
+    strategy for a join repeated at 100 TB: pay one bucketed write
+    (``bucketBy(8, key).sortBy(key)``), then every subsequent join AND
+    aggregation on that key runs with ZERO shuffle — the bucketed scan
+    reports hash partitioning on the key, which satisfies both the
+    sort-merge join and the groupBy (pinned by
+    test_bucketed_join_no_exchange).  The merge hint keeps AQE from
+    demoting the demo to a broadcast join at toy scale; results are
+    identical to the plain join (the oracle)."""
+    import tempfile
+    base = tempfile.mkdtemp(prefix="bkt_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", base + "/orders").mode("overwrite")
+        .saveAsTable("bkt_orders"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", base + "/customer").mode("overwrite")
+        .saveAsTable("bkt_customer"))
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    return (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dec_sum("o_totalprice", "sum_price")))
