@@ -184,3 +184,33 @@ def test_kmv_distinct_accuracy_and_degeneracy(spark):
     assert row.n_minima == 50 and row.est_distinct == 50.0
     with _pytest.raises(ValueError):
         kmv_distinct(small, "v", k=1)
+
+
+def test_dedup_paragraphs_removes_shared_units(spark):
+    from ydb_cdc_processor_spark.operators.curation import dedup_paragraphs
+
+    boiler = "all rights reserved by the original author"   # 7 words + pad
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} x unique one content here aa bb cc"),
+         (2, f"{boiler} x other words entirely different dd ee ff"),
+         (3, "standalone text with no shared units at all"),
+         (4, f"{boiler} x"),          # only the shared unit → emptied
+         (5, "")],                    # empty doc → no units row at all
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_paragraphs(docs, unit_words=8, max_docs=1).collect()}
+    # the 8-word boilerplate unit appears in docs 1, 2, 4 → removed
+    assert out[1].text_dedup == "unique one content here aa bb cc"
+    assert out[1].n_units == 2 and out[1].n_kept == 1
+    assert out[2].text_dedup == "other words entirely different dd ee ff"
+    assert out[3].text_dedup == "standalone text with no shared units at all"
+    assert out[3].n_kept == 1
+    assert out[4].n_kept == 0 and out[4].text_dedup == ""
+    assert 5 not in out                # empty docs yield no units
+    # order preservation across >2 units
+    long = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string")
+    r = dedup_paragraphs(long, unit_words=8).collect()[0]
+    assert r.text_dedup == " ".join(f"w{i}" for i in range(20))
+    assert r.n_units == 3 and r.n_kept == 3

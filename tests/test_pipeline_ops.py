@@ -239,3 +239,86 @@ def test_quantized_cosine_recall(spark, sf_dir):
     assert sum(overlaps) / len(overlaps) >= 0.7
     shared = set(qsim) & set(esim)
     assert shared and all(abs(qsim[k] - esim[k]) < 0.05 for k in shared)
+
+
+def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: compare against the all-pairs
+    answer on a corpus dense enough to stress prefix-boundary math."""
+    import itertools
+    import random
+
+    from ydb_cdc_processor_spark.operators.dedup import (
+        jaccard_similarity_join)
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.sample(vocab, rng.randint(15, 28))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.6, 0.75, 0.9):
+        got = {(r.doc_a, r.doc_b): r
+               for r in jaccard_similarity_join(
+                   docs, threshold=t).collect()}
+        sets = {i: set(s.split()) for i, s in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / len(sets[a] | sets[b])
+            if j >= t:
+                want[(a, b)] = (inter, j)
+        assert set(got) == set(want), f"threshold {t}"
+        for k, (inter, j) in want.items():
+            assert got[k].n_inter == inter
+            assert abs(got[k].jaccard - j) < 1e-6
+
+
+def test_jaccard_similarity_join_validates_threshold(spark):
+    import pytest as _pytest
+
+    from ydb_cdc_processor_spark.operators.dedup import (
+        jaccard_similarity_join)
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        jaccard_similarity_join(docs, threshold=0.0)
+
+
+def test_rolling_anomalies_flags_known_outlier(spark):
+    from ydb_cdc_processor_spark.operators.temporal import rolling_anomalies
+
+    # user 1: 30 calm points then a spike; user 2: too few points
+    rows = ([(1, i, f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 3))
+             for i in range(30)]
+            + [(1, 30, "2024-01-01 00:30:30", 500.0)]
+            + [(2, 100 + i, f"2024-01-01 01:{i:02d}:00", float(i * 100))
+               for i in range(5)])
+    ev = (spark.createDataFrame(
+              rows, "user_id long, event_id long, ts string, value double")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "value"))
+    out = rolling_anomalies(ev, window_rows=20, min_points=10,
+                            z_threshold=3.0).collect()
+    assert [(r.user_id, r.event_id) for r in out] == [(1, 30)]
+    r = out[0]
+    assert r.baseline_n == 20 and abs(r.baseline_mean - 11.0) < 0.5
+    assert r.zscore > 3.0
+
+
+def test_rolling_anomalies_excludes_current_row(spark):
+    """The spike must not dilute its own baseline: two consecutive
+    spikes should BOTH flag (the second's window holds only one spike,
+    which shifts the mean but the trailing frame excludes itself)."""
+    from ydb_cdc_processor_spark.operators.temporal import rolling_anomalies
+
+    rows = ([(1, i, f"2024-01-01 00:{i:02d}:00", 10.0 + 0.5 * (i % 5))
+             for i in range(25)]
+            + [(1, 25, "2024-01-01 00:25:30", 400.0)])
+    ev = (spark.createDataFrame(
+              rows, "user_id long, event_id long, ts string, value double")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "value"))
+    out = rolling_anomalies(ev, window_rows=20, min_points=10,
+                            z_threshold=3.0).collect()
+    # with the current row excluded the spike's z is huge; if it were
+    # included, its own value would inflate mean AND std and shrink z
+    assert [(r.user_id, r.event_id) for r in out] == [(1, 25)]
+    assert out[0].zscore > 10

@@ -26,6 +26,9 @@ Operators:
   (multilingual mixture flattening, share^alpha reweighting).
 - :func:`keep_best_in_clusters` — duplicate-cluster representative
   selection by quality score (keep-best, not keep-first).
+- :func:`dedup_paragraphs` — CCNet/RefinedWeb-style CROSS-document
+  unit dedup: units repeated across documents (boilerplate) are
+  deleted from every document, unique content survives in order.
 """
 
 from __future__ import annotations
@@ -330,3 +333,88 @@ def keep_best_in_clusters(members: DataFrame, scores: DataFrame,
                   .cast("long").alias("keep"),
                  F.count(F.lit(1)).alias("n_members"),
                  F.round(F.max(score_col), 6).alias("best_score")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document unit (paragraph) dedup — CCNet / RefinedWeb style
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", unit_words: int = 8,
+                     max_docs: int = 1) -> DataFrame:
+    """Remove text units that repeat ACROSS documents (boilerplate,
+    headers, license blocks) while keeping each document's unique
+    content — the CCNet / RefinedWeb paragraph-dedup step, which
+    operates within documents at unit granularity rather than dropping
+    whole near-duplicate documents.
+
+    A "unit" here is a run of ``unit_words`` consecutive words (real
+    corpora split on blank lines; the synthetic corpus has no newlines,
+    and fixed word windows exercise the identical plan).  A unit whose
+    content appears in more than ``max_docs`` distinct documents is
+    deleted from every document; survivors are re-assembled in their
+    original order.
+
+    Plan shape (100 TB): documents explode to units carrying their
+    position; units collapse to a 128-bit content digest so the
+    duplicate-count aggregate and the count→unit join shuffle digests,
+    never text (CCNet ships sha1 paragraph digests for the same
+    reason).  Three shuffles total — unit-count hash agg (map-side
+    combined), digest equi-join back, per-document re-assembly agg —
+    each keyed on a high-cardinality uniform column, so the plan scales
+    with corpus bytes and has no skewed or all-pairs stage.
+
+    Output: ``(id_col, n_units BIGINT, n_kept BIGINT, text_dedup
+    STRING)`` — documents whose every unit was deleted keep a row with
+    ``n_kept = 0`` and an empty string (the caller decides whether an
+    emptied doc survives).
+    """
+    if unit_words <= 0:
+        raise ValueError("unit_words must be positive")
+    w = F.col("_w")
+    # empty text splits to [""] (one phantom unit) in both Spark and
+    # DuckDB — filter the TEXT, not the split size
+    base = (docs
+            .where(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+            .select(F.col(id_col).alias("doc"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+            .withColumn("_n_units",
+                        F.ceil(F.size(w) / F.lit(unit_words)).cast("long")))
+    unit = F.concat_ws(
+        " ", F.slice(w, (F.col("ui") * unit_words + 1).cast("int"),
+                     unit_words))
+    # explode_outer (not explode): see contamination() — explode lets
+    # Catalyst infer a size()>0 pre-filter that re-evaluates the
+    # sequence below the exchange; _n_units > 0 already guarantees
+    # non-empty
+    units = (base
+             .select("doc", "_n_units",
+                     F.explode_outer(
+                         F.sequence(F.lit(0).cast("long"),
+                                    F.col("_n_units") - 1)).alias("ui"),
+                     "_w")
+             .select("doc", "_n_units", "ui",
+                     F.md5(unit).alias("dig"), unit.alias("unit")))
+    counts = units.groupBy("dig").agg(
+        F.countDistinct("doc").alias("_nd"))
+    kept = (units.join(counts, on="dig")
+            .where(F.col("_nd") <= max_docs))
+    # per-doc re-assembly: order by position via array_sort on (ui,
+    # unit) structs — no per-doc window sort, one hash agg.  Documents
+    # that lost every unit are resurrected by a left join from the doc
+    # list (n_kept = 0, empty text).
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("ui", "unit"))),
+                            lambda s: s["unit"])).alias("text_dedup")))
+    return (base.select("doc", "_n_units")
+            .join(rebuilt, on="doc", how="left")
+            .select(F.col("doc").alias(id_col),
+                    F.col("_n_units").alias("n_units"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))

@@ -140,3 +140,61 @@ def range_join_binned(probe: DataFrame, intervals: DataFrame,
         (F.col(value_col) >= F.col(lo_col))
         & (F.col(value_col) < F.col(hi_col)))
     return joined.drop("_bin")
+
+
+def rolling_anomalies(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      tiebreak_col: str = "event_id",
+                      window_rows: int = 20, min_points: int = 10,
+                      z_threshold: float = 2.0) -> DataFrame:
+    """Streaming-shaped anomaly detection: flag events whose value is a
+    ``z_threshold``-sigma outlier against that key's TRAILING window of
+    the previous ``window_rows`` events (the current row is excluded —
+    an outlier must not dilute its own baseline).
+
+    One window pass over a single hash partitioning by key: the frame
+    aggregates (count, Σv, Σv²) all share the same sort, so Spark
+    computes them in one physical Window operator — no self-join, no
+    second shuffle.  Sums are routed through DECIMAL (exact, order-
+    independent — see functions/aggregates.py) and the mean/variance
+    arithmetic is plain IEEE on those exact sums, so any SQL engine
+    evaluating the same expressions agrees bit-for-bit and the oracle
+    can hash-match the z-scores.
+
+    Variance uses the E[v²]−E[v]² form on exact sums (no cancellation
+    hazard beyond float, guarded with greatest(·,0)); windows with
+    fewer than ``min_points`` prior events or zero variance emit
+    nothing.
+
+    mean/z are emitted UNROUNDED: because every input double is
+    bit-identical cross-engine (exact decimal sums), the IEEE
+    expression graph reproduces the same doubles everywhere — whereas
+    a final ``round(x, 4)`` DIVERGES when x sits on a half boundary
+    (Java rounds the shortest decimal repr half-up, C libraries round
+    the binary value), which a measured sf0.01 run actually hit.
+
+    Output: ``(key, tiebreak, ts, value, baseline_n BIGINT,
+    baseline_mean, zscore)``.
+    """
+    v = F.col(val_col)
+    vdec = v.cast("decimal(18,6)")
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+         .rowsBetween(-window_rows, -1))
+    c = F.count(v).over(w)
+    s = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum(vdec * vdec).over(w).cast("double")
+    mean = s / c
+    var = F.greatest((s2 - s * s / c) / (c - 1), F.lit(0.0))
+    z = (v - mean) / F.sqrt(var)
+    out = (events
+           .select(F.col(key_col), F.col(tiebreak_col), F.col(ts_col), v,
+                   c.alias("_c"), mean.alias("_mean"), var.alias("_var"),
+                   z.alias("_z")))
+    return (out
+            .where((F.col("_c") >= min_points) & (F.col("_var") > 0)
+                   & (F.abs(F.col("_z")) >= z_threshold))
+            .select(key_col, tiebreak_col, ts_col, val_col,
+                    F.col("_c").cast("long").alias("baseline_n"),
+                    F.col("_mean").alias("baseline_mean"),
+                    F.col("_z").alias("zscore")))

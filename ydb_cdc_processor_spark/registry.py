@@ -2077,3 +2077,190 @@ def q_bucketed_join(spark, sf_dir):
             .groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  dec_sum("o_totalprice", "sum_price")))
+
+
+@register("q_dedup_paragraphs", """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE text IS NOT NULL AND text <> ''),
+docs2 AS (
+  SELECT doc_id, words,
+         CAST(ceil(len(words) / 8.0) AS BIGINT) AS n_units
+  FROM base),
+units AS (
+  SELECT doc_id, n_units, ui,
+         array_to_string(words[ui*8+1 : ui*8+8], ' ') AS unit
+  FROM docs2, unnest(generate_series(0, n_units - 1)) AS t(ui)),
+counts AS (
+  SELECT unit, COUNT(DISTINCT doc_id) AS nd FROM units GROUP BY unit),
+kept AS (
+  SELECT u.doc_id, u.ui, u.unit
+  FROM units u JOIN counts c USING (unit) WHERE c.nd <= 1),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(unit, ' ' ORDER BY ui) AS text_dedup
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, d.n_units,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
+""")
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-document unit dedup (curation.dedup_paragraphs) — the
+    CCNet/RefinedWeb paragraph-dedup step: 8-word units whose content
+    appears in ≥2 distinct documents are deleted from every document;
+    each document's surviving units re-assemble in original order.
+    Digest-keyed count + join (text never shuffles), one re-assembly
+    agg; emptied docs keep an n_kept=0 row."""
+    return curation.dedup_paragraphs(
+        load_docs(spark, sf_dir), unit_words=8, max_docs=1)
+
+
+@register("q_simjoin_prefix", """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM sub, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+       round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.95
+""")
+def q_simjoin_prefix(spark, sf_dir):
+    """EXACT set-similarity join at Jaccard ≥ 0.95 via prefix filtering
+    (dedup.jaccard_similarity_join, the SSJoin/PPJoin lowering): the
+    oracle verifies EXACTNESS by brute force — the prefix filter must
+    find every qualifying pair, not a sample.  At scale the Spark side
+    joins only on each set's rarest tokens; the oracle's all-pairs
+    token join is the O(n²) spec it must equal.
+
+    Runs on a deterministic quarter of the corpus: the synthetic data
+    is near-duplicated by construction (~1.5% of ALL pairs exceed 0.95
+    — a 40-word vocabulary), so the full self-join's OUTPUT is
+    quadratic (191k true pairs at sf0.1) and benches the result
+    materialization, not the algorithm.  The subset keeps the gated
+    run exercising every stage with a bounded answer; real Zipf-vocab
+    corpora don't have this density, and the operator itself takes the
+    whole DataFrame."""
+    docs = load_docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
+    return dedup.jaccard_similarity_join(docs, threshold=0.95)
+
+
+@register("q_event_anomaly", """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         COUNT(value) OVER w AS c,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id, ts, value, c,
+         s / c AS mean,
+         greatest((s2 - s * s / c) / (c - 1), 0.0) AS var,
+         (value - s / c) / sqrt(greatest((s2 - s * s / c) / (c - 1), 0.0))
+           AS zv
+  FROM t)
+SELECT user_id, event_id, ts, value,
+       CAST(c AS BIGINT) AS baseline_n,
+       mean AS baseline_mean,
+       zv AS zscore
+FROM z WHERE c >= 10 AND var > 0 AND abs(zv) >= 2.0
+""")
+def q_event_anomaly(spark, sf_dir):
+    """Trailing-window anomaly detection (temporal.rolling_anomalies):
+    per-user z-score of each event against the previous ≤20 events'
+    mean/stddev — one Window operator, one shuffle, decimal-exact sums
+    so the z-scores hash-match the oracle bit-for-bit."""
+    from ydb_cdc_processor_spark.operators.temporal import rolling_anomalies
+    return rolling_anomalies(load_table(spark, sf_dir, "events"),
+                             window_rows=20, min_points=10,
+                             z_threshold=2.0)
+
+
+@register("q_pivot_status", """
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_partial,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                THEN CAST(o.o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE)
+         AS filled_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_pivot_status(spark, sf_dir):
+    """Pivot (long→wide reshape) — order counts per nation spread
+    across order-status columns, plus a pivoted decimal-exact measure.
+    Explicit pivot values skip Spark's extra distinct-values job and
+    keep the plan a single hash aggregate; nation/customer dims are
+    broadcast so the fact table never shuffles before the agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    joined = (orders
+              .join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey))
+    wide = (joined.groupBy(F.col("n_name").alias("nation"))
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("o_totalprice", "price")))
+    return wide.select(
+        "nation",
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_partial"),
+        F.col("F_price").alias("filled_price"))
+
+
+@register("q_sliding_agg", """
+WITH ev AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300
+                      AS BIGINT)) AS w0
+  FROM events),
+arms AS (
+  SELECT event_type, value, w0 AS ws FROM ev
+  UNION ALL
+  SELECT event_type, value, w0 - INTERVAL 5 MINUTE FROM ev)
+SELECT CAST(ws AS TIMESTAMP) AS ws, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM arms GROUP BY ws, event_type
+""")
+def q_sliding_agg(spark, sf_dir):
+    """Sliding (hopping) window aggregation — 10-minute windows every 5
+    minutes via ``F.window(slideDuration)``; each event lands in two
+    windows.  The streaming twin is the same expression under a
+    watermark.  The oracle expands the two arms explicitly (window
+    starts are epoch-aligned, matching Spark's alignment rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                       .alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("value", "sum_value"))
+            .select(F.col("w.start").alias("ws"), "event_type",
+                    "n", "sum_value"))
