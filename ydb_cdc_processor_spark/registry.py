@@ -2264,3 +2264,155 @@ def q_sliding_agg(spark, sf_dir):
                  dec_sum("value", "sum_value"))
             .select(F.col("w.start").alias("ws"), "event_type",
                     "n", "sum_value"))
+
+
+@register("q_histogram", """
+WITH b AS (
+  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1)
+SELECT bin, CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+       CAST((bin + 1) * 25.0 AS DOUBLE) AS bin_hi, n,
+       n * 1.0 / SUM(n) OVER () AS frac
+FROM b
+""")
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram — the profiling primitive run before any
+    quality-filter threshold is chosen.  One map-side-combined hash agg
+    to ≤~20 bin rows; the share denominator is an unpartitioned window
+    over those BIN rows only (cardinality = n_bins, never data rows —
+    the single-reducer stage a naive global-total join would create on
+    the raw table is avoided by aggregating first)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.groupBy(F.floor(F.col("value") / 25.0).cast("long")
+                    .alias("bin"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    return b.select(
+        "bin", (F.col("bin") * 25.0).alias("bin_lo"),
+        ((F.col("bin") + 1) * 25.0).alias("bin_hi"), "n",
+        (F.col("n") * 1.0 / F.sum("n").over(
+            Window.partitionBy())).alias("frac"))
+
+
+@register("q_cube", """
+SELECT COALESCE(o.o_orderstatus, 'ALL') AS status,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE(o.o_orderstatus, n.n_name)
+""")
+def q_cube(spark, sf_dir):
+    """CUBE (all 2^k grouping sets in one pass) — Spark expands the
+    sets inside a single Expand+HashAggregate (rows replicate 4×
+    pre-combine, no extra shuffle per set).  Dims broadcast; 'ALL'
+    labels the rolled-up levels (the dims are non-null, so COALESCE is
+    unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    joined = (orders
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey))
+    return (joined.cube("o_orderstatus", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dec_sum("o_totalprice", "sum_price"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "n_orders", "sum_price"))
+
+
+@register("q_length_deciles", """
+WITH t AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents)
+SELECT lang, CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY lang, decile
+""")
+def q_length_deciles(spark, sf_dir):
+    """Per-language document-length deciles (equi-depth bins) — the
+    bucketing behind length-balanced corpus sampling.  ntile is an
+    exact per-KEY window (deterministic tiebreak on doc_id so both
+    engines cut ties identically); partitioning by language keeps the
+    sort distributed per key.  A GLOBAL equi-depth cut at 100 TB would
+    instead use approx quantile boundaries + a broadcast bin join —
+    this entry is the exact per-group form."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (docs.select("lang", "n_chars",
+                        F.ntile(10).over(w).alias("decile"))
+            .groupBy("lang", "decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .select("lang", F.col("decile").cast("int").alias("decile"),
+                    "n_docs", "min_chars", "max_chars"))
+
+
+@register("q_group_regression", """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, c,
+       (c * sxy - sx * sy) / (c * sxx - sx * sx) AS slope,
+       (sy - (c * sxy - sx * sy) / (c * sxx - sx * sx) * sx) / c
+         AS intercept,
+       (c * sxy - sx * sy)
+         / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)) AS corr
+FROM m
+""")
+def q_group_regression(spark, sf_dir):
+    """Per-group least-squares fit + Pearson correlation computed from
+    decimal-EXACT moment sums (Σx, Σy, Σx², Σy², Σxy) in one hash agg —
+    the single-pass distributed form of corr()/regr_slope() whose
+    result is bit-reproducible at any parallelism (the builtin corr
+    accumulates doubles in partition order).  The closed-form slope /
+    intercept / r are plain IEEE on identical inputs, so they
+    hash-match unrounded.  (Type note: Spark squares DECIMAL(18,4) →
+    exact (37,8); the oracle uses (19,4) because DuckDB has no int128
+    promotion at width 36 and overflows — both are exact, which is all
+    value equality needs.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    d18 = lambda c: c.cast("decimal(18,4)")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("c"),
+              dec_sum(x, "sx"), dec_sum(y, "sy"),
+              F.sum(d18(x) * d18(x)).cast("double").alias("sxx"),
+              F.sum(d18(y) * d18(y)).cast("double").alias("syy"),
+              F.sum(d18(x) * d18(y)).cast("double").alias("sxy")))
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
+    return m.select(
+        "l_returnflag", "c",
+        slope.alias("slope"),
+        ((sy - slope * sx) / c).alias("intercept"),
+        ((c * sxy - sx * sy)
+         / (F.sqrt(c * sxx - sx * sx) * F.sqrt(c * syy - sy * sy)))
+        .alias("corr"))
