@@ -322,3 +322,50 @@ def test_rolling_anomalies_excludes_current_row(spark):
     # included, its own value would inflate mean AND std and shrink z
     assert [(r.user_id, r.event_id) for r in out] == [(1, 25)]
     assert out[0].zscore > 10
+
+
+def test_bpe_merge_counts_weighted_by_word_freq(spark):
+    from ydb_cdc_processor_spark.operators.text import bpe_merge_counts
+
+    # "ab" appears in 'abc' (3 docs) and 'ab' (1 doc) → 4; single-char
+    # words contribute nothing
+    docs = spark.createDataFrame(
+        [(1, "abc x"), (2, "abc y"), (3, "abc ab z"), (4, "q")],
+        "doc_id long, text string")
+    got = {r.pair: r.n for r in bpe_merge_counts(docs, k=10).collect()}
+    assert got["ab"] == 4 and got["bc"] == 3
+    assert all(len(p) == 2 for p in got)
+
+
+def test_bigram_familiarity_scores_repetition_high(spark):
+    from ydb_cdc_processor_spark.operators.text import bigram_familiarity
+
+    # familiarity discriminates when the corpus makes a word's USUAL
+    # continuation clear: after 'the', 'cat' follows 10/11 times — a
+    # doc pairing 'the' with an unseen continuation scores low
+    docs = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(10)]
+        + [(100, "the zzz"), (200, "the")],     # <2 words → no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_familiarity(docs).collect()}
+    # doc 0: mean(C(the cat)/C(the)=10/12, C(cat sat)/C(cat)=10/10)
+    assert out[0].n_bigrams == 2
+    assert abs(out[0].familiarity - (10 / 12 + 1.0) / 2) < 1e-8
+    # doc 100: its only bigram 'the zzz' is 1 of 12 'the' continuations
+    assert abs(out[100].familiarity - 1 / 12) < 1e-8
+    assert out[100].familiarity < out[0].familiarity
+    assert 200 not in out
+
+
+def test_inverted_index_caps_postings(spark):
+    from ydb_cdc_processor_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common term" + (" rare" if i == 7 else ""))
+         for i in range(30)],
+        "doc_id long, text string")
+    got = {r.term: r for r in
+           inverted_index(docs, max_postings=5).collect()}
+    assert got["common"].df == 30
+    assert got["common"].postings == [0, 1, 2, 3, 4]   # capped + sorted
+    assert got["rare"].df == 1 and got["rare"].postings == [7]

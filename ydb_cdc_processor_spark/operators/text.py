@@ -212,3 +212,131 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     F.col("chunk_start").cast("int").alias("chunk_start"),
                     F.size(chunk).cast("int").alias("n_words"),
                     F.concat_ws(" ", chunk).alias("chunk_text")))
+
+
+def bpe_merge_counts(docs: DataFrame, text_col: str = "text",
+                     k: int = 20) -> DataFrame:
+    """One BPE merge iteration at corpus scale: the top-``k`` adjacent
+    CHARACTER pairs by corpus frequency — the statistic a tokenizer
+    trainer computes per merge round (Sennrich et al. 2016).
+
+    The classic scale trick is applied: pair counting runs over the
+    DISTINCT word × frequency table, not the raw token stream — the
+    corpus collapses to its vocabulary FIRST (one hash agg over words,
+    output |vocab| rows), then the per-word character pairs explode
+    from vocabulary rows only and re-aggregate weighted by word
+    frequency.  100 TB of text with a 10M-word vocabulary explodes 10M
+    rows, not 10T.  Final top-k is a TakeOrdered (no global sort);
+    ties break lexicographically.
+
+    Output: ``(pair STRING, n BIGINT)`` — count of occurrences of the
+    two-character sequence across the corpus, weighted by word
+    frequency, top-k by (n DESC, pair ASC).
+    """
+    words = (docs
+             .select(F.explode_outer(
+                 normalize_words(F.col(text_col))).alias("w"))
+             .where(F.col("w").isNotNull() & (F.col("w") != ""))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = words.select(
+        "freq",
+        F.explode_outer(F.expr(
+            "transform(sequence(1, greatest(length(w) - 1, 1)),"
+            " i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs
+            .where(F.length("pair") == 2)
+            .groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(k))
+
+
+def bigram_familiarity(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Language-model-style quality score WITHOUT a trained model: for
+    each document, the mean conditional frequency of its word bigrams
+    against corpus statistics — ``mean over bigrams of
+    C(w1 w2) / C(w1)`` — the shape of the CCNet/perplexity filter with
+    the corpus itself as the model.  Degenerate/boilerplate text scores
+    near 1 (its bigrams are always seen), unusual text scores low.
+
+    Rational arithmetic only (no ln — not correctly rounded across
+    engines), and no float SUM either: each ratio is scaled to an
+    INTEGER ``(c_bg · 10⁹) div c_w1`` (floor division — exact in both
+    engines; a decimal cast of the double ratio would hit
+    rounding-mode half-cases for dyadic counts like c_w1 = 2¹³), so
+    the per-doc sum is exact integer arithmetic and the final mean is
+    one deterministic IEEE division.  The 10⁻⁹ truncation bounds the
+    scale headroom: c_bg must stay below ~9·10⁹ (fine — a bigram that
+    common is a stopword pair).
+
+    Plan shape: bigram explode → corpus bigram hash agg + unigram hash
+    agg (both map-side combined, vocab-sized outputs) → two equi-joins
+    of the doc bigram stream against the stat tables → per-doc agg.
+    Output: ``(id_col, n_bigrams BIGINT, familiarity DOUBLE)``; docs
+    with fewer than 2 words emit nothing.
+    """
+    bg = (docs
+          .select(F.col(id_col).alias("doc"),
+                  F.explode_outer(_word_bigrams(F.col(text_col)))
+                   .alias("bigram"))
+          .where(F.col("bigram").isNotNull()))
+    bg = bg.withColumn("w1", F.split("bigram", " ")[0])
+    bigram_counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c_bg"))
+    unigram_counts = (docs
+                      .select(F.explode_outer(
+                          normalize_words(F.col(text_col))).alias("w1"))
+                      .where(F.col("w1").isNotNull() & (F.col("w1") != ""))
+                      .groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")))
+    scored = (bg.join(bigram_counts, on="bigram")
+              .join(unigram_counts, on="w1")
+              .select("doc",
+                      F.expr("(c_bg * 1000000000L) div c_w1").alias("r")))
+    return (scored.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.sum("r") / (F.count(F.lit(1) ) * F.lit(1000000000.0)))
+                 .alias("familiarity"))
+            .select(F.col("doc").alias(id_col), "n_bigrams",
+                    "familiarity"))
+
+
+def _word_bigrams(text: Column) -> Column:
+    """Word-bigram array of normalized text; single-word docs yield an
+    empty array (NOT a padded short gram — a conditional-frequency
+    score needs true bigrams only)."""
+    words = normalize_words(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    return F.when(n >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_postings: int = 20) -> DataFrame:
+    """Term → posting-list index build (the retrieval-side companion of
+    a corpus pipeline): for every term, its document frequency and the
+    first ``max_postings`` doc ids in ascending order.
+
+    One explode of per-doc DISTINCT terms (array_distinct is per-row,
+    no pre-shuffle) and ONE hash agg: df as a count, the capped posting
+    list via sort_array(collect_list(...)) sliced to ``max_postings`` —
+    the cap bounds both shuffle payload and output row width, which is
+    what makes the build safe for stopword-like terms whose full
+    posting lists would be |corpus|-sized.  (collect_list is bounded
+    here ONLY by the cap applied after sorting; a production build for
+    uncapped lists would write postings as rows, not arrays.)
+
+    Output: ``(term STRING, df BIGINT, postings ARRAY<BIGINT>)``.
+    """
+    toks = (docs
+            .select(F.col(id_col).alias("doc"),
+                    F.explode_outer(F.array_distinct(
+                        normalize_words(F.col(text_col)))).alias("term"))
+            .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    return (toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.slice(F.sort_array(F.collect_list(
+                     F.col("doc").cast("long"))), 1, max_postings)
+                 .alias("postings")))

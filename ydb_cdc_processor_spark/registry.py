@@ -2416,3 +2416,76 @@ def q_group_regression(spark, sf_dir):
         ((c * sxy - sx * sy)
          / (F.sqrt(c * sxx - sx * sx) * F.sqrt(c * syy - sy * sy)))
         .alias("corr"))
+
+
+@register("q_bpe_merges", r"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM words, unnest(generate_series(1, greatest(length(w) - 1, 1)))
+       AS t(i))
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs WHERE length(pair) = 2
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+""")
+def q_bpe_merges(spark, sf_dir):
+    """One BPE merge iteration (text.bpe_merge_counts): top-20 adjacent
+    character pairs by corpus frequency — computed over the DISTINCT
+    word × frequency table, so the pair explode scales with |vocab|,
+    not corpus tokens (the tokenizer-training trick that makes BPE
+    feasible at 100 TB).  Top-k via TakeOrdered, ties on the pair."""
+    return text.bpe_merge_counts(load_docs(spark, sf_dir), k=20)
+
+
+@register("q_bigram_familiarity", r"""
+WITH norm AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+  FROM documents WHERE trim(text) <> ''),
+bg AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram, words[i] AS w1
+  FROM norm, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 2),
+bigram_counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY bigram),
+unigram_counts AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM (
+    SELECT unnest(words) AS w1 FROM norm) t
+  WHERE w1 <> '' GROUP BY w1),
+scored AS (
+  SELECT bg.doc_id, (bc.c_bg * 1000000000) // uc.c_w1 AS r
+  FROM bg JOIN bigram_counts bc USING (bigram)
+          JOIN unigram_counts uc USING (w1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(r) AS BIGINT) / (COUNT(*) * 1000000000.0) AS familiarity
+FROM scored GROUP BY doc_id
+""")
+def q_bigram_familiarity(spark, sf_dir):
+    """Corpus-as-model LM quality score (text.bigram_familiarity): mean
+    conditional bigram frequency per document — the CCNet/perplexity
+    filter shape with rational arithmetic only (no ln; ratios scaled
+    to exact integers before the per-doc sum, so the score
+    hash-matches unrounded)."""
+    return text.bigram_familiarity(load_docs(spark, sf_dir))
+
+
+@register("q_inverted_index", r"""
+SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:20] AS postings
+FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents) t
+WHERE w <> ''
+GROUP BY w
+""")
+def q_inverted_index(spark, sf_dir):
+    """Term → capped posting-list build (text.inverted_index): df + the
+    first 20 doc ids per term in ONE hash agg; per-row array_distinct
+    avoids a pre-distinct shuffle and the cap bounds stopword rows."""
+    return text.inverted_index(load_docs(spark, sf_dir), max_postings=20)
