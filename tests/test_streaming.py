@@ -552,3 +552,55 @@ def test_stream_rebucket_growth_policy(spark, sf_dir, fixture_dir, tmp_path):
     a = {r.event_id: r.value for r in flat.batch_engine.read_view().collect()}
     b = {r.event_id: r.value for r in buck.batch_engine.read_view().collect()}
     assert a == b
+
+
+def test_streaming_anomalies_match_batch_operator(spark, sf_dir, tmp_path):
+    """Stateful streaming anomaly detection == the batch Window operator
+    when events arrive in event-time order: the ring-buffer state must
+    carry the trailing window ACROSS micro-batch boundaries (each
+    time-slice file is one micro-batch, so most windows span batches)."""
+    from ydb_cdc_processor_spark.operators.temporal import rolling_anomalies
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+    from ydb_cdc_processor_spark.streaming.anomaly import streaming_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    # 4 time-slice files written in order → in-order arrival per key
+    src = tmp_path / "ev_stream"
+    qs = [r[0] for r in ev.select(
+        F.percentile_approx("ts", [0.25, 0.5, 0.75])).collect()][0]
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        part.coalesce(1).write.parquet(str(src / f"slice={i}"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "slice=*")))
+    out = streaming_anomalies(stream, window_rows=20, min_points=10,
+                              z_threshold=2.0)
+    q = (out.writeStream.format("memory").queryName("anom_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.event_id): r
+           for r in spark.sql("SELECT * FROM anom_mem").collect()}
+    want = {(r.user_id, r.event_id): r
+            for r in rolling_anomalies(ev, window_rows=20, min_points=10,
+                                       z_threshold=2.0).collect()}
+    # boundary z-scores can flip on the float-vs-decimal sum ulp — allow
+    # a tiny disagreement set at |z| ≈ threshold, but values must agree
+    only_got = set(got) - set(want)
+    only_want = set(want) - set(got)
+    for k in only_got | only_want:
+        z = (got.get(k) or want.get(k)).zscore
+        assert abs(abs(z) - 2.0) < 1e-6, f"non-boundary disagreement {k}"
+    for k in set(got) & set(want):
+        assert got[k].zscore == pytest.approx(want[k].zscore, rel=1e-9)
+        assert got[k].baseline_n == want[k].baseline_n
+    # the stream actually flagged things and state crossed batches
+    assert len(got) > 0

@@ -1,3 +1,4 @@
+from ydb_cdc_processor_spark.streaming.anomaly import streaming_anomalies
 from ydb_cdc_processor_spark.streaming.dedup import (
     dedup_documents_stream, dedup_redelivered)
 from ydb_cdc_processor_spark.streaming.engine import (
@@ -10,4 +11,5 @@ from ydb_cdc_processor_spark.streaming.web import StatusServer
 __all__ = ["CdcStreamEngine", "StatusServer", "StreamStatus",
            "ThroughputListener", "dedup_documents_stream",
            "dedup_redelivered", "retry_forever", "sessionize",
-           "sessionize_cdc_stream", "user_activity_profile"]
+           "sessionize_cdc_stream", "streaming_anomalies",
+           "user_activity_profile"]
