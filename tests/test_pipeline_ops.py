@@ -369,3 +369,28 @@ def test_inverted_index_caps_postings(spark):
     assert got["common"].df == 30
     assert got["common"].postings == [0, 1, 2, 3, 4]   # capped + sorted
     assert got["rare"].df == 1 and got["rare"].postings == [7]
+
+
+def test_resample_ffill_semantics(spark):
+    from ydb_cdc_processor_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, 10, "2024-01-01 00:30:00", 1.0),    # first obs → grid 00:00
+        (1, 11, "2024-01-01 00:30:00", 2.0),    # dup ts → event_id 11 wins
+        (1, 12, "2024-01-01 03:15:00", 9.0),    # 3h gap → ffill covers it
+        (2, 20, "2024-01-01 05:00:00", 5.0),
+    ]
+    ev = (spark.createDataFrame(
+              rows, "user_id long, event_id long, ts string, value double")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "value"))
+    got = {(r.user_id, str(r.grid_ts)): r.value
+           for r in resample_ffill(ev, step="1 hour",
+                                   tiebreak_col="event_id").collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"): None,       # grid starts at trunc(min)
+        (1, "2024-01-01 01:00:00"): 2.0,        # dup collapsed: id 11 won
+        (1, "2024-01-01 02:00:00"): 2.0,
+        (1, "2024-01-01 03:00:00"): 2.0,        # 03:15 obs not yet visible
+        (2, "2024-01-01 05:00:00"): 5.0,
+    }

@@ -198,3 +198,46 @@ def rolling_anomalies(events: DataFrame, key_col: str = "user_id",
                     F.col("_c").cast("long").alias("baseline_n"),
                     F.col("_mean").alias("baseline_mean"),
                     F.col("_z").alias("zscore")))
+
+
+def resample_ffill(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", val_col: str = "value",
+                   step: str = "1 hour",
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid
+    with forward fill — the standard regularization step before
+    windowed feature extraction or model training on event streams.
+
+    Grid: per key, every ``step`` from the key's first observation
+    (truncated to the step unit) through its last.  Each grid point
+    carries the value of the latest observation at or before it
+    (as-of backward semantics — the union-sort-window as-of join, ONE
+    key shuffle, no range join).  Duplicate-timestamp observations are
+    collapsed first (largest ``tiebreak_col`` wins, or largest value if
+    no tiebreak given) so the fill is deterministic.
+
+    The grid explode is per-key-span/step rows — linear in observed
+    time span, never a cross join against a global calendar.
+
+    Output: ``(key_col, grid_ts, value)``; leading grid points before
+    the first observation cannot exist by construction (the grid starts
+    AT the first observation's truncated step).
+    """
+    unit = step.split()[-1].rstrip("s")
+    tb = tiebreak_col or val_col
+    build = (events
+             .groupBy(key_col, ts_col)
+             .agg(F.max_by(F.col(val_col), F.col(tb)).alias(val_col)))
+    spans = events.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_mn"),
+        F.max(ts_col).alias("_mx"))
+    grid = (spans
+            .select(F.col(key_col),
+                    F.explode_outer(F.expr(
+                        f"sequence(_mn, _mx, interval {step})"))
+                     .alias("grid_ts"))
+            .where(F.col("grid_ts").isNotNull()))
+    out = as_of_join(grid, build, keys=[key_col],
+                     probe_ts="grid_ts", build_ts=ts_col,
+                     payload=[val_col], suffix="")
+    return out.select(key_col, "grid_ts", F.col(val_col).alias("value"))

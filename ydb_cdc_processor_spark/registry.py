@@ -2489,3 +2489,91 @@ def q_inverted_index(spark, sf_dir):
     first 20 doc ids per term in ONE hash agg; per-row array_distinct
     avoids a pre-distinct shuffle and the cap bounds stopword rows."""
     return text.inverted_index(load_docs(spark, sf_dir), max_postings=20)
+
+
+@register("q_regional_revenue", """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""")
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped six-table star join: revenue per nation for one
+    region and year, including the cycle-closing c_nationkey =
+    s_nationkey condition.  The OLAP flagship for join planning: the
+    date filter pushes into the orders scan, region/nation/supplier
+    broadcast (customer too at these SFs via AQE), lineitem — the only
+    big table — is never shuffled before its orders join; revenue is
+    the decimal-exact Σ price·(1−discount)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(d2("l_extendedprice")
+                       * (F.lit(1) - d2("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register("q_gap_fill", """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events),
+ded AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM ev GROUP BY user_id, ts),
+spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+  FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, g AS grid_ts
+  FROM spans, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t(g))
+SELECT g.user_id, g.grid_ts, d.value
+FROM grid g ASOF LEFT JOIN ded d
+  ON g.user_id = d.user_id AND g.grid_ts >= d.ts
+""")
+def q_gap_fill(spark, sf_dir):
+    """Time-series resampling with forward fill
+    (temporal.resample_ffill): each user's irregular events projected
+    onto an hourly grid carrying the latest observation at or before
+    each grid point — grid explode is linear in per-key span, the fill
+    is the union-sort-window as-of join (one key shuffle), and
+    duplicate timestamps collapse deterministically (arg_max by
+    event_id) so both engines fill identically."""
+    from ydb_cdc_processor_spark.operators.temporal import resample_ffill
+    return resample_ffill(load_table(spark, sf_dir, "events"),
+                          step="1 hour", tiebreak_col="event_id")
