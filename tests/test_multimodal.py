@@ -170,3 +170,29 @@ def test_resize_nearest_semantics(spark, sf_dir):
     expect = [one.pixels[(i * 4 // 2) * 4 + (j * 4 // 3)]
               for i in range(2) for j in range(3)]
     assert got.pixels == expect
+
+
+def test_image_ahash_perturbation_and_neardup(spark):
+    """aHash: identical bytes → identical signature; a tiny byte-level
+    perturbation → few bits flip (near-dup pair found); unrelated
+    content → no pair at max_hamming=3."""
+    from ydb_cdc_processor_spark.operators import multimodal
+
+    base = bytes(range(256)) * 4                     # 1024 B → 32×32 side
+    tweak = bytearray(base); tweak[100] ^= 0x40      # one byte nudged
+    other = bytes((i * 37 + 11) % 251 for i in range(1024))
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (2, tweak), (3, bytearray(other))],
+        "doc_id long, content binary")
+    decoded = multimodal.decode_image(media)
+    sig = {r.doc_id: r.ahash
+           for r in multimodal.image_ahash(decoded).collect()}
+    assert sig[1] == sig[2] or bin(sig[1] ^ sig[2]).count("1") <= 2
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in multimodal.image_neardup(decoded).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert all(3 not in p for p in pairs)
+    # determinism: re-decode reproduces the signatures bit-for-bit
+    sig2 = {r.doc_id: r.ahash for r in multimodal.image_ahash(
+        multimodal.decode_image(media)).collect()}
+    assert sig == sig2

@@ -274,3 +274,69 @@ def resize_stub(decoded: DataFrame, width: int, height: int) -> DataFrame:
         "interpolating resize requires an imaging library (PIL/cv2), not "
         "shipped in this container; use resize_nearest for the "
         "single-channel nearest-neighbor path")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over decoded thumbnails (aHash)
+# ---------------------------------------------------------------------------
+
+def image_ahash(decoded: DataFrame, thumb: int = 4) -> DataFrame:
+    """Average-hash perceptual signature over decoded thumbnails: bit i
+    is set iff pixel i's luminance exceeds the thumbnail mean — the
+    classic aHash image near-dup fingerprint, robust to small pixel
+    perturbations (a flipped byte moves one cell a little; the
+    signature flips at most that cell's bit).
+
+    Pure Catalyst over ``decode_image`` output: the mean routes through
+    an exact DECIMAL fold (pixels are round-6 doubles, so the decimal
+    sum — unlike a double fold — is order-independent and any SQL
+    engine reproduces the identical mean double), then one zip_with +
+    fold builds the integer signature.  Rows whose pixels are NULL
+    (empty media) are dropped.
+
+    Output: ``(doc_id, ahash BIGINT)`` with ``thumb²`` significant bits.
+    """
+    from pyspark.sql import functions as F
+    px = F.col("pixels")
+    mean = (F.aggregate(px, F.lit(0).cast("decimal(38,6)"),
+                        lambda a, x: a + x.cast("decimal(38,6)"))
+            .cast("double") / F.size(px))
+    weights = F.array(*[F.lit(1 << i).cast("long")
+                        for i in range(thumb * thumb)])
+    contrib = F.zip_with(
+        px, weights,
+        lambda p, w: F.when(p > mean, w).otherwise(F.lit(0).cast("long")))
+    sig = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    return (decoded.where(px.isNotNull())
+            .select("doc_id", sig.alias("ahash")))
+
+
+def image_neardup(decoded: DataFrame, thumb: int = 4,
+                  prefix_bits: int = 8, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by aHash: candidates share the
+    signature's top ``prefix_bits`` (bucket equi-join — the same
+    prefix-bucket shape as SimHash text dedup, never all-pairs), then
+    an exact Hamming verify keeps pairs within ``max_hamming`` bits.
+
+    Pair semantics are bucket-scoped BY CONTRACT (like
+    ``simhash_buckets``): a qualifying pair split across buckets is
+    found by adding rotation tables, not by widening this one.
+
+    Output: ``(doc_a, doc_b, hamming INT)`` with ``doc_a < doc_b``.
+    """
+    from pyspark.sql import functions as F
+    sig = image_ahash(decoded, thumb=thumb)
+    n_bits = thumb * thumb
+    if prefix_bits >= n_bits:
+        raise ValueError("prefix_bits must be < thumb*thumb")
+    b = sig.withColumn(
+        "_bucket", F.shiftright("ahash", n_bits - prefix_bits))
+    a = b.select(F.col("doc_id").alias("doc_a"),
+                 F.col("ahash").alias("_ha"), "_bucket")
+    c = b.select(F.col("doc_id").alias("doc_b"),
+                 F.col("ahash").alias("_hb"), "_bucket")
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (a.join(c, on="_bucket")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(ham <= max_hamming)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))

@@ -2577,3 +2577,67 @@ def q_gap_fill(spark, sf_dir):
     from ydb_cdc_processor_spark.operators.temporal import resample_ffill
     return resample_ffill(load_table(spark, sf_dir, "events"),
                           step="1 hour", tiebreak_col="event_id")
+
+
+_AHASH_SQL = f"""
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
+           AS side
+  FROM documents WHERE octet_length(encode(text)) > 0),
+byt AS (
+  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= side * side),
+pooled AS (
+  SELECT doc_id,
+         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
+         round(SUM(byte) / COUNT(*), 6) AS lum
+  FROM byt GROUP BY doc_id,
+           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side)),
+px AS (
+  SELECT b.doc_id, c.px_idx, COALESCE(p.lum, 0.0) AS lum
+  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
+  LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx),
+m AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(lum AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean
+  FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+         CAST(SUM(CASE WHEN px.lum > m.mean
+                  THEN 1::BIGINT << px.px_idx ELSE 0 END) AS BIGINT)
+           AS ahash
+  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+"""
+
+
+@register("q_image_ahash", f"WITH {_AHASH_SQL}\nSELECT doc_id, ahash FROM sig")
+def q_image_ahash(spark, sf_dir):
+    """Perceptual aHash signatures over fake-codec thumbnails
+    (multimodal.image_ahash): the oracle replays the byte→thumbnail
+    pooling in SQL (hex-byte recovery, the q_media_decode CTE) and the
+    bit aggregation — the signature is engine-replayable because the
+    pixel mean routes through an exact decimal fold."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return multimodal.image_ahash(multimodal.decode_image(media))
+
+
+@register("q_image_neardup", f"""
+WITH {_AHASH_SQL}
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
+FROM sig a JOIN sig c
+  ON (a.ahash >> 8) = (c.ahash >> 8) AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
+""")
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs by aHash (multimodal.image_neardup):
+    prefix-bucket equi-join + exact Hamming verify — the SimHash
+    shape applied to the multimodal column.  Bucket-scoped pair
+    semantics; the oracle computes the identical rule over its
+    SQL-decoded signatures."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    return multimodal.image_neardup(multimodal.decode_image(media))
