@@ -394,3 +394,28 @@ def test_resample_ffill_semantics(spark):
         (1, "2024-01-01 03:00:00"): 2.0,        # 03:15 obs not yet visible
         (2, "2024-01-01 05:00:00"): 5.0,
     }
+
+
+def test_pagerank_known_graph(spark):
+    """3-node directed cycle → uniform ranks; star graph → hub gets the
+    mass; ranks always sum to ~1 (teleport conservation on graphs with
+    no dangling nodes)."""
+    from ydb_cdc_processor_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(cycle, n_iter=5).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+
+    # undirected star: spokes point at hub and back
+    star = spark.createDataFrame(
+        [("hub", s) for s in "xyz"] + [(s, "hub") for s in "xyz"],
+        "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(star, n_iter=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["hub"] > 2.0 * got["x"]
+    assert abs(got["x"] - got["y"]) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pagerank(cycle, n_iter=-1)

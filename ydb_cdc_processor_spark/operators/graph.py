@@ -1,0 +1,68 @@
+"""Iterative graph algorithms as deterministic DataFrame loops.
+
+Connected components live in operators/dedup.py (min-label and
+large-star/small-star, both oracle-gated).  This module adds PageRank —
+the canonical fixed-point iteration — in an ENGINE-REPLAYABLE form: a
+fixed iteration count unrolls to a chain of join+aggregate rounds whose
+per-edge contributions round to DECIMAL before summing, so the
+distributed sum is exact/order-independent and a sequential SQL engine
+replays the identical ranks bit-for-bit (the same determinism contract
+as functions/aggregates.py).
+
+Scale shape per iteration: one equi-join of the rank vector against the
+edge list (both hash-partitioned on the node) + one map-side-combined
+aggregate on the destination — the standard Pregel lowering.  No driver
+loop state besides the unrolled plan; ``localCheckpoint`` cuts lineage
+every few rounds so plans stay bounded for large ``n_iter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 3, damping: float = 0.85,
+             checkpoint_every: int = 8) -> DataFrame:
+    """PageRank over an edge list (directed; pass both directions for an
+    undirected walk), ``n_iter`` synchronous power-iteration rounds from
+    a uniform start.
+
+    Every node that appears as a source contributes rank/out-degree to
+    its destinations; ``r' = (1-d)/N + d·Σ contributions``.  Nodes with
+    no in-edges keep the teleport term.  Contributions are rounded to
+    DECIMAL(38,18) per row before the exact decimal sum — deterministic
+    at any parallelism and replayable by any SQL engine.
+
+    Output: ``(node, rank DOUBLE)`` for every node incident to an edge.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (e.select(F.col("_s").alias("node"))
+             .unionByName(e.select(F.col("_d").alias("node")))
+             .distinct())
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (nodes.crossJoin(F.broadcast(n))
+             .select("node", "_n",
+                     (F.lit(1.0) / F.col("_n")).alias("rank")))
+    for i in range(n_iter):
+        contrib = (ranks
+                   .join(e, ranks.node == e._s)
+                   .join(deg, on="_s")
+                   .select(F.col("_d").alias("node"),
+                           (F.col("rank") / F.col("_deg"))
+                           .cast("decimal(38,18)").alias("_c")))
+        summed = contrib.groupBy("node").agg(
+            F.sum("_c").cast("double").alias("_in"))
+        ranks = (ranks.select("node", "_n")
+                 .join(summed, on="node", how="left")
+                 .select("node", "_n",
+                         (F.lit(1.0 - damping) / F.col("_n")
+                          + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                          ).alias("rank")))
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

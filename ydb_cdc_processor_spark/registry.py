@@ -2731,3 +2731,144 @@ def q_curation_pipeline_v2(spark, sf_dir):
         fam.where(F.col("familiarity") >= 0.0335).select("doc_id"),
         on="doc_id", how="left_semi")
     return curation.pack_sequences(gated, budget=512)
+
+
+def _PR_ITER_SQL(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.node, nn.n,
+         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+         + 0.85::DOUBLE * COALESCE(s.inr, 0.0::DOUBLE) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.d AS node,
+           CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(38,18))) AS DOUBLE)
+             AS inr
+    FROM {prev} r JOIN e ON r.node = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d) s USING (node))"""
+
+
+ORACLES_PAGERANK = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION
+  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR),
+                  'c' || CAST(o.o_custkey AS VARCHAR)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e) t),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+r0 AS (SELECT node, nn.n, 1.0::DOUBLE / nn.n AS rank
+       FROM nodes CROSS JOIN nn),
+{_PR_ITER_SQL('r0', 'r1')},
+{_PR_ITER_SQL('r1', 'r2')},
+{_PR_ITER_SQL('r2', 'r3')}
+SELECT node, rank FROM r3
+"""
+
+
+@register("q_pagerank", ORACLES_PAGERANK)
+def q_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.pagerank), 3 synchronous power-
+    iteration rounds over the undirected customer–supplier trade graph
+    (distinct lineitem edges, both directions).  Each round is one
+    rank⋈edges equi-join + one map-side-combined destination aggregate
+    — the Pregel lowering; per-edge contributions round to DECIMAL
+    before the exact sum, so the oracle's sequential 3-round unroll
+    reproduces every rank bit-for-bit (no convergence fuzz)."""
+    from ydb_cdc_processor_spark.operators.graph import pagerank
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    pairs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("s"))
+             .distinct())
+    # no persist here: the repeated references to the distinct-pairs
+    # subtree (both union arms, every iteration) collapse to ONE
+    # execution via ReusedExchange inside the single action — measured
+    # FASTER than an explicit .persist() (19.7 s vs 12.9 s at sf0.1),
+    # which forces InMemoryTableScan branches and defeats the reuse.
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("s").alias("src"),
+                              F.col("c").alias("dst"))))
+    return pagerank(edges, n_iter=3, damping=0.85)
+
+
+@register("q_funnel", """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+t1 AS (
+  SELECT user_id, min(ts) AS view_ts FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM ev e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.view_ts
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM ev e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.click_ts
+  GROUP BY e.user_id)
+SELECT t1.user_id, t1.view_ts, t2.click_ts, t3.purchase_ts,
+       (t3.purchase_ts IS NOT NULL
+        AND epoch_us(t3.purchase_ts) - epoch_us(t1.view_ts) <= 3600000000)
+         AS completed_1h
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+""")
+def q_funnel(spark, sf_dir):
+    """Funnel analysis (view → click → purchase): per user, the first
+    view, the first click at-or-after it, the first purchase at-or-after
+    that, and whether the whole funnel closed within one hour — the
+    product-analytics staple.  Three stage aggregates, each a hash agg
+    over a semi-filtered join on the user key (every join rides ONE hash
+    partitioning by user_id; the stage tables are per-user aggregates,
+    far smaller than the event stream).  Completion compared in exact
+    microseconds so both engines agree at the boundary."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
+    t2 = (ev.where(F.col("event_type") == "click")
+          .join(t1, on="user_id")
+          .where(F.col("ts") >= F.col("view_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    t3 = (ev.where(F.col("event_type") == "purchase")
+          .join(t2, on="user_id")
+          .where(F.col("ts") >= F.col("click_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    return (t1.join(t2, on="user_id", how="left")
+            .join(t3, on="user_id", how="left")
+            .select("user_id", "view_ts", "click_ts", "purchase_ts",
+                    (F.col("purchase_ts").isNotNull()
+                     & ((F.unix_micros("purchase_ts")
+                         - F.unix_micros("view_ts")) <= 3600000000))
+                    .alias("completed_1h")))
+
+
+@register("q_windowed_distinct", """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""")
+def q_windowed_distinct(spark, sf_dir):
+    """Exact distinct users per (hour, event type) — the
+    audience-measurement aggregate.  COUNT(DISTINCT) expands to Spark's
+    two-phase expand+agg (partial distinct before the exchange); the
+    approximate scale path for very wide windows is the KMV sketch
+    (`q_distinct_kmv`), registered alongside."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"),
+                       "event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
