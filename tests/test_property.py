@@ -318,3 +318,42 @@ def test_asof_join_matches_reference(spark, data):
 
     exp = {(i, k, ts): ref(k, ts) for i, k, ts in probe_rows}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join: lossless vs brute force
+# ---------------------------------------------------------------------------
+
+_simjoin_corpus = st.lists(
+    st.lists(st.integers(min_value=0, max_value=24), min_size=1,
+             max_size=18).map(lambda xs: " ".join(f"t{x}" for x in xs)),
+    min_size=2, max_size=25)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_simjoin_corpus,
+       thr=st.sampled_from([0.5, 0.66, 0.8, 0.9, 0.99, 1.0]))
+def test_jaccard_simjoin_lossless(spark, texts, thr):
+    """The prefix filter must find EVERY pair with J >= t — including
+    duplicate token sets (J = 1.0), threshold 1.0, and prefix lengths
+    at the float-boundary ceil cases the ε-guard protects."""
+    import itertools
+
+    from ydb_cdc_processor_spark.operators.dedup import (
+        jaccard_similarity_join)
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+           for r in jaccard_similarity_join(docs, threshold=thr).collect()}
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if j >= thr:
+            want[(a, b)] = inter
+    assert set(got) == set(want)
+    for k, inter in want.items():
+        assert got[k][0] == inter
