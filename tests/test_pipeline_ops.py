@@ -419,3 +419,24 @@ def test_pagerank_known_graph(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pagerank(cycle, n_iter=-1)
+
+
+def test_dataset_split_stable_and_partitions(spark):
+    from ydb_cdc_processor_spark.functions.sampling import dataset_split
+
+    df = spark.range(0, 3000).select(F.col("id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.id: r.split for r in dataset_split(df, "id", fr).collect()}
+    b = {r.id: r.split for r in
+         dataset_split(df.repartition(13), "id", fr).collect()}
+    assert a == b                                   # partition-invariant
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    assert 0.75 < sum(v == "train" for v in a.values()) / n < 0.85
+    # incremental: a grown dataset never reassigns existing ids
+    c = {r.id: r.split for r in
+         dataset_split(spark.range(0, 5000), "id", fr).collect()}
+    assert all(c[i] == s for i, s in a.items())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dataset_split(df, "id", {"train": 0.5, "val": 0.1})

@@ -67,3 +67,32 @@ def stratified_sample(df: DataFrame, id_col: str, group_col: str,
         expr = F.when(F.col(group_col) == F.lit(k),
                       F.lit(float(v))).otherwise(expr)
     return df.where(hash_fraction(F.col(id_col)) < expr)
+
+
+def dataset_split(df: DataFrame, id_col: str,
+                  fractions: dict[str, float]) -> DataFrame:
+    """Deterministic train/val/test assignment: the id-hash fraction
+    falls into cumulative ``fractions`` intervals (insertion order), so
+    the split is a pure function of the id — stable across runs,
+    partitionings, engines and INCREMENTAL ingestion (a new document
+    lands in its split without reshuffling old ones, which a
+    randomSplit cannot guarantee).  Fractions must sum to ~1.
+
+    Adds a ``split`` column; zero shuffles — the assignment is a scan
+    expression, and a filter on ``split`` prunes at the scan.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    frac = hash_fraction(F.col(id_col))
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    # build the CASE from the LAST interval backward so the first
+    # interval ends up outermost
+    bounds = []
+    for name, f in fractions.items():
+        cum += f
+        bounds.append((name, cum))
+    for name, hi in reversed(bounds):
+        expr = F.when(frac < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

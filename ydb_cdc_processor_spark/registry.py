@@ -2872,3 +2872,35 @@ def q_windowed_distinct(spark, sf_dir):
                        "event_type")
             .agg(F.countDistinct("user_id").alias("n_users"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@register("q_dataset_split", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST({{hex8}} AS BIGINT) / 4294967296.0 < 0.8
+              THEN 'train'
+              WHEN CAST({{hex8}} AS BIGINT) / 4294967296.0 < 0.9
+              THEN 'val' ELSE 'test' END AS split
+  FROM t)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM s GROUP BY split, lang
+""".replace("{hex8}", _HEX8))
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.
+    dataset_split, 80/10/10 by id hash): assignment is a scan
+    expression — zero shuffles, stable under re-runs/repartitioning,
+    and incremental (new docs join their split without moving old
+    ones).  Gated as per-(split, lang) counts + min id so the oracle
+    pins actual membership, not just totals."""
+    from ydb_cdc_processor_spark.functions.sampling import dataset_split
+    docs = load_docs(spark, sf_dir)
+    out = dataset_split(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id")))
