@@ -50,6 +50,13 @@ HEADLINE = [
     "q_decontaminate", "q_repetition_stats", "q_pii_redact",
     "q_pack_sequences", "q_temperature_sample", "q_dedup_keep_best",
     "q_embed_centroids", "q_distinct_kmv", "q_bucketed_join",
+    "q_dedup_paragraphs", "q_simjoin_prefix", "q_event_anomaly",
+    "q_pivot_status", "q_sliding_agg",
+    "q_histogram", "q_cube", "q_length_deciles", "q_group_regression",
+    "q_bpe_merges", "q_bigram_familiarity", "q_inverted_index",
+    "q_regional_revenue", "q_gap_fill",
+    "q_image_ahash", "q_image_neardup", "q_curation_pipeline_v2",
+    "q_pagerank", "q_funnel", "q_windowed_distinct", "q_dataset_split",
 ]
 
 
