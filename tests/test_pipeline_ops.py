@@ -440,3 +440,27 @@ def test_dataset_split_stable_and_partitions(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dataset_split(df, "id", {"train": 0.5, "val": 0.1})
+
+
+def test_exact_quantile_matches_sorted_definition(spark):
+    import random
+
+    from ydb_cdc_processor_spark.functions.aggregates import exact_quantile
+
+    rng = random.Random(3)
+    vals = [rng.uniform(-100, 100) for _ in range(5001)]
+    # duplicates + a constant run to stress bin-edge and dup handling
+    vals += [42.0] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        val, n = exact_quantile(df, "x", q=q, n_bins=64)
+        k = int(q * (n - 1))
+        assert n == len(vals)
+        assert val == s[k], f"q={q}"
+    # constant column fast path and empty-input error
+    const = spark.createDataFrame([(7.0,)] * 10, "x double")
+    assert exact_quantile(const, "x") == (7.0, 10)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        exact_quantile(spark.createDataFrame([], "x double"), "x")

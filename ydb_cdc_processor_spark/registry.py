@@ -2904,3 +2904,26 @@ def q_dataset_split(spark, sf_dir):
     return (out.groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_id")))
+
+
+@register("q_exact_median", """
+WITH v AS (
+  SELECT l_extendedprice AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM v),
+k AS (SELECT CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k FROM n)
+SELECT (SELECT x FROM v ORDER BY x
+        LIMIT 1 OFFSET (SELECT k - 1 FROM k)) AS median,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n_rows
+""")
+def q_exact_median(spark, sf_dir):
+    """EXACT global median without a global sort
+    (functions/aggregates.exact_quantile): pass 1 histograms into 1024
+    bins (bounded ≤1024-row collect — metadata, not data), pass 2
+    sorts only the target bin (~|data|/1024 rows).  The scale answer
+    to "approx_percentile isn't exact and ORDER BY is a single
+    reducer".  The oracle is the sorted-offset definition."""
+    from ydb_cdc_processor_spark.functions.aggregates import exact_quantile
+    li = load_table(spark, sf_dir, "lineitem")
+    val, n = exact_quantile(li, "l_extendedprice", q=0.5)
+    return spark.createDataFrame([(val, n)], "median double, n_rows long")
