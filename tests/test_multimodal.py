@@ -196,3 +196,26 @@ def test_image_ahash_perturbation_and_neardup(spark):
     sig2 = {r.doc_id: r.ahash for r in multimodal.image_ahash(
         multimodal.decode_image(media)).collect()}
     assert sig == sig2
+
+
+def test_audio_window_rms_semantics(spark):
+    """Known PCM: constant 128 → RMS 0 (silence); alternating 0/255 →
+    RMS ~127.5; partial trailing windows dropped; empty/short blobs
+    yield no rows."""
+    from ydb_cdc_processor_spark.operators import multimodal
+
+    quiet = bytes([128] * 128)                  # 2 windows of 64, RMS 0
+    loud = bytes([0, 255] * 48)                 # 96 B → 1 window + tail
+    media = spark.createDataFrame(
+        [(1, bytearray(quiet)), (2, bytearray(loud)),
+         (3, bytearray(b"x" * 10)), (4, None)],
+        "doc_id long, content binary")
+    rows = multimodal.audio_window_rms(media, window=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2
+    assert all(r.rms == 0.0 for r in by_doc[1])
+    assert len(by_doc[2]) == 1                  # tail 32 samples dropped
+    assert abs(by_doc[2][0].rms - 127.501) < 0.01
+    assert 3 not in by_doc and 4 not in by_doc

@@ -2927,3 +2927,41 @@ def q_exact_median(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     val, n = exact_quantile(li, "l_extendedprice", q=0.5)
     return spark.createDataFrame([(val, n)], "median double, n_rows long")
+
+
+@register("q_audio_profile", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 64),
+byt AS (
+  SELECT doc_id, i - 1 AS j, {_HEX_BYTE} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= (n // 64) * 64),
+win AS (
+  SELECT doc_id, j // 64 AS win_idx,
+         round(sqrt(SUM((byte - 128.0) * (byte - 128.0)) / 64.0), 6)
+           AS rms
+  FROM byt GROUP BY doc_id, j // 64)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN rms < 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quiet,
+       CAST(SUM(CAST(rms AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS mean_rms
+FROM win GROUP BY doc_id
+""")
+def q_audio_profile(spark, sf_dir):
+    """Audio loudness/silence profile (multimodal.audio_window_rms):
+    binary column as 8-bit PCM → per-64-sample-window RMS (vectorized
+    mapInPandas, one reshape per Arrow batch) → per-doc window count,
+    quiet-window count and decimal-exact mean RMS — the
+    voice-activity/silence-trim statistics of an audio curation pass.
+    The Σ(x−128)² inner sum is integer-exact, so the rounded RMS
+    doubles replay bit-for-bit from the oracle's hex-recovered bytes."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    win = multimodal.audio_window_rms(media, window=64)
+    return (win.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("rms") < 25.0, 1).otherwise(0))
+                 .cast("long").alias("n_quiet"),
+                 dec_avg("rms", "mean_rms", scale=6)))
