@@ -57,7 +57,8 @@ HEADLINE = [
     "q_regional_revenue", "q_gap_fill",
     "q_image_ahash", "q_image_neardup", "q_curation_pipeline_v2",
     "q_pagerank", "q_funnel", "q_windowed_distinct", "q_dataset_split",
-    "q_exact_median", "q_audio_profile",
+    "q_exact_median", "q_audio_profile", "q_cohort_retention",
+    "q_term_pmi",
 ]
 
 

@@ -2965,3 +2965,96 @@ def q_audio_profile(spark, sf_dir):
                  F.sum(F.when(F.col("rms") < 25.0, 1).otherwise(0))
                  .cast("long").alias("n_quiet"),
                  dec_avg("rms", "mean_rms", scale=6)))
+
+
+@register("q_cohort_retention", """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+  FROM events),
+cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+active AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset
+  FROM ev e JOIN cohort c USING (user_id))
+SELECT cohort_day, day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention (the product-analytics staple): users grouped
+    by first-seen day, activity counted per day offset for the first
+    week.  First-touch agg + one join back on the user key + a distinct
+    over (user, offset) — the distinct rides the same hash partitioning
+    as the final count's map-side combine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = (ev.join(cohort, on="user_id")
+              .select("user_id", "cohort_day",
+                      F.datediff(F.col("d"), F.col("cohort_day"))
+                      .cast("long").alias("day_offset"))
+              .where(F.col("day_offset") <= 7)
+              .distinct())
+    return (active.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@register("q_term_pmi", r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t
+  WHERE w <> ''),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfw FROM toks GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w),
+scored AS (
+  SELECT p.w1, p.w2, p.n_both,
+         p.n_both * 1.0 * nn.n / (d1.dfw * d2.dfw) AS lift
+  FROM pairs p
+  JOIN df d1 ON d1.w = p.w1 JOIN df d2 ON d2.w = p.w2
+  CROSS JOIN n nn)
+SELECT w1, w2, n_both, lift FROM scored
+ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 25
+""")
+def q_term_pmi(spark, sf_dir):
+    """Term co-occurrence lift (rational PMI — no log, so scores are
+    IEEE-identical cross-engine): ``P(a,b)/(P(a)P(b))`` over document
+    co-occurrence, top-25.  Per-doc pairing is the per-row
+    O(tokens²/2) self-join on the doc key — bounded by per-document
+    distinct tokens, never corpus-quadratic; df table and N broadcast.
+    Collocation mining = the feature the tokenizer/phrase-merge step
+    consumes."""
+    toks = (load_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.explode_outer(F.array_distinct(
+                        text.normalize_words(F.col("text")))).alias("w"))
+            .where(F.col("w").isNotNull() & (F.col("w") != "")))
+    n = toks.select(F.countDistinct("doc_id").alias("n"))
+    dfw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    ta = toks.select("doc_id", F.col("w").alias("w1"))
+    tb = toks.select("doc_id", F.col("w").alias("w2"))
+    pairs = (ta.join(tb, on="doc_id")
+             .where(F.col("w1") < F.col("w2"))
+             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_both")))
+    scored = (pairs
+              .join(F.broadcast(dfw.select(F.col("w").alias("w1"),
+                                           F.col("dfw").alias("_d1"))),
+                    on="w1")
+              .join(F.broadcast(dfw.select(F.col("w").alias("w2"),
+                                           F.col("dfw").alias("_d2"))),
+                    on="w2")
+              .crossJoin(F.broadcast(n))
+              .select("w1", "w2", "n_both",
+                      (F.col("n_both") * 1.0 * F.col("n")
+                       / (F.col("_d1") * F.col("_d2"))).alias("lift")))
+    return (scored.orderBy(F.col("lift").desc(), F.col("w1").asc(),
+                           F.col("w2").asc()).limit(25))
