@@ -59,6 +59,8 @@ HEADLINE = [
     "q_pagerank", "q_funnel", "q_windowed_distinct", "q_dataset_split",
     "q_exact_median", "q_audio_profile", "q_cohort_retention",
     "q_term_pmi",
+    "q_scd2_history", "q_table_checksum", "q_fuzzy_match",
+    "q_bm25", "q_dup_ngram_coverage",
 ]
 
 

@@ -1,0 +1,215 @@
+"""Unit tests for the round-6 operator additions: SCD2 history, table
+checksum, fuzzy matching, BM25, duplicate-n-gram coverage."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.functions.checksum import table_checksum
+from ydb_cdc_processor_spark.operators import dedup, fuzzy, scd, text
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- SCD2
+
+def _changes(spark):
+    rows = [
+        # key 1: a -> a (no-op) -> b -> b (no-op) -> a
+        (1, _ts("2024-01-01 00:00:00"), 1, "a"),
+        (1, _ts("2024-01-02 00:00:00"), 2, "a"),
+        (1, _ts("2024-01-03 00:00:00"), 3, "b"),
+        (1, _ts("2024-01-04 00:00:00"), 4, "b"),
+        (1, _ts("2024-01-05 00:00:00"), 5, "a"),
+        # key 2: single version, NULL attr
+        (2, _ts("2024-01-01 00:00:00"), 6, None),
+        # key 3: NULL -> NULL (no-op) -> x
+        (3, _ts("2024-01-01 00:00:00"), 7, None),
+        (3, _ts("2024-01-02 00:00:00"), 8, None),
+        (3, _ts("2024-01-03 00:00:00"), 9, "x"),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, attr string")
+
+
+def test_scd2_suppresses_noops_and_builds_intervals(spark):
+    hist = scd.scd2_history(_changes(spark), ["k"], "ts", ["attr"],
+                            tiebreak_col="seq")
+    got = {(r["k"], r["attr"], r["valid_from"].day,
+            None if r["valid_to"] is None else r["valid_to"].day,
+            r["is_current"])
+           for r in hist.collect()}
+    assert got == {
+        (1, "a", 1, 3, False),
+        (1, "b", 3, 5, False),
+        (1, "a", 5, None, True),
+        (2, None, 1, None, True),
+        (3, None, 1, 3, False),
+        (3, "x", 3, None, True),
+    }
+
+
+def test_scd2_without_suppression_keeps_every_version(spark):
+    hist = scd.scd2_history(_changes(spark), ["k"], "ts", ["attr"],
+                            tiebreak_col="seq", suppress_unchanged=False)
+    assert hist.count() == 9
+    # intervals still chain: each key's row count of is_current is 1
+    cur = hist.groupBy("k").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n")).collect()
+    assert all(r["n"] == 1 for r in cur)
+
+
+def test_scd2_snapshot_at(spark):
+    hist = scd.scd2_history(_changes(spark), ["k"], "ts", ["attr"],
+                            tiebreak_col="seq")
+    snap = scd.snapshot_at(hist, "2024-01-03 12:00:00")
+    got = {(r["k"], r["attr"]) for r in snap.collect()}
+    assert got == {(1, "b"), (2, None), (3, "x")}
+
+
+def test_scd2_tiebreak_orders_equal_timestamps(spark):
+    t = _ts("2024-01-01 00:00:00")
+    rows = [(1, t, 2, "late"), (1, t, 1, "early")]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, seq long, "
+                               "attr string")
+    hist = scd.scd2_history(df, ["k"], "ts", ["attr"], tiebreak_col="seq")
+    cur = hist.where("is_current").collect()
+    assert len(cur) == 1 and cur[0]["attr"] == "late"
+
+
+# ----------------------------------------------------------- checksum
+
+def test_checksum_order_and_partitioning_invariant(spark):
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string") \
+        .repartition(13)
+    da = table_checksum(a, ["id", "v"]).collect()[0]
+    db = table_checksum(b, ["id", "v"]).collect()[0]
+    assert (da["n_rows"], da["digest"]) == (db["n_rows"], db["digest"])
+
+
+def test_checksum_detects_single_value_change(spark):
+    rows = [(i, f"v{i}") for i in range(50)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    mutated = [(i, "vX" if i == 31 else f"v{i}") for i in range(50)]
+    b = spark.createDataFrame(mutated, "id long, v string")
+    da = table_checksum(a, ["id", "v"]).collect()[0]
+    db = table_checksum(b, ["id", "v"]).collect()[0]
+    assert da["n_rows"] == db["n_rows"] and da["digest"] != db["digest"]
+
+
+def test_checksum_shard_additivity(spark):
+    rows = [(i, f"v{i}") for i in range(100)]
+    full = spark.createDataFrame(rows, "id long, v string")
+    lo = full.where("id < 40")
+    hi = full.where("id >= 40")
+    d = lambda df: table_checksum(df, ["id", "v"]).collect()[0]["digest"]
+    assert d(full) == d(lo) + d(hi)
+
+
+def test_checksum_null_vs_empty_string_differ(spark):
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "")], "id long, v string")
+    da = table_checksum(a, ["id", "v"]).collect()[0]["digest"]
+    db = table_checksum(b, ["id", "v"]).collect()[0]["digest"]
+    assert da != db
+
+
+# -------------------------------------------------------------- fuzzy
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    vocab = ["kitten", "sitten", "mitten", "mittens", "kit", "kits",
+             "ab", "ba", "abc", "xyz", "xyzzy"]
+    df = spark.createDataFrame([(w,) for w in vocab], "term string")
+    got = {(r["term_a"], r["term_b"]) for r in
+           fuzzy.fuzzy_pairs_edit1(df).collect()}
+
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    want = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+            if lev(*sorted((a, b))) <= 1}
+    want = {tuple(sorted(p)) for p in want}
+    assert got == want
+    # sanity: the distance-2 transposition pair is excluded by verify
+    assert ("ab", "ba") not in got
+
+
+def test_fuzzy_dedups_duplicate_terms(spark):
+    df = spark.createDataFrame([("cat",), ("cat",), ("cut",)],
+                               "term string")
+    rows = fuzzy.fuzzy_pairs_edit1(df).collect()
+    assert len(rows) == 1 and rows[0]["dist"] == 1
+
+
+# --------------------------------------------------------------- BM25
+
+def test_bm25_ranks_term_frequency(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple pear"),
+         (2, "apple pear pear pear"),
+         (3, "plum plum plum plum")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q", "apple")], "qid string, term string")
+    got = text.bm25_topk(docs, q, k=3).orderBy("rank").collect()
+    # only docs containing the term score at all
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"]
+
+
+def test_bm25_multi_term_sums_and_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a b"), (3, "c c c")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q", "a"), ("q", "b")],
+                              "qid string, term string")
+    r1 = text.bm25_topk(docs, q, k=3).collect()
+    r2 = text.bm25_topk(docs.repartition(7), q, k=3).collect()
+    key = lambda rows: sorted((r["qid"], r["doc_id"], r["rank"],
+                               r["score"]) for r in rows)
+    assert key(r1) == key(r2)
+    assert {r["doc_id"] for r in r1} == {1, 2}
+
+
+# ----------------------------------------------- dup n-gram coverage
+
+def test_dup_ngram_coverage_flags_shared_spans(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail a b"),
+         (2, shared + " other c d"),
+         (3, "totally different words with no overlap at all here ok"),
+         (4, "short doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.dup_ngram_coverage(docs, n=8).collect()}
+    # docs 1 and 2 share exactly the one 8-gram `shared`
+    assert got[1]["n_shared"] == 1 and got[2]["n_shared"] == 1
+    assert got[1]["n_grams"] == 4  # 11 words -> 4 distinct 8-grams
+    assert got[3]["n_shared"] == 0 and got[3]["dup_frac"] == 0.0
+    # shorter than n words: zero grams, NULL fraction
+    assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] is None
+
+
+def test_dup_ngram_within_doc_repeat_not_counted(spark):
+    # the same 8-gram appearing twice in ONE doc is not "shared"
+    g = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [(1, g + " filler " + g), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.dup_ngram_coverage(docs, n=8).collect()}
+    assert got[1]["n_shared"] == 0

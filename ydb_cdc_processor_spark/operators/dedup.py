@@ -491,3 +491,47 @@ def jaccard_similarity_join(docs: DataFrame, id_col: str = "doc_id",
                     F.col("n_b").cast("long").alias("n_b"),
                     F.col("n_inter").cast("long").alias("n_inter"),
                     F.round(j, 6).alias("jaccard")))
+
+
+def dup_ngram_coverage(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8) -> DataFrame:
+    """Per-document duplicate-n-gram coverage — the "how much of this
+    document also appears elsewhere" signal from Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), used
+    to FLAG heavily-duplicated documents rather than delete spans.
+
+    For each document: the number of distinct word ``n``-grams it
+    contains, how many of those occur in at least one OTHER document,
+    and the coverage fraction.  Documents shorter than ``n`` words have
+    zero grams and a NULL fraction.
+
+    Scale shape: grams are hashed to md5 BEFORE the shuffle (32-byte
+    keys instead of n-word strings), per-doc distinct is a per-row
+    ``array_distinct`` (no shuffle), the gram document-frequency table
+    is one hash agg, and the flag-back is a left-semi equi-join on the
+    gram hash — corpus text never shuffles, never all-pairs.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    kmax = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        kmax >= 1,
+        F.transform(F.sequence(F.lit(1), kmax),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(F.col(id_col).alias("doc"),
+                          F.array_distinct(grams).alias("gs"))
+    pairs = per_doc.select("doc", F.explode("gs").alias("g"))
+    shared = (pairs.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+              .where(F.col("nd") >= 2).select("g"))
+    totals = per_doc.select("doc", F.size("gs").cast("long")
+                            .alias("n_grams"))
+    shared_cnt = (pairs.join(shared, on="g", how="left_semi")
+                  .groupBy("doc").agg(F.count(F.lit(1)).alias("n_shared")))
+    out = (totals.join(shared_cnt, on="doc", how="left")
+           .select(F.col("doc").alias(id_col), "n_grams",
+                   F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+                    .alias("n_shared")))
+    return out.withColumn(
+        "dup_frac",
+        F.when(F.col("n_grams") > 0,
+               F.round(F.col("n_shared") / F.col("n_grams"), 6)))

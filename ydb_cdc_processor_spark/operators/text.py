@@ -340,3 +340,63 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
                  F.slice(F.sort_array(F.collect_list(
                      F.col("doc").cast("long"))), 1, max_postings)
                  .alias("postings")))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 5,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents per query.
+
+    ``queries``: a small DataFrame ``(qid, term)`` — one row per query
+    term (query sets are config-sized: broadcast).  Output:
+    ``(qid, doc_id, rank, score)``.
+
+    Scoring follows Robertson/Sparck-Jones BM25 with the RATIONAL idf
+    ``(N - df + 0.5) / (df + 0.5)`` instead of its logarithm — the same
+    cross-engine-exactness call as ``tfidf_top_terms`` (ln is not
+    correctly rounded across engines; the rational form preserves the
+    ranking direction for df < N/2, which holds for meaningful query
+    terms).  The per-(query, doc) term-score sum folds in SORTED term
+    order over a collected array, NOT via ``F.sum`` — float addition is
+    order-dependent, and a fixed fold order is what lets any engine
+    replay the exact double.
+
+    Plan shape (100 TB): corpus side is the (doc, term) tf table —
+    filtered by the BROADCAST query-term join BEFORE anything else, so
+    only postings of query terms ever shuffle; dl/avgdl/df stats are
+    one hash agg each; the final top-k is a per-qid window over the
+    scored candidates (|queries| × bounded postings).
+    """
+    words = docs.select(F.col(id_col).alias("doc"),
+                        F.explode(normalize_words(F.col(text_col)))
+                         .alias("term")).where(F.col("term") != "")
+    tf = words.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs")) \
+                .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+
+    qterms = queries.select(F.col("qid"), F.col("term")).distinct()
+    cand = (tf.join(F.broadcast(qterms), on="term")
+              .join(dft, on="term")
+              .join(dl, on="doc")
+              .crossJoin(F.broadcast(stats)))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) \
+        / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) \
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+           + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    scored = cand.select("qid", "doc", "term",
+                         (idf * tf_part).cast("double").alias("s"))
+    total = (scored.groupBy("qid", "doc")
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("term", "s"))),
+                 F.lit(0.0), lambda acc, x: acc + x["s"]).alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("doc").asc())
+    return (total.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", F.col("doc").alias(id_col),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round(F.col("score"), 6).alias("score")))

@@ -3058,3 +3058,181 @@ def q_term_pmi(spark, sf_dir):
                        / (F.col("_d1") * F.col("_d2"))).alias("lift")))
     return (scored.orderBy(F.col("lift").desc(), F.col("w1").asc(),
                            F.col("w2").asc()).limit(25))
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: SCD2 history, sink checksum, fuzzy match, BM25,
+# duplicate-n-gram coverage
+# ---------------------------------------------------------------------------
+
+from ydb_cdc_processor_spark.functions.checksum import table_checksum  # noqa: E402
+from ydb_cdc_processor_spark.operators import fuzzy, scd  # noqa: E402
+
+
+@register("q_scd2_history", """
+WITH w0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         lag(1) OVER w AS has_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM w0
+  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist
+""")
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 history build from the event stream (operators/scd.py):
+    every distinct consecutive ``event_type`` a user held, with its
+    validity interval — the standard CDC history-sink companion to the
+    reference's last-wins merge (CdcMsgParser.java:96-120 keeps only
+    the latest row; this keeps them all, queryably).  One key shuffle,
+    two windows over the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
+                            tiebreak_col="event_id")
+
+
+@register("q_table_checksum", """
+WITH rows_h AS (
+  SELECT substr(md5(
+           COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
+           COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+           COALESCE(o_orderstatus, chr(0)) || chr(31) ||
+           COALESCE(o_orderpriority, chr(0))), 1, 15) AS h15
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM({hex15}) AS digest
+FROM rows_h
+""".replace("{hex15}", " + ".join(
+    f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) "
+    f"* {16 ** (15 - i)}" for i in range(1, 16))))
+def q_table_checksum(spark, sf_dir):
+    """Order-independent sink-verification digest
+    (functions/checksum.py): SUM of per-row 60-bit md5 integers +
+    row count — "does the sink equal the source" as two scans and an
+    equality check, the direct form of the health question the
+    reference's status page answers with counts alone
+    (WebController.java:25-84).  Commutative sum ⇒ partition- and
+    engine-independent; digests of disjoint shards add."""
+    orders = load_table(spark, sf_dir, "orders")
+    return table_checksum(orders, ["o_orderkey", "o_custkey",
+                                   "o_orderstatus", "o_orderpriority"])
+
+
+@register("q_fuzzy_match", """
+WITH v AS (SELECT DISTINCT c_name AS t FROM customer
+           WHERE c_name IS NOT NULL)
+SELECT a.t AS term_a, b.t AS term_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.t < b.t
+WHERE abs(length(a.t) - length(b.t)) <= 1
+  AND levenshtein(a.t, b.t) <= 1
+""")
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching (operators/fuzzy.py): all customer-name
+    pairs within Levenshtein distance 1, via SymSpell
+    deletion-neighborhood blocking — a lossless equi-join reduction
+    verified by the exact distance.  The oracle is the brute-force
+    all-pairs join: a hash match pins that the blocking loses NO pair
+    (same losslessness contract as q_simjoin_prefix)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("term"))
+    return fuzzy.fuzzy_pairs_edit1(cust, "term")
+
+
+_BM25_QUERY_TERMS = [("q1", "join"), ("q1", "hash"),
+                     ("q2", "window"), ("q2", "stream"), ("q2", "spark"),
+                     ("q3", "vector"), ("q3", "dup")]
+
+@register("q_bm25", """
+WITH words AS (
+  SELECT doc_id AS doc, w AS term FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t WHERE w <> ''),
+tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc, term),
+dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM words GROUP BY doc),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
+           AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl),
+q(qid, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.qid, tf.doc, tf.term,
+         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+            / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((tf.tf * CAST({k1p1} AS DOUBLE))
+            / (tf.tf + CAST({k1} AS DOUBLE)
+               * (CAST({omb} AS DOUBLE)
+                  + CAST({b} AS DOUBLE) * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN q ON q.term = tf.term
+  JOIN dft d ON d.term = tf.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s),
+tot AS (
+  SELECT qid, doc, SUM(s ORDER BY term) AS score
+  FROM cand GROUP BY qid, doc),
+rk AS (
+  SELECT qid, doc, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM tot)
+SELECT qid, doc AS doc_id, CAST(rank AS INT) AS rank,
+       round(score, 6) AS score
+FROM rk WHERE rank <= 5
+""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
+                                 for q, t in _BM25_QUERY_TERMS))
+   .replace("{k1p1}", repr(1.2 + 1.0)).replace("{k1}", repr(1.2))
+   .replace("{omb}", repr(1.0 - 0.75)).replace("{b}", repr(0.75)))
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (text.bm25_topk): top-5 documents for three
+    multi-term queries.  Rational idf (no ln — cross-engine exact);
+    the per-(query, doc) float sum folds in sorted term order on BOTH
+    engines (Spark: array_sort + aggregate fold; oracle: ordered-
+    aggregate SUM), because float addition is order-dependent."""
+    q = spark.createDataFrame(_BM25_QUERY_TERMS, "qid string, term string")
+    return text.bm25_topk(load_docs(spark, sf_dir), q, k=5)
+
+
+@register("q_dup_ngram_coverage", """
+WITH ws AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+  FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
+dfg AS (SELECT g, COUNT(*) AS nd FROM grams GROUP BY g),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY doc_id),
+sh AS (SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM grams JOIN dfg ON dfg.g = grams.g
+       WHERE dfg.nd >= 2 GROUP BY grams.doc_id)
+SELECT d.doc_id,
+       COALESCE(tot.n_grams, 0) AS n_grams,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(tot.n_grams, 0) > 0
+            THEN round(COALESCE(sh.n_shared, 0) / tot.n_grams, 6)
+       END AS dup_frac
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN sh ON sh.doc_id = d.doc_id
+""")
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Duplicate-8-gram coverage per document (dedup.dup_ngram_coverage,
+    Lee et al. 2021): the fraction of a document's distinct word
+    8-grams that also occur in another document — the
+    flag-don't-delete dedup signal.  Grams md5-hashed before any
+    shuffle; text never shuffles."""
+    return dedup.dup_ngram_coverage(load_docs(spark, sf_dir), n=8)
