@@ -61,6 +61,8 @@ HEADLINE = [
     "q_term_pmi",
     "q_scd2_history", "q_table_checksum", "q_fuzzy_match",
     "q_bm25", "q_dup_ngram_coverage",
+    "q_scd2_snapshot", "q_top_customers", "q_data_card",
+    "q_source_drift",
 ]
 
 

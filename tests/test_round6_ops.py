@@ -213,3 +213,37 @@ def test_dup_ngram_within_doc_repeat_not_counted(spark):
     got = {r["doc_id"]: r for r in
            dedup.dup_ngram_coverage(docs, n=8).collect()}
     assert got[1]["n_shared"] == 0
+
+
+# ------------------------------------------------------- drift / card
+
+def test_source_drift_identical_halves_is_zero(spark):
+    # two identical distributions -> zero L1
+    rows = [(i, "en" if i % 4 < 2 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    from ydb_cdc_processor_spark.registry import QUERIES
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("source", F.lit("s")) \
+            .withColumn("text", F.lit("x")) \
+            .withColumn("n_chars", F.lit(1).cast("long")) \
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        got = QUERIES["q_source_drift"](spark, d).collect()[0]
+    # doc_id%4<2 gives en for ids 0,1 mod 4 -> half 0 gets {0,2}=en/de
+    # equally; both halves have 10 en + 10 de
+    assert got["l1_num"] == 0 and got["l1_drift"] == 0.0
+
+
+def test_source_drift_disjoint_is_two(spark):
+    # completely disjoint languages -> L1 = 2 (maximal)
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    from ydb_cdc_processor_spark.registry import QUERIES
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("source", F.lit("s")) \
+            .withColumn("text", F.lit("x")) \
+            .withColumn("n_chars", F.lit(1).cast("long")) \
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        got = QUERIES["q_source_drift"](spark, d).collect()[0]
+    assert got["l1_drift"] == 2.0

@@ -518,17 +518,28 @@ def dup_ngram_coverage(docs: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(1), kmax),
                     lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
     ).otherwise(F.array().cast("array<string>"))
-    per_doc = docs.select(F.col(id_col).alias("doc"),
-                          F.array_distinct(grams).alias("gs"))
-    pairs = per_doc.select("doc", F.explode("gs").alias("g"))
-    shared = (pairs.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
-              .where(F.col("nd") >= 2).select("g"))
-    totals = per_doc.select("doc", F.size("gs").cast("long")
-                            .alias("n_grams"))
-    shared_cnt = (pairs.join(shared, on="g", how="left_semi")
-                  .groupBy("doc").agg(F.count(F.lit(1)).alias("n_shared")))
-    out = (totals.join(shared_cnt, on="doc", how="left")
-           .select(F.col("doc").alias(id_col), "n_grams",
+    # ONE exploded (doc, gram) subtree feeds both the gram-df agg and
+    # the flag-back join: both shuffle on ``g``, so Catalyst reuses the
+    # exchange and the md5/transform forest evaluates ONCE — the naive
+    # {totals, df, semi-join} 3-branch shape re-computed it per branch
+    # (measured 10.3 s → this shape at sf0.1).  explode_outer, not
+    # explode: InferFiltersFromGenerate would push a size()>0 twin of
+    # the whole expression below the exchange (the documented gotcha).
+    pairs = (docs.select(F.col(id_col).alias("doc"),
+                         F.explode_outer(F.array_distinct(grams))
+                          .alias("g"))
+             .where(F.col("g").isNotNull()))
+    dfg = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    per = (pairs.join(dfg, on="g")
+           .groupBy("doc")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_shared")))
+    out = (docs.select(F.col(id_col).alias("doc"))
+           .join(per, on="doc", how="left")
+           .select(F.col("doc").alias(id_col),
+                   F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
                    F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
                     .alias("n_shared")))
     return out.withColumn(

@@ -3236,3 +3236,173 @@ def q_dup_ngram_coverage(spark, sf_dir):
     flag-don't-delete dedup signal.  Grams md5-hashed before any
     shuffle; text never shuffles."""
     return dedup.dup_ngram_coverage(load_docs(spark, sf_dir), n=8)
+
+
+_SNAPSHOT_TIMES = ["2024-01-08 00:00:00", "2024-01-15 00:00:00",
+                   "2024-01-25 00:00:00"]
+
+@register("q_scd2_snapshot", """
+WITH w0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         lag(1) OVER w AS has_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM w0
+  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg),
+probes(snap_ts) AS (VALUES {probes})
+SELECT CAST(p.snap_ts AS TIMESTAMP) AS snap_ts, h.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM hist h JOIN probes p
+  ON h.valid_from <= CAST(p.snap_ts AS TIMESTAMP)
+ AND (h.valid_to IS NULL OR h.valid_to > CAST(p.snap_ts AS TIMESTAMP))
+GROUP BY 1, 2
+""".replace("{probes}", ", ".join(f"('{t}')" for t in _SNAPSHOT_TIMES)))
+def q_scd2_snapshot(spark, sf_dir):
+    """Time travel over the SCD2 history (scd.snapshot_at): the state of
+    the world — how many users held each event_type — at three probe
+    instants.  History built ONCE, snapshots are interval filters; at
+    scale this is the audit/backfill query a history sink exists for."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
+                            tiebreak_col="event_id")
+    # one broadcast interval join against the probe instants — NOT a
+    # per-probe snapshot_at union, which would rebuild the history
+    # window once per probe (3x the event shuffle for 3 probes)
+    probes = spark.createDataFrame(
+        [(t,) for t in _SNAPSHOT_TIMES], "snap_ts string").select(
+        F.col("snap_ts").cast("timestamp").alias("snap_ts"))
+    joined = hist.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("snap_ts"))
+        & (F.col("valid_to").isNull()
+           | (F.col("valid_to") > F.col("snap_ts"))))
+    return joined.groupBy("snap_ts", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
+@register("q_top_customers", """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+       AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue per customer, top 20.
+    Plan: both filters pushed to the scans (returnflag on lineitem,
+    date window on orders), customer/nation BROADCAST, one hash agg on
+    the customer key, TakeOrderedAndProject for the top-20 (never a
+    global sort).  Decimal-routed revenue sum = bit-identical at any
+    parallelism."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-01-01").cast("timestamp"))))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey))
+    return (joined.groupBy("c_custkey", "c_name", "n_name")
+            .agg(dec_sum(rev, "revenue", scale=6),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+@register("q_data_card", """
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+           AS avg_chars,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_langs, total_chars, avg_chars,
+       n_en / n_docs AS en_share
+FROM per_source
+""")
+def q_data_card(spark, sf_dir):
+    """Per-source data card — the summary block a dataset release ships
+    (counts, language mix, size stats).  ONE hash agg over the corpus;
+    the only distinct is per-group lang cardinality (partial-distinct
+    expanded).  en_share is an exact bigint ratio → one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 long_sum("n_chars", "total_chars"),
+                 dec_avg("n_chars", "avg_chars"),
+                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .cast("long").alias("n_en"))
+            .select("source", "n_docs", "n_langs", "total_chars",
+                    "avg_chars",
+                    (F.col("n_en") / F.col("n_docs")).alias("en_share")))
+
+
+@register("q_source_drift", """
+WITH tagged AS (
+  SELECT lang, doc_id % 2 AS half FROM documents),
+cnt AS (
+  SELECT lang,
+         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c0,
+         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
+  FROM tagged GROUP BY lang),
+tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1
+  FROM cnt)
+SELECT t.t0 AS n_a, t.t1 AS n_b,
+       CAST(SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT) AS l1_num,
+       CAST(SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT)
+         / CAST(t.t0 * t.t1 AS DOUBLE) AS l1_drift
+FROM cnt c CROSS JOIN tot t
+GROUP BY t.t0, t.t1
+""")
+def q_source_drift(spark, sf_dir):
+    """Distribution drift between two corpus snapshots (here: doc_id
+    parity halves): L1 distance between their language distributions,
+    computed EXACTLY in integers — Σ|c0·t1 − c1·t0| / (t0·t1) — so the
+    order-dependent float-sum trap never appears.  The shape of a
+    train/serve or week-over-week drift monitor: one hash agg on the
+    category, a broadcast of the two totals, one division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select("lang", (F.col("doc_id") % 2).alias("half"))
+    cnt = tagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
+         .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
+         .alias("c1"))
+    tot = cnt.agg(F.sum("c0").cast("long").alias("t0"),
+                  F.sum("c1").cast("long").alias("t1"))
+    diff = F.abs(F.col("c0") * F.col("t1") - F.col("c1") * F.col("t0"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .groupBy("t0", "t1")
+            .agg(F.sum(diff).cast("long").alias("l1_num"))
+            .select(F.col("t0").alias("n_a"), F.col("t1").alias("n_b"),
+                    "l1_num",
+                    (F.col("l1_num")
+                     / (F.col("t0") * F.col("t1")).cast("double"))
+                    .alias("l1_drift")))
