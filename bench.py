@@ -62,7 +62,7 @@ HEADLINE = [
     "q_scd2_history", "q_table_checksum", "q_fuzzy_match",
     "q_bm25", "q_dup_ngram_coverage",
     "q_scd2_snapshot", "q_top_customers", "q_data_card",
-    "q_source_drift",
+    "q_source_drift", "q_scd2_incremental",
 ]
 
 

@@ -247,3 +247,73 @@ def test_source_drift_disjoint_is_two(spark):
             .write.parquet(os.path.join(d, "documents.parquet"))
         got = QUERIES["q_source_drift"](spark, d).collect()[0]
     assert got["l1_drift"] == 2.0
+
+
+# ----------------------------------------------- incremental SCD2 view
+
+def _scd2_view(spark, tmp_path):
+    return scd.Scd2View(spark, str(tmp_path / "hist"),
+                        ["k"], "ts", ["attr"], tiebreak_col="seq")
+
+
+def _rows_of(df):
+    return sorted((r["k"], str(r["attr"]), str(r["valid_from"]),
+                   str(r["valid_to"]), r["is_current"])
+                  for r in df.collect())
+
+
+def test_scd2_view_incremental_equals_batch(spark, tmp_path):
+    ch = _changes(spark)
+    view = _scd2_view(spark, tmp_path)
+    # apply in three interleaved (event-time out-of-order) batches
+    for part in range(3):
+        view.apply_batch(ch.where(F.col("seq") % 3 == part),
+                         batch_token=f"b{part}")
+    full = scd.scd2_history(ch, ["k"], "ts", ["attr"], tiebreak_col="seq")
+    assert _rows_of(view.read()) == _rows_of(full)
+
+
+def test_scd2_view_replay_is_idempotent(spark, tmp_path):
+    ch = _changes(spark)
+    view = _scd2_view(spark, tmp_path)
+    b0 = ch.where(F.col("seq") <= 5)
+    view.apply_batch(b0, batch_token="b0")
+    before = _rows_of(view.read())
+    view.apply_batch(b0, batch_token="b0")      # fenced replay
+    assert _rows_of(view.read()) == before
+    view.apply_batch(b0, batch_token=None)      # unfenced replay: dedups
+    assert _rows_of(view.read()) == before
+    # the fence survives an un-tokenized apply (meta carried forward)
+    assert view._store.read_meta().get("batch_token") == "b0"
+
+
+def test_scd2_view_late_change_splices(spark, tmp_path):
+    view = _scd2_view(spark, tmp_path)
+    early = [(1, _ts("2024-01-01 00:00:00"), 1, "a"),
+             (1, _ts("2024-01-05 00:00:00"), 5, "c")]
+    late = [(1, _ts("2024-01-03 00:00:00"), 3, "b")]
+    schema = "k long, ts timestamp, seq long, attr string"
+    view.apply_batch(spark.createDataFrame(early, schema), "b0")
+    view.apply_batch(spark.createDataFrame(late, schema), "b1")
+    got = {(r["attr"], r["valid_from"].day,
+            None if r["valid_to"] is None else r["valid_to"].day)
+           for r in view.read().collect()}
+    assert got == {("a", 1, 3), ("b", 3, 5), ("c", 5, None)}
+
+
+def test_scd2_view_suppressed_noop_revives_on_late_splice(spark, tmp_path):
+    # a@t1, a@t3 arrive first: a@t3 is a no-op. b@t2 arrives late:
+    # a@t3 must REVIVE as a real change (the raw-row store exists for
+    # exactly this; rebuilding from surviving rows would lose it).
+    view = _scd2_view(spark, tmp_path)
+    schema = "k long, ts timestamp, seq long, attr string"
+    view.apply_batch(spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 1, "a"),
+         (1, _ts("2024-01-03 00:00:00"), 3, "a")], schema), "b0")
+    assert view.read().count() == 1  # a@t3 suppressed
+    view.apply_batch(spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), 2, "b")], schema), "b1")
+    got = {(r["attr"], r["valid_from"].day,
+            None if r["valid_to"] is None else r["valid_to"].day)
+           for r in view.read().collect()}
+    assert got == {("a", 1, 2), ("b", 2, 3), ("a", 3, None)}

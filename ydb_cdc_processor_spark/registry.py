@@ -3406,3 +3406,25 @@ def q_source_drift(spark, sf_dir):
                     (F.col("l1_num")
                      / (F.col("t0") * F.col("t1")).cast("double"))
                     .alias("l1_drift")))
+
+
+ORACLES_SCD2 = ORACLES["q_scd2_history"]
+
+@register("q_scd2_incremental", ORACLES_SCD2)
+def q_scd2_incremental(spark, sf_dir):
+    """Incrementally-maintained SCD2 history SINK (scd.Scd2View): the
+    event stream applied as three micro-batches split by event_id
+    parity classes — i.e. OUT OF ORDER in event time across batches —
+    must produce the identical history a single batch build produces
+    (same oracle as q_scd2_history).  Key-pruned reconstruct-and-
+    rebuild: idempotent under replay, order-tolerant by construction."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    view = scd.Scd2View(
+        spark, tempfile.mkdtemp(prefix="scd2_") + "/hist",
+        ["user_id"], "ts", ["event_type"], tiebreak_col="event_id")
+    for part in range(3):
+        batch = ev.where(F.col("event_id") % 3 == part)
+        view.apply_batch(batch, batch_token=f"b{part}")
+    return view.read()
