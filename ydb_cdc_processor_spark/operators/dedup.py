@@ -546,3 +546,35 @@ def dup_ngram_coverage(docs: DataFrame, id_col: str = "doc_id",
         "dup_frac",
         F.when(F.col("n_grams") > 0,
                F.round(F.col("n_shared") / F.col("n_grams"), 6)))
+
+
+def ngram_containment(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs: ``C(A→B) =
+    |A∩B| / |A|`` and the reverse — the asymmetric near-dup signal
+    Jaccard misses.  A short document quoted wholesale inside a long one
+    has tiny Jaccard (the union is huge) but containment ≈ 1 in one
+    direction; quote/boilerplate detection filters on max(c_ab, c_ba).
+
+    Same shape as :func:`ngram_jaccard`: shingle sets joined onto the
+    (post-LSH, bounded) candidate pairs by doc id — never all-pairs."""
+    sh = ensure_min_partitions(docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col))) \
+        .select("_id",
+                F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed("_id", "doc_a")
+                 .withColumnRenamed("_sh", "sh_a"), on="doc_a")
+         .join(sh.withColumnRenamed("_id", "doc_b")
+                 .withColumnRenamed("_sh", "sh_b"), on="doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return j.select(
+        "doc_a", "doc_b",
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+        inter.cast("long").alias("n_inter"),
+        F.round(inter / F.greatest(F.size("sh_a"), F.lit(1)), 6)
+         .alias("contain_ab"),
+        F.round(inter / F.greatest(F.size("sh_b"), F.lit(1)), 6)
+         .alias("contain_ba"))

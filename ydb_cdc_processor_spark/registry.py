@@ -3428,3 +3428,102 @@ def q_scd2_incremental(spark, sf_dir):
         batch = ev.where(F.col("event_id") % 3 == part)
         view.apply_batch(batch, batch_token=f"b{part}")
     return view.read()
+
+
+@register("q_containment", r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS pre
+  FROM documents),
+s AS (
+  SELECT doc_id, pre,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM n),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(a.sh) AS BIGINT) AS n_a,
+       CAST(len(b.sh) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(len(a.sh), 1), 6) AS contain_ab,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(len(b.sh), 1), 6) AS contain_ba
+FROM pairs p
+JOIN s a ON a.doc_id = p.doc_a
+JOIN s b ON b.doc_id = p.doc_b
+""")
+def q_containment(spark, sf_dir):
+    """Exact 3-gram CONTAINMENT (dedup.ngram_containment) over the same
+    deterministic pair set as q_ngram_jaccard — the asymmetric signal
+    for quote/boilerplate detection: a short doc embedded in a long one
+    scores ~1 one way while its Jaccard stays tiny."""
+    docs = load_docs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    consec = (ids.select(F.col("doc_id").alias("doc_a"))
+              .join(ids.select((F.col("doc_id")).alias("doc_b")),
+                    F.col("doc_b") == F.col("doc_a") + 1))
+    pre = docs.select("doc_id", F.substring(
+        dedup.normalize_text(F.col("text")), 1, 40).alias("pre"))
+    dup = (pre.alias("a").join(pre.alias("b"), "pre")
+           .where(F.col("a.doc_id") < F.col("b.doc_id"))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b")))
+    pairs = consec.union(dup).distinct()
+    return dedup.ngram_containment(docs, pairs)
+
+
+@register("q_pit_enrich", """
+WITH w0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         lag(1) OVER w AS has_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM w0
+  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg),
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, h.event_type AS state_before
+FROM probes p
+LEFT JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from < p.ts
+ AND (h.valid_to IS NULL OR h.valid_to >= p.ts)
+""")
+def q_pit_enrich(spark, sf_dir):
+    """Point-in-time enrichment — leakage-free feature backfill: each
+    purchase event joined to the SCD2 state the user held STRICTLY
+    BEFORE the event (half-open intervals make the covering row unique;
+    a user's first event gets NULL).  Plan: history and probes both
+    hash-partition on the user key, one SortMergeJoin with the interval
+    refine as its residual condition — the standard "as-of the label's
+    timestamp, never after" join every feature store needs."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
+                            tiebreak_col="event_id")
+    probes = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts"))
+    h = hist.select(F.col("user_id").alias("h_user"),
+                    F.col("event_type").alias("state_before"),
+                    "valid_from", "valid_to")
+    return (probes.join(
+                h, (F.col("h_user") == F.col("user_id"))
+                   & (F.col("valid_from") < F.col("ts"))
+                   & (F.col("valid_to").isNull()
+                      | (F.col("valid_to") >= F.col("ts"))),
+                how="left")
+            .select("event_id", "user_id", "ts", "state_before"))
