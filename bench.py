@@ -1,8 +1,10 @@
 """Headline benchmark — run per-round by the driver at sf0.1.
 
-Prints ONE JSON line:
+Prints the full per-query detail line first (also written to
+``bench_details.json``), then a FINAL compact JSON line that fits the
+driver's tail capture:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>, "runs": <n>}
+     "sf": <sf>, "n_queries": <n>, "runs": <n>}
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect), timed ``runs`` times (default 3), and reported as the
@@ -168,7 +170,12 @@ def main() -> None:
             sf = float(base[2:])
         except ValueError:
             pass
-    print(json.dumps({
+    # Full per-query map: to a file + an EARLY stdout line.  The driver's
+    # tail capture is ~2.2 KB; round 6's 98-entry single line outgrew it
+    # and the round lost its headline number ("parsed": null).  So the
+    # LAST line printed is a compact summary that always fits, and the
+    # detail lives in bench_details.json / the earlier line.
+    detail = {
         "metric": "headline query set total wall time (per-query medians)",
         "value": total, "unit": "sec",
         "queries": timings, "sf": sf,
@@ -177,6 +184,16 @@ def main() -> None:
         # common subset, not the raw total
         "n_queries": len(timings),
         "runs": RUNS,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    print(json.dumps({
+        "metric": "headline total sec (per-query medians; "
+                  "full map in bench_details.json)",
+        "value": total, "unit": "sec", "sf": sf,
+        "n_queries": len(timings), "runs": RUNS,
     }))
 
 

@@ -107,7 +107,9 @@ def test_checksum_shard_additivity(spark):
     full = spark.createDataFrame(rows, "id long, v string")
     lo = full.where("id < 40")
     hi = full.where("id >= 40")
-    d = lambda df: table_checksum(df, ["id", "v"]).collect()[0]["digest"]
+    # digest is rendered as a decimal string for cross-engine exactness;
+    # additivity holds on the integer value
+    d = lambda df: int(table_checksum(df, ["id", "v"]).collect()[0]["digest"])
     assert d(full) == d(lo) + d(hi)
 
 
@@ -117,6 +119,30 @@ def test_checksum_null_vs_empty_string_differ(spark):
     da = table_checksum(a, ["id", "v"]).collect()[0]["digest"]
     db = table_checksum(b, ["id", "v"]).collect()[0]["digest"]
     assert da != db
+
+
+def test_checksum_serialization_injective(spark):
+    """Separator-forging values must NOT collide: with the old
+    join-with-\\x1f serialization, ('a\\x1fb', 'c') and ('a', 'b\\x1fc')
+    hashed identically.  The per-field-digest scheme is injective."""
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    da = table_checksum(a, ["x", "y"]).collect()[0]
+    db = table_checksum(b, ["x", "y"]).collect()[0]
+    assert da["digest"] != db["digest"]
+    # NULL-marker forgery: a literal NULL vs a value equal to any
+    # printable marker must differ too (md5 output can't be 'N'*32)
+    c = spark.createDataFrame([(1, None)], "id long, v string")
+    d_ = spark.createDataFrame([(1, "N" * 32)], "id long, v string")
+    assert (table_checksum(c, ["id", "v"]).collect()[0]["digest"]
+            != table_checksum(d_, ["id", "v"]).collect()[0]["digest"])
+
+
+def test_checksum_digest_is_canonical_decimal_string(spark):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                               "id long, v string")
+    row = table_checksum(df, ["id", "v"]).collect()[0]
+    assert isinstance(row["digest"], str) and row["digest"].isdigit()
 
 
 # -------------------------------------------------------------- fuzzy

@@ -17,9 +17,11 @@ negatives do not — the brute-force oracle pins that losslessness.
 
 Scale shape: candidate generation is a per-row array expression (no
 shuffle), the join is a plain hash equi-join on the variant string —
-O(n·len) exploded rows total, never O(n²).  Variant buckets are bounded
-by the alphabet (≤ |Σ|·2 strings can produce a given variant), so no
-skew salting is needed.
+O(n·len) exploded rows total, never O(n²).  A variant bucket of length
+L is producible by at most ~|Σ|·(L+1) + 1 strings (itself plus every
+single-character insertion) — a bound independent of corpus size, which
+is the property that matters: buckets cannot grow with n, so no skew
+salting is needed.
 """
 
 from __future__ import annotations

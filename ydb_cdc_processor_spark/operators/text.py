@@ -344,19 +344,24 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", k: int = 5,
-              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k1: float = 1.2, b: float = 0.75,
+              qid_col: str = "qid", qterm_col: str = "term") -> DataFrame:
     """BM25 ranked retrieval: top-``k`` documents per query.
 
-    ``queries``: a small DataFrame ``(qid, term)`` — one row per query
-    term (query sets are config-sized: broadcast).  Output:
+    ``queries``: a small DataFrame with one row per query term — columns
+    ``qid_col`` (query id) and ``qterm_col`` (lower-cased term); query
+    sets are config-sized: broadcast.  Output:
     ``(qid, doc_id, rank, score)``.
 
     Scoring follows Robertson/Sparck-Jones BM25 with the RATIONAL idf
     ``(N - df + 0.5) / (df + 0.5)`` instead of its logarithm — the same
     cross-engine-exactness call as ``tfidf_top_terms`` (ln is not
-    correctly rounded across engines; the rational form preserves the
-    ranking direction for df < N/2, which holds for meaningful query
-    terms).  The per-(query, doc) term-score sum folds in SORTED term
+    correctly rounded across engines).  Note the rational form is
+    order-preserving per TERM (for df < N/2) but the summed multi-term
+    score is NOT ranking-equivalent to log-idf BM25 — rankings can
+    differ from the textbook formula by design; what this buys is a
+    bit-replayable cross-engine score.  The per-(query, doc) term-score
+    sum folds in SORTED term
     order over a collected array, NOT via ``F.sum`` — float addition is
     order-dependent, and a fixed fold order is what lets any engine
     replay the exact double.
@@ -376,7 +381,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
     stats = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs")) \
                 .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
 
-    qterms = queries.select(F.col("qid"), F.col("term")).distinct()
+    qterms = queries.select(F.col(qid_col).alias("qid"),
+                            F.col(qterm_col).alias("term")).distinct()
     cand = (tf.join(F.broadcast(qterms), on="term")
               .join(dft, on="term")
               .join(dl, on="doc")
