@@ -65,6 +65,7 @@ HEADLINE = [
     "q_bm25", "q_dup_ngram_coverage",
     "q_scd2_snapshot", "q_top_customers", "q_data_card",
     "q_source_drift", "q_scd2_incremental",
+    "q_pagerank_fast",
 ]
 
 

@@ -421,6 +421,26 @@ def test_pagerank_known_graph(spark):
         pagerank(cycle, n_iter=-1)
 
 
+def test_pagerank_fast_close_to_exact(spark):
+    """exact=False (plain double sums) must agree with the decimal-exact
+    mode to within float-summation noise on a non-trivial graph."""
+    import random
+
+    from ydb_cdc_processor_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges_data = list({(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+                       for _ in range(400)})
+    edges = spark.createDataFrame(edges_data, "src string, dst string")
+    exact = {r.node: r.rank
+             for r in pagerank(edges, n_iter=4, exact=True).collect()}
+    fast = {r.node: r.rank
+            for r in pagerank(edges, n_iter=4, exact=False).collect()}
+    assert set(exact) == set(fast)
+    for node, v in exact.items():
+        assert abs(fast[node] - v) <= 1e-9 * max(abs(v), 1e-30)
+
+
 def test_dataset_split_stable_and_partitions(spark):
     from ydb_cdc_processor_spark.functions.sampling import dataset_split
 

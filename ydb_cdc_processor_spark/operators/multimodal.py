@@ -254,9 +254,21 @@ def resize_nearest(decoded: DataFrame, out_w: int, out_h: int,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = [None if px is None or len(px) == 0
-                   else np.asarray(px, dtype=np.float64)[flat].tolist()
-                   for px in pdf["pixels"]]
+            px = pdf["pixels"]
+            mask = np.fromiter((p is not None and len(p) > 0 for p in px),
+                               dtype=bool, count=len(px))
+            out = np.full(len(px), None, dtype=object)
+            if mask.any():
+                # one (n, grid²) stack + ONE fancy-index + ONE tolist for
+                # the whole Arrow batch — the per-row
+                # asarray/index/tolist loop dominated this operator's
+                # profile (0.8–7 s swings at sf0.1)
+                stacked = np.asarray(
+                    [np.asarray(p, dtype=np.float64) for p, m
+                     in zip(px, mask) if m])
+                resized = stacked[:, flat].tolist()
+                for i, v in zip(np.flatnonzero(mask), resized):
+                    out[i] = v
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "out_w": out_w, "out_h": out_h,
                                 "pixels": out})
