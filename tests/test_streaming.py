@@ -511,6 +511,87 @@ def test_stream_maintains_agg_view_across_restart(spark, sf_dir, tmp_path):
     assert "restarted" in grp
 
 
+def test_stream_maintains_scd2_history_across_restart(spark, sf_dir,
+                                                      tmp_path):
+    """SCD2 history SINK under the STREAM engine: the history is built
+    across >=3 micro-batches (one file per trigger), survives a
+    kill/restart (fresh engine + view objects, same checkpoint), absorbs
+    out-of-order late data landed while down, and — the oracle — equals
+    the one-shot ``scd2_history`` over every upsert version in the same
+    fixture.  Checkpoint replay must not duplicate history rows
+    (Scd2View dedups on key+ts+tiebreak)."""
+    import json as _json
+
+    from ydb_cdc_processor_spark.operators import decode, scd
+
+    src = str(tmp_path / "cdc_src")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                          n_partitions=3, limit=600)
+    assert n > 0
+
+    p = _pipeline(spark, sf_dir)
+    view, ckpt, hist = (str(tmp_path / "view"), str(tmp_path / "ckpt"),
+                        str(tmp_path / "hist"))
+
+    def engine():
+        sv = scd.Scd2View(spark, hist, ["user_id"], "ts", ["event_type"],
+                          tiebreak_col="event_id")
+        return CdcStreamEngine(spark, p, view, ckpt, max_retries=2,
+                               scd2_views=[sv]), sv
+
+    # phase 1: one file per trigger over 3 part files -> >=3 micro-batches
+    se1, sv1 = engine()
+    q = se1.start(src, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert se1.status().batches >= 3
+    assert sv1.read().count() > 0
+    se1.stop()  # "kill": engine + view objects discarded
+
+    # phase 2: late data lands while down — OUT OF ORDER in event time
+    # (mid-2023 timestamps precede the fixture's later events) plus a
+    # brand-new state for existing users
+    ids = [r.event_id for r in
+           se1.batch_engine.read_view().orderBy("event_id")
+           .limit(20).collect()]
+    lines = [cdc_json.envelope(
+        [i], {"ts": "2023-06-01T00:00:00Z", "user_id": 3,
+              "event_type": "late_state", "value": 1.0, "props": None})
+        for i in ids]
+    with open(os.path.join(src, "part-late.json"), "w") as f:
+        for off, line in enumerate(lines):
+            f.write(_json.dumps({"value": line, "_partition": 0,
+                                 "_offset": 20_000 + off}) + "\n")
+
+    # restart: fresh engine + view objects, same checkpoint — only the
+    # new file processes
+    se2, sv2 = engine()
+    status = se2.run_available(src)
+    assert status.ok and status.batches >= 1
+
+    # oracle: one-shot scd2_history over EVERY upsert version in the
+    # fixture (pre-collapse — the history records each change message)
+    raw = cdc_json.read_cdc_batch(spark, src)
+    env = decode.decode_envelope(raw, raw_col="value")
+    typed = decode.merge_key_columns(
+        env.where(F.col("op") != decode.OP_MALFORMED),
+        p.members, p.pk, keep=["op"])
+    ups = typed.where(F.col("op") == decode.OP_UPSERT).drop("op")
+    expected = scd.scd2_history(ups, ["user_id"], "ts", ["event_type"],
+                                tiebreak_col="event_id")
+
+    got_rows = sorted(tuple(r) for r in sv2.read().collect())
+    exp_rows = sorted(tuple(r) for r in expected.collect())
+    assert got_rows == exp_rows
+    assert any(r[1] == "late_state" for r in got_rows)
+
+    # replay: re-applying the ENTIRE fixture as one batch against the
+    # SAME history store (same apply path, fresh batch token) must leave
+    # it unchanged — every version dedups away
+    se3, sv3 = engine()
+    se3.batch_engine.apply_raw_batch(raw, batch_token="replay-all")
+    assert sorted(tuple(r) for r in sv3.read().collect()) == exp_rows
+
+
 def test_status_web_page():
     """O4 — GET / serves the status page (index.html:16-70 analogue):
     the table scaffold + fetch polling of /config and /status, no

@@ -180,7 +180,8 @@ class CdcBatchEngine:
     def __init__(self, spark: SparkSession, pipeline: CdcPipeline,
                  target_path: str, n_buckets: int | None = None,
                  small_delta: bool | None = None,
-                 agg_views: list | None = None):
+                 agg_views: list | None = None,
+                 scd2_views: list | None = None):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
@@ -197,13 +198,21 @@ class CdcBatchEngine:
         AggregateView` rollups maintained INCREMENTALLY alongside the row
         view — per batch, each gets +new/−old contribution deltas, with
         the old images key-pruned from the row view before the merge
-        swaps it (no rollup recompute, ever)."""
+        swaps it (no rollup recompute, ever).
+
+        ``scd2_views``: :class:`~ydb_cdc_processor_spark.operators.scd.
+        Scd2View` history sinks maintained alongside the row view.  Each
+        batch feeds them every PRE-collapse upsert version — a history
+        sink records each change message, including the intra-batch
+        intermediate versions the row view's last-wins collapse (B4)
+        deliberately discards."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
         self.n_buckets = n_buckets
         self.small_delta = small_delta
         self.agg_views = list(agg_views or [])
+        self.scd2_views = list(scd2_views or [])
         self._mv = None
 
     # -- target plumbing ----------------------------------------------------
@@ -294,6 +303,7 @@ class CdcBatchEngine:
         # materialization — the one typed.count() below is the batch's only
         # driver-side counting job (the merge writes launch no extra ones).
         obs2 = Observation(f"cdc_routed_{id(self)}")
+        typed_all = typed  # pre-collapse: every version, for SCD2 sinks
         typed = collapse_last_wins(typed, self.p.pk, order_col=order_col) \
             .observe(
                 obs2,
@@ -315,6 +325,7 @@ class CdcBatchEngine:
                 stats.details["skipped:delete query not configured"] = \
                     int(m["n_d"] or 0)
             m2 = obs2.get
+            self._maintain_scd2_views(typed_all, order_col, batch_token)
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
@@ -407,6 +418,22 @@ class CdcBatchEngine:
                                  batch_token=batch_token, kind="d")
         self._target(key_rows.schema).apply(key_rows, action="deleteFrom",
                                             small_delta=self.small_delta)
+
+    def _maintain_scd2_views(self, typed_all, order_col: str,
+                             batch_token: str | None = None) -> None:
+        """Feed each attached Scd2View the batch's PRE-collapse upsert
+        versions — the history sink keeps every change message, so the
+        versions must be taken BEFORE the last-wins collapse that the
+        row view applies (B4).  ``Scd2View.apply_batch`` is idempotent
+        (dedup on key+ts+tiebreak) and out-of-order tolerant, so R1
+        retries and checkpoint replays converge with or without the
+        token; the batch token only short-circuits replayed work."""
+        if not self.scd2_views:
+            return
+        versions = (typed_all.where(F.col("op") == decode.OP_UPSERT)
+                    .drop("op", order_col))
+        for sv in self.scd2_views:
+            sv.apply_batch(versions, batch_token=batch_token)
 
     def _maintain_agg_views(self, new_rows, affected_keys,
                             batch_token: str | None = None,

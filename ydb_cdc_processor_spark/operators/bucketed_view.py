@@ -453,6 +453,13 @@ class BucketedMaterializedView:
             logger.info("bucketed view %s: batch token %r already fully "
                         "applied; skipping replay", self.path, batch_token)
             return False
+        # repair crash-torn state BEFORE any bucket/token observation:
+        # unlike apply(), this path reads touched buckets by direct isdir
+        # probe without going through exists(), so a bucket left
+        # displaced by a mid-promotion crash would otherwise read as
+        # absent and its rows would be silently dropped from the merge
+        # (caught by test_bucketed_crash_recovery_merge_touched_exactly_once)
+        self._recover()
         delta_b = self._with_bucket(delta).persist()
         try:
             touched = [r[0] for r in

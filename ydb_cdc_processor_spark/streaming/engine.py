@@ -97,6 +97,7 @@ class CdcStreamEngine:
                  max_retries: int | None = None,
                  n_buckets: int | None = None,
                  agg_views: list | None = None,
+                 scd2_views: list | None = None,
                  rebucket_every: int | None = 64,
                  target_bucket_bytes: int = 128 << 20):
         """``agg_views``: AggregateView rollups maintained CONTINUOUSLY
@@ -119,7 +120,8 @@ class CdcStreamEngine:
         self.batch_engine = CdcBatchEngine(spark, pipeline, target_path,
                                            n_buckets=n_buckets,
                                            small_delta=True,
-                                           agg_views=agg_views)
+                                           agg_views=agg_views,
+                                           scd2_views=scd2_views)
         self.checkpoint_dir = checkpoint_dir
         self.rebucket_every = rebucket_every if n_buckets else None
         self.target_bucket_bytes = target_bucket_bytes
