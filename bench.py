@@ -65,7 +65,8 @@ HEADLINE = [
     "q_bm25", "q_dup_ngram_coverage",
     "q_scd2_snapshot", "q_top_customers", "q_data_card",
     "q_source_drift", "q_scd2_incremental",
-    "q_pagerank_fast",
+    "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
+    "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
 ]
 
 

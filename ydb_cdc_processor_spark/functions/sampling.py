@@ -96,3 +96,32 @@ def dataset_split(df: DataFrame, id_col: str,
     for name, hi in reversed(bounds):
         expr = F.when(frac < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, deterministic:
+    Efraimidis–Spirakis A-ES — each row draws a uniform ``u`` from its
+    id hash and ranks by ``u^(1/w)``; the top-k by that key are a true
+    weighted sample (selection probability ∝ weight, no replacement).
+
+    Implemented on the monotone-equivalent key ``ln(u)/w`` (avoids the
+    pow underflow for large weights), with ``u = (h+1)/2^32 ∈ (0,1]`` so
+    ln never sees 0.  The key is ROUNDED to 9 decimals before ranking
+    with an id tiebreak: IEEE division/ln agree across engines to ~1
+    ulp, so the rounded key + tiebreak makes the selected set
+    engine-replayable (same contract as the round-6 cosine ranking).
+    Rows with non-positive weight never qualify.
+
+    Scale shape: a codegen projection + ONE global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort, no
+    shuffle of non-winners).  Stable across runs, partitionings, and
+    engines — ``df.sample`` is none of those.
+    """
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("long") + F.lit(1)) / F.lit(_DENOM)
+    key = F.round(F.log(h) / F.col(weight_col), 9)
+    return (df.where(F.col(weight_col) > 0)
+            .withColumn("_aes_key", key)
+            .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -406,3 +406,48 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
             .select("qid", F.col("doc").alias(id_col),
                     F.col("rank").cast("int").alias("rank"),
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   vocab_size: int = 512) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: build the corpus
+    top-``vocab_size`` term vocabulary (by total frequency,
+    deterministic term-asc tiebreak), then measure each document's
+    out-of-vocabulary token share — the standard pre-tokenizer health
+    check for a training corpus (a doc whose tokens mostly miss the
+    vocab will shatter into bytes/unknowns downstream).
+
+    Output: ``(doc_id, n_tokens BIGINT, n_oov BIGINT, oov_ppm BIGINT)``
+    — the OOV share in parts-per-million via FLOOR of an IEEE division
+    (exact-integer cross-engine; a rounded double ratio can straddle
+    half-boundaries between engines).  Token-less docs keep NULL ppm.
+
+    Scale shape: one explode + hash agg for term counts, the vocab
+    top-k is a single global TakeOrdered (vocab_size rows) broadcast
+    back to the token stream — the corpus-size side never sorts and the
+    coverage join streams map-side.  Two passes over the token stream
+    (vocab build, coverage), both shuffle-light hash aggs.
+    """
+    words_all = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(normalize_words(F.col(text_col))).alias("term"))
+    words = words_all.where(F.col("term").isNotNull() & (F.col("term") != ""))
+    vocab = (words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("term").asc())
+             .limit(vocab_size)
+             .select("term", F.lit(True).alias("_inv")))
+    cov = (words.join(F.broadcast(vocab), on="term", how="left")
+           .groupBy("doc")
+           .agg(F.count(F.lit(1)).alias("_nt"),
+                F.sum(F.when(F.col("_inv").isNull(), 1)
+                      .otherwise(0)).alias("_no")))
+    return (docs.select(F.col(id_col).alias("doc"))
+            .join(cov, on="doc", how="left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce(F.col("_nt"), F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce(F.col("_no"), F.lit(0)).cast("long")
+                     .alias("n_oov"),
+                    F.floor(F.col("_no") * F.lit(1_000_000.0)
+                            / F.col("_nt")).cast("long").alias("oov_ppm")))

@@ -3567,6 +3567,191 @@ def q_pit_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 7 additions: canonical TPC-H shapes (Q1/Q3/Q4) + curation sampling
+# and tokenizer-coverage operators
+# ---------------------------------------------------------------------------
+
+_Q1_CUT = "1998-07-01 00:00:00"
+
+
+@register("q_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary shape — the canonical scan-heavy
+    wide-aggregate report: one filtered scan, one map-side-combined
+    hash agg into a handful of groups, every double routed through the
+    exact decimal fold (functions/aggregates.py) so the report is
+    bit-identical at any parallelism.  Per-row products evaluate in the
+    same association order as the oracle SQL."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(dec_sum("l_quantity", "sum_qty", 6),
+                 dec_sum("l_extendedprice", "sum_base_price", 6),
+                 dec_sum(disc_price, "sum_disc_price", 6),
+                 dec_sum(charge, "sum_charge", 6),
+                 dec_avg("l_quantity", "avg_qty", 6),
+                 dec_avg("l_extendedprice", "avg_price", 6),
+                 dec_avg("l_discount", "avg_disc", 6),
+                 F.count(F.lit(1)).cast("long").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("q_shipping_priority", f"""
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q1_CUT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q1_CUT}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""")
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shipping-priority shape: segment-filtered customers
+    BROADCAST into the orders⋈lineitem join (the dimension side is
+    config-scale after the filter — never shuffle the fact table for
+    it), decimal-exact revenue agg, then ONE global top-10
+    (TakeOrderedAndProject, no full sort).  Deterministic tiebreaks on
+    (o_orderdate, l_orderkey) keep the boundary engine-stable."""
+    cut = F.lit(_Q1_CUT).cast("timestamp")
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(dec_sum(rev, "revenue", 6))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@register("q_order_priority_exists", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape — the canonical EXISTS decorrelation: the
+    subquery lowers to a LEFT SEMI hash join on the order key (each
+    order emitted at most once regardless of matching line count — a
+    plain inner join + distinct would shuffle the duplicates first),
+    then a tiny hash agg on priority."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")
+                      .cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
+                        .cast("timestamp"))))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_discount") > 0.05).select("l_orderkey"))
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey,
+                        how="left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+@register("q_weighted_sample", """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM documents WHERE n_chars > 0),
+s AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST({hex8} AS DOUBLE) + 1) / 4294967296.0)
+               / n_chars, 9) AS aes_key
+  FROM h)
+SELECT doc_id, n_chars, aes_key
+FROM s ORDER BY aes_key DESC, doc_id ASC LIMIT 100
+""".replace("{hex8}", " + ".join(
+    f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) "
+    f"* {16 ** (8 - i)}" for i in range(1, 9))))
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (functions/sampling.weighted_sample): Efraimidis–Spirakis A-ES over
+    the documents table with n_chars as the weight — longer docs
+    proportionally likelier, no replacement, and the selected set is a
+    pure function of the ids (stable across runs/partitionings/engines,
+    unlike df.sample).  One codegen projection + one global top-k."""
+    from ydb_cdc_processor_spark.functions.sampling import weighted_sample
+    docs = load_docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (weighted_sample(docs, "doc_id", "n_chars", 100)
+            .select("doc_id", "n_chars",
+                    F.col("_aes_key").alias("aes_key")))
+
+
+@register("q_vocab_coverage", r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents),
+wn AS (SELECT doc_id, word FROM w WHERE word <> ''),
+v AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rnk
+    FROM wn GROUP BY word) WHERE rnk <= 512),
+cov AS (
+  SELECT wn.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM wn LEFT JOIN v ON wn.word = v.word
+  GROUP BY wn.doc_id)
+SELECT d.doc_id,
+       COALESCE(cov.n_tokens, 0) AS n_tokens,
+       COALESCE(cov.n_oov, 0) AS n_oov,
+       CAST(floor(cov.n_oov * 1000000.0 / cov.n_tokens) AS BIGINT) AS oov_ppm
+FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+""")
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document tokenizer-vocabulary coverage (text.vocab_coverage):
+    corpus top-512 term vocab (frequency-ranked, term-asc tiebreak)
+    broadcast back over the token stream; each doc reports its token
+    count and out-of-vocabulary share in exact integer ppm (FLOOR of an
+    IEEE division — no cross-engine rounding half-cases)."""
+    return text.vocab_coverage(load_docs(spark, sf_dir), vocab_size=512)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window priority ordering
 # ---------------------------------------------------------------------------
 # The external correctness harness stamps the FIRST 50 registry entries in
@@ -3580,7 +3765,8 @@ def q_pit_enrich(spark, sf_dir):
 
 _DRIVER_WINDOW_PRIORITY = [
     # round-7 additions
-    "q_pagerank_fast",
+    "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
+    "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
