@@ -1,0 +1,71 @@
+"""Incremental near-dup index (operators/neardup_index.py): the online
+form of MinHash-LSH dedup — batch-vs-indexed candidate lookup against a
+persistent bucketed signature store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
+from ydb_cdc_processor_spark.sources.catalog import load_table
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b, r.est_jaccard) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").localCheckpoint(eager=True)
+
+
+def test_incremental_union_equals_oneshot(spark, docs, tmp_path):
+    """3 sequential micro-batches must discover exactly the pairs a
+    one-shot indexing of the whole corpus discovers, with identical
+    signature-agreement estimates."""
+    idx = NearDupIndex(spark, str(tmp_path / "inc"))
+    got = set()
+    for part in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == part)
+        got |= _pairs(idx.apply_batch(batch))
+
+    one = NearDupIndex(spark, str(tmp_path / "oneshot"))
+    expected = _pairs(one.apply_batch(docs))
+    assert got == expected and expected, "non-trivial pair set expected"
+
+
+def test_replay_is_idempotent(spark, docs, tmp_path):
+    """Re-applying an already-indexed batch must not grow the store and
+    must return the same pairs (pure function of store + batch)."""
+    idx = NearDupIndex(spark, str(tmp_path / "rep"))
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    idx.apply_batch(b0).collect()
+    p1 = _pairs(idx.apply_batch(b1))
+    n_store = idx.view.read().count()
+    p1_replay = _pairs(idx.apply_batch(b1))
+    assert p1_replay == p1
+    assert idx.view.read().count() == n_store
+
+
+def test_store_colocation_by_band_bucket(spark, docs, tmp_path):
+    """Every (band, bucket) group must live in exactly ONE store bucket
+    directory (the bucket_keys co-location contract) — that is what
+    bounds a lookup to O(touched) directory reads."""
+    idx = NearDupIndex(spark, str(tmp_path / "loc"), n_buckets=8)
+    idx.apply_batch(docs.limit(200)).collect()
+    raw = idx.view._read_raw()
+    spread = (raw.groupBy("band", "bucket")
+              .agg(F.countDistinct("_bucket").alias("n"))
+              .agg(F.max("n").alias("mx")).collect()[0]["mx"])
+    assert spread == 1
+
+
+def test_bucket_keys_must_be_subset():
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BucketedMaterializedView)
+    with pytest.raises(ValueError):
+        BucketedMaterializedView(None, "/tmp/x", keys=["a"],
+                                 bucket_keys=["a", "b"])

@@ -67,10 +67,22 @@ class BucketedMaterializedView:
     """Keyed materialized view partitioned by a PK hash bucket."""
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str],
-                 schema=None, n_buckets: int = 64):
+                 schema=None, n_buckets: int = 64,
+                 bucket_keys: list[str] | None = None):
+        """``bucket_keys``: the CO-LOCATION key — a subset of ``keys``
+        to hash for bucket placement (default: all of ``keys``).  Rows
+        sharing the bucket_keys prefix land in the same directory
+        partition, so lookups by that prefix read O(touched) buckets
+        even though row identity (merge dedup) stays the full key — the
+        layout an index store needs (e.g. all signatures of one LSH
+        bucket co-located, identified per doc)."""
         self.spark = spark
         self.path = path
         self.keys = keys
+        if bucket_keys is not None and not set(bucket_keys) <= set(keys):
+            raise ValueError(f"bucket_keys {bucket_keys} must be a subset "
+                             f"of keys {keys}")
+        self.bucket_keys = list(bucket_keys) if bucket_keys else list(keys)
         self.schema = schema
         # the on-disk manifest wins over the constructor: bucket count is
         # a property of the LAYOUT, not of whoever re-instantiated the
@@ -84,7 +96,7 @@ class BucketedMaterializedView:
     # -- bucketing -----------------------------------------------------------
 
     def bucket_expr(self, n_buckets: int | None = None) -> F.Column:
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.bucket_keys]),
                       F.lit(n_buckets or self.n_buckets)).cast("int")
 
     def _with_bucket(self, df: DataFrame,

@@ -1,0 +1,124 @@
+"""Incremental near-duplicate index — near-dup detection AT INGEST.
+
+The batch near-dup operators (operators/dedup.py) answer "which pairs in
+this corpus are near-dups" as a one-shot job.  A training-data pipeline
+also needs the ONLINE form: as each micro-batch of documents arrives,
+"which already-ingested documents does this batch duplicate?" — without
+rescanning the corpus.  (The reference maintains row views per consumed
+batch, YqlWriter.java:163-215; this is the same continuous-maintenance
+contract applied to a similarity index instead of a keyed table.)
+
+Design — a persistent MinHash-LSH signature store:
+
+- **State**: one row per (band, bucket, doc) carrying the doc's full
+  k-hash MinHash signature, kept in a
+  :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+  BucketedMaterializedView` whose CO-LOCATION key is (band, bucket)
+  while row identity stays (band, bucket, doc) — every signature that
+  can collide with an incoming doc lives in a store bucket the batch
+  already touches.
+- **Per batch**: signatures + band rows of the incoming docs (the same
+  salted-hash pipeline as ``dedup.minhash_lsh_pairs``, so with
+  ``hash_fn="md5"`` the whole index is engine-replayable); ONE
+  idempotent upsert of the new band rows; then an equi-join of the
+  batch's band rows against ONLY the touched store buckets — candidates
+  are scored by signature agreement (the MinHash Jaccard estimate) with
+  no second pass over any text.
+- **Cost**: O(|batch| × bands) new rows, O(touched buckets) store read/
+  rewrite, and a bucket-local equi-join.  Nothing scans the index;
+  nothing ever forms all-pairs.  At 100 TB the store is exactly the
+  bucketed-view scale story (n_buckets ∝ |index|, ``maybe_rebucket``).
+
+Replay semantics: the upsert is idempotent per (band, bucket, doc), so
+a checkpoint replay converges the STORE; the returned pair set for a
+replayed batch is recomputed identically (pure function of store+batch).
+A re-ingested doc whose text CHANGED leaves its old band rows behind —
+the index treats (doc_id → text) as immutable, the standard contract
+for append-only corpora; mutable corpora should delete the doc's rows
+first (``view.apply(..., action="deleteFrom")``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    BucketedMaterializedView)
+from ydb_cdc_processor_spark.operators.dedup import minhash_signatures
+
+
+class NearDupIndex:
+    """Persistent banded-MinHash index with per-batch candidate lookup."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_shingle: int = 3, k: int = 16, bands: int = 4,
+                 hash_fn: str = "md5", n_buckets: int = 16):
+        if k % bands != 0:
+            raise ValueError("k must be divisible by bands")
+        self.spark = spark
+        self.n_shingle = n_shingle
+        self.k = k
+        self.bands = bands
+        self.hash_fn = hash_fn
+        self.sig_cols = [f"mh{i}" for i in range(k)]
+        self.view = BucketedMaterializedView(
+            spark, path, keys=["band", "bucket", "doc"],
+            bucket_keys=["band", "bucket"], n_buckets=n_buckets)
+
+    # -- signature → band rows ----------------------------------------------
+
+    def band_rows(self, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+        """(doc, band, bucket, mh0..mh{k-1}) — one row per doc per band,
+        the full signature riding along for join-time scoring."""
+        rpb = self.k // self.bands
+        sig = minhash_signatures(docs, id_col, text_col,
+                                 self.n_shingle, self.k, self.hash_fn)
+        bucket_of = F.md5 if self.hash_fn == "md5" else F.xxhash64
+        bands = F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket_of(F.concat_ws(
+                    ",", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]))
+                .cast("string").alias("bucket"))
+            for b in range(self.bands)])).alias("bb")
+        return (sig.select("doc", bands, *self.sig_cols)
+                .select("doc", "bb.band", "bb.bucket", *self.sig_cols))
+
+    # -- the incremental step -----------------------------------------------
+
+    def apply_batch(self, docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+        """Index this batch and return its candidate near-dup pairs
+        ``(doc_a, doc_b, est_jaccard)`` (doc_a < doc_b, distinct) —
+        batch-vs-already-indexed AND batch-vs-batch, scored by MinHash
+        signature agreement rounded to 6 digits.
+
+        The upsert runs FIRST (idempotent per full key), then the
+        lookup joins the batch's band rows against the touched store
+        buckets — which now include the batch itself, so within-batch
+        pairs surface in the same pass and the plan never references
+        pre-merge parquet files that the promotion just replaced."""
+        band = self.band_rows(docs, id_col, text_col) \
+            .localCheckpoint(eager=True)  # bounded: |batch| × bands rows
+        self.view.apply(band, action="upsertInto")
+
+        touched = [r[0] for r in
+                   band.select(self.view.bucket_expr()).distinct().collect()]
+        stored = self.view._read_touched(touched, band.schema) \
+            .select(F.col("doc").alias("_idoc"), "band", "bucket",
+                    *[F.col(c).alias(f"_i{c}") for c in self.sig_cols])
+        # plain equality (NULL → no agreement), matching ANSI CASE WHEN
+        # semantics so the SQL oracle replays the identical estimate
+        agree = sum(F.coalesce((F.col(c) == F.col(f"_i{c}")).cast("int"),
+                               F.lit(0))
+                    for c in self.sig_cols)
+        cand = (band.join(stored, on=["band", "bucket"])
+                .where(F.col("doc") != F.col("_idoc")))
+        return (cand.select(
+                    F.least("doc", "_idoc").alias("doc_a"),
+                    F.greatest("doc", "_idoc").alias("doc_b"),
+                    F.round(agree / F.lit(float(self.k)), 6)
+                     .alias("est_jaccard"))
+                .distinct())

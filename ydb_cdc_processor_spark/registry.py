@@ -3751,6 +3751,44 @@ def q_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(load_docs(spark, sf_dir), vocab_size=512)
 
 
+@register("q_neardup_index", f"""
+WITH nrm AS ({_NORM_WORDS}),
+sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
+sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(({_MINHASH_EST}) / 16.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+""")
+def q_neardup_index(spark, sf_dir):
+    """Near-dup detection AT INGEST (operators/neardup_index.py): the
+    corpus arrives as three micro-batches into a persistent banded-
+    MinHash signature store (bucketed view co-located on (band,bucket));
+    each batch reads only its touched store buckets and emits candidate
+    pairs scored by signature agreement.  The UNION of the per-batch
+    pair sets must equal the one-shot LSH pair set with the identical
+    estimate — which is exactly what the oracle recomputes in SQL.
+    Each batch's pairs are checkpointed eagerly: later batches rewrite
+    the store files a lazy plan would still reference."""
+    from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
+    docs = load_docs(spark, sf_dir)
+    idx = NearDupIndex(spark, _scratch_dir("ndidx_") + "/idx")
+    parts = []
+    for part in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == part)
+        parts.append(idx.apply_batch(batch).localCheckpoint(eager=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering
 # ---------------------------------------------------------------------------
@@ -3767,6 +3805,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-7 additions
     "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
+    "q_neardup_index",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
