@@ -67,7 +67,7 @@ HEADLINE = [
     "q_source_drift", "q_scd2_incremental",
     "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
-    "q_neardup_index",
+    "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
 ]
 
 

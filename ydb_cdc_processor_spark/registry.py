@@ -3751,6 +3751,73 @@ def q_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(load_docs(spark, sf_dir), vocab_size=512)
 
 
+@register("q_priority_shipping_mix", """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""")
+def q_priority_shipping_mix(spark, sf_dir):
+    """TPC-H Q12 shape — conditional-aggregate mix report: one fact⋈fact
+    equi-join (both sides shuffle on the order key; nothing to
+    broadcast) and CASE-guarded counts per group — the
+    filter-inside-the-aggregate pattern every reporting workload uses."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+          .select("l_orderkey", "l_linestatus"))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@register("q_promo_revenue", """
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS promo_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+""")
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promo revenue share: the part dimension
+    BROADCASTs into the date-pruned lineitem scan, both the guarded and
+    total revenue ride ONE exact decimal fold each, and the share is a
+    single deterministic IEEE division of the two (no rounding needed —
+    both operands are bit-identical on any engine)."""
+    lo = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(38,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast("decimal(38,6)"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg((F.lit(100.0) * F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double")).alias("promo_share")))
+
+
 @register("q_neardup_index", f"""
 WITH nrm AS ({_NORM_WORDS}),
 sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
@@ -3805,7 +3872,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-7 additions
     "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
-    "q_neardup_index",
+    "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
