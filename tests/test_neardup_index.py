@@ -69,3 +69,38 @@ def test_bucket_keys_must_be_subset():
     with pytest.raises(ValueError):
         BucketedMaterializedView(None, "/tmp/x", keys=["a"],
                                  bucket_keys=["a", "b"])
+
+
+def test_stream_index_restart_converges(spark, docs, tmp_path):
+    """Streaming drive: documents arrive as files (one per trigger), the
+    query is killed and restarted with the same checkpoint, late docs
+    land while down — the replay-collapsed pair set must equal the
+    one-shot indexing of everything that arrived."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_out = str(tmp_path / "pairs")
+
+    early = docs.where(F.col("doc_id") % 3 != 2)
+    late = docs.where(F.col("doc_id") % 3 == 2)
+    early.repartition(3).write.parquet(src)
+
+    idx = NearDupIndex(spark, str(tmp_path / "stream_idx"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = idx.start_stream(stream, ckpt, pairs_out)
+    q.awaitTermination()
+
+    # kill: fresh index object, same store/checkpoint; late docs land
+    late.coalesce(1).write.mode("append").parquet(src)
+    idx2 = NearDupIndex(spark, str(tmp_path / "stream_idx"))
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = idx2.start_stream(stream2, ckpt, pairs_out)
+    q2.awaitTermination()
+
+    got = {(r.doc_a, r.doc_b, r.est_jaccard)
+           for r in idx2.read_pairs(pairs_out)
+           .select("doc_a", "doc_b", "est_jaccard").collect()}
+    one = NearDupIndex(spark, str(tmp_path / "oneshot2"))
+    expected = _pairs(one.apply_batch(docs))
+    assert got == expected and expected

@@ -122,3 +122,39 @@ class NearDupIndex:
                     F.round(agree / F.lit(float(self.k)), 6)
                      .alias("est_jaccard"))
                 .distinct())
+
+    # -- streaming drive -----------------------------------------------------
+
+    def start_stream(self, docs_stream: DataFrame, checkpoint_dir: str,
+                     pairs_path: str, id_col: str = "doc_id",
+                     text_col: str = "text", available_now: bool = True):
+        """Maintain the index from a STREAM of documents (foreachBatch):
+        each micro-batch is indexed and its candidate pairs appended to
+        a parquet sink, tagged with the streaming batch id.
+
+        Replay contract: the store upsert is idempotent, and a replayed
+        batch re-appends its (identical) pairs under the same batch id —
+        :meth:`read_pairs` collapses them, so kill/restart converges to
+        the same pair set (pinned by the restart test).  Returns the
+        StreamingQuery."""
+        def _batch(df, batch_id: int) -> None:
+            (self.apply_batch(df, id_col, text_col)
+             .withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("append").parquet(pairs_path))
+
+        writer = (docs_stream.writeStream
+                  .foreachBatch(_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def read_pairs(self, pairs_path: str) -> DataFrame:
+        """The streamed candidate pairs, replay-collapsed: one row per
+        (doc_a, doc_b) keeping the first-emitting batch id."""
+        from pyspark.sql import Window
+        w = Window.partitionBy("doc_a", "doc_b").orderBy(
+            F.col("_batch_id").asc(), F.col("est_jaccard").asc())
+        return (self.spark.read.parquet(pairs_path)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
