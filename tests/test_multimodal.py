@@ -219,3 +219,40 @@ def test_audio_window_rms_semantics(spark):
     assert len(by_doc[2]) == 1                  # tail 32 samples dropped
     assert abs(by_doc[2][0].rms - 127.501) < 0.01
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_frame_luminance_and_scene_changes(spark):
+    from ydb_cdc_processor_spark.operators.multimodal import (
+        frame_mean_luminance, scene_changes)
+    # 3 frames of 4 bytes: means 10, 10, 200 -> scene at frame 0 and 2
+    blob = bytes([10] * 4 + [10] * 4 + [200] * 4)
+    media = spark.createDataFrame([(1, blob)], "doc_id long, content binary")
+    lum = frame_mean_luminance(media, frame_bytes=4)
+    rows = {r.frame_idx: r.lum for r in lum.collect()}
+    assert rows == {0: 10.0, 1: 10.0, 2: 200.0}
+    sc = {r.frame_idx: r.is_scene
+          for r in scene_changes(lum, threshold=2.0).collect()}
+    assert sc == {0: True, 1: False, 2: True}
+    # trailing partial frame dropped
+    media2 = spark.createDataFrame([(2, blob + b"\x01\x01")],
+                                   "doc_id long, content binary")
+    assert frame_mean_luminance(media2, frame_bytes=4).count() == 3
+
+
+def test_audio_trim_all_quiet_is_null(spark):
+    """A clip whose every window sits at the PCM midpoint (RMS 0) must
+    report NULL trim offsets — the all-silence case the sf corpora never
+    exercise (every synthetic clip is voiced)."""
+    from ydb_cdc_processor_spark.operators.multimodal import audio_window_rms
+    quiet = bytes([128] * 256)
+    loud = bytes([128, 255] * 128)
+    media = spark.createDataFrame(
+        [(1, quiet), (2, loud)], "doc_id long, content binary")
+    rms = audio_window_rms(media, window=64)
+    voiced = F.when(F.col("rms") >= 25.0, F.col("win_idx"))
+    got = {r.doc_id: (r.trim_start, r.trim_end) for r in
+           rms.groupBy("doc_id")
+           .agg((F.min(voiced) * 64).alias("trim_start"),
+                ((F.max(voiced) + 1) * 64).alias("trim_end")).collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (0, 256)

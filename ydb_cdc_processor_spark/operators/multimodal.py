@@ -411,3 +411,68 @@ def audio_window_rms(media: DataFrame, window: int = 256) -> DataFrame:
 
     return media.select("doc_id", "content").mapInPandas(
         batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
+def frame_mean_luminance(media: DataFrame,
+                         frame_bytes: int = 64) -> DataFrame:
+    """Per-frame mean luminance over the binary column under the fake-
+    codec convention (each consecutive ``frame_bytes`` slice of the blob
+    is one frame's pixel buffer; a real codec decoder slots into the
+    same signature).  The Spark-side shape is the real one: every blob's
+    usable prefix concatenates into one buffer per Arrow batch, ONE
+    reshape + ONE vectorized mean produce every frame's value — no
+    per-row Python.  Trailing partial frames are dropped (same
+    convention as :func:`audio_window_rms`).
+
+    Output: ``(doc_id, frame_idx, lum)`` with ``lum`` = round-6 mean
+    byte value — engine-replayable (the SQL oracle recovers the bytes
+    from hex and reproduces the identical doubles).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = [b if b is not None else b"" for b in pdf["content"]]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=n)
+            frames_per = lens // frame_bytes
+            used = frames_per * frame_bytes
+            if used.sum() == 0:
+                continue
+            flat = np.frombuffer(
+                b"".join(b[:u] for b, u in zip(blobs, used)),
+                dtype=np.uint8).astype(np.float64)
+            lum = np.round(flat.reshape(-1, frame_bytes).mean(axis=1), 6)
+            doc_idx = np.repeat(np.arange(n), frames_per)
+            frame_idx = np.concatenate(
+                [np.arange(w) for w in frames_per if w > 0]) \
+                if frames_per.sum() else np.array([], dtype=np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                "frame_idx": frame_idx,
+                "lum": lum})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("lum", T.DoubleType(), True)])
+    return media.select("doc_id", "content").mapInPandas(batches, schema)
+
+
+def scene_changes(frame_lum: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Scene-boundary detection over a per-frame luminance profile:
+    frame i starts a new scene iff |lum_i − lum_{i−1}| > ``threshold``
+    (frame 0 always does).  Pure Catalyst after the frame features: one
+    per-doc window (lag) — the plan shape of every shot-segmentation
+    pipeline, with the codec work isolated in the feature step.
+
+    Output: ``frame_lum`` + ``is_scene BOOLEAN``; aggregate downstream
+    for per-video scene counts/offsets."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("lum").over(w)
+    return frame_lum.withColumn(
+        "is_scene",
+        F.when(prev.isNull(), F.lit(True))
+         .otherwise(F.abs(F.col("lum") - prev) > F.lit(float(threshold))))

@@ -3818,6 +3818,77 @@ def q_promo_revenue(spark, sf_dir):
                   / F.sum(rev).cast("double")).alias("promo_share")))
 
 
+@register("q_media_scenes", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 64),
+byt AS (
+  SELECT doc_id, i - 1 AS j, {{hexbyte}} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= (n // 64) * 64),
+fr AS (
+  SELECT doc_id, j // 64 AS frame_idx,
+         round(SUM(byte) / 64.0, 6) AS lum
+  FROM byt GROUP BY doc_id, j // 64),
+sc AS (
+  SELECT doc_id, frame_idx, lum,
+         lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM fr)
+SELECT doc_id, frame_idx, lum,
+       CASE WHEN prev IS NULL THEN TRUE
+            ELSE abs(lum - prev) > 2.0 END AS is_scene
+FROM sc
+""".replace("{hexbyte}", _HEX_BYTE))
+def q_media_scenes(spark, sf_dir):
+    """Video scene-boundary detection (multimodal.frame_mean_luminance +
+    scene_changes): per-frame luminance via ONE vectorized reshape+mean
+    per Arrow batch over the blob (fake-codec frame convention — a real
+    decoder slots into the same signature), then a pure-Catalyst per-doc
+    lag window flags |Δlum| > threshold.  Luminance is a dyadic-exact
+    sum/64, so the boundary comparison is engine-exact."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    lum = multimodal.frame_mean_luminance(media, frame_bytes=64)
+    return multimodal.scene_changes(lum, threshold=2.0)
+
+
+@register("q_audio_trim", f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 64),
+byt AS (
+  SELECT doc_id, i - 1 AS j, {{hexbyte}} AS byte
+  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
+  WHERE i <= (n // 64) * 64),
+win AS (
+  SELECT doc_id, j // 64 AS win_idx,
+         round(sqrt(SUM((byte - 128.0) * (byte - 128.0)) / 64.0), 6) AS rms
+  FROM byt GROUP BY doc_id, j // 64)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(CASE WHEN rms >= 25.0 THEN win_idx END) * 64 AS BIGINT)
+         AS trim_start,
+       CAST((MAX(CASE WHEN rms >= 25.0 THEN win_idx END) + 1) * 64
+            AS BIGINT) AS trim_end
+FROM win GROUP BY doc_id
+""".replace("{hexbyte}", _HEX_BYTE))
+def q_audio_trim(spark, sf_dir):
+    """Silence-trim offsets — the back half of voice-activity
+    segmentation: over the windowed RMS profile (audio_window_rms, the
+    voiced threshold shared with q_audio_profile), each clip reports the
+    sample offsets of its first and last voiced window (NULL when the
+    whole clip is quiet).  One hash agg over the profile; no second pass
+    over the PCM."""
+    from ydb_cdc_processor_spark.operators import multimodal
+    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
+    rms = multimodal.audio_window_rms(media, window=64)
+    voiced = F.when(F.col("rms") >= 25.0, F.col("win_idx"))
+    return (rms.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 (F.min(voiced) * 64).cast("long").alias("trim_start"),
+                 ((F.max(voiced) + 1) * 64).cast("long").alias("trim_end")))
+
+
 @register("q_neardup_index", f"""
 WITH nrm AS ({_NORM_WORDS}),
 sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
@@ -3873,6 +3944,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
+    "q_media_scenes", "q_audio_trim",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
