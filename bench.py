@@ -69,6 +69,10 @@ HEADLINE = [
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     "q_media_scenes", "q_audio_trim",
+    # registry entries previously missing from the headline set
+    "q_containment", "q_pit_enrich", "q_dedup_simhash", "q_select_star",
+    "q_filter_route", "q_insert_strict", "q_skip_count", "q_setops",
+    "q_no_orders", "q_scalar_funcs", "q_agg_view_bucketed",
 ]
 
 
