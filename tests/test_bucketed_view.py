@@ -227,3 +227,44 @@ def test_displaced_bucket_recovers(spark, tmp_path, orders):
     assert buck.exists() is True
     assert not os.path.exists(disp)           # leftover dropped
     assert _rows(buck.read()) == before
+
+
+def test_compact_fragmented_buckets(spark, tmp_path):
+    """compact() must rewrite ONLY over-fragmented buckets down to one
+    file each, preserve content and replay tokens exactly, and leave
+    healthy buckets' files untouched."""
+    import os
+
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BUCKET_COL, BucketedMaterializedView)
+
+    path = str(tmp_path / "view")
+    view = BucketedMaterializedView(spark, path, ["id"], n_buckets=4)
+    view.apply(spark.createDataFrame([(i, f"v{i}") for i in range(64)],
+                                     "id long, v string"))
+    before = sorted(tuple(r) for r in view.read().collect())
+
+    # fragment one bucket the way an external appender would: same rows,
+    # many files
+    def files_of(b):
+        d = os.path.join(path, f"{BUCKET_COL}={b}")
+        return [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+
+    frag = os.path.join(path, f"{BUCKET_COL}=0")
+    rows0 = spark.read.option("basePath", path).parquet(frag) \
+        .drop(BUCKET_COL).localCheckpoint(eager=True)
+    rows0.repartition(8).write.mode("overwrite").parquet(frag)
+    assert len(files_of(0)) > 4
+    healthy_before = files_of(1)
+    # seed a replay token on the fragmented bucket: compaction must carry it
+    with open(os.path.join(frag, "_token"), "w") as fh:
+        fh.write("tok-keep")
+
+    n = view.compact(max_files_per_bucket=4)
+    assert n == 1
+    assert len(files_of(0)) == 1
+    assert files_of(1) == healthy_before
+    assert view.bucket_token(0) == "tok-keep"
+    assert sorted(tuple(r) for r in view.read().collect()) == before
+    # idempotent: nothing left to compact
+    assert view.compact(max_files_per_bucket=4) == 0

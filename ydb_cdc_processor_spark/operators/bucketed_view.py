@@ -555,6 +555,76 @@ class BucketedMaterializedView:
         logger.info("bucketed view %s: rebucketed %d → %d buckets",
                     self.path, old_n, n_buckets)
 
+    def compact(self, max_files_per_bucket: int = 4) -> int:
+        """Small-file compaction: rewrite every bucket holding more than
+        ``max_files_per_bucket`` data files down to one file, leaving all
+        other buckets untouched.
+
+        Why it exists: each touched-bucket overwrite writes the bucket in
+        one task, but interleavings (crash replays, rebucket leftovers,
+        engines with differing shuffle partitioning) can accumulate
+        files; at 10⁴⁺ buckets the per-file open cost starts to dominate
+        reads long before size triggers :meth:`maybe_rebucket`.  The
+        fragmentation CHECK is file metadata only (no Spark job); the
+        rewrite reads and writes ONLY the fragmented buckets through the
+        same displaced-rename promotion as a merge batch, so a crash
+        mid-compaction is recovered by :meth:`_recover` and the view is
+        never unreadable.  Content and replay tokens are preserved
+        (compaction is a physical rewrite, not a logical change).
+
+        Returns the number of buckets compacted."""
+        self._recover()
+        if not os.path.isdir(self.path):
+            return 0
+        fragmented: list[int] = []
+        tokens: dict[int, str | None] = {}
+        for e in os.listdir(self.path):
+            if not e.startswith(f"{BUCKET_COL}="):
+                continue
+            d = os.path.join(self.path, e)
+            n_files = sum(1 for f in os.listdir(d)
+                          if not f.startswith((".", "_")))
+            if n_files > max_files_per_bucket:
+                b = int(e.split("=", 1)[1])
+                fragmented.append(b)
+                tokens[b] = self.bucket_token(b)
+        if not fragmented:
+            return 0
+        rows = (self._read_touched(fragmented, None)
+                .repartition(BUCKET_COL))
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = os.path.join(
+            parent,
+            f".{os.path.basename(self.path)}.compact-{uuid.uuid4().hex[:8]}")
+        # coalesce(1) per bucket via partitionBy + one-task-per-bucket
+        # repartition: each bucket's rows land in one output file
+        rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        for b in fragmented:
+            d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            tok = tokens.get(b)
+            if tok is not None and os.path.isdir(d):
+                with open(os.path.join(d, TOKEN_FILE), "w") as fh:
+                    fh.write(tok)
+        for b in fragmented:
+            new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            disp = os.path.join(self.path,
+                                f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
+            if not os.path.isdir(new_d):
+                continue  # bucket vanished mid-listing; leave it alone
+            shutil.rmtree(disp, ignore_errors=True)
+            displaced = False
+            if os.path.isdir(old_d):
+                os.rename(old_d, disp)
+                displaced = True
+            os.rename(new_d, old_d)
+            if displaced:
+                shutil.rmtree(disp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        logger.info("bucketed view %s: compacted %d fragmented bucket(s)",
+                    self.path, len(fragmented))
+        return len(fragmented)
+
     def maybe_rebucket(self, target_bucket_bytes: int = 128 << 20,
                        growth_factor: int = 4) -> bool:
         """The documented growth trigger: when the MEAN bucket size (from
