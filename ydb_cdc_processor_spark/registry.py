@@ -3818,6 +3818,43 @@ def q_promo_revenue(spark, sf_dir):
                   / F.sum(rev).cast("double")).alias("promo_share")))
 
 
+@register("q_discount_revenue_disjunct", """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 5)
+""")
+def q_discount_revenue_disjunct(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive mixed-table predicates: three OR'd
+    (brand, size, quantity) clauses spanning both join sides.  The part
+    side BROADCASTs with its derivable disjunct (brand ∈ {…}) pushed
+    into its scan; the quantity conjuncts evaluate as the join residual.
+    Catalyst's OR-factoring is what keeps the fact scan from reading
+    rows no disjunct can accept."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = ((F.col("p_brand") == "Brand#1")
+          & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+    c2 = ((F.col("p_brand") == "Brand#2")
+          & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+    c3 = ((F.col("p_brand") == "Brand#3")
+          & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 5))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.where(c1 | c2 | c3)
+            .agg(dec_sum(rev, "revenue", 6),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
 @register("q_media_scenes", f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -3944,7 +3981,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_pagerank_fast", "q_pricing_summary", "q_shipping_priority",
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
-    "q_media_scenes", "q_audio_trim",
+    "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",

@@ -154,13 +154,19 @@ class CdcStreamEngine:
             raise
         if (self.rebucket_every
                 and (batch_id + 1) % self.rebucket_every == 0):
-            # between-batch growth check: metadata-only unless the mean
-            # bucket size crossed the threshold (then one amortized
-            # rewrite keeps per-batch cost ∝ target bucket size)
+            # between-batch maintenance, both checks metadata-only:
+            # growth (one amortized rewrite when mean bucket size crosses
+            # the threshold — keeps per-batch cost ∝ target bucket size)
+            # and small-file compaction (fragmented buckets only; crash
+            # replays and external appenders accumulate files that would
+            # otherwise tax every touched-bucket read)
             mv = self.batch_engine._target(None)
             if mv.exists():
-                mv.maybe_rebucket(
-                    target_bucket_bytes=self.target_bucket_bytes)
+                if not mv.maybe_rebucket(
+                        target_bucket_bytes=self.target_bucket_bytes):
+                    # a rebucket already rewrote every bucket to one
+                    # file; compaction only matters when it didn't run
+                    mv.compact()
         dt = max(time.perf_counter() - t0, 1e-9)
         with self._lock:
             s = self._status
