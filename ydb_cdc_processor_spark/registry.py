@@ -3855,6 +3855,121 @@ def q_discount_revenue_disjunct(spark, sf_dir):
                  F.count(F.lit(1)).cast("long").alias("n_lines")))
 
 
+@register("q_small_quantity_revenue", """
+WITH lim AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*)) AS qty_lim
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN lim t ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_lim
+""")
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — the correlated scalar subquery ("below 20% of
+    this part's average quantity") decorrelated into a per-part
+    aggregate joined back to the fact table: ONE extra hash agg +
+    equi-join on the part key instead of a per-row subquery.  The
+    average routes through the exact decimal fold so the 0.2× threshold
+    is the identical double on any engine — the comparison can't
+    straddle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                       .cast("double") / F.count(F.lit(1))))
+        .alias("qty_lim"))
+    return (li.join(lim, on="l_partkey")
+            .where(F.col("l_quantity") < F.col("qty_lim"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+@register("q_event_transitions", """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""")
+def q_event_transitions(spark, sf_dir):
+    """Event-transition (first-order Markov) counts over each user's
+    event sequence: ONE key shuffle for the per-user lead window, then a
+    tiny hash agg on the (from, to) pair — the behavioral-analytics
+    shape funnels and session models build on.  Deterministic tiebreak
+    on event_id inside equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return (ev.withColumn("next_type", F.lead("event_type").over(w))
+            .where(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("event_type", "next_type"))
+
+
+@register("q_ann_recall", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
+bs AS (SELECT probe_id, vec_id,
+              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
+       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
+br AS (SELECT probe_id, vec_id,
+              row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       FROM bs),
+bt AS (SELECT probe_id, vec_id FROM br WHERE rnk <= 5),
+cb AS (SELECT vec_id, emb, {_srp_bucket_sql(8, "emb")} AS bucket FROM e),
+pb AS (SELECT vec_id AS probe_id, emb AS pemb, bucket FROM cb
+       WHERE vec_id % 100 = 0),
+ls AS (SELECT pb.probe_id, cb.vec_id,
+              round(list_cosine_similarity(cb.emb, pb.pemb), 6) AS cos_sim
+       FROM cb JOIN pb USING (bucket) WHERE cb.vec_id <> pb.probe_id),
+lr AS (SELECT probe_id, vec_id,
+              row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       FROM ls),
+lt AS (SELECT probe_id, vec_id FROM lr WHERE rnk <= 5)
+SELECT bt.probe_id,
+       CAST(COUNT(lt.vec_id) AS BIGINT) AS n_hits,
+       round(COUNT(lt.vec_id) / 5.0, 6) AS recall_at_5
+FROM bt LEFT JOIN lt ON lt.probe_id = bt.probe_id AND lt.vec_id = bt.vec_id
+GROUP BY bt.probe_id
+ORDER BY bt.probe_id
+""")
+def q_ann_recall(spark, sf_dir):
+    """ANN quality self-measurement — recall@5 of the SRP-LSH index
+    against the exact brute-force ranking, per probe ("measure, don't
+    guess" applied to the index itself: the number a 100 TB deployment
+    watches when tuning n_planes/occupancy).  Both rankings reuse the
+    oracle-replayable pipelines of q_similarity_topk / q_similarity_lsh;
+    the recall join is probe-keyed and broadcast-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    brute = similarity.cosine_topk(emb, probes, k=5) \
+        .select("probe_id", "vec_id")
+    lsh = (similarity.cosine_topk_lsh(emb, probes, k=5, n_planes=8,
+                                      dim=_EMB_DIM)
+           .select(F.col("probe_id").alias("l_probe"),
+                   F.col("vec_id").alias("l_vec")))
+    j = brute.join(lsh, (F.col("probe_id") == F.col("l_probe"))
+                   & (F.col("vec_id") == F.col("l_vec")), how="left")
+    return (j.groupBy("probe_id")
+            .agg(F.count("l_vec").cast("long").alias("n_hits"),
+                 F.round(F.count("l_vec") / F.lit(5.0), 6)
+                  .alias("recall_at_5"))
+            .orderBy("probe_id"))
+
+
 @register("q_media_scenes", f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -3982,6 +4097,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_order_priority_exists", "q_weighted_sample", "q_vocab_coverage",
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
+    "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
