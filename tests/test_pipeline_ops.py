@@ -484,3 +484,24 @@ def test_exact_quantile_matches_sorted_definition(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         exact_quantile(spark.createDataFrame([], "x double"), "x")
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """A-ES weighted sampling: stable across partitionings, exactly k
+    rows, and heavily-weighted rows dominate selection."""
+    from ydb_cdc_processor_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 20 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = weighted_sample(df, "id", "w", 30).select("id").collect()
+    b = weighted_sample(df.repartition(17), "id", "w", 30) \
+        .select("id").collect()
+    assert sorted(r.id for r in a) == sorted(r.id for r in b)
+    assert len(a) == 30
+    picked = {r.id for r in a}
+    # the 20 rows with 1000x weight should essentially all be selected
+    assert len(picked & set(range(20))) >= 18
+    # zero/negative weights never qualify
+    z = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], "id long, w long")
+    assert [r.id for r in weighted_sample(z, "id", "w", 10)
+            .select("id").collect()] == [3]
