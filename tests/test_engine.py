@@ -220,3 +220,39 @@ def test_timeout_enforced_in_two_phase(spark, tmp_path):
     out = two_phase(spark, fast, "SELECT k, v FROM rows",
                     target_path=str(tmp_path / "t2b"), keys=["k"])
     assert out.count() == 3
+
+
+def test_dlq_collects_malformed_envelopes(spark, sf_dir, fixture_dir,
+                                          tmp_path):
+    """dlq_path: malformed envelopes land queryably in the dead-letter
+    parquet with the original raw line and a diagnostic reason, while
+    the view result is unchanged; a replayed batch re-appends
+    (documented at-least-once — dedup on (_offset, raw) downstream)."""
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="dlq_view", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT).validate(spark)
+    dlq = str(tmp_path / "dlq")
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"), dlq_path=dlq)
+    raw = cdc_json.read_cdc_batch(spark, fixture_dir)
+    stats = eng.apply_raw_batch(raw)
+    assert stats.malformed > 0
+
+    got = spark.read.parquet(dlq)
+    assert got.count() == stats.malformed
+    rows = got.collect()
+    assert all(r.reason for r in rows) and all(r.raw for r in rows)
+    assert {"_offset", "raw", "reason", "_ingested_at"} <= set(got.columns)
+    # the view itself must be unaffected by DLQ capture
+    n_view = eng.read_view().count()
+
+    # replay: at-least-once append; view unchanged
+    eng.apply_raw_batch(raw)
+    assert spark.read.parquet(dlq).count() == 2 * stats.malformed
+    assert (spark.read.parquet(dlq)
+            .dropDuplicates(["_offset", "raw"]).count() == stats.malformed)
+    assert eng.read_view().count() == n_view

@@ -181,7 +181,8 @@ class CdcBatchEngine:
                  target_path: str, n_buckets: int | None = None,
                  small_delta: bool | None = None,
                  agg_views: list | None = None,
-                 scd2_views: list | None = None):
+                 scd2_views: list | None = None,
+                 dlq_path: str | None = None):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
@@ -205,7 +206,15 @@ class CdcBatchEngine:
         batch feeds them every PRE-collapse upsert version — a history
         sink records each change message, including the intra-batch
         intermediate versions the row view's last-wins collapse (B4)
-        deliberately discards."""
+        deliberately discards.
+
+        ``dlq_path``: dead-letter queue — malformed envelopes append
+        here as ``(order_col, raw, reason, _ingested_at)`` parquet
+        instead of being counted-and-dropped (the reference logs and
+        skips, CdcMsgParser.java:47-57; at scale the evidence must be
+        queryable).  Append-only and NOT replay-fenced: a replayed batch
+        re-appends its malformed rows (at-least-once) — dedup on
+        ``(order_col, raw)`` downstream when exactness matters."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
@@ -213,6 +222,7 @@ class CdcBatchEngine:
         self.small_delta = small_delta
         self.agg_views = list(agg_views or [])
         self.scd2_views = list(scd2_views or [])
+        self.dlq_path = dlq_path
         self._mv = None
 
     # -- target plumbing ----------------------------------------------------
@@ -325,6 +335,12 @@ class CdcBatchEngine:
                 stats.details["skipped:delete query not configured"] = \
                     int(m["n_d"] or 0)
             m2 = obs2.get
+            if self.dlq_path is not None and stats.malformed > 0:
+                # write only when the (already-observed) count says there
+                # is something to write — no empty-append file litter
+                (decode.malformed_rows(raw_df, raw_col, keep=[order_col])
+                 .withColumn("_ingested_at", F.current_timestamp())
+                 .write.mode("append").parquet(self.dlq_path))
             self._maintain_scd2_views(typed_all, order_col, batch_token)
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)

@@ -128,6 +128,32 @@ def decode_envelope(raw: DataFrame,
     )
 
 
+def malformed_rows(raw: DataFrame, raw_col: str = "value",
+                   keep: list[str] | None = None) -> DataFrame:
+    """The dead-letter view: every envelope :func:`decode_envelope` would
+    route to X, with the ORIGINAL raw line and a diagnostic ``reason`` —
+    what an operator needs to fix the producer (the reference only logs
+    and drops, CdcMsgParser.java:47-57; a 100 TB pipeline wants the
+    evidence queryable, not scrolled away in executor logs).
+
+    Output: ``keep`` columns + ``(raw STRING, reason STRING)``.
+    """
+    env = raw.withColumn("_env",
+                         F.from_json(F.col(raw_col), ENVELOPE_WIRE_SCHEMA))
+    upd, img, ers = (F.col("_env.update"), F.col("_env.newImage"),
+                     F.col("_env.erase"))
+    key = F.col("_env.key")
+    reason = (
+        F.when(F.col("_env").isNull(), F.lit("unparseable envelope"))
+        .when(key.isNull(), F.lit("missing key"))
+        .when(upd.isNull() & img.isNull() & ers.isNull(),
+              F.lit("no update/newImage/erase action"))
+    )
+    return (env.where(reason.isNotNull())
+            .select(*(keep or []), F.col(raw_col).alias("raw"),
+                    reason.alias("reason")))
+
+
 def merge_key_columns(decoded: DataFrame,
                       members: dict[str, str],
                       pk: list[str],

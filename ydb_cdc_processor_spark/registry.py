@@ -3961,7 +3961,10 @@ def q_ann_recall(spark, sf_dir):
                                       dim=_EMB_DIM)
            .select(F.col("probe_id").alias("l_probe"),
                    F.col("vec_id").alias("l_vec")))
-    j = brute.join(lsh, (F.col("probe_id") == F.col("l_probe"))
+    # both sides are |probes|×k rows — broadcast the LSH side so the
+    # recall join never shuffles (flagged by tools/audit_plans.py)
+    j = brute.join(F.broadcast(lsh),
+                   (F.col("probe_id") == F.col("l_probe"))
                    & (F.col("vec_id") == F.col("l_vec")), how="left")
     return (j.groupBy("probe_id")
             .agg(F.count("l_vec").cast("long").alias("n_hits"),

@@ -98,6 +98,7 @@ class CdcStreamEngine:
                  n_buckets: int | None = None,
                  agg_views: list | None = None,
                  scd2_views: list | None = None,
+                 dlq_path: str | None = None,
                  rebucket_every: int | None = 64,
                  target_bucket_bytes: int = 128 << 20):
         """``agg_views``: AggregateView rollups maintained CONTINUOUSLY
@@ -121,7 +122,8 @@ class CdcStreamEngine:
                                            n_buckets=n_buckets,
                                            small_delta=True,
                                            agg_views=agg_views,
-                                           scd2_views=scd2_views)
+                                           scd2_views=scd2_views,
+                                           dlq_path=dlq_path)
         self.checkpoint_dir = checkpoint_dir
         self.rebucket_every = rebucket_every if n_buckets else None
         self.target_bucket_bytes = target_bucket_bytes
