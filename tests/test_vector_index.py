@@ -1,0 +1,67 @@
+"""Persistent IVF vector index (operators/vector_index.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+from ydb_cdc_processor_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings") \
+        .localCheckpoint(eager=True)
+
+
+def _res(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_add_equals_oneshot_build(spark, emb, tmp_path):
+    """build(subset) + add_batch(rest) must serve the identical results
+    as build(subset) with the rest ingested in the same build — the
+    frozen-quantizer contract (assignment is per-vector, so arrival
+    batching cannot change it)."""
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    inc = VectorIndex(spark, str(tmp_path / "inc"), n_cells=8)
+    inc.build(emb.where(F.col("vec_id") % 2 == 0))
+    inc.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+
+    one = VectorIndex(spark, str(tmp_path / "one"), n_cells=8)
+    one.build(emb.where(F.col("vec_id") % 2 == 0))
+    one.add_batch(emb.where(F.col("vec_id") % 2 == 1)
+                  .unionByName(emb.where(F.col("vec_id") % 2 == 0)))
+
+    a = _res(inc.query(probes, k=3, n_probe=3))
+    b = _res(one.query(probes, k=3, n_probe=3))
+    assert a == b and a
+
+
+def test_add_batch_replay_idempotent(spark, emb, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "rep"), n_cells=8)
+    idx.build(emb.where(F.col("vec_id") % 2 == 0))
+    late = emb.where(F.col("vec_id") % 2 == 1)
+    idx.add_batch(late)
+    n = idx.view.read().count()
+    idx.add_batch(late)  # replay
+    assert idx.view.read().count() == n
+
+
+def test_query_reads_only_probed_cells(spark, emb, tmp_path):
+    """The candidate set must contain only vectors from the probes'
+    n_probe cells — the bucket-pruned read contract (a full-corpus
+    candidate set would mean the index read everything)."""
+    idx = VectorIndex(spark, str(tmp_path / "pr"), n_cells=8,
+                      n_buckets=8)
+    idx.build(emb)
+    probes = emb.where(F.col("vec_id") % 100 == 0).limit(1) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    res = idx.query(probes, k=1000, n_probe=2)
+    # with n_probe=2 of 8 cells, results span at most 2 cells' members
+    lists = idx.view.read().select("cell", "vec_id")
+    joined = res.join(lists, on="vec_id").select("cell").distinct()
+    assert joined.count() <= 2

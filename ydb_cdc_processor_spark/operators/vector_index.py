@@ -1,0 +1,164 @@
+"""Persistent IVF vector index — similarity search over a MAINTAINED
+store instead of a per-query rebuild.
+
+``similarity.cosine_topk_ivf`` re-derives centroids and re-assigns the
+whole corpus on every call — right for a one-shot query, wrong for the
+serving shape a 100 TB embedding store needs: vectors arrive
+continuously, and queries must touch only the inverted lists they probe.
+This class persists both halves (the same continuous-maintenance
+contract the CDC engines apply to keyed tables, and NearDupIndex to LSH
+signatures):
+
+- **Centroids**: a small parquet of ``n_cells`` rows — the coarse
+  quantizer.  Deterministic seeded-sample pick (optionally Lloyd-refined
+  via ``similarity.kmeans_refine``) from the BUILD corpus, then FROZEN —
+  the standard IVF ingest contract (adding vectors never moves
+  centroids; periodic retrain = :meth:`build` again).
+- **Inverted lists**: one row per vector ``(cell, vec_id, _v, _nv)`` in
+  a :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+  BucketedMaterializedView` keyed ``(cell, vec_id)`` and CO-LOCATED on
+  ``cell`` (``bucket_keys``) — every vector a probe can reach lives in a
+  store bucket the query already knows to read.
+
+Costs: :meth:`add_batch` is one broadcast-assign pass over the batch +
+an idempotent upsert touching only the batch's cells.  :meth:`query`
+reads ONLY the buckets of the probes' ``n_probe`` nearest cells —
+``|corpus| · n_probe / n_cells`` candidate rows per probe, never a
+corpus scan.  Norms are stored, not recomputed per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.functions.partitioning import (
+    ensure_min_partitions)
+from ydb_cdc_processor_spark.functions.vector import (
+    as_double_array, dot, norm)
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    BucketedMaterializedView)
+
+
+class VectorIndex:
+    """IVF-flat index persisted as centroids parquet + bucketed lists."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_cells: int = 16, seed: int = 42,
+                 n_buckets: int = 8):
+        self.spark = spark
+        self.path = path
+        self.n_cells = n_cells
+        self.seed = seed
+        self.cent_path = os.path.join(path, "centroids")
+        self.view = BucketedMaterializedView(
+            spark, os.path.join(path, "lists"),
+            keys=["cell", "vec_id"], bucket_keys=["cell"],
+            n_buckets=n_buckets)
+
+    # -- centroids -----------------------------------------------------------
+
+    def _centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.cent_path)
+
+    def _assign(self, df: DataFrame, cent: DataFrame, out_id: str,
+                out_vec: str, out_norm: str, rank_limit: int) -> DataFrame:
+        """Nearest-``rank_limit`` cells per row, centroids broadcast —
+        identical ranking rule to similarity.cosine_topk_ivf (round-6
+        cosine, cell-asc tiebreak) so SQL oracles replay it."""
+        base = df.crossJoin(F.broadcast(cent))
+        sim = dot(F.col(out_vec), F.col("_c")) \
+            / (F.col(out_norm) * F.col("_nc"))
+        w = Window.partitionBy(out_id).orderBy(
+            F.round(sim, 6).desc(), F.col("cell").asc())
+        return (base.withColumn("_cr", F.row_number().over(w))
+                .where(F.col("_cr") <= rank_limit)
+                .drop("_c", "_nc", "_cr"))
+
+    def _prep(self, vectors: DataFrame, id_col: str,
+              vec_col: str) -> DataFrame:
+        base = ensure_min_partitions(vectors).select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(vec_col).alias("_v"))
+        return base.withColumn("_nv", norm(F.col("_v")))
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def build(self, corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", kmeans_iters: int = 0,
+              dim: int | None = None) -> None:
+        """(Re)train the quantizer on ``corpus`` and load it: centroids =
+        deterministic md5-ordered sample of ``n_cells`` corpus vectors
+        (optionally Lloyd-refined), every corpus vector assigned to its
+        nearest cell and written to the bucketed lists."""
+        cent = (ensure_min_partitions(corpus)
+                .withColumn("_h", F.md5(F.concat_ws(
+                    ":", F.col(id_col).cast("string"),
+                    F.lit(str(self.seed)))))
+                .orderBy("_h").limit(self.n_cells)
+                .select(F.col(id_col).alias("cell"),
+                        as_double_array(vec_col).alias("_c"))
+                .withColumn("_nc", norm(F.col("_c"))))
+        if kmeans_iters > 0:
+            from ydb_cdc_processor_spark.operators.similarity import (
+                kmeans_refine)
+            if dim is None:
+                raise ValueError("kmeans_iters requires dim")
+            cent = kmeans_refine(corpus, cent, dim, n_iters=kmeans_iters,
+                                 id_col=id_col, vec_col=vec_col)
+        cent.coalesce(1).write.mode("overwrite").parquet(self.cent_path)
+        with open(os.path.join(self.path, "_index.json"), "w") as fh:
+            json.dump({"n_cells": self.n_cells, "seed": self.seed}, fh)
+        rows = self._assign(self._prep(corpus, id_col, vec_col),
+                            self._centroids(), "vec_id", "_v", "_nv", 1)
+        self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
+                        action="upsertInto")
+
+    def add_batch(self, vectors: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> None:
+        """Ingest new vectors against the FROZEN quantizer: one
+        broadcast-assign pass + an idempotent upsert touching only the
+        batch's cells (replay-safe: same (cell, vec_id) rows merge to
+        the same state)."""
+        rows = self._assign(self._prep(vectors, id_col, vec_col),
+                            self._centroids(), "vec_id", "_v", "_nv", 1)
+        self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
+                        action="upsertInto")
+
+    # -- serving -------------------------------------------------------------
+
+    def query(self, probes: DataFrame, k: int = 5, n_probe: int = 4,
+              probe_id_col: str = "probe_id",
+              vec_col: str = "embedding") -> DataFrame:
+        """Top-``k`` per probe over the probes' ``n_probe`` nearest
+        cells: only those cells' store BUCKETS are read (direct-path,
+        O(touched) listings), candidates join on cell, and the per-probe
+        window keeps k.  Output: (probe_id, vec_id, cos_sim, rnk)."""
+        cent = self._centroids()
+        p = probes.select(
+            F.col(probe_id_col).alias("probe_id"),
+            as_double_array(vec_col).alias("_p"))
+        p = p.withColumn("_np", norm(F.col("_p")))
+        pc = self._assign(p, cent, "probe_id", "_p", "_np", n_probe) \
+            .select("probe_id", "_p", "_np", "cell")
+
+        cells = [r[0] for r in pc.select("cell").distinct().collect()]
+        cells_df = self.spark.createDataFrame(
+            [(c,) for c in cells], "cell long")
+        touched = [r[0] for r in cells_df
+                   .select(self.view.bucket_expr()).distinct().collect()]
+        lists = self.view._read_touched(touched, None) \
+            .where(F.col("cell").isin(cells))
+
+        cand = lists.join(F.broadcast(pc), on="cell") \
+                    .where(F.col("vec_id") != F.col("probe_id"))
+        sim = F.round(dot(F.col("_v"), F.col("_p"))
+                      / (F.col("_nv") * F.col("_np")), 6)
+        scored = cand.select("probe_id", "vec_id", sim.alias("cos_sim"))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc())
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= k))

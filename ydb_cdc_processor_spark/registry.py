@@ -3973,6 +3973,50 @@ def q_ann_recall(spark, sf_dir):
             .orderBy("probe_id"))
 
 
+@register("q_vector_index", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
+         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
+ca AS (SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN cent),
+cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
+p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
+pa AS (SELECT probe_id, pemb, cell,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM p CROSS JOIN cent),
+pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
+s AS (SELECT pc.probe_id, cc.vec_id,
+             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
+      FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
+r AS (SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""")
+def q_vector_index(spark, sf_dir):
+    """PERSISTENT IVF vector index (operators/vector_index.py): the
+    quantizer trains on two-thirds of the corpus, the remaining third
+    ingests through add_batch against the frozen centroids (the standard
+    IVF serving contract), and the query reads ONLY the probes' nearest
+    cells' store buckets.  The oracle replays the whole lifecycle in
+    SQL — subset-sampled centroids, full-corpus assignment, cell-pruned
+    candidate join, per-probe top-5."""
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(spark, _scratch_dir("vecidx_") + "/idx", n_cells=16)
+    idx.build(emb.where(F.col("vec_id") % 3 != 2))
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return idx.query(probes, k=5, n_probe=4)
+
+
 @register("q_media_scenes", f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -4101,6 +4145,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
+    "q_vector_index",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
