@@ -3973,6 +3973,43 @@ def q_ann_recall(spark, sf_dir):
             .orderBy("probe_id"))
 
 
+@register("q_idle_customers", """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS v
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""")
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape — positive-account customers above the global
+    average balance who have never ordered: a broadcast scalar subquery
+    (one tiny agg crossed in) + a LEFT ANTI join against the orders fact
+    + the segment rollup.  The average routes through the exact decimal
+    fold so the > threshold is engine-identical."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (cust.where(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                     .cast("double") / F.count(F.lit(1))).alias("v")))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("v"))
+            .join(orders, cust.c_custkey == orders.o_custkey,
+                  how="left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                  .cast("double").alias("total_bal"))
+            .orderBy("c_mktsegment"))
+
+
 @register("q_vector_index", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
@@ -4145,7 +4182,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
-    "q_vector_index",
+    "q_vector_index", "q_idle_customers",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
