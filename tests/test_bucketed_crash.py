@@ -176,3 +176,40 @@ def test_bucketed_crash_recovery_rebucket(spark, tmp_path):
         v3 = BucketedMaterializedView(spark, path, ["id"])
         assert v3.n_buckets == 8
         assert _rows(v3.read()) == expected
+
+
+def test_flat_view_crash_recovery_sweep(spark, tmp_path):
+    """The same exhaustive tear sweep for the FLAT view's overwrite swap
+    (merge.ParquetMaterializedView): kill at every rename boundary,
+    replay the same batch, expect the clean result every time.  (The
+    single-window test in test_merge.py hand-picks one boundary; this
+    covers them all.)"""
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+
+    base = [(i, f"v{i}") for i in range(20)]
+    delta = [(i, f"NEW{i}") for i in range(0, 20, 4)] + [(100, "ins")]
+    delta_df = spark.createDataFrame(delta, "id long, v string")
+
+    pristine = str(tmp_path / "pristine")
+    ParquetMaterializedView(spark, pristine, ["id"]).overwrite(
+        spark.createDataFrame(base, "id long, v string"))
+
+    clean = str(tmp_path / "clean")
+    shutil.copytree(pristine, clean)
+    with _RenameKiller(None) as rk:
+        v = ParquetMaterializedView(spark, clean, ["id"])
+        v.apply(delta_df)
+    n_renames = rk.calls
+    expected = _rows(v.read())
+    assert n_renames >= 2
+
+    for kill_at in range(n_renames):
+        path = str(tmp_path / f"f{kill_at}")
+        shutil.copytree(pristine, path)
+        v = ParquetMaterializedView(spark, path, ["id"])
+        with _RenameKiller(kill_at), pytest.raises(Killed):
+            v.apply(delta_df)
+        v2 = ParquetMaterializedView(spark, path, ["id"])
+        v2.apply(delta_df)
+        assert _rows(v2.read()) == expected, f"diverged at tear {kill_at}"
