@@ -104,3 +104,40 @@ def test_stream_index_restart_converges(spark, docs, tmp_path):
     one = NearDupIndex(spark, str(tmp_path / "oneshot2"))
     expected = _pairs(one.apply_batch(docs))
     assert got == expected and expected
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["spark", "merge", "join", "scan", "batch",
+                          "window", "stream", "data", "key", "row"])
+_doc = st.lists(_words, min_size=4, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(_doc, min_size=3, max_size=14),
+       splits=st.lists(st.integers(0, 2), min_size=3, max_size=14))
+def test_property_any_batching_equals_oneshot(spark, tmp_path_factory,
+                                              texts, splits):
+    """PROPERTY: for ANY corpus and ANY assignment of docs to (up to 3)
+    arrival batches — including empty batches and heavy duplication —
+    the union of per-batch candidate pairs equals the one-shot pair set
+    with identical estimates."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path_factory.mktemp("ndprop"))
+
+    idx = NearDupIndex(spark, base + "/inc", n_buckets=4)
+    got = set()
+    for b in range(3):
+        ids = [i for i, (_, s) in enumerate(zip(texts, splits + [0] * 99))
+               if s == b]
+        batch = docs.where(F.col("doc_id").isin(ids))
+        if not ids:
+            continue
+        got |= _pairs(idx.apply_batch(batch))
+
+    one = NearDupIndex(spark, base + "/one", n_buckets=4)
+    expected = _pairs(one.apply_batch(docs))
+    assert got == expected
