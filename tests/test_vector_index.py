@@ -65,3 +65,20 @@ def test_query_reads_only_probed_cells(spark, emb, tmp_path):
     lists = idx.view.read().select("cell", "vec_id")
     joined = res.join(lists, on="vec_id").select("cell").distinct()
     assert joined.count() <= 2
+
+
+def test_remove_batch_deletes_and_is_idempotent(spark, emb, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "rm"), n_cells=8)
+    idx.build(emb)
+    n0 = idx.view.read().count()
+    victims = emb.where(F.col("vec_id") % 10 == 0)
+    n_victims = victims.count()
+    idx.remove_batch(victims)
+    assert idx.view.read().count() == n0 - n_victims
+    idx.remove_batch(victims)  # idempotent
+    assert idx.view.read().count() == n0 - n_victims
+    # removed vectors never surface in query results
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    res = idx.query(probes, k=5, n_probe=8)
+    assert res.where(F.col("vec_id") % 10 == 0).count() == 0

@@ -128,6 +128,16 @@ class VectorIndex:
         self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
                         action="upsertInto")
 
+    def remove_batch(self, vectors: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+        """Delete vectors from the index (GDPR/tombstone path): the rows
+        re-assign against the frozen quantizer to find their cells —
+        deletion touches exactly the same buckets ingestion did, never a
+        store scan.  Idempotent: deleting an absent vector is a no-op."""
+        rows = self._assign(self._prep(vectors, id_col, vec_col),
+                            self._centroids(), "vec_id", "_v", "_nv", 1)
+        self.view.apply(rows.select("cell", "vec_id"), action="deleteFrom")
+
     # -- serving -------------------------------------------------------------
 
     def query(self, probes: DataFrame, k: int = 5, n_probe: int = 4,
