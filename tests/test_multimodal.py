@@ -256,3 +256,24 @@ def test_audio_trim_all_quiet_is_null(spark):
                 ((F.max(voiced) + 1) * 64).alias("trim_end")).collect()}
     assert got[1] == (None, None)
     assert got[2] == (0, 256)
+
+
+def test_resize_handles_ragged_pixel_lengths(spark):
+    """Rows with different (sufficient) grid sizes in one Arrow batch
+    must all resize — the vectorized fast path only applies to uniform
+    batches (the stack-everything regression test)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    from ydb_cdc_processor_spark.operators.multimodal import resize_nearest
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("pixels", ArrayType(DoubleType()))])
+    rows = [(1, [float(i) for i in range(16)]),
+            (2, [float(i) for i in range(32)]),   # longer than grid²
+            (3, None)]
+    decoded = spark.createDataFrame(rows, schema).coalesce(1)
+    out = {r.doc_id: r.pixels
+           for r in resize_nearest(decoded, out_w=2, out_h=2).collect()}
+    assert out[3] is None
+    assert len(out[1]) == 4 and len(out[2]) == 4
+    assert out[1] == [0.0, 2.0, 8.0, 10.0]  # 4x4 grid nearest 2x2

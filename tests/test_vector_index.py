@@ -82,3 +82,49 @@ def test_remove_batch_deletes_and_is_idempotent(spark, emb, tmp_path):
         .select(F.col("vec_id").alias("probe_id"), "embedding")
     res = idx.query(probes, k=5, n_probe=8)
     assert res.where(F.col("vec_id") % 10 == 0).count() == 0
+
+
+def test_vector_index_query_after_torn_ingest(spark, emb, tmp_path):
+    """A crash between add_batch's two promotion renames leaves a bucket
+    displaced; a pure-read query() on restart must repair it first —
+    otherwise every vector in that bucket silently vanishes."""
+    import os
+
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BUCKET_COL, DISPLACED_PREFIX)
+
+    idx = VectorIndex(spark, str(tmp_path / "torn"), n_cells=8,
+                      n_buckets=4)
+    idx.build(emb)
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    expected = _res(idx.query(probes, k=5, n_probe=8))
+
+    # tear EVERY bucket mid-promotion: live dir renamed aside, no
+    # replacement yet (the displaced copy is the pre-crash bucket)
+    lists = idx.view.path
+    for e in list(os.listdir(lists)):
+        if e.startswith(f"{BUCKET_COL}="):
+            os.rename(os.path.join(lists, e),
+                      os.path.join(lists, f"{DISPLACED_PREFIX}{e}"))
+
+    idx2 = VectorIndex(spark, str(tmp_path / "torn"), n_cells=8,
+                       n_buckets=4)
+    assert _res(idx2.query(probes, k=5, n_probe=8)) == expected
+
+
+def test_rebuild_replaces_stale_assignments(spark, emb, tmp_path):
+    """Retraining (build again on a grown corpus) must fully replace the
+    inverted lists: every vector appears exactly once afterward, and
+    remove_batch removes it for good."""
+    idx = VectorIndex(spark, str(tmp_path / "rt"), n_cells=8)
+    idx.build(emb.where(F.col("vec_id") % 2 == 0))
+    idx.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+    idx.build(emb)  # retrain on the full corpus
+    per_vec = (idx.view.read().groupBy("vec_id")
+               .count().where(F.col("count") > 1).count())
+    assert per_vec == 0
+    victim = emb.limit(1)
+    vid = victim.collect()[0].vec_id
+    idx.remove_batch(victim)
+    assert idx.view.read().where(F.col("vec_id") == vid).count() == 0

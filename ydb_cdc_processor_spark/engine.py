@@ -281,12 +281,15 @@ class CdcBatchEngine:
         from pyspark.sql import Observation
 
         stats = BatchStats()
-        # One decode pass per batch: the malformed count rides the typed
-        # materialization as an ``observe`` metric (no separate job), and
-        # the collapsed typed rows are cached so the U/D branches, their
-        # counts, and the merges never re-parse JSON or re-run the
-        # last-wins window.  Micro-batches are bounded (B1), so the cache
-        # is executor-memory-safe by construction.
+        # One decode pass per batch on the happy path: the malformed
+        # count rides the typed materialization as an ``observe`` metric
+        # (no separate job), and the collapsed typed rows are cached so
+        # the U/D branches, their counts, and the merges never re-parse
+        # JSON or re-run the last-wins window.  (With scd2_views the
+        # PRE-collapse rows are what gets cached; a dlq_path adds one
+        # extra decode of the raw lines ONLY on batches that actually
+        # contain malformed envelopes.)  Micro-batches are bounded (B1),
+        # so the cache is executor-memory-safe by construction.
         obs = Observation(f"cdc_decode_{id(self)}")
         env = decode.decode_envelope(raw_df, raw_col=raw_col).observe(
             obs,
@@ -314,6 +317,12 @@ class CdcBatchEngine:
         # driver-side counting job (the merge writes launch no extra ones).
         obs2 = Observation(f"cdc_routed_{id(self)}")
         typed_all = typed  # pre-collapse: every version, for SCD2 sinks
+        if self.scd2_views:
+            # persist the pre-collapse rows so BOTH the collapse below
+            # and the SCD2 feed read the cache — without this the SCD2
+            # overwrite job re-runs the whole JSON decode lineage
+            typed_all = typed_all.persist()
+            typed = typed_all
         typed = collapse_last_wins(typed, self.p.pk, order_col=order_col) \
             .observe(
                 obs2,
@@ -341,7 +350,9 @@ class CdcBatchEngine:
                 (decode.malformed_rows(raw_df, raw_col, keep=[order_col])
                  .withColumn("_ingested_at", F.current_timestamp())
                  .write.mode("append").parquet(self.dlq_path))
-            self._maintain_scd2_views(typed_all, order_col, batch_token)
+            n_u_raw = 0 if skip_u else int(m["n_u"] or 0)
+            self._maintain_scd2_views(typed_all, order_col, batch_token,
+                                      n_upserts=n_u_raw)
             ups, dels = split_upsert_delete(typed)
             ups = ups.drop(order_col)
             dels = dels.drop(order_col)
@@ -360,6 +371,8 @@ class CdcBatchEngine:
                                         batch_token)
         finally:
             typed.unpersist()
+            if self.scd2_views:
+                typed_all.unpersist()
         return stats
 
     def _apply_fused(self, ups: DataFrame, dels: DataFrame,
@@ -436,15 +449,20 @@ class CdcBatchEngine:
                                             small_delta=self.small_delta)
 
     def _maintain_scd2_views(self, typed_all, order_col: str,
-                             batch_token: str | None = None) -> None:
+                             batch_token: str | None = None,
+                             n_upserts: int | None = None) -> None:
         """Feed each attached Scd2View the batch's PRE-collapse upsert
         versions — the history sink keeps every change message, so the
         versions must be taken BEFORE the last-wins collapse that the
         row view applies (B4).  ``Scd2View.apply_batch`` is idempotent
         (dedup on key+ts+tiebreak) and out-of-order tolerant, so R1
         retries and checkpoint replays converge with or without the
-        token; the batch token only short-circuits replayed work."""
-        if not self.scd2_views:
+        token; the batch token only short-circuits replayed work.
+
+        ``n_upserts``: the batch's observed pre-collapse upsert count —
+        0 short-circuits the whole feed (a delete-only batch must not
+        pay an O(|history|) store rewrite for an empty version set)."""
+        if not self.scd2_views or n_upserts == 0:
             return
         versions = (typed_all.where(F.col("op") == decode.OP_UPSERT)
                     .drop("op", order_col))

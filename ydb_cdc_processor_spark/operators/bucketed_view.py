@@ -314,22 +314,37 @@ class BucketedMaterializedView:
                         fh.write(token)
         os.makedirs(self.path, exist_ok=True)  # first batch: no root yet
         for b in touched:
-            new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
-            old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            disp = os.path.join(self.path,
-                                f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
-            if os.path.isdir(new_d):
-                shutil.rmtree(disp, ignore_errors=True)  # stale leftover
-                displaced = False
-                if os.path.isdir(old_d):
-                    os.rename(old_d, disp)
-                    displaced = True
-                os.rename(new_d, old_d)
-                if displaced:
-                    shutil.rmtree(disp, ignore_errors=True)
-            else:
-                shutil.rmtree(old_d, ignore_errors=True)  # emptied
+            self._promote_bucket(tmp, b, drop_if_absent=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def _promote_bucket(self, tmp: str, b: int,
+                        drop_if_absent: bool) -> None:
+        """Promote ONE bucket from the temp sibling via the
+        displaced-rename dance — the single shared implementation of the
+        crash-recoverable sequence (live dir renamed ASIDE, replacement
+        renamed in, displaced copy dropped; the window between the two
+        renames is repaired by :meth:`_recover`, pinned by the tear
+        sweep in tests/test_bucketed_crash.py).
+
+        ``drop_if_absent``: a touched bucket missing from the temp
+        output was EMPTIED by a merge — drop its live directory; a
+        compaction pass instead leaves such buckets untouched."""
+        new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+        old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+        disp = os.path.join(self.path,
+                            f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
+        if not os.path.isdir(new_d):
+            if drop_if_absent:
+                shutil.rmtree(old_d, ignore_errors=True)
+            return
+        shutil.rmtree(disp, ignore_errors=True)  # stale leftover
+        displaced = False
+        if os.path.isdir(old_d):
+            os.rename(old_d, disp)
+            displaced = True
+        os.rename(new_d, old_d)
+        if displaced:
+            shutil.rmtree(disp, ignore_errors=True)
 
     # -- the incremental merge ------------------------------------------------
 
@@ -606,20 +621,10 @@ class BucketedMaterializedView:
                 with open(os.path.join(d, TOKEN_FILE), "w") as fh:
                     fh.write(tok)
         for b in fragmented:
-            new_d = os.path.join(tmp, f"{BUCKET_COL}={b}")
-            old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            disp = os.path.join(self.path,
-                                f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
-            if not os.path.isdir(new_d):
-                continue  # bucket vanished mid-listing; leave it alone
-            shutil.rmtree(disp, ignore_errors=True)
-            displaced = False
-            if os.path.isdir(old_d):
-                os.rename(old_d, disp)
-                displaced = True
-            os.rename(new_d, old_d)
-            if displaced:
-                shutil.rmtree(disp, ignore_errors=True)
+            # a bucket absent from the temp output vanished mid-listing:
+            # leave it alone (drop_if_absent=False — compaction is a
+            # physical rewrite, never a deletion)
+            self._promote_bucket(tmp, b, drop_if_absent=False)
         shutil.rmtree(tmp, ignore_errors=True)
         logger.info("bucketed view %s: compacted %d fragmented bucket(s)",
                     self.path, len(fragmented))

@@ -106,13 +106,12 @@ def decode_envelope(raw: DataFrame,
     Extra input columns (e.g. a source ``_offset``) are passed through.
     """
     env = raw.withColumn("_env", F.from_json(F.col(raw_col), ENVELOPE_WIRE_SCHEMA))
-    upd, img, ers = F.col("_env.update"), F.col("_env.newImage"), F.col("_env.erase")
+    upd, img = F.col("_env.update"), F.col("_env.newImage")
     key = F.col("_env.key")
     op = (
-        F.when(F.col("_env").isNull() | key.isNull(), F.lit(OP_MALFORMED))
+        F.when(_malformed_reason().isNotNull(), F.lit(OP_MALFORMED))
         .when(upd.isNotNull() | img.isNotNull(), F.lit(OP_UPSERT))
-        .when(ers.isNotNull(), F.lit(OP_DELETE))
-        .otherwise(F.lit(OP_MALFORMED))
+        .otherwise(F.lit(OP_DELETE))
     )
     payload = (
         F.when(upd.isNotNull() & (F.size(upd) > 0), upd)
@@ -128,6 +127,22 @@ def decode_envelope(raw: DataFrame,
     )
 
 
+def _malformed_reason() -> F.Column:
+    """Diagnostic reason for X-routed envelopes — THE definition of
+    malformed, shared by :func:`decode_envelope`'s ``op`` routing and
+    :func:`malformed_rows`' dead-letter view (one expression, so the
+    DLQ can never desync from ``stats.malformed``).  NULL ⇔ routable.
+    Evaluates over a ``_env`` struct column."""
+    upd, img, ers = (F.col("_env.update"), F.col("_env.newImage"),
+                     F.col("_env.erase"))
+    return (
+        F.when(F.col("_env").isNull(), F.lit("unparseable envelope"))
+        .when(F.col("_env.key").isNull(), F.lit("missing key"))
+        .when(upd.isNull() & img.isNull() & ers.isNull(),
+              F.lit("no update/newImage/erase action"))
+    )
+
+
 def malformed_rows(raw: DataFrame, raw_col: str = "value",
                    keep: list[str] | None = None) -> DataFrame:
     """The dead-letter view: every envelope :func:`decode_envelope` would
@@ -140,15 +155,7 @@ def malformed_rows(raw: DataFrame, raw_col: str = "value",
     """
     env = raw.withColumn("_env",
                          F.from_json(F.col(raw_col), ENVELOPE_WIRE_SCHEMA))
-    upd, img, ers = (F.col("_env.update"), F.col("_env.newImage"),
-                     F.col("_env.erase"))
-    key = F.col("_env.key")
-    reason = (
-        F.when(F.col("_env").isNull(), F.lit("unparseable envelope"))
-        .when(key.isNull(), F.lit("missing key"))
-        .when(upd.isNull() & img.isNull() & ers.isNull(),
-              F.lit("no update/newImage/erase action"))
-    )
+    reason = _malformed_reason()
     return (env.where(reason.isNotNull())
             .select(*(keep or []), F.col(raw_col).alias("raw"),
                     reason.alias("reason")))

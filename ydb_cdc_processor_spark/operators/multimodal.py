@@ -259,14 +259,21 @@ def resize_nearest(decoded: DataFrame, out_w: int, out_h: int,
                                dtype=bool, count=len(px))
             out = np.full(len(px), None, dtype=object)
             if mask.any():
-                # one (n, grid²) stack + ONE fancy-index + ONE tolist for
-                # the whole Arrow batch — the per-row
-                # asarray/index/tolist loop dominated this operator's
-                # profile (0.8–7 s swings at sf0.1)
-                stacked = np.asarray(
-                    [np.asarray(p, dtype=np.float64) for p, m
-                     in zip(px, mask) if m])
-                resized = stacked[:, flat].tolist()
+                rows = [np.asarray(p, dtype=np.float64)
+                        for p, m in zip(px, mask) if m]
+                lens = {r.shape[0] for r in rows}
+                if len(lens) == 1:
+                    # uniform grids (the decode_image contract): ONE
+                    # (n, grid²) stack + ONE fancy-index + ONE tolist
+                    # for the whole Arrow batch — the per-row
+                    # asarray/index/tolist loop dominated this
+                    # operator's profile (0.8–7 s swings at sf0.1)
+                    resized = np.stack(rows)[:, flat].tolist()
+                else:
+                    # ragged batch (mixed thumbnail sizes): index each
+                    # row separately — correct for any row long enough
+                    # for the precomputed map, just not vectorized
+                    resized = [r[flat].tolist() for r in rows]
                 for i, v in zip(np.flatnonzero(mask), resized):
                     out[i] = v
             yield pd.DataFrame({"doc_id": pdf["doc_id"],

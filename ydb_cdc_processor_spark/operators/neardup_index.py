@@ -116,12 +116,17 @@ class NearDupIndex:
                     for c in self.sig_cols)
         cand = (band.join(stored, on=["band", "bucket"])
                 .where(F.col("doc") != F.col("_idoc")))
-        return (cand.select(
-                    F.least("doc", "_idoc").alias("doc_a"),
-                    F.greatest("doc", "_idoc").alias("doc_b"),
-                    F.round(agree / F.lit(float(self.k)), 6)
-                     .alias("est_jaccard"))
-                .distinct())
+        pairs = (cand.select(
+                     F.least("doc", "_idoc").alias("doc_a"),
+                     F.greatest("doc", "_idoc").alias("doc_b"),
+                     F.round(agree / F.lit(float(self.k)), 6)
+                      .alias("est_jaccard"))
+                 .distinct())
+        # materialize NOW: the lazy plan references the store's parquet
+        # files, which the NEXT apply_batch's rename-promotion deletes —
+        # a caller holding the un-forced frame across batches would hit
+        # FileNotFound.  Bounded output (candidate pairs of one batch).
+        return pairs.localCheckpoint(eager=True)
 
     # -- streaming drive -----------------------------------------------------
 

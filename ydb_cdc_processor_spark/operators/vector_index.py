@@ -112,6 +112,12 @@ class VectorIndex:
         cent.coalesce(1).write.mode("overwrite").parquet(self.cent_path)
         with open(os.path.join(self.path, "_index.json"), "w") as fh:
             json.dump({"n_cells": self.n_cells, "seed": self.seed}, fh)
+        # a RETRAIN moves vectors between cells: the old (cell, vec_id)
+        # rows must not survive into the new layout (an upsert alone
+        # would leave stale copies that double-serve in queries and dodge
+        # remove_batch) — build is full-replace by contract
+        import shutil
+        shutil.rmtree(self.view.path, ignore_errors=True)
         rows = self._assign(self._prep(corpus, id_col, vec_col),
                             self._centroids(), "vec_id", "_v", "_nv", 1)
         self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
@@ -155,11 +161,17 @@ class VectorIndex:
         pc = self._assign(p, cent, "probe_id", "_p", "_np", n_probe) \
             .select("probe_id", "_p", "_np", "cell")
 
-        cells = [r[0] for r in pc.select("cell").distinct().collect()]
-        cells_df = self.spark.createDataFrame(
-            [(c,) for c in cells], "cell long")
-        touched = [r[0] for r in cells_df
-                   .select(self.view.bucket_expr()).distinct().collect()]
+        # a pure-read path must repair crash-torn buckets BEFORE probing
+        # directories, or a displaced bucket reads as absent and its
+        # vectors silently vanish from results (same gap merge_touched
+        # had — see test_vector_index_query_after_torn_ingest)
+        self.view._recover()
+        # one collect: (cell, store bucket) pairs straight off pc — no
+        # driver-side re-materialization, and id_col-type-generic
+        cell_rows = (pc.select("cell", self.view.bucket_expr()
+                               .alias("_b")).distinct().collect())
+        cells = [r[0] for r in cell_rows]
+        touched = sorted({r[1] for r in cell_rows})
         lists = self.view._read_touched(touched, None) \
             .where(F.col("cell").isin(cells))
 

@@ -4148,15 +4148,15 @@ def q_neardup_index(spark, sf_dir):
     pairs scored by signature agreement.  The UNION of the per-batch
     pair sets must equal the one-shot LSH pair set with the identical
     estimate — which is exactly what the oracle recomputes in SQL.
-    Each batch's pairs are checkpointed eagerly: later batches rewrite
-    the store files a lazy plan would still reference."""
+    (apply_batch returns eagerly-materialized pairs, so holding them
+    across subsequent batches is safe.)"""
     from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
     docs = load_docs(spark, sf_dir)
     idx = NearDupIndex(spark, _scratch_dir("ndidx_") + "/idx")
     parts = []
     for part in range(3):
         batch = docs.where(F.col("doc_id") % 3 == part)
-        parts.append(idx.apply_batch(batch).localCheckpoint(eager=True))
+        parts.append(idx.apply_batch(batch))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
