@@ -128,3 +128,57 @@ def test_rebuild_replaces_stale_assignments(spark, emb, tmp_path):
     vid = victim.collect()[0].vec_id
     idx.remove_batch(victim)
     assert idx.view.read().where(F.col("vec_id") == vid).count() == 0
+
+
+def test_build_retrain_crash_never_loses_index(spark, emb, tmp_path):
+    """Kill the retrain at every rename boundary: the index must keep
+    serving — either the complete OLD index (crash before the swap) or
+    the complete NEW one, never empty/partial results."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_bucketed_crash import Killed, _RenameKiller
+
+    sub = emb.where(F.col("vec_id") % 2 == 0)
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    def fresh(path):
+        return VectorIndex(spark, path, n_cells=8)
+
+    base_path = str(tmp_path / "base")
+    fresh(base_path).build(sub)
+    old_expected = _res(fresh(base_path).query(probes, k=3, n_probe=8))
+
+    probe_full = VectorIndex(spark, str(tmp_path / "full"), n_cells=8)
+    probe_full.build(emb)
+    new_expected = _res(probe_full.query(probes, k=3, n_probe=8))
+
+    with _RenameKiller(None) as rk:
+        VectorIndex(spark, str(tmp_path / "cnt"), n_cells=8).build(emb)
+    # only the final swap renames matter; sweep the LAST few boundaries
+    # (earlier renames belong to the temp staging and leave the old
+    # index fully live)
+    import shutil
+    for kill_at in range(max(0, rk.calls - 4), rk.calls):
+        path = str(tmp_path / f"b{kill_at}")
+        shutil.copytree(base_path, path)
+        idx = fresh(path)
+        with _RenameKiller(kill_at), pytest.raises(Killed):
+            idx.build(emb)
+        got = _res(fresh(path).query(probes, k=3, n_probe=8))
+        assert got in (old_expected, new_expected), \
+            f"partial index served at tear {kill_at}"
+
+
+def test_bucket_keys_persisted_in_manifest(spark, emb, tmp_path):
+    """Reopening a co-located store WITHOUT repeating bucket_keys= must
+    inherit the layout's co-location key from the manifest (silent
+    mis-hashing was possible before)."""
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BucketedMaterializedView)
+
+    idx = VectorIndex(spark, str(tmp_path / "bk"), n_cells=8)
+    idx.build(emb.limit(200))
+    reopened = BucketedMaterializedView(
+        spark, str(tmp_path / "bk" / "lists"), keys=["cell", "vec_id"])
+    assert reopened.bucket_keys == ["cell"]

@@ -99,7 +99,7 @@ def dataset_split(df: DataFrame, id_col: str,
 
 
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
-                    k: int) -> DataFrame:
+                    k: int, keep_key: bool = False) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k rows, deterministic:
     Efraimidis–Spirakis A-ES — each row draws a uniform ``u`` from its
     id hash and ranks by ``u^(1/w)``; the top-k by that key are a true
@@ -117,11 +117,16 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     (TakeOrderedAndProject — per-partition heaps, no full sort, no
     shuffle of non-winners).  Stable across runs, partitionings, and
     engines — ``df.sample`` is none of those.
+
+    Output: the selected rows with ``df``'s schema unchanged;
+    ``keep_key=True`` additionally keeps the ``_aes_key`` ranking
+    column (for audits/oracles that replay the selection).
     """
     h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                 16, 10).cast("long") + F.lit(1)) / F.lit(_DENOM)
     key = F.round(F.log(h) / F.col(weight_col), 9)
-    return (df.where(F.col(weight_col) > 0)
-            .withColumn("_aes_key", key)
-            .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
-            .limit(k))
+    out = (df.where(F.col(weight_col) > 0)
+           .withColumn("_aes_key", key)
+           .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+           .limit(k))
+    return out if keep_key else out.drop("_aes_key")

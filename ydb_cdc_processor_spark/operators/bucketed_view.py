@@ -83,6 +83,17 @@ class BucketedMaterializedView:
             raise ValueError(f"bucket_keys {bucket_keys} must be a subset "
                              f"of keys {keys}")
         self.bucket_keys = list(bucket_keys) if bucket_keys else list(keys)
+        # like n_buckets, the co-location key is a property of the
+        # LAYOUT: the manifest wins over the constructor, so reopening a
+        # store without repeating bucket_keys= cannot mis-hash buckets
+        # (lookups probing the wrong directories, duplicate rows the
+        # per-bucket merge can never collapse)
+        stored_bk = self._read_manifest_dict().get("bucket_keys")
+        if stored_bk is not None and list(stored_bk) != self.bucket_keys:
+            logger.info("bucketed view %s: manifest bucket_keys=%s "
+                        "overrides constructor bucket_keys=%s", path,
+                        stored_bk, self.bucket_keys)
+            self.bucket_keys = list(stored_bk)
         self.schema = schema
         # the on-disk manifest wins over the constructor: bucket count is
         # a property of the LAYOUT, not of whoever re-instantiated the
@@ -130,6 +141,7 @@ class BucketedMaterializedView:
         os.makedirs(self.path, exist_ok=True)
         doc = self._read_manifest_dict()
         doc["n_buckets"] = self.n_buckets
+        doc["bucket_keys"] = self.bucket_keys
         if last_token is not None:
             doc["last_token"] = last_token
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"

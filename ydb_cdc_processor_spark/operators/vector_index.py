@@ -53,13 +53,35 @@ class VectorIndex:
         self.path = path
         self.n_cells = n_cells
         self.seed = seed
-        self.cent_path = os.path.join(path, "centroids")
         self.view = BucketedMaterializedView(
             spark, os.path.join(path, "lists"),
             keys=["cell", "vec_id"], bucket_keys=["cell"],
             n_buckets=n_buckets)
+        # quantizer metadata is a property of the LAYOUT (the same rule
+        # the bucketed view applies to n_buckets): a store built with
+        # one (n_cells, seed) reopened with another must serve the
+        # layout's values, not the constructor's
+        stored = self._read_index_meta()
+        if stored:
+            self.n_cells = int(stored.get("n_cells", n_cells))
+            self.seed = int(stored.get("seed", seed))
 
-    # -- centroids -----------------------------------------------------------
+    # -- centroids + metadata (INSIDE the lists dir — underscore-prefixed,
+    #    invisible to the parquet scan, and atomic with the lists swap) ------
+
+    @property
+    def cent_path(self) -> str:
+        return os.path.join(self.view.path, "_centroids")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.view.path, "_index.json")
+
+    def _read_index_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
 
     def _centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.cent_path)
@@ -93,7 +115,19 @@ class VectorIndex:
         """(Re)train the quantizer on ``corpus`` and load it: centroids =
         deterministic md5-ordered sample of ``n_cells`` corpus vectors
         (optionally Lloyd-refined), every corpus vector assigned to its
-        nearest cell and written to the bucketed lists."""
+        nearest cell and written to the bucketed lists.
+
+        A RETRAIN is full-replace by contract (stale (cell, vec_id) rows
+        from the old layout would double-serve and dodge remove_batch)
+        and CRASH-SAFE: everything — lists, centroids, metadata — stages
+        into a temp sibling and swaps in with the same displaced-rename
+        dance every other store mutation uses (``_recover`` restores the
+        complete old index if we die between the two renames; centroids
+        live INSIDE the lists directory so the swap is one rename, never
+        a window where new centroids serve old lists)."""
+        import shutil
+        import uuid
+
         cent = (ensure_min_partitions(corpus)
                 .withColumn("_h", F.md5(F.concat_ws(
                     ":", F.col(id_col).cast("string"),
@@ -109,19 +143,30 @@ class VectorIndex:
                 raise ValueError("kmeans_iters requires dim")
             cent = kmeans_refine(corpus, cent, dim, n_iters=kmeans_iters,
                                  id_col=id_col, vec_col=vec_col)
-        cent.coalesce(1).write.mode("overwrite").parquet(self.cent_path)
-        with open(os.path.join(self.path, "_index.json"), "w") as fh:
+
+        live = self.view.path
+        parent = os.path.dirname(os.path.abspath(live)) or "."
+        tmp = os.path.join(parent, f".{os.path.basename(live)}.rebuild-"
+                                   f"{uuid.uuid4().hex[:8]}")
+        tmp_view = BucketedMaterializedView(
+            self.spark, tmp, keys=["cell", "vec_id"],
+            bucket_keys=["cell"], n_buckets=self.view.n_buckets)
+        cent.coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tmp, "_centroids"))
+        rows = self._assign(
+            self._prep(corpus, id_col, vec_col),
+            self.spark.read.parquet(os.path.join(tmp, "_centroids")),
+            "vec_id", "_v", "_nv", 1)
+        tmp_view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
+                       action="upsertInto")
+        with open(os.path.join(tmp, "_index.json"), "w") as fh:
             json.dump({"n_cells": self.n_cells, "seed": self.seed}, fh)
-        # a RETRAIN moves vectors between cells: the old (cell, vec_id)
-        # rows must not survive into the new layout (an upsert alone
-        # would leave stale copies that double-serve in queries and dodge
-        # remove_batch) — build is full-replace by contract
-        import shutil
-        shutil.rmtree(self.view.path, ignore_errors=True)
-        rows = self._assign(self._prep(corpus, id_col, vec_col),
-                            self._centroids(), "vec_id", "_v", "_nv", 1)
-        self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
-                        action="upsertInto")
+        old = self.view._old_dir()
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
 
     def add_batch(self, vectors: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> None:
@@ -172,6 +217,21 @@ class VectorIndex:
                                .alias("_b")).distinct().collect())
         cells = [r[0] for r in cell_rows]
         touched = sorted({r[1] for r in cell_rows})
+        from ydb_cdc_processor_spark.operators.bucketed_view import (
+            BUCKET_COL)
+        if not any(os.path.isdir(os.path.join(self.view.path,
+                                              f"{BUCKET_COL}={b}"))
+                   for b in touched):
+            # every probed cell's bucket is absent (tiny or heavily-
+            # deleted store): the correct answer is zero candidates, not
+            # a schema-inference crash from an empty directory read
+            from pyspark.sql import types as T
+            pid_t = pc.schema["probe_id"].dataType
+            return self.spark.createDataFrame([], T.StructType([
+                T.StructField("probe_id", pid_t),
+                T.StructField("vec_id", pid_t),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rnk", T.IntegerType())]))
         lists = self.view._read_touched(touched, None) \
             .where(F.col("cell").isin(cells))
 

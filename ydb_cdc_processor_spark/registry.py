@@ -3714,7 +3714,8 @@ def q_weighted_sample(spark, sf_dir):
     unlike df.sample).  One codegen projection + one global top-k."""
     from ydb_cdc_processor_spark.functions.sampling import weighted_sample
     docs = load_docs(spark, sf_dir).select("doc_id", "n_chars")
-    return (weighted_sample(docs, "doc_id", "n_chars", 100)
+    return (weighted_sample(docs, "doc_id", "n_chars", 100,
+                             keep_key=True)
             .select("doc_id", "n_chars",
                     F.col("_aes_key").alias("aes_key")))
 
