@@ -528,7 +528,11 @@ class BucketedMaterializedView:
         """On-disk data size from file METADATA only — no Spark scan, no
         count job.  O(#files) driver-side stat calls."""
         total = 0
-        for root, _dirs, files in os.walk(self.path):
+        for root, dirs, files in os.walk(self.path):
+            # skip hidden/underscore SUBDIRS too (e.g. a _centroids
+            # sidecar) — match Spark's hiddenFileFilter visibility so
+            # the growth trigger sizes exactly what the scan reads
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for f in files:
                 if not f.startswith((".", "_")):
                     total += os.path.getsize(os.path.join(root, f))
