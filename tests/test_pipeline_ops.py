@@ -505,3 +505,22 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     z = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], "id long, w long")
     assert [r.id for r in weighted_sample(z, "id", "w", 10)
             .select("id").collect()] == [3]
+
+
+def test_q6_filters_push_into_scan(spark, sf_dir):
+    """The Q6 shape exists to prove pushdown: all three conjuncts must
+    reach the parquet reader as PushedFilters, and the scan must prune
+    to the four referenced columns."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    df = QUERIES["q_forecast_revenue"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in the scan node"
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} filter not pushed: {line}"
+    sch = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in sch
+    assert "l_orderkey" not in sch  # column pruning held

@@ -3974,6 +3974,34 @@ def q_ann_recall(spark, sf_dir):
             .orderBy("probe_id"))
 
 
+@register("q_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the canonical pushdown probe: a single scan
+    whose THREE conjuncts (date range, discount band, quantity cap) all
+    push into the parquet reader, one exact decimal fold, no join, no
+    shuffle beyond the final 1-row agg.  The query every engine uses to
+    demonstrate scan-filter efficiency."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+                 & F.col("l_discount").between(0.05, 0.07)
+                 & (F.col("l_quantity") < 24)))
+    return li.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue", 6),
+        F.count(F.lit(1)).cast("long").alias("n_lines"))
+
+
 @register("q_idle_customers", """
 WITH avg_bal AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
@@ -4183,7 +4211,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_neardup_index", "q_priority_shipping_mix", "q_promo_revenue",
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
-    "q_vector_index", "q_idle_customers",
+    "q_vector_index", "q_idle_customers", "q_forecast_revenue",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
