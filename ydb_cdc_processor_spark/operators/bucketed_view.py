@@ -529,10 +529,13 @@ class BucketedMaterializedView:
         count job.  O(#files) driver-side stat calls."""
         total = 0
         for root, dirs, files in os.walk(self.path):
-            # skip hidden/underscore SUBDIRS too (e.g. a _centroids
-            # sidecar) — match Spark's hiddenFileFilter visibility so
-            # the growth trigger sizes exactly what the scan reads
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            # skip hidden/underscore SIDECAR subdirs (e.g. _centroids) —
+            # but the _bucket=N partition dirs themselves are of course
+            # data (Spark's scan is pointed at them explicitly; the
+            # hidden-file convention applies below the partition level)
+            dirs[:] = [d for d in dirs
+                       if d.startswith(f"{BUCKET_COL}=")
+                       or not d.startswith((".", "_"))]
             for f in files:
                 if not f.startswith((".", "_")):
                     total += os.path.getsize(os.path.join(root, f))
