@@ -71,6 +71,7 @@ HEADLINE = [
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
     "q_vector_index", "q_idle_customers", "q_forecast_revenue",
+    "q_customer_order_distribution",
     # registry entries previously missing from the headline set
     "q_containment", "q_pit_enrich", "q_dedup_simhash", "q_select_star",
     "q_filter_route", "q_insert_strict", "q_skip_count", "q_setops",

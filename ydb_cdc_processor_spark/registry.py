@@ -3974,6 +3974,36 @@ def q_ann_recall(spark, sf_dir):
             .orderBy("probe_id"))
 
 
+@register("q_customer_order_distribution", """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — the histogram-of-group-sizes DOUBLE
+    aggregation: orders-per-customer via a LEFT join (zero-order
+    customers must appear in the 0 bin — an inner join silently drops
+    them), then the distribution over those counts.  Two hash aggs; the
+    second one's input is already customer-cardinality, so the heavy
+    shuffle happens exactly once."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          how="left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
 @register("q_forecast_revenue", """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
             AS DOUBLE) AS revenue,
@@ -4212,6 +4242,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_media_scenes", "q_audio_trim", "q_discount_revenue_disjunct",
     "q_small_quantity_revenue", "q_event_transitions", "q_ann_recall",
     "q_vector_index", "q_idle_customers", "q_forecast_revenue",
+    "q_customer_order_distribution",
     # round-6 additions, never driver-stamped (judge round 6, top risk)
     "q_scd2_incremental", "q_fuzzy_match", "q_bm25", "q_pagerank",
     "q_image_neardup", "q_simjoin_prefix", "q_curation_pipeline_v2",
