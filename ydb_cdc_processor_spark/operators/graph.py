@@ -37,17 +37,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     DECIMAL(38,18) per row before the exact decimal sum — deterministic
     at any parallelism and replayable by any SQL engine (the oracle
     contract).  ``exact=False``: plain double sums — the per-edge
-    decimal round-trip disappears from every iteration, ~2× faster at
-    sf0.1 and the better sf-scaling curve; ranks then differ from the
-    exact mode only by float-summation order (≤ ~1e-12 relative for
-    graphs this shape — pinned by test_pagerank_fast_close_to_exact),
-    so use it whenever bit-replay across engines is not required.
+    decimal round-trip disappears from every iteration (~1.1-1.6×
+    faster at sf0.1 depending on box load — the decimal cast is NOT
+    the dominant cost, the edge derivation was; see below) and the
+    better sf-scaling curve; ranks then differ from the exact mode only
+    by float-summation order (≤ ~1e-12 relative for graphs this shape —
+    pinned by test_pagerank_fast_close_to_exact), so use it whenever
+    bit-replay across engines is not required.
+
+    The edge list is eagerly ``localCheckpoint``-ed before iterating:
+    the unrolled n_iter-round plan references the edge subtree (often an
+    expensive join+distinct derivation at the caller) once per
+    iteration per branch, and exchange reuse does not always collapse
+    the re-executions — materializing |E| rows once cuts the whole
+    subtree out of every iteration (measured 10.3 s → ~6 s exact at
+    sf0.1).  Linear storage, the standard Pregel-edges-are-static call.
 
     Output: ``(node, rank DOUBLE)`` for every node incident to an edge.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .localCheckpoint(eager=True)
     nodes = (e.select(F.col("_s").alias("node"))
              .unionByName(e.select(F.col("_d").alias("node")))
              .distinct())

@@ -2806,7 +2806,11 @@ def q_pagerank(spark, sf_dir):
     rank⋈edges equi-join + one map-side-combined destination aggregate
     — the Pregel lowering; per-edge contributions round to DECIMAL
     before the exact sum, so the oracle's sequential 3-round unroll
-    reproduces every rank bit-for-bit (no convergence fuzz)."""
+    reproduces the ranks to well past the gates' 6-significant-digit
+    canonicalization (measured: ~3% of nodes differ in the LAST ULP
+    only — Spark and DuckDB round the double→DECIMAL(38,18) cast of
+    rank/degree differently in rare mantissa patterns; everything else
+    is bit-identical)."""
     from ydb_cdc_processor_spark.operators.graph import pagerank
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey")
@@ -2818,11 +2822,11 @@ def q_pagerank(spark, sf_dir):
                      F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
                      .alias("s"))
              .distinct())
-    # no persist here: the repeated references to the distinct-pairs
-    # subtree (both union arms, every iteration) collapse to ONE
-    # execution via ReusedExchange inside the single action — measured
-    # FASTER than an explicit .persist() (19.7 s vs 12.9 s at sf0.1),
-    # which forces InMemoryTableScan branches and defeats the reuse.
+    # no persist here: graph.pagerank eagerly localCheckpoints the edge
+    # list itself, which cuts the whole join+distinct derivation out of
+    # every unrolled iteration (measured 10.3 s → ~6 s at sf0.1; an
+    # explicit .persist() was measured SLOWER still, 19.7 s — it forces
+    # InMemoryTableScan branches and defeats exchange reuse).
     edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
              .unionByName(
                  pairs.select(F.col("s").alias("src"),
@@ -2861,9 +2865,13 @@ def q_pagerank_fast(spark, sf_dir):
                  pairs.select(F.col("s").alias("src"),
                               F.col("c").alias("dst"))))
     pr = pagerank(edges, n_iter=3, damping=0.85, exact=False)
+    # eager checkpoint: the scaled frame is referenced twice (cut
+    # derivation + final filter) — without it the whole 3-iteration
+    # chain can execute twice.  Bounded: one row per node.
     scaled = pr.select(
         "node",
-        F.round(F.col("rank") * 10000, 0).cast("bigint").alias("rank_1e4"))
+        F.round(F.col("rank") * 10000, 0).cast("bigint").alias("rank_1e4")) \
+        .localCheckpoint(eager=True)
     cut = (scaled.orderBy(F.col("rank_1e4").desc()).limit(20)
            .agg(F.min("rank_1e4").alias("_cut")))
     return (scaled.crossJoin(F.broadcast(cut))
