@@ -141,3 +141,44 @@ def test_property_any_batching_equals_oneshot(spark, tmp_path_factory,
     one = NearDupIndex(spark, base + "/one", n_buckets=4)
     expected = _pairs(one.apply_batch(docs))
     assert got == expected
+
+
+def test_neardup_skew_salting_same_pairs(spark, tmp_path):
+    """ADVERSARIAL skew: an entire corpus of identical documents — every
+    signature lands in ONE (band, bucket) per band.  The skew guard must
+    (a) detect it (last_skew metric), (b) salt the store join so the hot
+    bucket's fan-in spreads over many tasks, and (c) return EXACTLY the
+    pair set and estimates of the unguarded join."""
+    n = 120
+    rows = [(i, "the same viral boilerplate text repeated everywhere")
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    salted = NearDupIndex(spark, str(tmp_path / "s"), salt_threshold=30)
+    plain = NearDupIndex(spark, str(tmp_path / "p"), salt_threshold=None)
+
+    # batch 1 primes the store; batch 2 joins against the hot bucket
+    b1 = docs.where(F.col("doc_id") < 80)
+    b2 = docs.where(F.col("doc_id") >= 80)
+    p_s = _pairs(salted.apply_batch(b1)) | _pairs(salted.apply_batch(b2))
+    p_p = _pairs(plain.apply_batch(b1)) | _pairs(plain.apply_batch(b2))
+
+    assert salted.last_skew["salted"] is True
+    assert salted.last_skew["max_bucket_docs"] >= 80
+    assert salted.last_skew["n_salts"] > 1
+    assert plain.last_skew == {"max_bucket_docs": 0, "salted": False,
+                               "n_salts": 1}
+    # identical docs => every pair, estimate 1.0, both guards agree
+    assert p_s == p_p and len(p_s) == n * (n - 1) // 2
+    assert all(e == 1.0 for _, _, e in p_s)
+
+
+def test_neardup_skew_guard_off_below_threshold(spark, docs, tmp_path):
+    """An ordinary corpus must not trigger salting (no plan change, no
+    n_salts replication) — the guard is for the pathological tail."""
+    idx = NearDupIndex(spark, str(tmp_path / "nt"))
+    base = _pairs(idx.apply_batch(docs))
+    assert idx.last_skew["salted"] is False
+    assert idx.last_skew["max_bucket_docs"] < idx.salt_threshold
+    one = NearDupIndex(spark, str(tmp_path / "ref"), salt_threshold=None)
+    assert base == _pairs(one.apply_batch(docs))

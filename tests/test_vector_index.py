@@ -182,3 +182,73 @@ def test_bucket_keys_persisted_in_manifest(spark, emb, tmp_path):
     reopened = BucketedMaterializedView(
         spark, str(tmp_path / "bk" / "lists"), keys=["cell", "vec_id"])
     assert reopened.bucket_keys == ["cell"]
+
+
+def test_vector_index_stream_restart_converges(spark, emb, tmp_path):
+    """Streaming ingest drive: vectors arrive as files (one per
+    trigger), the query is killed and restarted with the same
+    checkpoint, late vectors land while down — the final store and the
+    query results must equal one-shot ingest of everything."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    early = emb.where(F.col("vec_id") % 4 == 1)
+    late = emb.where((F.col("vec_id") % 4).isin(2, 3))
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    idx = VectorIndex(spark, str(tmp_path / "sidx"), n_cells=8)
+    idx.build(base)
+    early.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    idx.start_stream(stream, ckpt).awaitTermination()
+
+    # kill: fresh index object, same store/checkpoint; late rows land
+    late.coalesce(1).write.mode("append").parquet(src)
+    idx2 = VectorIndex(spark, str(tmp_path / "sidx"), n_cells=8)
+    stream2 = (spark.readStream.schema(emb.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    idx2.start_stream(stream2, ckpt).awaitTermination()
+
+    one = VectorIndex(spark, str(tmp_path / "sone"), n_cells=8)
+    one.build(base)
+    one.add_batch(early.unionByName(late))
+    assert _res(idx2.view.read()) == _res(one.view.read())
+    got = _res(idx2.query(probes, k=3, n_probe=3))
+    assert got == _res(one.query(probes, k=3, n_probe=3)) and got
+
+
+def test_vector_index_query_during_retrain(spark, emb, tmp_path):
+    """Serving must not stop during a retrain: a query issued after the
+    new index is FULLY STAGED but before the atomic swap sees exactly
+    the complete old index's results; after the swap, exactly the new
+    one's.  Never a mix, never a crash."""
+    sub = emb.where(F.col("vec_id") % 2 == 0)
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    path = str(tmp_path / "serve")
+    idx = VectorIndex(spark, path, n_cells=8)
+    idx.build(sub)
+    old_expected = _res(idx.query(probes, k=3, n_probe=8))
+
+    ref_new = VectorIndex(spark, str(tmp_path / "refnew"), n_cells=8)
+    ref_new.build(emb)
+    new_expected = _res(ref_new.query(probes, k=3, n_probe=8))
+    assert old_expected != new_expected  # retrain must be observable
+
+    during: list = []
+
+    def probe_mid_swap():
+        # a CONCURRENT READER: a fresh handle, as a separate serving
+        # process would hold
+        reader = VectorIndex(spark, path, n_cells=8)
+        during.append(_res(reader.query(probes, k=3, n_probe=8)))
+
+    idx._pre_swap_hook = probe_mid_swap
+    idx.build(emb)  # retrain on the grown corpus
+    assert during == [old_expected], "mid-retrain read must serve the " \
+                                     "complete OLD index"
+    assert _res(idx.query(probes, k=3, n_probe=8)) == new_expected

@@ -189,6 +189,32 @@ class BucketedMaterializedView:
             else:
                 os.rename(disp, live)
 
+    def recover(self) -> None:
+        """Public crash-repair entry point: restore any state torn by a
+        crash mid-swap or mid-promotion (see :meth:`_recover`).  Every
+        public read on this class self-recovers; callers composing their
+        OWN reads of the view's directories (index stores probing bucket
+        paths) must call this first — a displaced bucket otherwise reads
+        as absent and its rows silently vanish."""
+        self._recover()
+
+    def replace_with(self, staged_path: str) -> None:
+        """Atomically adopt a fully-staged sibling directory as the
+        view's new on-disk state — the full-replace contract shared by
+        :meth:`rebucket` and index retrains (e.g. ``VectorIndex.build``).
+
+        ``staged_path`` must be a COMPLETE layout (bucket partitions,
+        manifest, any sidecar files): the live view is renamed to the
+        deterministic ``.old`` sibling, the staged dir renamed in, the
+        old copy dropped.  A crash between the two renames is repaired
+        by :meth:`recover`, which restores the complete old state."""
+        old = self._old_dir()
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(staged_path, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
     # -- IO ------------------------------------------------------------------
 
     def exists(self) -> bool:
@@ -214,6 +240,17 @@ class BucketedMaterializedView:
                 self.spark.createDataFrame([], self.schema))
         return self.spark.read.option("basePath", self.path) \
             .parquet(self.path)
+
+    def read_touched(self, touched: list[int],
+                     delta_schema=None) -> DataFrame:
+        """Public touched-bucket read: repair crash-torn buckets first
+        (:meth:`recover`), then read ONLY the touched buckets by direct
+        path (see :meth:`_read_touched`).  This is the read every
+        derived index store should use — going straight to the private
+        read skips the torn-bucket repair and a displaced bucket's rows
+        silently vanish (pinned by the torn-ingest query tests)."""
+        self._recover()
+        return self._read_touched(touched, delta_schema)
 
     def _read_touched(self, touched: list[int],
                       delta_schema) -> DataFrame:
@@ -576,15 +613,10 @@ class BucketedMaterializedView:
                         fh.write(last)
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
             json.dump(manifest, fh)
-        # deterministic .old sibling → _recover() can restore the complete
-        # old layout if we crash between the two renames; the in-memory
-        # count mutates only AFTER the swap succeeds, so an exception
-        # here leaves self.n_buckets agreeing with the on-disk layout
-        old = self._old_dir()
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        # the in-memory count mutates only AFTER the swap succeeds, so an
+        # exception here leaves self.n_buckets agreeing with the on-disk
+        # layout
+        self.replace_with(tmp)
         old_n, self.n_buckets = self.n_buckets, n_buckets
         logger.info("bucketed view %s: rebucketed %d → %d buckets",
                     self.path, old_n, n_buckets)

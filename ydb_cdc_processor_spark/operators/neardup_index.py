@@ -53,7 +53,22 @@ class NearDupIndex:
 
     def __init__(self, spark: SparkSession, path: str,
                  n_shingle: int = 3, k: int = 16, bands: int = 4,
-                 hash_fn: str = "md5", n_buckets: int = 16):
+                 hash_fn: str = "md5", n_buckets: int = 16,
+                 salt_threshold: int | None = 4096):
+        """``salt_threshold``: MinHash buckets inherit corpus skew — a
+        viral shingle-set (boilerplate, templated spam) can put
+        thousands of docs in ONE (band, bucket), and the store join then
+        hands a single task the whole quadratic blow-up.  When any
+        touched store bucket holds >= this many docs, the lookup join is
+        salted (``functions.partitioning.salted_join``): the store side
+        spreads over n_salts sub-keys and the batch side replicates, so
+        the hot bucket's work lands on n_salts tasks instead of one.
+        The PAIR SET IS UNCHANGED (salting only re-partitions the join —
+        pinned by test_neardup_skew_salting_same_pairs); candidate
+        OUTPUT volume for such a bucket is inherently quadratic and is
+        surfaced, not hidden: per-batch occupancy lands in
+        :attr:`last_skew`.  ``None`` disables the guard (and its one
+        extra touched-bucket aggregate per batch)."""
         if k % bands != 0:
             raise ValueError("k must be divisible by bands")
         self.spark = spark
@@ -61,6 +76,11 @@ class NearDupIndex:
         self.k = k
         self.bands = bands
         self.hash_fn = hash_fn
+        self.salt_threshold = salt_threshold
+        #: observability for the skew guard, refreshed per apply_batch:
+        #: {"max_bucket_docs", "salted", "n_salts"}
+        self.last_skew: dict = {"max_bucket_docs": 0, "salted": False,
+                                "n_salts": 1}
         self.sig_cols = [f"mh{i}" for i in range(k)]
         self.view = BucketedMaterializedView(
             spark, path, keys=["band", "bucket", "doc"],
@@ -106,7 +126,7 @@ class NearDupIndex:
 
         touched = [r[0] for r in
                    band.select(self.view.bucket_expr()).distinct().collect()]
-        stored = self.view._read_touched(touched, band.schema) \
+        stored = self.view.read_touched(touched, band.schema) \
             .select(F.col("doc").alias("_idoc"), "band", "bucket",
                     *[F.col(c).alias(f"_i{c}") for c in self.sig_cols])
         # plain equality (NULL → no agreement), matching ANSI CASE WHEN
@@ -114,8 +134,8 @@ class NearDupIndex:
         agree = sum(F.coalesce((F.col(c) == F.col(f"_i{c}")).cast("int"),
                                F.lit(0))
                     for c in self.sig_cols)
-        cand = (band.join(stored, on=["band", "bucket"])
-                .where(F.col("doc") != F.col("_idoc")))
+        joined = self._store_join(band, stored)
+        cand = joined.where(F.col("doc") != F.col("_idoc"))
         pairs = (cand.select(
                      F.least("doc", "_idoc").alias("doc_a"),
                      F.greatest("doc", "_idoc").alias("doc_b"),
@@ -127,6 +147,31 @@ class NearDupIndex:
         # a caller holding the un-forced frame across batches would hit
         # FileNotFound.  Bounded output (candidate pairs of one batch).
         return pairs.localCheckpoint(eager=True)
+
+    def _store_join(self, band: DataFrame, stored: DataFrame) -> DataFrame:
+        """The batch-vs-store candidate join, skew-guarded: when any
+        touched store bucket's occupancy reaches ``salt_threshold``, the
+        STORE side (the big one) is salted over n_salts sub-keys and the
+        batch side replicated — same pair set, bounded per-task fan-in.
+        The occupancy probe costs one aggregate over the already-pruned
+        touched buckets (never the whole store)."""
+        if self.salt_threshold is None:
+            return band.join(stored, on=["band", "bucket"])
+        row = (stored.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .agg(F.max("_n").alias("mx")).collect()[0])
+        mx = int(row["mx"] or 0)
+        if mx < self.salt_threshold:
+            self.last_skew = {"max_bucket_docs": mx, "salted": False,
+                              "n_salts": 1}
+            return band.join(stored, on=["band", "bucket"])
+        from ydb_cdc_processor_spark.functions.partitioning import (
+            salted_join)
+        n_salts = min(64, 2 * -(-mx // self.salt_threshold))
+        self.last_skew = {"max_bucket_docs": mx, "salted": True,
+                          "n_salts": n_salts}
+        return salted_join(stored, band, ["band", "bucket"],
+                           n_salts=n_salts)
 
     # -- streaming drive -----------------------------------------------------
 

@@ -53,6 +53,9 @@ class VectorIndex:
         self.path = path
         self.n_cells = n_cells
         self.seed = seed
+        # test seam: called by build() after the new index is fully
+        # staged but before the atomic swap (retrain-while-serving test)
+        self._pre_swap_hook = None
         self.view = BucketedMaterializedView(
             spark, os.path.join(path, "lists"),
             keys=["cell", "vec_id"], bucket_keys=["cell"],
@@ -60,7 +63,11 @@ class VectorIndex:
         # quantizer metadata is a property of the LAYOUT (the same rule
         # the bucketed view applies to n_buckets): a store built with
         # one (n_cells, seed) reopened with another must serve the
-        # layout's values, not the constructor's
+        # layout's values, not the constructor's.  Recover FIRST — an
+        # index torn mid-build (lists renamed aside to .old) otherwise
+        # finds no metadata and silently adopts the constructor's
+        # values, diverging from the layout the next recover restores.
+        self.view.recover()
         stored = self._read_index_meta()
         if stored:
             self.n_cells = int(stored.get("n_cells", n_cells))
@@ -120,12 +127,14 @@ class VectorIndex:
         A RETRAIN is full-replace by contract (stale (cell, vec_id) rows
         from the old layout would double-serve and dodge remove_batch)
         and CRASH-SAFE: everything — lists, centroids, metadata — stages
-        into a temp sibling and swaps in with the same displaced-rename
-        dance every other store mutation uses (``_recover`` restores the
-        complete old index if we die between the two renames; centroids
-        live INSIDE the lists directory so the swap is one rename, never
-        a window where new centroids serve old lists)."""
-        import shutil
+        into a temp sibling and swaps in via the view's public
+        ``replace_with`` (``recover`` restores the complete old index if
+        we die between the two renames; centroids live INSIDE the lists
+        directory so the swap is one rename, never a window where new
+        centroids serve old lists).  Serving continues during a retrain:
+        a concurrent :meth:`query` sees the complete old index until the
+        swap and the complete new one after, never a mix (pinned by
+        test_vector_index_query_during_retrain via _pre_swap_hook)."""
         import uuid
 
         cent = (ensure_min_partitions(corpus)
@@ -159,14 +168,20 @@ class VectorIndex:
             "vec_id", "_v", "_nv", 1)
         tmp_view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
                        action="upsertInto")
+        # vec_id's type is LAYOUT metadata too: an empty-store query
+        # must type its empty result from what the lists WOULD hold,
+        # not from whatever the probes happen to carry
+        from pyspark.sql import types as T
+        vid_schema = T.StructType(
+            [T.StructField("vec_id", rows.schema["vec_id"].dataType)])
         with open(os.path.join(tmp, "_index.json"), "w") as fh:
-            json.dump({"n_cells": self.n_cells, "seed": self.seed}, fh)
-        old = self.view._old_dir()
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)
+            json.dump({"n_cells": self.n_cells, "seed": self.seed,
+                       "vec_id_schema": vid_schema.jsonValue()}, fh)
+        if self._pre_swap_hook is not None:
+            # test seam: everything is staged, nothing swapped — a
+            # concurrent reader must still see the complete OLD index
+            self._pre_swap_hook()
+        self.view.replace_with(tmp)
 
     def add_batch(self, vectors: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> None:
@@ -189,6 +204,33 @@ class VectorIndex:
                             self._centroids(), "vec_id", "_v", "_nv", 1)
         self.view.apply(rows.select("cell", "vec_id"), action="deleteFrom")
 
+    # -- streaming drive -----------------------------------------------------
+
+    def start_stream(self, vec_stream: DataFrame, checkpoint_dir: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     available_now: bool = True):
+        """Maintain the index from a STREAM of vectors (foreachBatch →
+        :meth:`add_batch`) — the continuous-ingest shape a 100 TB
+        embedding store actually runs, mirroring
+        ``NearDupIndex.start_stream``.  Requires a built index (the
+        quantizer is frozen; ingest never moves centroids).
+
+        Replay contract: add_batch is an idempotent upsert per
+        (cell, vec_id), so a checkpoint replay of a micro-batch
+        converges the store to the same state — kill/restart equals
+        one-shot ingest (pinned by
+        test_vector_index_stream_restart_converges).  Returns the
+        StreamingQuery."""
+        def _batch(df, batch_id: int) -> None:
+            self.add_batch(df, id_col, vec_col)
+
+        writer = (vec_stream.writeStream
+                  .foreachBatch(_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- serving -------------------------------------------------------------
 
     def query(self, probes: DataFrame, k: int = 5, n_probe: int = 4,
@@ -210,7 +252,7 @@ class VectorIndex:
         # directories, or a displaced bucket reads as absent and its
         # vectors silently vanish from results (same gap merge_touched
         # had — see test_vector_index_query_after_torn_ingest)
-        self.view._recover()
+        self.view.recover()
         # one collect: (cell, store bucket) pairs straight off pc — no
         # driver-side re-materialization, and id_col-type-generic
         cell_rows = (pc.select("cell", self.view.bucket_expr()
@@ -224,15 +266,25 @@ class VectorIndex:
                    for b in touched):
             # every probed cell's bucket is absent (tiny or heavily-
             # deleted store): the correct answer is zero candidates, not
-            # a schema-inference crash from an empty directory read
+            # a schema-inference crash from an empty directory read.
+            # vec_id's type comes from the LAYOUT metadata build() wrote
+            # (stored-list schema), not the probes' id type — they can
+            # legitimately differ, and a wrong empty schema poisons
+            # unions/joins downstream.  Pre-metadata stores (never
+            # built) fall back to the probe type, the documented
+            # same-type assumption for that legacy case.
             from pyspark.sql import types as T
             pid_t = pc.schema["probe_id"].dataType
+            vid_t = pid_t
+            stored = self._read_index_meta().get("vec_id_schema")
+            if stored:
+                vid_t = T.StructType.fromJson(stored)["vec_id"].dataType
             return self.spark.createDataFrame([], T.StructType([
                 T.StructField("probe_id", pid_t),
-                T.StructField("vec_id", pid_t),
+                T.StructField("vec_id", vid_t),
                 T.StructField("cos_sim", T.DoubleType()),
                 T.StructField("rnk", T.IntegerType())]))
-        lists = self.view._read_touched(touched, None) \
+        lists = self.view.read_touched(touched) \
             .where(F.col("cell").isin(cells))
 
         cand = lists.join(F.broadcast(pc), on="cell") \
