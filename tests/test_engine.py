@@ -225,9 +225,9 @@ def test_timeout_enforced_in_two_phase(spark, tmp_path):
 def test_dlq_collects_malformed_envelopes(spark, sf_dir, fixture_dir,
                                           tmp_path):
     """dlq_path: malformed envelopes land queryably in the dead-letter
-    parquet with the original raw line and a diagnostic reason, while
-    the view result is unchanged; a replayed batch re-appends
-    (documented at-least-once — dedup on (_offset, raw) downstream)."""
+    parquet with the original raw line, a diagnostic reason, and the
+    batch token; the raw log is at-least-once (replays re-append) but
+    read_dlq() collapses replays to exact counts."""
     schema, pk = describe_table(spark, sf_dir, "events")
     p = CdcPipeline(
         name="dlq_view", source_schema=schema, pk=pk,
@@ -239,20 +239,32 @@ def test_dlq_collects_malformed_envelopes(spark, sf_dir, fixture_dir,
     dlq = str(tmp_path / "dlq")
     eng = CdcBatchEngine(spark, p, str(tmp_path / "view"), dlq_path=dlq)
     raw = cdc_json.read_cdc_batch(spark, fixture_dir)
-    stats = eng.apply_raw_batch(raw)
+    stats = eng.apply_raw_batch(raw, batch_token="dlq_view:0")
     assert stats.malformed > 0
 
     got = spark.read.parquet(dlq)
     assert got.count() == stats.malformed
     rows = got.collect()
     assert all(r.reason for r in rows) and all(r.raw for r in rows)
-    assert {"_offset", "raw", "reason", "_ingested_at"} <= set(got.columns)
+    assert all(r._batch_token == "dlq_view:0" for r in rows)
+    assert {"_offset", "raw", "reason", "_ingested_at",
+            "_batch_token"} <= set(got.columns)
     # the view itself must be unaffected by DLQ capture
     n_view = eng.read_view().count()
 
-    # replay: at-least-once append; view unchanged
-    eng.apply_raw_batch(raw)
+    # replay under the SAME token: raw log is at-least-once, but the
+    # collapsed reader stays exact; view unchanged
+    eng.apply_raw_batch(raw, batch_token="dlq_view:0")
     assert spark.read.parquet(dlq).count() == 2 * stats.malformed
-    assert (spark.read.parquet(dlq)
-            .dropDuplicates(["_offset", "raw"]).count() == stats.malformed)
+    assert eng.read_dlq().count() == stats.malformed
     assert eng.read_view().count() == n_view
+
+    # a DIFFERENT batch that happens to carry identical malformed lines
+    # is a distinct occurrence — the collapsed reader keeps both
+    eng.apply_raw_batch(raw, batch_token="dlq_view:1")
+    assert eng.read_dlq().count() == 2 * stats.malformed
+
+    # token-less ad-hoc appends collapse with each other only
+    eng.apply_raw_batch(raw)
+    eng.apply_raw_batch(raw)
+    assert eng.read_dlq().count() == 3 * stats.malformed

@@ -145,6 +145,16 @@ def test_checksum_digest_is_canonical_decimal_string(spark):
     assert isinstance(row["digest"], str) and row["digest"].isdigit()
 
 
+def test_checksum_carries_format_version(spark):
+    """Every digest is self-describing: the fmt tag makes a persisted
+    baseline from an older serialization fail LOUDLY (tag mismatch)
+    instead of silently comparing unequal."""
+    from ydb_cdc_processor_spark.functions.checksum import DIGEST_FORMAT
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    row = table_checksum(df, ["id", "v"]).collect()[0]
+    assert row["fmt"] == DIGEST_FORMAT == "cksum-v2"
+
+
 # -------------------------------------------------------------- fuzzy
 
 def test_fuzzy_pairs_match_bruteforce(spark):

@@ -209,12 +209,15 @@ class CdcBatchEngine:
         deliberately discards.
 
         ``dlq_path``: dead-letter queue — malformed envelopes append
-        here as ``(order_col, raw, reason, _ingested_at)`` parquet
-        instead of being counted-and-dropped (the reference logs and
-        skips, CdcMsgParser.java:47-57; at scale the evidence must be
-        queryable).  Append-only and NOT replay-fenced: a replayed batch
-        re-appends its malformed rows (at-least-once) — dedup on
-        ``(order_col, raw)`` downstream when exactness matters."""
+        here as ``(order_col, raw, reason, _ingested_at, _batch_token)``
+        parquet instead of being counted-and-dropped (the reference logs
+        and skips, CdcMsgParser.java:47-57; at scale the evidence must
+        be queryable).  The raw log is append-only at-least-once (an R1
+        retry or checkpoint replay re-appends identical rows under the
+        SAME batch token), so counting/alerting must go through
+        :meth:`read_dlq`, which collapses replays — the same
+        fence-then-collapse contract the aggregate views and
+        ``NearDupIndex.read_pairs`` use."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
@@ -248,6 +251,28 @@ class CdcBatchEngine:
     def read_view(self) -> DataFrame:
         assert self._mv is not None, "no batch applied yet"
         return self._mv.read()
+
+    def read_dlq(self) -> DataFrame:
+        """The dead-letter queue, REPLAY-COLLAPSED: one row per distinct
+        (batch token, offset, raw, reason), keeping the earliest
+        ``_ingested_at``.  An R1 retry / checkpoint replay re-appends
+        identical rows under the same ``_batch_token``; those collapse
+        here, so counts and alerting over this frame are exact even
+        though the underlying log is at-least-once.  Distinct batches
+        that (legitimately) contain byte-identical malformed lines at
+        the same offset carry different tokens and are both kept.
+        Token-less appends (ad-hoc ``apply_raw_batch`` calls without
+        ``batch_token``) collapse on (offset, raw, reason) — exact for
+        replays of the same batch, best-effort across different ones."""
+        if self.dlq_path is None:
+            raise ValueError("engine has no dlq_path configured")
+        df = self.spark.read.option("mergeSchema", "true") \
+            .parquet(self.dlq_path)
+        if "_batch_token" not in df.columns:  # pre-token legacy files only
+            df = df.withColumn("_batch_token", F.lit(None).cast("string"))
+        keys = [c for c in df.columns if c != "_ingested_at"]
+        return df.groupBy(*keys).agg(
+            F.min("_ingested_at").alias("_ingested_at"))
 
     # -- the batch apply path ----------------------------------------------
 
@@ -349,6 +374,8 @@ class CdcBatchEngine:
                 # is something to write — no empty-append file litter
                 (decode.malformed_rows(raw_df, raw_col, keep=[order_col])
                  .withColumn("_ingested_at", F.current_timestamp())
+                 .withColumn("_batch_token",
+                             F.lit(batch_token).cast("string"))
                  .write.mode("append").parquet(self.dlq_path))
             n_u_raw = 0 if skip_u else int(m["n_u"] or 0)
             self._maintain_scd2_views(typed_all, order_col, batch_token,

@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 #: field digest can ever equal it.  Must match the oracle's repeat('N',32).
 NULL_BLOCK = "N" * 32
 
+#: Digest FORMAT VERSION, emitted with every checksum so persisted
+#: baselines fail LOUDLY on format changes instead of comparing unequal.
+#: History — compare digests only within the same tag:
+#:   (untagged)   round-6: separator-join serialization, DECIMAL digest.
+#:                NOT injective and numerically incomparable cross-engine;
+#:                any stored digest from then is incompatible with later
+#:                formats (equal tables WILL read as a mismatch).
+#:   "cksum-v2"   round-7+: per-field md5 blocks (injective), digest
+#:                rendered as a canonical decimal STRING.
+DIGEST_FORMAT = "cksum-v2"
+
 
 def row_digest(cols: list[Column]) -> Column:
     """60-bit integer hash of the injective row serialization:
@@ -56,13 +67,21 @@ def row_digest(cols: list[Column]) -> Column:
 
 
 def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-row digest of ``df[cols]``: ``(n_rows BIGINT, digest
-    STRING)`` — the digest is DECIMAL(38,0) rendered canonically as a
-    string so it compares exactly across engines (see module docstring).
-    Equal digests + equal counts ⇒ equal multisets of rows (up to md5
-    collisions).  Compare source vs sink, or yesterday vs today, with
-    two cheap scans and an equality check."""
+    """One-row digest of ``df[cols]``: ``(n_rows BIGINT, digest STRING,
+    fmt STRING)`` — the digest is DECIMAL(38,0) rendered canonically as
+    a string so it compares exactly across engines (see module
+    docstring).  Equal digests + equal counts ⇒ equal multisets of rows
+    (up to md5 collisions).  Compare source vs sink, or yesterday vs
+    today, with two cheap scans and an equality check.
+
+    ``fmt`` carries :data:`DIGEST_FORMAT` so a digest persisted as a
+    baseline is self-describing: comparing rows with different ``fmt``
+    tags is a format break, not a data mismatch — check it FIRST (the
+    round-6 → round-7 serialization change made all older stored
+    digests silently incomparable; the tag turns that failure mode into
+    an explicit signal)."""
     d = row_digest([F.col(c) for c in cols])
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(d.cast("decimal(38,0)")).cast("string").alias("digest"))
+        F.sum(d.cast("decimal(38,0)")).cast("string").alias("digest"),
+        F.lit(DIGEST_FORMAT).alias("fmt"))

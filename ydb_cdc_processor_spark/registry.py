@@ -3186,7 +3186,8 @@ WITH rows_h AS (
            COALESCE(md5(o_orderpriority), repeat('N', 32))), 1, 15) AS h15
   FROM orders)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM({hex15}) AS VARCHAR) AS digest
+       CAST(SUM({hex15}) AS VARCHAR) AS digest,
+       'cksum-v2' AS fmt
 FROM rows_h
 """.replace("{hex15}", " + ".join(
     f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) "
