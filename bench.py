@@ -76,6 +76,10 @@ HEADLINE = [
     "q_containment", "q_pit_enrich", "q_dedup_simhash", "q_select_star",
     "q_filter_route", "q_insert_strict", "q_skip_count", "q_setops",
     "q_no_orders", "q_scalar_funcs", "q_agg_view_bucketed",
+    # round-8 additions
+    "q_vector_index_stream", "q_nation_trade_volume", "q_market_share",
+    "q_returned_items", "q_top_supplier", "q_large_orders",
+    "q_neardup_index_stream",
 ]
 
 

@@ -49,11 +49,13 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
                      f"{[(cg[i], ce[i]) for i in mism]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert df.schema is not None
+def test_every_query_is_oracle_gated():
+    """Round 8 closed the last rows-only gaps (q_pagerank_fast got a
+    derived tolerant oracle; q_dedup_clusters_star shares the label
+    variant's).  Keep it that way: a new registry entry without an
+    oracle is a conscious decision this test forces into the open, not
+    a silent weaker check."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_salted_join_matches_plain(spark):

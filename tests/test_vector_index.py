@@ -252,3 +252,13 @@ def test_vector_index_query_during_retrain(spark, emb, tmp_path):
     assert during == [old_expected], "mid-retrain read must serve the " \
                                      "complete OLD index"
     assert _res(idx.query(probes, k=3, n_probe=8)) == new_expected
+
+
+def test_cell_stats_bounded_and_complete(spark, emb, tmp_path):
+    """cell_stats: <= n_cells rows, occupancies sum to the corpus —
+    the bounded observability frame the retrain decision reads."""
+    idx = VectorIndex(spark, str(tmp_path / "cs"), n_cells=8)
+    idx.build(emb)
+    stats = idx.cell_stats().collect()
+    assert len(stats) <= 8
+    assert sum(r.n_vectors for r in stats) == emb.count()

@@ -204,6 +204,21 @@ class VectorIndex:
                             self._centroids(), "vec_id", "_v", "_nv", 1)
         self.view.apply(rows.select("cell", "vec_id"), action="deleteFrom")
 
+    # -- observability -------------------------------------------------------
+
+    def cell_stats(self) -> DataFrame:
+        """Per-cell occupancy of the inverted lists — bounded output
+        (≤ ``n_cells`` rows), the IVF retrain signal.  A skewed
+        quantizer (hot cells holding a large share of the corpus)
+        degrades pruning — query cost is the occupancy of the probed
+        cells, not |corpus|/n_cells — and the fix is a periodic
+        :meth:`build` retrain, which this frame tells you when to
+        schedule.  (Query-time parallelism itself does not collapse on
+        a hot cell: the candidate join is a broadcast-hash join over
+        the scan, so Spark splits a large cell's files across tasks.)"""
+        return (self.view.read().groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_vectors")))
+
     # -- streaming drive -----------------------------------------------------
 
     def start_stream(self, vec_stream: DataFrame, checkpoint_dir: str,

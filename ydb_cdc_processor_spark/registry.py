@@ -4108,7 +4108,7 @@ def q_idle_customers(spark, sf_dir):
             .orderBy("c_mktsegment"))
 
 
-@register("q_vector_index", """
+ORACLE_VECTOR_INDEX = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
@@ -4133,7 +4133,10 @@ r AS (SELECT probe_id, vec_id, cos_sim,
                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
       FROM s)
 SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
+"""
+
+
+@register("q_vector_index", ORACLE_VECTOR_INDEX)
 def q_vector_index(spark, sf_dir):
     """PERSISTENT IVF vector index (operators/vector_index.py): the
     quantizer trains on two-thirds of the corpus, the remaining third
@@ -4147,6 +4150,31 @@ def q_vector_index(spark, sf_dir):
     idx = VectorIndex(spark, _scratch_dir("vecidx_") + "/idx", n_cells=16)
     idx.build(emb.where(F.col("vec_id") % 3 != 2))
     idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return idx.query(probes, k=5, n_probe=4)
+
+
+@register("q_vector_index_stream", ORACLE_VECTOR_INDEX)
+def q_vector_index_stream(spark, sf_dir):
+    """The IVF index maintained from a STREAM
+    (VectorIndex.start_stream): the quantizer trains on two-thirds of
+    the corpus, the remaining third arrives as a checkpointed file
+    stream (one file per trigger) whose micro-batches ingest via
+    foreachBatch → add_batch.  Frozen-quantizer assignment is
+    per-vector, so arrival batching cannot change the served results —
+    the streaming lifecycle must land on exactly the batch lifecycle's
+    answers, which is what the (shared) SQL oracle replays."""
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _scratch_dir("vecidxs_")
+    idx = VectorIndex(spark, base + "/idx", n_cells=16)
+    idx.build(emb.where(F.col("vec_id") % 3 != 2))
+    late = emb.where(F.col("vec_id") % 3 == 2)
+    late.repartition(3).write.parquet(base + "/src")
+    stream = (spark.readStream.schema(late.schema)
+              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
+    idx.start_stream(stream, base + "/ckpt").awaitTermination()
     probes = emb.where(F.col("vec_id") % 100 == 0) \
                 .select(F.col("vec_id").alias("probe_id"), "embedding")
     return idx.query(probes, k=5, n_probe=4)
@@ -4259,6 +4287,288 @@ def q_neardup_index(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+@register("q_neardup_index_stream", None)
+def q_neardup_index_stream(spark, sf_dir):
+    """Near-dup detection from a STREAM (NearDupIndex.start_stream):
+    the corpus arrives as a checkpointed file stream (one file per
+    trigger) into the persistent banded-MinHash store; per-batch
+    candidate pairs append to a parquet sink tagged by batch id and are
+    read back replay-collapsed (read_pairs).  The collapsed pair set
+    must equal the one-shot LSH pair set with identical estimates —
+    exactly what q_neardup_index's shared SQL oracle recomputes
+    (any-batching == one-shot is also property-tested,
+    test_neardup_index.py)."""
+    from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    base = _scratch_dir("ndidxs_")
+    docs.repartition(3).write.parquet(base + "/src")
+    idx = NearDupIndex(spark, base + "/idx")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
+    idx.start_stream(stream, base + "/ckpt", base + "/pairs") \
+       .awaitTermination()
+    return (idx.read_pairs(base + "/pairs")
+            .select("doc_a", "doc_b", "est_jaccard").distinct())
+
+
+ORACLES["q_neardup_index_stream"] = ORACLES["q_neardup_index"]
+
+
+@register("q_nation_trade_volume", """
+WITH v AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM v GROUP BY supp_nation, cust_nation, l_year
+""")
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 volume-shipping shape: bilateral trade volume between
+    two nations by ship year.  The nation filters broadcast and
+    pre-prune supplier/customer BEFORE lineitem joins them, so the big
+    table's join fan-in carries only the two nations' rows; the ship-
+    date range pushes into the lineitem scan; revenue is the
+    decimal-exact Σ price·(1−discount)."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"))), on="s_nationkey")
+            .select("s_suppkey", "supp_nation"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"))), on="c_nationkey")
+            .select("c_custkey", "cust_nation"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    return (li
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .where(((F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2")
+                      & (F.col("cust_nation") == "NATION_1")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+                 .cast("double").alias("revenue")))
+
+
+@register("q_market_share", """
+WITH an AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM an GROUP BY o_year
+""")
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 national-market-share shape: one nation's share of a
+    region's revenue for one part type, by order year — the
+    conditional-aggregate-over-star-join pattern.  Every dimension
+    (part-type filter, region→nation chain, supplier nation)
+    broadcasts; both the numerator's CASE sum and the denominator ride
+    ONE decimal-exact aggregate pass; the share divides the two exact
+    sums in IEEE doubles, identically on both engines.  The
+    lineitem⋈orders and orders⋈customer joins sort-merge BY DESIGN —
+    fact-fact joins at 100 TB must shuffle on their keys (AQE converts
+    them to broadcast at runtime when the filtered side turns out
+    small)."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "AMERICA").select("r_regionkey")
+    cnation = (nation.join(F.broadcast(region),
+                           nation.n_regionkey == region.r_regionkey)
+               .select(F.col("n_nationkey").alias("c_nationkey")))
+    snation = nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                            F.col("n_name").alias("supp_nation"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(cnation), on="c_nationkey")
+            .select("c_custkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(snation), on="s_nationkey")
+            .select("s_suppkey", "supp_nation"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = d2("l_extendedprice") * (1 - d2("l_discount"))
+    an = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                  vol.alias("volume"), "supp_nation"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (an.groupBy("o_year")
+            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                               F.col("volume")).otherwise(zero))
+                  .cast("double")
+                  / F.sum("volume").cast("double")).alias("mkt_share")))
+
+
+@register("q_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       c.c_acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+""")
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 returned-item-reporting shape: top-20 customers by
+    revenue lost to returns in one quarter.  The quarter filter pushes
+    into the orders scan and the returnflag filter into lineitem's;
+    nation broadcasts; the top-20 is a distributed TakeOrdered (never a
+    global sort) with the customer key as the deterministic
+    tie-breaker."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1996-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+            .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+@register("q_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 top-supplier shape (the view-based variant flattened):
+    quarterly revenue per supplier, keep the maximum (ties included —
+    the spec's semantics).  The max is a 1-row broadcast against the
+    already-aggregated revenue frame, and the equality is float-safe
+    cross-engine because both sides derive the revenue from the SAME
+    decimal-exact sum."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+                .cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("_mx"))
+            .join(F.broadcast(supp),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q_large_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""")
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 large-volume-customer shape: orders whose total
+    quantity exceeds a threshold, with customer detail — the
+    aggregate-derived semi-join pattern.  The HAVING side is one
+    map-side-combined agg over (l_orderkey); its survivors semi-join
+    back into the detail pass; the threshold compares the EXACT decimal
+    sum, so membership is bit-stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    qdec = F.col("l_quantity").cast("decimal(38,6)")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qdec).alias("_q"))
+           .where(F.col("_q") > 180).select("l_orderkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    return (li.join(big, on="l_orderkey", how="left_semi")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum(qdec).cast("double").alias("sum_qty")))
 
 
 # ---------------------------------------------------------------------------
