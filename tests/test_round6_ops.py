@@ -353,3 +353,104 @@ def test_scd2_view_suppressed_noop_revives_on_late_splice(spark, tmp_path):
             None if r["valid_to"] is None else r["valid_to"].day)
            for r in view.read().collect()}
     assert got == {("a", 1, 2), ("b", 2, 3), ("a", 3, None)}
+
+
+# ----------------------------------------------- incremental checksum
+
+def test_checksum_view_incremental_equals_recompute(spark, tmp_path):
+    """ChecksumView across inserts, updates, and deletes must equal the
+    full table_checksum recompute after every step (shard additivity
+    applied incrementally), and the replay fence must make a re-applied
+    batch a no-op."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+
+    rows = [(i, f"v{i}", i * 10) for i in range(100)]
+    full = spark.createDataFrame(rows, "id long, v string, x long")
+    mv = ParquetMaterializedView(spark, str(tmp_path / "view"), ["id"],
+                                 schema=full.schema)
+    cv = ChecksumView(spark, str(tmp_path / "ck"), ["id", "v", "x"])
+
+    def step(new, token):
+        old = None
+        if mv.exists():
+            old = (mv.read().join(new.select("id"), on="id",
+                                  how="left_semi")
+                   .localCheckpoint(eager=True))
+        cv.apply_delta(new, old, batch_token=token)
+        mv.apply(new, action="upsertInto")
+
+    # batch 1: inserts
+    step(full.where("id < 60"), "b1")
+    assert cv.matches(mv.read())
+    # batch 2: inserts + updates (changed values)
+    b2 = full.where("id >= 40").withColumn(
+        "v", F.concat(F.col("v"), F.lit("_mod")))
+    step(b2, "b2")
+    assert cv.matches(mv.read())
+    # batch 3: restore the true rows (update back)
+    step(full.where("id >= 40"), "b3")
+    assert cv.matches(mv.read())
+    # replay of batch 3 under the same token: no-op
+    d_before = cv.read()
+    cv.apply_delta(full.where("id >= 40"), mv.read().join(
+        full.where("id >= 40").select("id"), on="id", how="left_semi"),
+        batch_token="b3")
+    assert cv.read() == d_before
+    # deletes
+    victims = mv.read().where("id % 7 = 0").localCheckpoint(eager=True)
+    cv.apply_delta(None, victims, batch_token="b4")
+    mv.apply(victims.select("id"), action="deleteFrom")
+    assert cv.matches(mv.read())
+    # view now equals full minus victims; a tampered frame mismatches
+    assert not cv.matches(mv.read().where("id != 3"))
+
+
+def test_checksum_view_rides_engine_agg_feed(spark, sf_dir, tmp_path):
+    """ChecksumView passed via CdcBatchEngine(agg_views=[...]) must track
+    the engine-maintained row view through the real CDC flow (decode →
+    last-wins → merge, including deletes) and stay exact across an
+    at-least-once replay of the same batch."""
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.plans.pipeline import (
+        ActionMode, CdcPipeline)
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    fixture_dir = str(tmp_path / "events_cdc")
+    assert cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture_dir,
+                                             n_partitions=4) > 0
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="ck_view", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows",
+        action_mode=ActionMode.DIRECT).validate(spark)
+    cv = ChecksumView(spark, str(tmp_path / "ck"),
+                      ["event_id", "user_id", "event_type"])
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"), agg_views=[cv])
+    raw = cdc_json.read_cdc_batch(spark, fixture_dir)
+    eng.apply_raw_batch(raw, batch_token="ck:0")
+    assert cv.matches(eng.read_view())
+    # replay: fence skips the checksum delta, merge is idempotent
+    eng.apply_raw_batch(raw, batch_token="ck:0")
+    assert cv.matches(eng.read_view())
+
+
+def test_checksum_view_format_fence(spark, tmp_path):
+    """Reopening state written under a different digest format must fail
+    loudly, not compare unequal."""
+    import json as _json
+    import os as _os
+
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    cv = ChecksumView(spark, str(tmp_path / "ck"), ["id"])
+    _os.makedirs(cv.path, exist_ok=True)
+    with open(cv._state_path(), "w") as fh:
+        _json.dump({"n_rows": 5, "digest": "123", "fmt": "cksum-v1"}, fh)
+    with pytest.raises(ValueError, match="incomparable"):
+        cv.read()

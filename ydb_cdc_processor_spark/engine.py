@@ -199,7 +199,10 @@ class CdcBatchEngine:
         AggregateView` rollups maintained INCREMENTALLY alongside the row
         view — per batch, each gets +new/−old contribution deltas, with
         the old images key-pruned from the row view before the merge
-        swaps it (no rollup recompute, ever).
+        swaps it (no rollup recompute, ever).  The contract is
+        duck-typed ``apply_delta(new_rows, old_rows, batch_token)``:
+        :class:`~ydb_cdc_processor_spark.functions.checksum.ChecksumView`
+        rides the same feed to keep an O(batch)-maintained table digest.
 
         ``scd2_views``: :class:`~ydb_cdc_processor_spark.operators.scd.
         Scd2View` history sinks maintained alongside the row view.  Each

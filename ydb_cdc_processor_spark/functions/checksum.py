@@ -33,8 +33,14 @@ string, never a native numeric.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import logging
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 #: 32-char NULL block — 'N' is outside md5's hex output alphabet, so no
 #: field digest can ever equal it.  Must match the oracle's repeat('N',32).
@@ -85,3 +91,122 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(d.cast("decimal(38,0)")).cast("string").alias("digest"),
         F.lit(DIGEST_FORMAT).alias("fmt"))
+
+
+class ChecksumView:
+    """Incrementally-maintained table checksum over a keyed CDC view —
+    the "does the sink still equal the source" health check at O(batch)
+    per micro-batch instead of a full sink scan.
+
+    Addition is commutative and shard-additive (module docstring), so::
+
+        digest(view') = digest(view) + Σ digest(new rows)
+                                     − Σ digest(old images)
+
+    with the same ``(new_rows, old_rows)`` feed the engine already
+    computes for :class:`~ydb_cdc_processor_spark.operators.agg_view.
+    AggregateView` — pass a ChecksumView in ``CdcBatchEngine(agg_views=
+    [...])`` and it rides the identical key-pruned old-image lookup and
+    per-batch ``apply_delta`` call (duck-typed contract).
+
+    State: one tiny JSON ``(n_rows, digest, fmt, batch_token)`` swapped
+    atomically (temp + rename); the running digest is an arbitrary-
+    precision Python int, so it never overflows no matter the table
+    size.  Replay fence: an at-least-once caller re-delivering a batch
+    under the same token is skipped whole — the same flat-AggregateView
+    fence semantics.
+
+    Verification (:meth:`matches`) compares against a FULL recompute via
+    :func:`table_checksum` — run it on whatever cadence a full sink
+    scan is affordable; between runs the incremental digest answers the
+    question per batch for the price of hashing the batch."""
+
+    def __init__(self, spark: SparkSession, path: str, cols: list[str]):
+        if not cols:
+            raise ValueError("cols must be non-empty")
+        self.spark = spark
+        self.path = path
+        self.cols = list(cols)
+
+    # -- state ---------------------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "_checksum.json")
+
+    def read(self) -> dict:
+        """``{"n_rows": int, "digest": str, "fmt": str}`` of the
+        maintained state (zeros for a never-written view)."""
+        try:
+            with open(self._state_path()) as fh:
+                s = json.load(fh)
+        except (OSError, ValueError):
+            return {"n_rows": 0, "digest": "0", "fmt": DIGEST_FORMAT}
+        if s.get("fmt") != DIGEST_FORMAT:
+            raise ValueError(
+                f"checksum state at {self.path} has format {s.get('fmt')!r},"
+                f" this build writes {DIGEST_FORMAT!r} — digests across"
+                " formats are incomparable; drop the state and re-baseline")
+        return {"n_rows": int(s["n_rows"]), "digest": str(s["digest"]),
+                "fmt": s["fmt"]}
+
+    def _write(self, n_rows: int, digest: int,
+               batch_token: str | None) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_rows": n_rows, "digest": str(digest),
+                       "fmt": DIGEST_FORMAT, "batch_token": batch_token},
+                      fh)
+        os.replace(tmp, self._state_path())  # atomic on POSIX
+
+    def _last_token(self) -> str | None:
+        try:
+            with open(self._state_path()) as fh:
+                return json.load(fh).get("batch_token")
+        except (OSError, ValueError):
+            return None
+
+    # -- maintenance ---------------------------------------------------------
+
+    def apply_delta(self, new_rows: DataFrame | None,
+                    old_rows: DataFrame | None,
+                    batch_token: str | None = None) -> None:
+        """One maintenance step — same contract as
+        ``AggregateView.apply_delta``: +digests of the post-transform
+        upserted rows, −digests of the PREVIOUS images of every touched
+        key (read from the row view before its merge).  One signed agg
+        over |batch| + |old images| rows → a 1-row collect."""
+        if (batch_token is not None
+                and self._last_token() == batch_token):
+            logger.info("checksum view %s: batch token %r already "
+                        "applied; skipping replay", self.path, batch_token)
+            return
+        parts = []
+        d = row_digest([F.col(c) for c in self.cols]).cast("decimal(38,0)")
+        if new_rows is not None:
+            parts.append(new_rows.select(F.lit(1).alias("_sgn"),
+                                         d.alias("_d")))
+        if old_rows is not None:
+            parts.append(old_rows.select(F.lit(-1).alias("_sgn"),
+                                         d.alias("_d")))
+        if not parts:
+            return
+        contrib = parts[0]
+        for p in parts[1:]:
+            contrib = contrib.unionByName(p)
+        row = contrib.agg(
+            F.sum("_sgn").cast("long").alias("dn"),
+            F.sum(F.col("_sgn") * F.col("_d")).alias("dd")).collect()[0]
+        cur = self.read()
+        self._write(cur["n_rows"] + int(row["dn"] or 0),
+                    int(cur["digest"]) + int(row["dd"] or 0), batch_token)
+
+    # -- verification --------------------------------------------------------
+
+    def matches(self, df: DataFrame) -> bool:
+        """Full-recompute check: does the maintained (n_rows, digest)
+        equal :func:`table_checksum` of ``df[cols]`` right now?"""
+        full = table_checksum(df, self.cols).collect()[0]
+        cur = self.read()
+        return (cur["n_rows"] == full["n_rows"]
+                and cur["digest"] == full["digest"])

@@ -4289,6 +4289,60 @@ def q_neardup_index(spark, sf_dir):
     return out.distinct()
 
 
+@register("q_checksum_incremental", """
+WITH rows_h AS (
+  SELECT substr(md5(
+           COALESCE(md5(CAST(o_orderkey AS VARCHAR)), repeat('N', 32)) ||
+           COALESCE(md5(CAST(o_custkey AS VARCHAR)), repeat('N', 32)) ||
+           COALESCE(md5(o_orderstatus), repeat('N', 32)) ||
+           COALESCE(md5(o_orderpriority), repeat('N', 32))), 1, 15) AS h15
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({hex15}) AS VARCHAR) AS digest,
+       'cksum-v2' AS fmt
+FROM rows_h
+""".replace("{hex15}", " + ".join(
+    f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) "
+    f"* {16 ** (15 - i)}" for i in range(1, 16))))
+def q_checksum_incremental(spark, sf_dir):
+    """INCREMENTALLY-maintained table checksum
+    (functions/checksum.ChecksumView): the orders table arrives as three
+    upsert micro-batches into a keyed view — the middle batch WRITES
+    MODIFIED rows that the last batch updates back — and the digest is
+    maintained per batch as +new/−old-image deltas (shard additivity),
+    never recomputed over the view.  After the last batch the view
+    equals the full table, so the maintained (n_rows, digest, fmt) must
+    land bit-for-bit on the one-shot q_table_checksum oracle — O(batch)
+    maintenance provably converging to the O(table) recompute."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    base = _scratch_dir("ckinc_")
+    mv = ParquetMaterializedView(spark, base + "/view", ["o_orderkey"],
+                                 schema=orders.schema)
+    cv = ChecksumView(spark, base + "/ck", cols)
+    batches = [
+        orders.where(F.col("o_orderkey") % 3 != 2),
+        orders.where(F.col("o_orderkey") % 3 == 2)
+              .withColumn("o_orderpriority", F.lit("X-TEMP")),
+        orders.where(F.col("o_orderkey") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        old = None
+        if mv.exists():
+            old = (mv.read().join(b.select("o_orderkey"), on="o_orderkey",
+                                  how="left_semi")
+                   .localCheckpoint(eager=True))
+        cv.apply_delta(b, old, batch_token=f"ck:{i}")
+        mv.apply(b, action="upsertInto")
+    s = cv.read()
+    return spark.createDataFrame(
+        [(s["n_rows"], s["digest"], s["fmt"])],
+        "n_rows long, digest string, fmt string")
+
+
 @register("q_neardup_index_stream", None)
 def q_neardup_index_stream(spark, sf_dir):
     """Near-dup detection from a STREAM (NearDupIndex.start_stream):
