@@ -685,3 +685,53 @@ def test_streaming_anomalies_match_batch_operator(spark, sf_dir, tmp_path):
         assert got[k].baseline_n == want[k].baseline_n
     # the stream actually flagged things and state crossed batches
     assert len(got) > 0
+
+
+def test_stream_maintains_checksum_view_across_restart(spark, sf_dir,
+                                                       tmp_path):
+    """Continuous incremental checksum: a ChecksumView attached to the
+    STREAM engine tracks the row view across >=3 micro-batches, survives
+    a kill/restart with the same checkpoint, and still equals the full
+    recompute after post-restart updates AND deletes."""
+    import json as _json
+
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+
+    src = str(tmp_path / "cdc_src")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                          n_partitions=3, limit=600)
+    assert n > 0
+    p = _pipeline(spark, sf_dir)
+    view, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+
+    def engine():
+        cv = ChecksumView(spark, str(tmp_path / "ck"),
+                          ["event_id", "user_id", "event_type"])
+        return CdcStreamEngine(spark, p, view, ckpt, max_retries=2,
+                               agg_views=[cv]), cv
+
+    se1, cv1 = engine()
+    se1.start(src, available_now=True,
+              max_files_per_trigger=1).awaitTermination()
+    assert se1.status().batches >= 3
+    assert cv1.matches(se1.batch_engine.read_view())
+    se1.stop()
+
+    # while down: deletes + updates land
+    ids = [r.event_id for r in
+           se1.batch_engine.read_view().orderBy("event_id")
+           .limit(20).collect()]
+    lines = [cdc_json.envelope([i], erase=True) for i in ids[:10]]
+    lines += [cdc_json.envelope(
+        [i], {"ts": "2024-06-01T00:00:00Z", "user_id": 1,
+              "event_type": "restarted", "value": 7.5, "props": None})
+        for i in ids[10:20]]
+    with open(os.path.join(src, "part-late.json"), "w") as f:
+        for off, line in enumerate(lines):
+            f.write(_json.dumps({"value": line, "_partition": 0,
+                                 "_offset": 10_000 + off}) + "\n")
+
+    se2, cv2 = engine()
+    status = se2.run_available(src)
+    assert status.ok and status.totals.deleted > 0
+    assert cv2.matches(se2.batch_engine.read_view())
