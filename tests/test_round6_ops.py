@@ -454,3 +454,55 @@ def test_checksum_view_format_fence(spark, tmp_path):
         _json.dump({"n_rows": 5, "digest": "123", "fmt": "cksum-v1"}, fh)
     with pytest.raises(ValueError, match="incomparable"):
         cv.read()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(plan=st.lists(
+    st.tuples(st.sampled_from(["up", "del"]),
+              st.lists(st.integers(0, 19), min_size=0, max_size=8),
+              st.integers(0, 3)),
+    min_size=1, max_size=5))
+def test_property_checksum_any_batching(spark, tmp_path_factory, plan):
+    """PROPERTY: for ANY sequence of upsert/delete batches over a
+    20-key space (duplicated keys, empty batches, value churn), the
+    incrementally-maintained digest equals the full recompute after
+    every step."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+
+    base = str(tmp_path_factory.mktemp("ckprop"))
+    schema = "id long, v string"
+    mv = ParquetMaterializedView(spark, base + "/view", ["id"],
+                                 schema=spark.createDataFrame([], schema)
+                                 .schema)
+    cv = ChecksumView(spark, base + "/ck", ["id", "v"])
+    for i, (kind, ids, salt) in enumerate(plan):
+        ids = sorted(set(ids))
+        if kind == "up":
+            new = spark.createDataFrame(
+                [(k, f"v{k}_{salt}") for k in ids], schema)
+            old = None
+            if mv.exists() and ids:
+                old = (mv.read().join(new.select("id"), on="id",
+                                      how="left_semi")
+                       .localCheckpoint(eager=True))
+            cv.apply_delta(new, old, batch_token=f"p:{i}")
+            if ids:
+                mv.apply(new, action="upsertInto")
+        else:
+            if not mv.exists():
+                continue
+            victims = (mv.read().where(F.col("id").isin(ids) if ids
+                                       else F.lit(False))
+                       .localCheckpoint(eager=True))
+            cv.apply_delta(None, victims, batch_token=f"p:{i}")
+            if ids:
+                mv.apply(victims.select("id"), action="deleteFrom")
+        if mv.exists():
+            assert cv.matches(mv.read())
