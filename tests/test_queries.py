@@ -169,3 +169,22 @@ def test_star_converges_in_log_rounds(spark, caplog):
                                            algorithm="star").collect()}
     assert not any("no fixpoint" in r.message for r in caplog.records)
     assert got == {i: 0 for i in range(64)}
+
+
+def test_driver_window_priority_policy():
+    """The computed stamping order: every query with no green stamp in
+    the recorded CORRECTNESS history sorts before every query that has
+    one, and the dict iteration order equals the computed policy."""
+    from ydb_cdc_processor_spark.registry import (
+        _stamp_history, driver_window_priority)
+    order = driver_window_priority()
+    assert sorted(order) == sorted(QUERIES)
+    assert list(QUERIES) == order
+    green = _stamp_history()
+    seen_green = False
+    for name in order:
+        if name in green:
+            seen_green = True
+        else:
+            assert not seen_green, \
+                f"never-stamped {name} sorted after a stamped query"
