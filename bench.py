@@ -79,7 +79,7 @@ HEADLINE = [
     # round-8 additions
     "q_vector_index_stream", "q_nation_trade_volume", "q_market_share",
     "q_returned_items", "q_top_supplier", "q_large_orders",
-    "q_neardup_index_stream", "q_checksum_incremental",
+    "q_neardup_index_stream", "q_checksum_incremental", "q_range_cluster",
 ]
 
 

@@ -4289,6 +4289,38 @@ def q_neardup_index(spark, sf_dir):
     return out.distinct()
 
 
+@register("q_range_cluster", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""")
+def q_range_cluster(spark, sf_dir):
+    """Range-clustered layout (functions/layout.cluster_write): lineitem
+    is rewritten range-partitioned + sorted on l_shipdate, then a
+    one-month revenue query runs over the CLUSTERED copy — the files
+    outside the month are skipped via parquet min/max stats (layout
+    disjointness pinned structurally by
+    test_cluster_write_files_own_disjoint_ranges; result equality with
+    the unclustered table is this oracle).  The rewrite is one sampled
+    range shuffle — pay once at write, prune on every range scan."""
+    from ydb_cdc_processor_spark.functions.layout import cluster_write
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount")
+    path = _scratch_dir("rcluster_") + "/li"
+    cluster_write(li, path, ["l_shipdate"], n_files=16)
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (spark.read.parquet(path)
+            .where((F.col("l_shipdate") >= "1997-03-01")
+                   & (F.col("l_shipdate") < "1997-04-01"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+                 .cast("double").alias("revenue")))
+
+
 @register("q_checksum_incremental", """
 WITH rows_h AS (
   SELECT substr(md5(

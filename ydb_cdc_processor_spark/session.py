@@ -34,6 +34,11 @@ def get_spark(app_name: str = "ydb-cdc-processor-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as INT64 micros, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables file/row-group skipping on every time-range predicate
+        # (functions/layout.py is built on those stats)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long ns, converted in sources.catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
