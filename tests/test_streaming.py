@@ -735,3 +735,28 @@ def test_stream_maintains_checksum_view_across_restart(spark, sf_dir,
     status = se2.run_available(src)
     assert status.ok and status.totals.deleted > 0
     assert cv2.matches(se2.batch_engine.read_view())
+
+
+def test_status_dict_surfaces_checksum_integrity(spark, sf_dir, tmp_path):
+    """O3 additive field: with a ChecksumView attached, /status carries
+    the maintained (n_rows, digest, fmt); without one, the shape stays
+    exactly the reference's."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+
+    src = str(tmp_path / "src")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, src, limit=200)
+    p = _pipeline(spark, sf_dir)
+    cv = ChecksumView(spark, str(tmp_path / "ck"),
+                      ["event_id", "user_id", "event_type"])
+    se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                         str(tmp_path / "ckpt"), agg_views=[cv])
+    se.run_available(src)
+    d = se.status_dict()
+    assert d["integrity"]["fmt"] == "cksum-v2"
+    assert d["integrity"]["n_rows"] > 0
+    assert cv.matches(se.batch_engine.read_view())
+
+    plain = CdcStreamEngine(spark, p, str(tmp_path / "view2"),
+                            str(tmp_path / "ckpt2"))
+    plain.run_available(src)
+    assert "integrity" not in plain.status_dict()

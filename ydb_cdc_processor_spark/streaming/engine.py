@@ -241,9 +241,15 @@ class CdcStreamEngine:
                     skipped=s.totals.skipped, malformed=s.totals.malformed))
 
     def status_dict(self) -> dict:
-        """The ``GET /status`` JSON shape (WebController.java:35-38,62-83)."""
+        """The ``GET /status`` JSON shape (WebController.java:35-38,62-83).
+        Reference-parity fields first; when a
+        :class:`~ydb_cdc_processor_spark.functions.checksum.ChecksumView`
+        rides the engine, an ADDITIVE ``integrity`` field surfaces the
+        maintained (n_rows, digest, fmt) — the health question the
+        reference's page answers with counts alone, answered with
+        content."""
         s = self.status()
-        return {
+        out = {
             "id": self.pipeline.name,
             "ok": s.ok,
             "status": s.status,
@@ -253,6 +259,12 @@ class CdcStreamEngine:
             "rowsWritten": s.rows_written,
             "rowsPerSec": s.rows_per_sec,
         }
+        from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+        for v in getattr(self.batch_engine, "agg_views", []):
+            if isinstance(v, ChecksumView):
+                out["integrity"] = v.read()
+                break
+        return out
 
 
 def _now_iso() -> str:
