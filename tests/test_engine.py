@@ -268,3 +268,19 @@ def test_dlq_collects_malformed_envelopes(spark, sf_dir, fixture_dir,
     eng.apply_raw_batch(raw)
     eng.apply_raw_batch(raw)
     assert eng.read_dlq().count() == 3 * stats.malformed
+
+
+def test_read_dlq_empty_when_never_written(spark, sf_dir, tmp_path):
+    """A healthy pipeline never creates the DLQ directory — read_dlq()
+    must answer 0, not crash (found by review)."""
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="dlq_empty", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        action_mode=ActionMode.DIRECT).validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         dlq_path=str(tmp_path / "dlq"))
+    assert eng.read_dlq().count() == 0
+    assert {"raw", "reason", "_batch_token"} <= set(eng.read_dlq().columns)

@@ -506,3 +506,46 @@ def test_property_checksum_any_batching(spark, tmp_path_factory, plan):
                 mv.apply(victims.select("id"), action="deleteFrom")
         if mv.exists():
             assert cv.matches(mv.read())
+
+
+def test_checksum_view_empty_table_matches(spark, tmp_path):
+    """SQL SUM over zero rows is NULL — a legitimately-empty view must
+    MATCH the maintained zero state, not raise a false alarm (found by
+    review: upsert-then-delete-everything plans failed matches())."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    schema = "id long, v string"
+    mv = ParquetMaterializedView(spark, str(tmp_path / "v"), ["id"],
+                                 schema=spark.createDataFrame([], schema)
+                                 .schema)
+    cv = ChecksumView(spark, str(tmp_path / "ck"), ["id", "v"])
+    # never-written state vs empty frame
+    assert cv.matches(spark.createDataFrame([], schema))
+    # insert everything, then delete everything
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    cv.apply_delta(rows, None, batch_token="a")
+    mv.apply(rows, action="upsertInto")
+    victims = mv.read().localCheckpoint(eager=True)
+    cv.apply_delta(None, victims, batch_token="b")
+    mv.apply(victims.select("id"), action="deleteFrom")
+    assert cv.read()["n_rows"] == 0
+    assert cv.matches(mv.read())
+
+
+def test_checksum_replay_check_respects_format_fence(spark, tmp_path):
+    """A replayed token against an OLD-FORMAT state file must raise (the
+    fence), never silently skip and keep the incomparable digest alive
+    (found by review: _last_token bypassed the fence)."""
+    import json as _json
+    import os as _os
+
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    cv = ChecksumView(spark, str(tmp_path / "ck"), ["id"])
+    _os.makedirs(cv.path, exist_ok=True)
+    with open(cv._state_path(), "w") as fh:
+        _json.dump({"n_rows": 5, "digest": "123", "fmt": "cksum-v1",
+                    "batch_token": "t"}, fh)
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="incomparable"):
+        cv.apply_delta(df, None, batch_token="t")

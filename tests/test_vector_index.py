@@ -262,3 +262,29 @@ def test_cell_stats_bounded_and_complete(spark, emb, tmp_path):
     stats = idx.cell_stats().collect()
     assert len(stats) <= 8
     assert sum(r.n_vectors for r in stats) == emb.count()
+
+
+def test_reopen_torn_index_restores_layout_params(spark, emb, tmp_path):
+    """Reopening an index torn mid-retrain (lists renamed aside to .old)
+    with DIFFERENT constructor defaults must serve the restored layout's
+    n_buckets/bucket_keys, not the constructor's — stale bucket hashing
+    made every probe read the wrong directories (found by review,
+    repro-confirmed: queries returned 0 rows)."""
+    import os
+
+    path = str(tmp_path / "torn_reopen")
+    idx = VectorIndex(spark, path, n_cells=8, n_buckets=32)
+    idx.build(emb)
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    expected = _res(idx.query(probes, k=3, n_probe=8))
+    assert expected
+
+    # tear: live lists renamed aside, as a crash between build()'s two
+    # swap renames leaves them
+    lists = idx.view.path
+    os.rename(lists, idx.view._old_dir())
+
+    idx2 = VectorIndex(spark, path, n_cells=8)  # default n_buckets=8 != 32
+    assert idx2.view.n_buckets == 32
+    assert _res(idx2.query(probes, k=3, n_probe=8)) == expected

@@ -266,9 +266,23 @@ class CdcBatchEngine:
         the same offset carry different tokens and are both kept.
         Token-less appends (ad-hoc ``apply_raw_batch`` calls without
         ``batch_token``) collapse on (offset, raw, reason) — exact for
-        replays of the same batch, best-effort across different ones."""
+        replays of the same batch, best-effort across different ones.
+
+        A configured-but-never-written DLQ (the healthy-pipeline case —
+        appends happen only on batches that actually contain malformed
+        envelopes) reads as an EMPTY frame with the default schema, so
+        monitoring can always ask "how many?" and get 0."""
+        import os
         if self.dlq_path is None:
             raise ValueError("engine has no dlq_path configured")
+        if not os.path.isdir(self.dlq_path):
+            from pyspark.sql import types as T
+            return self.spark.createDataFrame([], T.StructType([
+                T.StructField("_offset", T.LongType()),
+                T.StructField("raw", T.StringType()),
+                T.StructField("reason", T.StringType()),
+                T.StructField("_batch_token", T.StringType()),
+                T.StructField("_ingested_at", T.TimestampType())]))
         df = self.spark.read.option("mergeSchema", "true") \
             .parquet(self.dlq_path)
         if "_batch_token" not in df.columns:  # pre-token legacy files only

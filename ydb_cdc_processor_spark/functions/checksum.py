@@ -134,20 +134,25 @@ class ChecksumView:
         return os.path.join(self.path, "_checksum.json")
 
     def read(self) -> dict:
-        """``{"n_rows": int, "digest": str, "fmt": str}`` of the
-        maintained state (zeros for a never-written view)."""
+        """``{"n_rows": int, "digest": str, "fmt": str, "batch_token":
+        str | None}`` of the maintained state (zeros for a never-written
+        view).  Raises on a format-tag mismatch — EVERY consumer of the
+        state goes through this fence, including the replay check in
+        :meth:`apply_delta` (a replayed token must not silently keep an
+        incomparable old-format digest alive)."""
         try:
             with open(self._state_path()) as fh:
                 s = json.load(fh)
         except (OSError, ValueError):
-            return {"n_rows": 0, "digest": "0", "fmt": DIGEST_FORMAT}
+            return {"n_rows": 0, "digest": "0", "fmt": DIGEST_FORMAT,
+                    "batch_token": None}
         if s.get("fmt") != DIGEST_FORMAT:
             raise ValueError(
                 f"checksum state at {self.path} has format {s.get('fmt')!r},"
                 f" this build writes {DIGEST_FORMAT!r} — digests across"
                 " formats are incomparable; drop the state and re-baseline")
         return {"n_rows": int(s["n_rows"]), "digest": str(s["digest"]),
-                "fmt": s["fmt"]}
+                "fmt": s["fmt"], "batch_token": s.get("batch_token")}
 
     def _write(self, n_rows: int, digest: int,
                batch_token: str | None) -> None:
@@ -159,13 +164,6 @@ class ChecksumView:
                       fh)
         os.replace(tmp, self._state_path())  # atomic on POSIX
 
-    def _last_token(self) -> str | None:
-        try:
-            with open(self._state_path()) as fh:
-                return json.load(fh).get("batch_token")
-        except (OSError, ValueError):
-            return None
-
     # -- maintenance ---------------------------------------------------------
 
     def apply_delta(self, new_rows: DataFrame | None,
@@ -176,8 +174,8 @@ class ChecksumView:
         upserted rows, −digests of the PREVIOUS images of every touched
         key (read from the row view before its merge).  One signed agg
         over |batch| + |old images| rows → a 1-row collect."""
-        if (batch_token is not None
-                and self._last_token() == batch_token):
+        cur = self.read()   # format fence applies to replays too
+        if batch_token is not None and cur["batch_token"] == batch_token:
             logger.info("checksum view %s: batch token %r already "
                         "applied; skipping replay", self.path, batch_token)
             return
@@ -197,7 +195,6 @@ class ChecksumView:
         row = contrib.agg(
             F.sum("_sgn").cast("long").alias("dn"),
             F.sum(F.col("_sgn") * F.col("_d")).alias("dd")).collect()[0]
-        cur = self.read()
         self._write(cur["n_rows"] + int(row["dn"] or 0),
                     int(cur["digest"]) + int(row["dd"] or 0), batch_token)
 
@@ -205,8 +202,12 @@ class ChecksumView:
 
     def matches(self, df: DataFrame) -> bool:
         """Full-recompute check: does the maintained (n_rows, digest)
-        equal :func:`table_checksum` of ``df[cols]`` right now?"""
+        equal :func:`table_checksum` of ``df[cols]`` right now?  SQL SUM
+        over zero rows is NULL — an empty table's recomputed digest
+        normalizes to "0" so a legitimately-empty view matches the
+        maintained zero state instead of raising a false alarm."""
         full = table_checksum(df, self.cols).collect()[0]
         cur = self.read()
+        full_digest = full["digest"] if full["digest"] is not None else "0"
         return (cur["n_rows"] == full["n_rows"]
-                and cur["digest"] == full["digest"])
+                and cur["digest"] == full_digest)

@@ -83,6 +83,13 @@ class BucketedMaterializedView:
             raise ValueError(f"bucket_keys {bucket_keys} must be a subset "
                              f"of keys {keys}")
         self.bucket_keys = list(bucket_keys) if bucket_keys else list(keys)
+        # recover BEFORE reading the manifest: a view torn mid-swap sits
+        # at the .old sibling, so the live path has no manifest and the
+        # constructor would silently adopt its own defaults — then the
+        # first read's recovery restores a layout whose n_buckets /
+        # bucket_keys disagree with the in-memory state, and every
+        # bucket probe hashes to the wrong directory (rows "vanish")
+        self._recover()
         # like n_buckets, the co-location key is a property of the
         # LAYOUT: the manifest wins over the constructor, so reopening a
         # store without repeating bucket_keys= cannot mis-hash buckets
@@ -195,8 +202,18 @@ class BucketedMaterializedView:
         public read on this class self-recovers; callers composing their
         OWN reads of the view's directories (index stores probing bucket
         paths) must call this first — a displaced bucket otherwise reads
-        as absent and its rows silently vanish."""
+        as absent and its rows silently vanish.
+
+        After the restore, manifest-derived layout state is re-read: a
+        recovery that brought a layout back from the ``.old`` sibling
+        must also bring back that layout's n_buckets / bucket_keys, or
+        a long-lived handle keeps hashing probes with stale values."""
         self._recover()
+        stored = self._read_manifest_dict()
+        if stored.get("n_buckets") is not None:
+            self.n_buckets = int(stored["n_buckets"])
+        if stored.get("bucket_keys") is not None:
+            self.bucket_keys = list(stored["bucket_keys"])
 
     def replace_with(self, staged_path: str) -> None:
         """Atomically adopt a fully-staged sibling directory as the
@@ -207,12 +224,30 @@ class BucketedMaterializedView:
         manifest, any sidecar files): the live view is renamed to the
         deterministic ``.old`` sibling, the staged dir renamed in, the
         old copy dropped.  A crash between the two renames is repaired
-        by :meth:`recover`, which restores the complete old state."""
+        by :meth:`recover`, which restores the complete old state.
+
+        Concurrent READERS are tolerated: a reader's recover() landing
+        between the two renames restores the old layout to the live
+        path, which would make the naive second rename fail — the swap
+        loop below re-displaces and retries, so the reader observed a
+        complete old view and the writer still lands the new one.
+        Concurrent WRITERS are out of contract (single maintainer per
+        store, the reference's own one-writer-loop model)."""
         old = self._old_dir()
         shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(staged_path, self.path)
+        last_err = None
+        for _ in range(8):
+            if os.path.isdir(self.path):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(self.path, old)
+            try:
+                os.rename(staged_path, self.path)
+                last_err = None
+                break
+            except OSError as e:  # a reader restored .old → live; retry
+                last_err = e
+        if last_err is not None:
+            raise last_err
         shutil.rmtree(old, ignore_errors=True)
 
     # -- IO ------------------------------------------------------------------

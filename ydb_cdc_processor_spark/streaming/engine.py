@@ -262,7 +262,13 @@ class CdcStreamEngine:
         from ydb_cdc_processor_spark.functions.checksum import ChecksumView
         for v in getattr(self.batch_engine, "agg_views", []):
             if isinstance(v, ChecksumView):
-                out["integrity"] = v.read()
+                try:
+                    out["integrity"] = v.read()
+                except ValueError as e:
+                    # a digest-format break must surface AS STATUS — the
+                    # monitoring endpoint crashing is the worst possible
+                    # behavior during exactly the upgrade it describes
+                    out["integrity"] = {"error": str(e)}
                 break
         return out
 
