@@ -524,3 +524,29 @@ def test_q6_filters_push_into_scan(spark, sf_dir):
     sch = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" in sch
     assert "l_orderkey" not in sch  # column pruning held
+
+
+def test_adapted_tpch_shapes_plan_hygiene(spark, sf_dir):
+    """The adapted Q2/Q9/Q11/Q16/Q20/Q21 shapes (no partsupp in this
+    corpus — lineitem is the part↔supplier bridge) must keep the plans
+    that survive 100×: no CartesianProduct, no Python in the hot path,
+    and the dimension-bounded sides (dominant-supplier set, excluded-
+    supplier set) joined as broadcasts, never shuffled."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+
+    for name in ("q_waiting_suppliers", "q_min_cost_supplier",
+                 "q_product_profit", "q_important_parts",
+                 "q_dominant_supplier", "q_supplier_part_counts"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    semi = QUERIES["q_dominant_supplier"](spark, sf_dir)
+    plan = semi._sc._jvm.PythonSQLUtils.explainString(
+        semi._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    anti = QUERIES["q_supplier_part_counts"](spark, sf_dir)
+    plan = anti._sc._jvm.PythonSQLUtils.explainString(
+        anti._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin LeftAnti" in plan

@@ -4657,6 +4657,325 @@ def q_large_orders(spark, sf_dir):
             .agg(F.sum(qdec).cast("double").alias("sum_qty")))
 
 
+@register("q_waiting_suppliers", """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+a AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl
+  FROM j GROUP BY l_orderkey)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late = 1) lr
+JOIN a ON lr.l_orderkey = a.l_orderkey AND a.ns >= 2 AND a.nl = 1
+JOIN supplier s ON s.s_suppkey = lr.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY s.s_name
+""")
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting shape, adapted: this
+    corpus has no l_receiptdate/l_commitdate, so "late" is l_shipdate
+    more than 60 days after o_orderdate.  The two correlated EXISTS /
+    NOT EXISTS subqueries lower to ONE per-order aggregate (distinct
+    suppliers, distinct LATE suppliers) — a supplier "kept the order
+    waiting" iff it shipped late on a multi-supplier order where it was
+    the only late one.  numwait counts distinct such orders (the
+    adapted spec; the oracle says DISTINCT too).  Plan shape: the
+    lineitem⋈orders join and the per-order aggregate share the orderkey
+    partitioning (one shuffle serves both), and the supplier/nation
+    dimension broadcasts onto the slim qualifying pairs."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .withColumn("late", (F.col("l_shipdate")
+                              > F.col("o_orderdate")
+                              + F.expr("INTERVAL 60 DAYS")).cast("int"))
+         .select("l_orderkey", "l_suppkey", "late"))
+    agg = (j.groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("ns"),
+                F.countDistinct(F.when(F.col("late") == 1,
+                                       F.col("l_suppkey"))).alias("nl"))
+           .where((F.col("ns") >= 2) & (F.col("nl") == 1))
+           .select("l_orderkey"))
+    late_pairs = (j.where(F.col("late") == 1)
+                  .select("l_orderkey", "l_suppkey").distinct()
+                  .join(agg, on="l_orderkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(
+                load_table(spark, sf_dir, "nation")
+                .where(F.col("n_name") == "NATION_3")
+                .select(F.col("n_nationkey").alias("s_nationkey"))),
+                on="s_nationkey")
+            .select("s_suppkey", "s_name"))
+    return (late_pairs
+            .join(F.broadcast(supp),
+                  late_pairs.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@register("q_min_cost_supplier", """
+WITH eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS best
+  FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey),
+m AS (SELECT l_partkey, MIN(best) AS pmin FROM offers GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal,
+       CAST(o.best AS DOUBLE) AS best_price
+FROM offers o
+JOIN m ON o.l_partkey = m.l_partkey AND o.best = m.pmin
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN eu ON eu.s_suppkey = o.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+""")
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 minimum-cost-supplier shape, adapted: no partsupp table
+    in this corpus, so the observed lineitem prices stand in for supply
+    cost — for each STANDARD small part, the EUROPE supplier(s) whose
+    best (minimum) extended price hits the part's regional minimum.
+    The correlated MIN subquery lowers to an aggregate + self-join on
+    the same grouping key (the per-(part,supplier) agg and the per-part
+    min reuse one partkey shuffle); the min-equality compares EXACT
+    decimals, so cross-engine tie sets are identical.  Region→nation→
+    supplier all broadcast."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu = (load_table(spark, sf_dir, "supplier")
+          .join(F.broadcast(
+              nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+              .select(F.col("n_nationkey").alias("s_nationkey"))),
+              on="s_nationkey")
+          .select("s_suppkey", "s_name", "s_acctbal"))
+    offers = (load_table(spark, sf_dir, "lineitem")
+              .select("l_partkey", "l_suppkey", "l_extendedprice")
+              .join(F.broadcast(eu.select("s_suppkey")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(d2("l_extendedprice")).alias("best")))
+    pmin = offers.groupBy("l_partkey").agg(F.min("best").alias("pmin"))
+    part = (load_table(spark, sf_dir, "part")
+            .where((F.col("p_type") == "STANDARD")
+                   & (F.col("p_size") <= 10))
+            .select("p_partkey", "p_name"))
+    return (offers.join(pmin, on="l_partkey")
+            .where(F.col("best") == F.col("pmin"))
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(eu),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "s_name", "s_acctbal",
+                    F.col("best").cast("double").alias("best_price")))
+
+
+@register("q_product_profit", """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+""")
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 product-type-profit shape, adapted: profit per supplier
+    nation per order year for parts matching a name pattern, with
+    p_retailprice·quantity standing in for the missing partsupp supply
+    cost.  The part-name filter broadcasts and prunes lineitem FIRST
+    (the classic Q9 win — the pattern keeps ~1/8 of parts, so the
+    orders join fan-in shrinks before the only fact-fact shuffle);
+    supplier→nation broadcasts; the profit sum is decimal-exact then
+    cast to double once."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%gear%"))
+            .select("p_partkey", "p_retailprice"))
+    snation = (load_table(spark, sf_dir, "supplier")
+               .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                                 .select(F.col("n_nationkey")
+                                         .alias("s_nationkey"),
+                                         F.col("n_name").alias("nation"))),
+                     on="s_nationkey")
+               .select("s_suppkey", "nation"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    profit = (d2("l_extendedprice") * (1 - d2("l_discount"))
+              - d2("p_retailprice") * d2("l_quantity"))
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(snation),
+                  li.l_suppkey == snation.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("profit")))
+
+
+@register("q_important_parts", """
+WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM v WHERE value * 1000 > (SELECT SUM(value) FROM v)
+""")
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 important-stock shape, adapted: parts whose revenue
+    through one nation's suppliers exceeds a fixed fraction of that
+    nation's total — the scalar-subquery-threshold pattern.  The global
+    total is a 1-row broadcast over the already-aggregated per-part
+    frame (the per-part agg is computed once and feeds both sides);
+    the comparison multiplies the part's EXACT decimal value by the
+    inverse fraction instead of dividing the total, so no float enters
+    the predicate on either engine."""
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                              .where(F.col("n_name") == "NATION_5")
+                              .select(F.col("n_nationkey")
+                                      .alias("s_nationkey"))),
+                  on="s_nationkey")
+            .select("s_suppkey"))
+    v = (load_table(spark, sf_dir, "lineitem")
+         .select("l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount")
+         .join(F.broadcast(supp),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+              .alias("value")))
+    total = v.agg(F.sum("value").alias("_total"))
+    return (v.crossJoin(F.broadcast(total))
+            .where(F.col("value") * 1000 > F.col("_total"))
+            .select("l_partkey",
+                    F.col("value").cast("double").alias("value")))
+
+
+@register("q_dominant_supplier", """
+WITH q AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey),
+t AS (SELECT l_partkey, SUM(qty) AS total FROM q GROUP BY l_partkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM q JOIN t ON q.l_partkey = t.l_partkey AND q.qty * 2 > t.total
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+""")
+def q_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 potential-part-promotion shape, adapted: suppliers from
+    one nation who shipped MORE THAN HALF of some small-part's 1997
+    volume (the correlated half-of-total threshold, with shipped
+    quantity standing in for the missing partsupp availqty).  The
+    per-(part,supplier) agg and the per-part total reuse one partkey
+    shuffle; the half-threshold compares 2·qty > total on EXACT
+    decimals; the surviving pairs collapse to distinct suppliers and
+    the supplier/nation dimensions broadcast."""
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("small%"))
+            .select("p_partkey"))
+    q = (load_table(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01"))
+         .select("l_partkey", "l_suppkey", "l_quantity")
+         .join(F.broadcast(part),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy("l_partkey", "l_suppkey")
+         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .alias("qty")))
+    t = q.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                              .where(F.col("n_name") == "NATION_7")
+                              .select(F.col("n_nationkey")
+                                      .alias("s_nationkey"))),
+                  on="s_nationkey")
+            .select("s_suppkey", "s_name"))
+    dom = (q.join(t, on="l_partkey")
+           .where(F.col("qty") * 2 > F.col("total"))
+           .select("l_suppkey").distinct())
+    # dom is dimension-bounded (≤ |supplier| rows) at ANY corpus scale —
+    # broadcast it so the semi-join never shuffles the supplier table
+    return (supp.join(F.broadcast(dom),
+                      supp.s_suppkey == dom.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@register("q_supplier_part_counts", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 parts/supplier-relationship shape, adapted: how many
+    distinct suppliers ship each surviving (brand, type, size) combo,
+    with lineitem as the part↔supplier bridge and negative-balance
+    suppliers standing in for the spec's complaint-filtered NOT IN
+    exclusion.  The part filters broadcast-prune lineitem; the NOT IN
+    is a broadcast anti-join (null-free key side, so the SQL NOT IN
+    three-valued trap is inert); the distinct-count shuffles once on
+    the grouping key."""
+    part = (load_table(spark, sf_dir, "part")
+            .where((F.col("p_brand") != "Brand#1")
+                   & ~F.col("p_type").like("PROMO%")
+                   & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
