@@ -1,0 +1,202 @@
+"""JoinView — incrementally-maintained fact LEFT JOIN dim under CDC on
+both sides.  Every test verifies against a from-scratch recompute of the
+join over the CURRENT table states (recompute_check), the IVM ground
+truth."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ydb_cdc_processor_spark.operators.join_view import JoinView
+
+DIM_SCHEMA = T.StructType([
+    T.StructField("cust_id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("tier", T.StringType())])
+
+
+def _jv(spark, tmp_path, n_buckets=4):
+    return JoinView(spark, str(tmp_path / "jv"), fact_pk=["order_id"],
+                    fk_col="o_cust", dim_pk="cust_id",
+                    dim_schema=DIM_SCHEMA, n_buckets=n_buckets)
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_id long, o_cust long, amount long")
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def test_fact_then_dim_then_updates_match_recompute(spark, tmp_path):
+    jv = _jv(spark, tmp_path)
+    dim1 = _dim(spark, [(1, "alice", "gold"), (2, "bob", "silver")])
+    jv.apply_dim_delta(dim1, None)
+    fact1 = _fact(spark, [(10, 1, 100), (11, 2, 200), (12, 3, 300)])
+    jv.apply_fact_delta(fact1, None)
+    # order 12 references cust 3 (absent) → left-join null enrichment
+    got = {r.order_id: (r.name, r.tier) for r in jv.read().collect()}
+    assert got[10] == ("alice", "gold")
+    assert got[12] == (None, None)
+    assert jv.recompute_check(fact1, dim1)
+
+    # late-arriving dim row fills the nulls IN PLACE
+    dim2_new = _dim(spark, [(3, "carol", "bronze")])
+    jv.apply_dim_delta(dim2_new, None)
+    assert jv.read().where("order_id = 12").collect()[0].name == "carol"
+    assert jv.recompute_check(
+        fact1, dim1.unionByName(dim2_new))
+
+    # dim UPDATE refreshes every fact row under that key
+    old = dim1.where("cust_id = 1").localCheckpoint(eager=True)
+    upd = _dim(spark, [(1, "alice", "platinum")])
+    jv.apply_dim_delta(upd, old)
+    assert jv.read().where("order_id = 10").collect()[0].tier == "platinum"
+
+
+def test_fact_updates_moves_and_deletes(spark, tmp_path):
+    jv = _jv(spark, tmp_path)
+    jv.apply_dim_delta(
+        _dim(spark, [(1, "alice", "gold"), (2, "bob", "silver")]), None)
+    f1 = _fact(spark, [(10, 1, 100), (11, 1, 150), (12, 2, 200)])
+    jv.apply_fact_delta(f1, None)
+
+    # order 11 MOVES from cust 1 to cust 2; order 12 amount update
+    f2 = _fact(spark, [(11, 2, 155), (12, 2, 205)])
+    old = (jv.read().select("order_id", "o_cust", "amount")
+           .join(f2.select("order_id"), on="order_id", how="left_semi")
+           .localCheckpoint(eager=True))
+    jv.apply_fact_delta(f2, old)
+    rows = {r.order_id: r for r in jv.read().collect()}
+    assert len(rows) == 3
+    assert rows[11].o_cust == 2 and rows[11].name == "bob"
+    assert rows[12].amount == 205
+    cur_fact = _fact(spark, [(10, 1, 100), (11, 2, 155), (12, 2, 205)])
+    assert jv.recompute_check(
+        cur_fact, _dim(spark, [(1, "alice", "gold"), (2, "bob", "silver")]))
+
+    # delete-only batch: old images route the (fk, pk) removals
+    dead = (jv.read().select("order_id", "o_cust", "amount")
+            .where(F.col("order_id") == 10).localCheckpoint(eager=True))
+    jv.apply_fact_delta(None, dead)
+    assert {r.order_id for r in jv.read().collect()} == {11, 12}
+
+
+def test_null_fk_rows_merge_not_duplicate(spark, tmp_path):
+    """NULL fks must behave as ordinary keys in the store (the null-safe
+    _fkb merge key): re-upserting a null-fk row REPLACES it, moving a
+    row to/from NULL displaces the old image."""
+    jv = _jv(spark, tmp_path)
+    jv.apply_dim_delta(_dim(spark, [(1, "alice", "gold")]), None)
+    f1 = _fact(spark, [(10, None, 100), (11, 1, 200)])
+    jv.apply_fact_delta(f1, None)
+    # replace the null-fk row (same pk, still null fk)
+    f2 = _fact(spark, [(10, None, 101)])
+    old = (jv.read().select("order_id", "o_cust", "amount")
+           .where("order_id = 10").localCheckpoint(eager=True))
+    jv.apply_fact_delta(f2, old)
+    rows = {r.order_id: r for r in jv.read().collect()}
+    assert len(rows) == 2 and rows[10].amount == 101
+    # move 10 from NULL to cust 1 — the old null-keyed row must go
+    f3 = _fact(spark, [(10, 1, 102)])
+    old = (jv.read().select("order_id", "o_cust", "amount")
+           .where("order_id = 10").localCheckpoint(eager=True))
+    jv.apply_fact_delta(f3, old)
+    rows = [r for r in jv.read().where("order_id = 10").collect()]
+    assert len(rows) == 1 and rows[0].name == "alice"
+
+
+def test_replay_converges(spark, tmp_path):
+    """Re-applying the SAME deltas (R1 retry / checkpoint replay) leaves
+    the view unchanged — convergence by keyed idempotence."""
+    jv = _jv(spark, tmp_path)
+    dim = _dim(spark, [(1, "alice", "gold")])
+    fact = _fact(spark, [(10, 1, 100), (11, 2, 200)])
+    jv.apply_dim_delta(dim, None)
+    jv.apply_fact_delta(fact, None)
+    before = sorted(map(tuple, jv.read().collect()))
+    jv.apply_dim_delta(dim, None)
+    jv.apply_fact_delta(fact, None)
+    assert sorted(map(tuple, jv.read().collect())) == before
+
+
+def test_dim_delete_nulls_enrichment(spark, tmp_path):
+    jv = _jv(spark, tmp_path)
+    dim = _dim(spark, [(1, "alice", "gold"), (2, "bob", "silver")])
+    jv.apply_dim_delta(dim, None)
+    jv.apply_fact_delta(_fact(spark, [(10, 1, 100), (11, 2, 200)]), None)
+    old = dim.where("cust_id = 2").localCheckpoint(eager=True)
+    jv.apply_dim_delta(None, old)  # delete bob
+    rows = {r.order_id: r for r in jv.read().collect()}
+    assert rows[11].name is None and rows[11].tier is None
+    assert rows[10].name == "alice"
+    assert jv.recompute_check(
+        _fact(spark, [(10, 1, 100), (11, 2, 200)]),
+        dim.where("cust_id = 1"))
+
+
+def test_dim_refresh_reads_only_touched_buckets(spark, tmp_path):
+    """The dim-side refresh must scale with the CHANGED keys, not the
+    fact table: pin that it asks the store for exactly the changed
+    keys' buckets."""
+    jv = _jv(spark, tmp_path, n_buckets=8)
+    dim = _dim(spark, [(i, f"c{i}", "t") for i in range(20)])
+    jv.apply_dim_delta(dim, None)
+    jv.apply_fact_delta(
+        _fact(spark, [(i, i % 20, i) for i in range(200)]), None)
+
+    asked = []
+    orig = jv.view.read_touched
+
+    def spy(buckets, *a, **kw):
+        asked.append(sorted(buckets))
+        return orig(buckets, *a, **kw)
+
+    jv.view.read_touched = spy
+    old = dim.where("cust_id = 7").localCheckpoint(eager=True)
+    jv.apply_dim_delta(_dim(spark, [(7, "seven", "gold")]), old)
+    assert len(asked) == 1 and len(asked[0]) == 1  # one key → one bucket
+    refreshed = jv.read().where("o_cust = 7").collect()
+    assert refreshed and all(r.name == "seven" for r in refreshed)
+
+
+def test_engine_drives_fact_side(spark, sf_dir, tmp_path):
+    """CdcBatchEngine(agg_views=[jv.fact_feed()]): the engine's
+    pre-merge old-image feed maintains the join view inline with the
+    row view — the end state matches a from-scratch join of the row
+    view against the dim mirror."""
+    from ydb_cdc_processor_spark import (
+        ActionMode, CdcBatchEngine, CdcPipeline)
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import (
+        describe_table, load_table)
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    dim_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("segment", T.StringType())])
+    jv = JoinView(spark, str(tmp_path / "jv"), fact_pk=["event_id"],
+                  fk_col="user_id", dim_pk="user_id",
+                  dim_schema=dim_schema, n_buckets=4)
+    users = (load_table(spark, sf_dir, "events")
+             .select("user_id").distinct()
+             .withColumn("segment",
+                         F.concat(F.lit("seg"), F.col("user_id") % 3)))
+    jv.apply_dim_delta(spark.createDataFrame(
+        users.collect(), dim_schema), None)
+
+    p = CdcPipeline(
+        name="jv_fact", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         agg_views=[jv.fact_feed()])
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    assert jv.read().count() == eng.read_view().count()
+    assert jv.recompute_check(eng.read_view(), jv.dim_mirror.read())

@@ -4657,6 +4657,70 @@ def q_large_orders(spark, sf_dir):
             .agg(F.sum(qdec).cast("double").alias("sum_qty")))
 
 
+@register("q_join_view", """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
+       c.c_name,
+       CASE WHEN c.c_custkey % 4 = 1 THEN 'VIP'
+            ELSE c.c_mktsegment END AS c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 7 <> 6
+""")
+def q_join_view(spark, sf_dir):
+    """INCREMENTALLY-maintained JOIN view (operators/join_view.JoinView):
+    orders LEFT JOIN customer kept current under CDC on BOTH sides —
+    the delta-join IVM the reference's single-table maintenance cannot
+    express.  Six micro-batches exercise every maintenance path: fact
+    arrival with temporarily-wrong rows, LATE dim arrival (null
+    enrichment filled in place via touched-bucket refresh), fact
+    correction via old-image routing, a dim UPDATE fanning out to its
+    fact rows, and a fact delete batch.  The end state must equal the
+    one-shot SQL join of the final table states — O(batch)/O(touched-
+    bucket) maintenance provably converging to the O(table) recompute."""
+    from pyspark.sql import types as T
+
+    from ydb_cdc_processor_spark.operators.join_view import JoinView
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*fact_cols)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    base = _scratch_dir("jv_")
+    jv = JoinView(spark, base, fact_pk=["o_orderkey"], fk_col="o_custkey",
+                  dim_pk="c_custkey",
+                  dim_schema=T.StructType([f for f in cust.schema]),
+                  n_buckets=8)
+
+    def _old_images(pks):
+        return (jv.read().select(*fact_cols)
+                .join(pks, on="o_orderkey", how="left_semi")
+                .localCheckpoint(eager=True))
+
+    # 1. most of the dim arrives
+    jv.apply_dim_delta(cust.where(F.col("c_custkey") % 4 != 3), None)
+    # 2. most of the fact arrives; the %3==0 slice lands WRONG
+    f1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X-TMP"))
+        .otherwise(F.col("o_orderpriority")))
+    jv.apply_fact_delta(f1, None)
+    # 3. LATE dim slice — fills the null enrichments in place
+    jv.apply_dim_delta(cust.where(F.col("c_custkey") % 4 == 3), None)
+    # 4. the rest of the fact + correction of the wrong slice
+    f2 = orders.where((F.col("o_orderkey") % 3 == 2)
+                      | (F.col("o_orderkey") % 3 == 0))
+    jv.apply_fact_delta(f2, _old_images(f2.select("o_orderkey")))
+    # 5. dim UPDATE: the %4==1 customers move to the VIP segment
+    vip = cust.where(F.col("c_custkey") % 4 == 1).withColumn(
+        "c_mktsegment", F.lit("VIP"))
+    jv.apply_dim_delta(
+        vip, cust.where(F.col("c_custkey") % 4 == 1)
+        .localCheckpoint(eager=True))
+    # 6. fact DELETE batch, routed by old images
+    dead = orders.where(F.col("o_orderkey") % 7 == 6)
+    jv.apply_fact_delta(None, _old_images(dead.select("o_orderkey")))
+    return jv.read()
+
+
 @register("q_waiting_suppliers", """
 WITH j AS (
   SELECT l.l_orderkey, l.l_suppkey,
