@@ -200,3 +200,44 @@ def test_engine_drives_fact_side(spark, sf_dir, tmp_path):
     eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
     assert jv.read().count() == eng.read_view().count()
     assert jv.recompute_check(eng.read_view(), jv.dim_mirror.read())
+
+
+def test_join_view_streams_restart_converge(spark, tmp_path):
+    """Both sides stream in as files (one per trigger); the queries are
+    killed and restarted with the same checkpoints while LATE data lands
+    on both sides — the final view must equal the from-scratch join of
+    everything that arrived (fact rows that beat their dim row get
+    their nulls filled by the late dim batch's touched-bucket
+    refresh)."""
+    fact_all = _fact(spark, [(i, i % 10, i * 10) for i in range(120)])
+    dim_all = _dim(spark, [(i, f"c{i}", f"t{i % 3}") for i in range(10)])
+    fsrc, dsrc = str(tmp_path / "fsrc"), str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "ckpt")
+    fact_all.where("order_id % 3 != 2").repartition(2).write.parquet(fsrc)
+    dim_all.where("cust_id % 2 = 0").coalesce(1).write.parquet(dsrc)
+
+    jv = _jv(spark, tmp_path)
+    for q in jv.start_streams(
+            spark.readStream.schema(fact_all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(fsrc),
+            spark.readStream.schema(dim_all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dsrc), ckpt):
+        q.awaitTermination()
+    # facts referencing odd cust ids are enriched with nulls so far
+    assert jv.read().where("o_cust = 1 AND name IS NULL").count() > 0
+
+    # kill; late arrivals on BOTH sides; fresh object, same checkpoints
+    fact_all.where("order_id % 3 = 2").coalesce(1) \
+        .write.mode("append").parquet(fsrc)
+    dim_all.where("cust_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(dsrc)
+    jv2 = _jv(spark, tmp_path)
+    for q in jv2.start_streams(
+            spark.readStream.schema(fact_all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(fsrc),
+            spark.readStream.schema(dim_all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dsrc), ckpt):
+        q.awaitTermination()
+    assert jv2.read().count() == 120
+    assert jv2.read().where("name IS NULL").count() == 0
+    assert jv2.recompute_check(fact_all, dim_all)

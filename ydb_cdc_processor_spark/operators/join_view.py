@@ -225,6 +225,62 @@ class JoinView:
             .localCheckpoint(eager=True)
         self.view.apply(refreshed, action="upsertInto")
 
+    # -- streaming drive -----------------------------------------------------
+
+    def start_streams(self, fact_stream: DataFrame | None,
+                      dim_stream: DataFrame | None,
+                      checkpoint_root: str,
+                      available_now: bool = True) -> list:
+        """Maintain the join view from live changefeeds on EITHER or
+        BOTH sides (each a streaming DataFrame of upsert rows) — the
+        two-topic shape the reference runs one consumer per view for
+        (`CdcReader.java:40-52`), here two Structured Streaming queries
+        sharing one store.
+
+        foreachBatch callbacks run on the DRIVER, so a process-local
+        lock serializes the two sides' maintenance — the store keeps
+        its single-maintainer contract even when both feeds trigger at
+        once (two separate applications writing one store stay out of
+        contract).  Old images are read from the store itself before
+        each apply, so replays and restarts converge exactly as the
+        batch API does (pinned by
+        test_join_view_streams_restart_converge).  Returns the started
+        StreamingQuery handles."""
+        import threading
+
+        lock = threading.Lock()
+
+        def _fact(df: DataFrame, batch_id: int) -> None:
+            with lock:
+                old = None
+                if self.view.exists():
+                    old = (self.read().select(*df.columns)
+                           .join(df.select(*self.fact_pk).distinct(),
+                                 on=self.fact_pk, how="left_semi")
+                           .localCheckpoint(eager=True))
+                self.apply_fact_delta(df, old)
+
+        def _dim(df: DataFrame, batch_id: int) -> None:
+            with lock:
+                old = (self.dim_mirror.read()
+                       .join(df.select(self.dim_pk).distinct(),
+                             on=self.dim_pk, how="left_semi")
+                       .localCheckpoint(eager=True))
+                self.apply_dim_delta(df, old)
+
+        queries = []
+        for stream, fn, side in ((dim_stream, _dim, "dim"),
+                                 (fact_stream, _fact, "fact")):
+            if stream is None:
+                continue
+            writer = (stream.writeStream.foreachBatch(fn)
+                      .option("checkpointLocation",
+                              f"{checkpoint_root}/{side}"))
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            queries.append(writer.start())
+        return queries
+
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:

@@ -4721,6 +4721,48 @@ def q_join_view(spark, sf_dir):
     return jv.read()
 
 
+@register("q_join_view_stream", """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
+       c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def q_join_view_stream(spark, sf_dir):
+    """The join view maintained from TWO live changefeeds
+    (JoinView.start_streams): orders and customer each arrive as a
+    checkpointed file stream (one file per trigger), staged so part of
+    the fact BEATS its dim rows — the late dim batches must fill the
+    null enrichments via touched-bucket refresh.  The end state must
+    equal the one-shot SQL join of the full tables (restart convergence
+    is separately pinned by test_join_view_streams_restart_converge)."""
+    from pyspark.sql import types as T
+
+    from ydb_cdc_processor_spark.operators.join_view import JoinView
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*fact_cols)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    base = _scratch_dir("jvs_")
+    orders.repartition(2).write.parquet(base + "/fact_src")
+    # dim split so its second file arrives after fact rows referencing it
+    cust.where(F.col("c_custkey") % 2 == 0).coalesce(1) \
+        .write.parquet(base + "/dim_src")
+    cust.where(F.col("c_custkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(base + "/dim_src")
+    jv = JoinView(spark, base + "/jv", fact_pk=["o_orderkey"],
+                  fk_col="o_custkey", dim_pk="c_custkey",
+                  dim_schema=T.StructType([f for f in cust.schema]),
+                  n_buckets=8)
+    for q in jv.start_streams(
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1).parquet(base + "/fact_src"),
+            spark.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", 1).parquet(base + "/dim_src"),
+            base + "/ckpt"):
+        q.awaitTermination()
+    return jv.read()
+
+
 @register("q_waiting_suppliers", """
 WITH j AS (
   SELECT l.l_orderkey, l.l_suppkey,
