@@ -241,3 +241,22 @@ def test_join_view_streams_restart_converge(spark, tmp_path):
     assert jv2.read().count() == 120
     assert jv2.read().where("name IS NULL").count() == 0
     assert jv2.recompute_check(fact_all, dim_all)
+
+
+def test_maintain_rebuckets_growing_store(spark, tmp_path):
+    """As the FACT side grows, maintain() grows the bucket count (the
+    same amortized policy the CDC view uses) and the dim-refresh path
+    keeps serving correct results against the new layout."""
+    jv = _jv(spark, tmp_path, n_buckets=2)
+    dim = _dim(spark, [(i, f"c{i}", "t") for i in range(50)])
+    jv.apply_dim_delta(dim, None)
+    jv.apply_fact_delta(
+        _fact(spark, [(i, i % 50, i) for i in range(5000)]), None)
+    out = jv.maintain(target_bucket_bytes=4 << 10)  # tiny target → grow
+    assert out["rebucketed"] and jv.view.n_buckets > 2
+    # dim refresh against the NEW layout still lands on the right rows
+    old = dim.where("cust_id = 13").localCheckpoint(eager=True)
+    jv.apply_dim_delta(_dim(spark, [(13, "x13", "vip")]), old)
+    hit = jv.read().where("o_cust = 13").collect()
+    assert hit and all(r.name == "x13" for r in hit)
+    assert jv.read().count() == 5000

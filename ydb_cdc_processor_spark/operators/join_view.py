@@ -225,6 +225,25 @@ class JoinView:
             .localCheckpoint(eager=True)
         self.view.apply(refreshed, action="upsertInto")
 
+    # -- store maintenance ---------------------------------------------------
+
+    def maintain(self, target_bucket_bytes: int = 128 << 20,
+                 max_files_per_bucket: int = 4) -> dict:
+        """Periodic store hygiene, to call between batches (e.g. every N
+        micro-batches): grow the bucket count when mean bucket size
+        outruns the target (``maybe_rebucket`` — keeps the dim-refresh
+        touched-read bounded as the FACT side grows), and compact
+        fragmented buckets (small files accumulate from touched-bucket
+        overwrites).  Both checks are file-metadata-only when they
+        decide "no".  Returns ``{"rebucketed": bool, "compacted": int}``."""
+        out = {"rebucketed": False, "compacted": 0}
+        if self.view.exists():
+            out["rebucketed"] = self.view.maybe_rebucket(
+                target_bucket_bytes=target_bucket_bytes)
+            out["compacted"] = self.view.compact(
+                max_files_per_bucket=max_files_per_bucket)
+        return out
+
     # -- streaming drive -----------------------------------------------------
 
     def start_streams(self, fact_stream: DataFrame | None,
