@@ -1,0 +1,113 @@
+"""SecondaryIndex — CDC-maintained value→pk index; lookups read only the
+probed values' buckets and maintenance converges to the fact state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.secondary_index import SecondaryIndex
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_id long, status string, amount long")
+
+
+def _ix(spark, tmp_path, n_buckets=4):
+    return SecondaryIndex(spark, str(tmp_path / "ix"), pk=["order_id"],
+                          col="status", n_buckets=n_buckets)
+
+
+def _entries(ix):
+    return sorted((r.status, r.order_id) for r in ix.read().collect())
+
+
+def test_maintenance_tracks_fact_state(spark, tmp_path):
+    ix = _ix(spark, tmp_path)
+    f1 = _fact(spark, [(1, "open", 10), (2, "open", 20), (3, "paid", 30)])
+    ix.apply_delta(f1, None)
+    assert _entries(ix) == [("open", 1), ("open", 2), ("paid", 3)]
+
+    # value change: order 1 open→paid; old image routes the stale delete
+    f2 = _fact(spark, [(1, "paid", 10)])
+    ix.apply_delta(f2, f1.where("order_id = 1").localCheckpoint(True))
+    assert _entries(ix) == [("open", 2), ("paid", 1), ("paid", 3)]
+
+    # delete-only batch
+    ix.apply_delta(None, _fact(spark, [(3, "paid", 30)])
+                   .localCheckpoint(True))
+    assert _entries(ix) == [("open", 2), ("paid", 1)]
+
+    # replay of the value-change batch: unchanged (old image now absent
+    # post-merge, so the feed would hand the CURRENT image — idempotent)
+    ix.apply_delta(f2, _fact(spark, [(1, "paid", 10)])
+                   .localCheckpoint(True))
+    assert _entries(ix) == [("open", 2), ("paid", 1)]
+
+
+def test_null_values_indexable(spark, tmp_path):
+    ix = _ix(spark, tmp_path)
+    f1 = _fact(spark, [(1, None, 10), (2, "open", 20)])
+    ix.apply_delta(f1, None)
+    got = ix.lookup([None]).collect()
+    assert [(r.status, r.order_id) for r in got] == [(None, 1)]
+    # replace the null-valued row — must not duplicate
+    ix.apply_delta(_fact(spark, [(1, None, 11)]),
+                   f1.where("order_id = 1").localCheckpoint(True))
+    assert ix.read().count() == 2
+
+
+def test_lookup_reads_only_probed_buckets(spark, tmp_path):
+    ix = _ix(spark, tmp_path, n_buckets=8)
+    rows = [(i, f"s{i % 40}", i) for i in range(400)]
+    ix.apply_delta(_fact(spark, rows), None)
+
+    asked = []
+    orig = ix.view.read_touched
+
+    def spy(buckets, *a, **kw):
+        asked.append(sorted(buckets))
+        return orig(buckets, *a, **kw)
+
+    ix.view.read_touched = spy
+    got = ix.lookup(["s7"]).collect()
+    assert len(asked) == 1 and len(asked[0]) == 1
+    assert sorted(r.order_id for r in got) == list(range(7, 400, 40))
+
+
+def test_lookup_before_build_refuses(spark, tmp_path):
+    ix = _ix(spark, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        ix.lookup(["x"])
+
+
+def test_engine_drives_index(spark, sf_dir, tmp_path):
+    """CdcBatchEngine(agg_views=[ix.feed()]): the index tracks the row
+    view through the full fixture batch (upserts + deletes), ending
+    consistent with the view."""
+    from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    ix = SecondaryIndex(spark, str(tmp_path / "ix"), pk=["event_id"],
+                        col="event_type", n_buckets=4)
+    p = CdcPipeline(
+        name="ix_fact", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         agg_views=[ix.feed()])
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    view = eng.read_view()
+    assert ix.read().count() == view.count()
+    # a point lookup agrees with the scan
+    some_type = view.select("event_type").first()[0]
+    got = sorted(r.order_id if hasattr(r, "order_id") else r.event_id
+                 for r in ix.lookup([some_type]).collect())
+    exp = sorted(r.event_id for r in
+                 view.where(F.col("event_type") == some_type).collect())
+    assert got == exp

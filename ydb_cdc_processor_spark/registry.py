@@ -4721,6 +4721,42 @@ def q_join_view(spark, sf_dir):
     return jv.read()
 
 
+@register("q_secondary_index", """
+SELECT o_custkey, o_orderkey FROM orders
+WHERE o_custkey IN (7, 21, 42) AND o_orderkey % 7 <> 6
+""")
+def q_secondary_index(spark, sf_dir):
+    """CDC-maintained secondary index (operators/secondary_index.
+    SecondaryIndex): a value→pk index over orders.o_custkey kept
+    current through three batches — an initial load whose %3==0 slice
+    carries the WRONG custkey (+1), a correction batch whose old images
+    route the stale entries' deletes, and a delete batch — then a
+    3-customer point LOOKUP that reads only the probed values' buckets.
+    The lookup must equal the SQL filter over the final table state:
+    O(touched-bucket) maintenance + serving converging to the
+    O(table) scan's answer."""
+    from ydb_cdc_processor_spark.operators.secondary_index import (
+        SecondaryIndex)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    ix = SecondaryIndex(spark, _scratch_dir("ix_") + "/ix",
+                        pk=["o_orderkey"], col="o_custkey", n_buckets=8)
+    b1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
+        "o_custkey", F.when(F.col("o_orderkey") % 3 == 0,
+                            F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey")))
+    ix.apply_delta(b1, None)
+    b2 = orders.where((F.col("o_orderkey") % 3 == 2)
+                      | (F.col("o_orderkey") % 3 == 0))
+    old2 = (b1.join(b2.select("o_orderkey"), on="o_orderkey",
+                    how="left_semi").localCheckpoint(eager=True))
+    ix.apply_delta(b2, old2)
+    dead = orders.where(F.col("o_orderkey") % 7 == 6) \
+        .localCheckpoint(eager=True)
+    ix.apply_delta(None, dead)
+    return ix.lookup([7, 21, 42])
+
+
 @register("q_join_view_stream", """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
        c.c_name, c.c_mktsegment
