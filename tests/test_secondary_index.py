@@ -111,3 +111,70 @@ def test_engine_drives_index(spark, sf_dir, tmp_path):
     exp = sorted(r.event_id for r in
                  view.where(F.col("event_type") == some_type).collect())
     assert got == exp
+
+
+def test_stream_maintains_index_across_restart(spark, sf_dir, tmp_path):
+    """The index rides the STREAM engine's agg_views feed: maintained
+    across >=3 micro-batches, survives kill/restart (fresh objects, same
+    checkpoint), and after post-restart updates+deletes lands consistent
+    with the row view."""
+    import json as _json
+    import os
+
+    from ydb_cdc_processor_spark import CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    src = str(tmp_path / "cdc_src")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                      n_partitions=3, limit=600)
+    p = CdcPipeline(
+        name="ix_stream", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    view, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+
+    def engine():
+        ix = SecondaryIndex(spark, str(tmp_path / "ix"),
+                            pk=["event_id"], col="event_type",
+                            n_buckets=4)
+        return CdcStreamEngine(spark, p, view, ckpt, max_retries=2,
+                               agg_views=[ix.feed()]), ix
+
+    def check(se, ix):
+        got = sorted((r.event_type, r.event_id)
+                     for r in ix.read().collect())
+        exp = sorted((r.event_type, r.event_id)
+                     for r in se.batch_engine.read_view()
+                     .select("event_type", "event_id").collect())
+        assert got == exp
+
+    se1, ix1 = engine()
+    q = se1.start(src, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert se1.status().batches >= 3
+    check(se1, ix1)
+    se1.stop()
+
+    ids = [r.event_id for r in
+           se1.batch_engine.read_view().orderBy("event_id")
+           .limit(20).collect()]
+    lines = [cdc_json.envelope([i], erase=True) for i in ids[:10]]
+    lines += [cdc_json.envelope(
+        [i], {"ts": "2024-06-01T00:00:00Z", "user_id": 1,
+              "event_type": "reindexed", "value": 1.0, "props": None})
+        for i in ids[10:20]]
+    with open(os.path.join(src, "part-late.json"), "w") as f:
+        for off, line in enumerate(lines):
+            f.write(_json.dumps({"value": line, "_partition": 0,
+                                 "_offset": 10_000 + off}) + "\n")
+
+    se2, ix2 = engine()
+    status = se2.run_available(src)
+    assert status.ok and status.totals.deleted > 0
+    check(se2, ix2)
+    assert ix2.lookup(["reindexed"]).count() == 10
