@@ -260,3 +260,77 @@ def test_maintain_rebuckets_growing_store(spark, tmp_path):
     hit = jv.read().where("o_cust = 13").collect()
     assert hit and all(r.name == "x13" for r in hit)
     assert jv.read().count() == 5000
+
+
+def test_two_cdc_engines_maintain_one_join_view(spark, sf_dir, tmp_path):
+    """The full reference shape, joined: TWO changefeeds (events fact +
+    users dim), one CDC stream engine per pipeline (CdcReader.java runs
+    one consumer per view), both feeding ONE JoinView through their
+    agg_views old-image protocol.  After both drains the join equals a
+    from-scratch join of the two row views; a later dim-update batch
+    fans out to the enriched rows."""
+    import json as _json
+    import os
+
+    from ydb_cdc_processor_spark import CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
+
+    # -- dim side: synthetic users changefeed --------------------------------
+    dim_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("segment", T.StringType())])
+    dim_src = str(tmp_path / "dim_src")
+    os.makedirs(dim_src)
+    with open(os.path.join(dim_src, "part-0.json"), "w") as f:
+        for i in range(200):
+            env = cdc_json.envelope([i], {"segment": f"seg{i % 5}"})
+            f.write(_json.dumps({"value": env, "_partition": 0,
+                                 "_offset": i}) + "\n")
+    dim_pipe = CdcPipeline(
+        name="users_dim", source_schema=dim_schema, pk=["user_id"],
+        members={"user_id": "Int64", "segment": "Text"},
+        update_sql="SELECT user_id, segment FROM rows",
+        delete_sql="SELECT user_id FROM rows").validate(spark)
+
+    # -- fact side: the standard events fixture ------------------------------
+    fact_schema, fact_pk = describe_table(spark, sf_dir, "events")
+    fact_src = str(tmp_path / "fact_src")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fact_src, limit=400)
+    fact_pipe = CdcPipeline(
+        name="events_fact", source_schema=fact_schema, pk=fact_pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+
+    jv = JoinView(spark, str(tmp_path / "jv"), fact_pk=["event_id"],
+                  fk_col="user_id", dim_pk="user_id",
+                  dim_schema=dim_schema, n_buckets=4)
+    dim_eng = CdcStreamEngine(
+        spark, dim_pipe, str(tmp_path / "dim_view"),
+        str(tmp_path / "dim_ckpt"), agg_views=[jv.dim_feed()])
+    fact_eng = CdcStreamEngine(
+        spark, fact_pipe, str(tmp_path / "fact_view"),
+        str(tmp_path / "fact_ckpt"), agg_views=[jv.fact_feed()])
+
+    assert dim_eng.run_available(dim_src).ok
+    assert fact_eng.run_available(fact_src).ok
+    fact_rows = fact_eng.batch_engine.read_view()
+    assert jv.read().count() == fact_rows.count()
+    assert jv.recompute_check(fact_rows,
+                              dim_eng.batch_engine.read_view())
+
+    # -- dim update lands later: segment change fans out ---------------------
+    with open(os.path.join(dim_src, "part-upd.json"), "w") as f:
+        for off, i in enumerate(range(0, 200, 5)):
+            env = cdc_json.envelope([i], {"segment": "upgraded"})
+            f.write(_json.dumps({"value": env, "_partition": 0,
+                                 "_offset": 1000 + off}) + "\n")
+    assert dim_eng.run_available(dim_src).ok
+    assert jv.recompute_check(fact_rows,
+                              dim_eng.batch_engine.read_view())
+    upgraded = jv.read().where("user_id % 5 = 0 AND user_id < 200")
+    assert upgraded.count() > 0
+    assert upgraded.where("segment != 'upgraded'").count() == 0
