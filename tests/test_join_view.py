@@ -334,3 +334,68 @@ def test_two_cdc_engines_maintain_one_join_view(spark, sf_dir, tmp_path):
     upgraded = jv.read().where("user_id % 5 = 0 AND user_id < 200")
     assert upgraded.count() > 0
     assert upgraded.where("segment != 'upgraded'").count() == 0
+
+
+def test_full_ivm_stack_one_engine(spark, sf_dir, tmp_path):
+    """THE integration showcase: one CdcBatchEngine maintains the row
+    view plus FOUR derived views from the same old-image feed — rollup,
+    checksum, secondary index, join view — and each converges to its
+    from-scratch recompute after a batch containing upserts AND
+    deletes."""
+    from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+    from ydb_cdc_processor_spark.operators.secondary_index import (
+        SecondaryIndex)
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    dim_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("segment", T.StringType())])
+    av = AggregateView(spark, str(tmp_path / "agg"), ["event_type"],
+                       {"sum_value": "value"}, count_col="n")
+    cv = ChecksumView(spark, str(tmp_path / "ck"), cols)
+    ix = SecondaryIndex(spark, str(tmp_path / "ix"), pk=["event_id"],
+                        col="event_type", n_buckets=4)
+    jv = JoinView(spark, str(tmp_path / "jv"), fact_pk=["event_id"],
+                  fk_col="user_id", dim_pk="user_id",
+                  dim_schema=dim_schema, n_buckets=4)
+    jv.apply_dim_delta(spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(2000)], dim_schema), None)
+
+    p = CdcPipeline(
+        name="stack", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(
+        spark, p, str(tmp_path / "view"),
+        agg_views=[av, cv, ix.feed(), jv.fact_feed()])
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+
+    view = eng.read_view()
+    # rollup == recompute
+    got = {r.event_type: (r.n, None if r.sum_value is None
+                          else round(r.sum_value, 4))
+           for r in av.read().collect()}
+    exp = {r.event_type: (r.n, None if r.s is None else round(r.s, 4))
+           for r in view.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                 .cast("double").alias("s")).collect()}
+    assert got == exp
+    # checksum == recompute
+    assert cv.matches(view)
+    # index == projection
+    assert sorted((r.event_type, r.event_id) for r in ix.read().collect()) \
+        == sorted((r.event_type, r.event_id)
+                  for r in view.select("event_type", "event_id").collect())
+    # join view == recompute
+    assert jv.recompute_check(view, jv.dim_mirror.read())
