@@ -80,7 +80,19 @@ HEADLINE = [
     "q_vector_index_stream", "q_nation_trade_volume", "q_market_share",
     "q_returned_items", "q_top_supplier", "q_large_orders",
     "q_neardup_index_stream", "q_checksum_incremental", "q_range_cluster",
+    # round-8 additions, second batch
+    "q_waiting_suppliers", "q_min_cost_supplier", "q_product_profit",
+    "q_important_parts", "q_dominant_supplier", "q_supplier_part_counts",
+    "q_join_view", "q_join_view_stream", "q_secondary_index",
 ]
+
+
+def _full_headline() -> list[str]:
+    """HEADLINE (curated order) + every registry entry not yet listed —
+    the bench can never silently miss a new query again."""
+    from ydb_cdc_processor_spark.registry import QUERIES
+    listed = set(HEADLINE)
+    return HEADLINE + [q for q in QUERIES if q not in listed]
 
 
 def _force(df) -> None:
@@ -109,7 +121,7 @@ def main() -> None:
     QUERIES["q_project_retype"](spark, SF_DIR).limit(10).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _full_headline():
         timings[name] = _median_of(
             lambda name=name: _force(QUERIES[name](spark, SF_DIR)))
 

@@ -162,7 +162,13 @@ class JoinView:
                          .select(FKB, *self.fact_pk))
             else:
                 stale = olds
-            self.view.apply(stale, action="deleteFrom")
+            # cheap emptiness probe first: the common steady-state batch
+            # (pure upserts, no fk moves) has NOTHING stale, and a
+            # deleteFrom apply would still pay a persist + bucket-collect
+            # job over the join plan before discovering that
+            stale = stale.localCheckpoint(eager=True)
+            if not stale.isEmpty():
+                self.view.apply(stale, action="deleteFrom")
         if new_rows is not None:
             self.view.apply(self._enrich(new_rows).withColumn(
                 FKB, self._fkb()), action="upsertInto")
@@ -177,10 +183,9 @@ class JoinView:
 
         ``new_rows``: upserted dim rows; ``old_rows``: pre-merge dim
         images of touched keys (deleted keys = old minus new).  The
-        changed key list is batch-bounded (it IS the CDC batch), so
-        collecting it for bucket routing is bounded driver metadata —
-        the same contract VectorIndex.query documents for probed
-        cells."""
+        changed keys stay distributed; only their BUCKET ids reach the
+        driver (≤ n_buckets values — the same bounded-metadata contract
+        VectorIndex.query documents for probed cells)."""
         if new_rows is None and old_rows is None:
             return
         # 1. mirror maintenance (keyed, idempotent)
@@ -197,27 +202,27 @@ class JoinView:
 
         if not self.view.exists():
             return
-        # 2. touched-bucket refresh of the join view
-        changed = set()
-        if new_rows is not None:
-            changed |= {r[0] for r in
-                        new_rows.select(self.dim_pk).distinct().collect()}
-        if old_rows is not None:
-            changed |= {r[0] for r in
-                        old_rows.select(self.dim_pk).distinct().collect()}
-        if not changed:
+        # 2. touched-bucket refresh of the join view.  The changed-key
+        # SET stays distributed (a big dim batch never round-trips its
+        # values through the driver); only the BUCKET ids collect, and
+        # those are bounded by n_buckets.
+        parts = [df.select(F.coalesce(F.col(self.dim_pk).cast("string"),
+                                      F.lit("\x00null")).alias(FKB))
+                 for df in (new_rows, old_rows) if df is not None]
+        changed_df = (parts[0] if len(parts) == 1
+                      else parts[0].unionByName(parts[1])) \
+            .distinct().localCheckpoint(eager=True)
+        if changed_df.isEmpty():
             return
-        from pyspark.sql import types as T
-        changed_df = self.spark.createDataFrame(
-            [(v,) for v in sorted(changed)],
-            T.StructType([T.StructField(
-                self.fk_col, self.dim_schema[self.dim_pk].dataType)])) \
-            .select(self._fkb())
         buckets = sorted({r[0] for r in changed_df.select(
             self.view.bucket_expr().alias("_b")).distinct().collect()})
+        # broadcast semi-join, NOT isin(*changed): a big dim batch would
+        # inline thousands of literals into the plan (quadratic
+        # analysis cost), while the semi-join stays O(1) plan size
         affected = (self.view.read_touched(buckets)
                     .drop(BUCKET_COL)
-                    .where(F.col(self.fk_col).isin(*changed)))
+                    .join(F.broadcast(changed_df), on=FKB,
+                          how="left_semi"))
         # eager checkpoint: the refresh plan READS the view's buckets,
         # and apply() will promote over those same directories — a lazy
         # plan would list the swapped layout at evaluation time

@@ -100,7 +100,11 @@ class SecondaryIndex:
                          .select(IXV, *self.pk))
             else:
                 stale = olds
-            self.view.apply(stale, action="deleteFrom")
+            # emptiness probe first — the steady-state batch (no value
+            # changes, no deletes) must not pay a deleteFrom apply
+            stale = stale.localCheckpoint(eager=True)
+            if not stale.isEmpty():
+                self.view.apply(stale, action="deleteFrom")
         if new_rows is not None:
             entries = new_rows.select(self._ixv(), self.col, *self.pk)
             self.view.apply(entries, action="upsertInto")
