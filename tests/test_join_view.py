@@ -399,3 +399,69 @@ def test_full_ivm_stack_one_engine(spark, sf_dir, tmp_path):
                   for r in view.select("event_type", "event_id").collect())
     # join view == recompute
     assert jv.recompute_check(view, jv.dim_mirror.read())
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a step is (side, op, key): fact upsert/delete over pks 0-5 with fk
+# drawn from 0-3, dim upsert/delete over pks 0-3
+_step = st.one_of(
+    st.tuples(st.just("fact_up"), st.integers(0, 5), st.integers(0, 3)),
+    st.tuples(st.just("fact_del"), st.integers(0, 5), st.just(0)),
+    st.tuples(st.just("dim_up"), st.integers(0, 3), st.integers(0, 9)),
+    st.tuples(st.just("dim_del"), st.integers(0, 3), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(steps=st.lists(_step, min_size=2, max_size=8))
+def test_property_any_interleaving_matches_recompute(spark,
+                                                     tmp_path_factory,
+                                                     steps):
+    """ANY interleaving of fact/dim upserts and deletes (including fk
+    moves and re-deletes of absent keys) leaves the view equal to the
+    from-scratch join of the resulting table states."""
+    tmp_path = tmp_path_factory.mktemp("jv_prop")
+    jv = _jv(spark, tmp_path, n_buckets=2)
+    fact_state: dict[int, tuple] = {}
+    dim_state: dict[int, tuple] = {}
+    for side, k, v in steps:
+        if side == "fact_up":
+            row = (k, v, 100 + k)
+            old = None
+            if jv.view.exists():
+                old = (jv.read().select("order_id", "o_cust", "amount")
+                       .where(F.col("order_id") == k)
+                       .localCheckpoint(eager=True))
+            jv.apply_fact_delta(_fact(spark, [row]), old)
+            fact_state[k] = row
+        elif side == "fact_del":
+            if not jv.view.exists():
+                continue
+            old = (jv.read().select("order_id", "o_cust", "amount")
+                   .where(F.col("order_id") == k)
+                   .localCheckpoint(eager=True))
+            jv.apply_fact_delta(None, old)
+            fact_state.pop(k, None)
+        elif side == "dim_up":
+            row = (k, f"n{v}", f"t{v % 2}")
+            old = (jv.dim_mirror.read().where(F.col("cust_id") == k)
+                   .localCheckpoint(eager=True))
+            jv.apply_dim_delta(_dim(spark, [row]), old)
+            dim_state[k] = row
+        else:  # dim_del
+            old = (jv.dim_mirror.read().where(F.col("cust_id") == k)
+                   .localCheckpoint(eager=True))
+            jv.apply_dim_delta(None, old)
+            dim_state.pop(k, None)
+    if not jv.view.exists():
+        assert not fact_state
+        return
+    fact_df = (_fact(spark, list(fact_state.values()))
+               if fact_state else _fact(spark, []).limit(0))
+    dim_df = (_dim(spark, list(dim_state.values()))
+              if dim_state else _dim(spark, []).limit(0))
+    assert jv.recompute_check(fact_df, dim_df)
