@@ -1,0 +1,156 @@
+"""ChangefeedEmitter — views emit their own downstream changefeed, so
+pipelines chain: events → view A → (emitted feed) → view B."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+from ydb_cdc_processor_spark.sources import cdc_json
+from ydb_cdc_processor_spark.sources.catalog import describe_table
+from ydb_cdc_processor_spark.sources.changefeed_out import ChangefeedEmitter
+
+UPDATE_SQL = ("SELECT event_id, ts, user_id, event_type, value FROM rows")
+
+
+def _pipeline(spark, schema, pk, name):
+    return CdcPipeline(
+        name=name, source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql=UPDATE_SQL,
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+
+
+VIEW_MEMBERS = {
+    "event_id": "Int64", "ts": "Timestamp", "user_id": "Int64",
+    "event_type": "Text", "value": "Optional<Double>"}
+
+
+def _downstream(spark, tmp_path, feed_dir):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType())])
+    p = CdcPipeline(
+        name="view_b", source_schema=schema, pk=["event_id"],
+        members=VIEW_MEMBERS,
+        update_sql=UPDATE_SQL,
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    return CdcBatchEngine(spark, p, str(tmp_path / "view_b"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(
+        "event_id", "ts", "user_id", "event_type", "value").collect()))
+
+
+def test_chained_views_converge(spark, sf_dir, tmp_path):
+    """View A's emitted feed, consumed by pipeline B, reproduces view A
+    exactly — including the deletions inside the fixture batch."""
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    feed = str(tmp_path / "feed")
+
+    em = ChangefeedEmitter(spark, feed, keys=["event_id"], n_partitions=3)
+    a = CdcBatchEngine(spark, _pipeline(spark, schema, pk, "view_a"),
+                       str(tmp_path / "view_a"), agg_views=[em])
+    a.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
+                      batch_token="b0")
+
+    b = _downstream(spark, tmp_path, feed)
+    stats = b.apply_raw_batch(cdc_json.read_cdc_batch(spark, feed))
+    assert stats.malformed == 0
+    assert _rows(b.read_view()) == _rows(a.read_view())
+
+    # offsets are dense per partition starting at 0
+    raw = spark.read.json(feed)
+    for p in range(3):
+        offs = sorted(r._offset for r in
+                      raw.where(F.col("_partition") == p).collect())
+        assert offs == list(range(len(offs)))
+
+
+def test_emitter_replay_fence_and_second_batch(spark, sf_dir, tmp_path):
+    """An engine-level replay of the SAME batch token emits nothing new;
+    a genuine second batch appends with offsets continuing where the
+    first left off, and the chain still converges."""
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    feed = str(tmp_path / "feed")
+    em = ChangefeedEmitter(spark, feed, keys=["event_id"], n_partitions=2)
+    a = CdcBatchEngine(spark, _pipeline(spark, schema, pk, "view_a"),
+                       str(tmp_path / "view_a"), agg_views=[em])
+    batch = cdc_json.read_cdc_batch(spark, fixture)
+    a.apply_raw_batch(batch, batch_token="t1")
+    n1 = spark.read.json(feed).count()
+
+    a.apply_raw_batch(batch, batch_token="t1")  # replay: fence holds
+    assert spark.read.json(feed).count() == n1
+
+    # second batch: delete 5 rows via erase envelopes
+    ids = [r.event_id for r in a.read_view().orderBy("event_id")
+           .limit(5).collect()]
+    src2 = str(tmp_path / "cdc2")
+    os.makedirs(src2)
+    with open(os.path.join(src2, "part-0.json"), "w") as f:
+        for off, i in enumerate(ids):
+            f.write(json.dumps({
+                "value": cdc_json.envelope([i], erase=True),
+                "_partition": 0, "_offset": 50_000 + off}) + "\n")
+    a.apply_raw_batch(cdc_json.read_cdc_batch(spark, src2),
+                      batch_token="t2")
+    raw = spark.read.json(feed)
+    assert raw.count() == n1 + 5
+    for p in range(2):
+        offs = sorted(r._offset for r in
+                      raw.where(F.col("_partition") == p).collect())
+        assert offs == list(range(len(offs)))  # still dense
+
+    b = _downstream(spark, tmp_path, feed)
+    b.apply_raw_batch(cdc_json.read_cdc_batch(spark, feed))
+    assert _rows(b.read_view()) == _rows(a.read_view())
+    assert b.read_view().count() == a.read_view().count()
+
+
+def test_same_key_changes_stay_in_one_partition(spark, sf_dir, tmp_path):
+    """Per-key ordering across emitted batches REQUIRES key-routed
+    partitions: an upsert-then-erase of the same key in different
+    batches must land in the same partition with increasing offsets, or
+    a downstream consumer's last-wins collapse could resurrect the dead
+    row."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType())])
+    feed = str(tmp_path / "feed")
+    em = ChangefeedEmitter(spark, feed, keys=["event_id"],
+                           n_partitions=4)
+    rows = spark.createDataFrame(
+        [(i, None, i, "t", 1.0) for i in range(40)], schema)
+    em.apply_delta(rows, None, batch_token="b1")
+    # batch 2: delete every key (old images, no new rows)
+    em.apply_delta(None, rows, batch_token="b2")
+    raw = spark.read.json(feed)
+    decoded = raw.select(
+        F.get_json_object("value", "$.key[0]").cast("long").alias("k"),
+        F.get_json_object("value", "$.erase").isNotNull().alias("is_del"),
+        "_partition", "_offset")
+    per_key = (decoded.groupBy("k")
+               .agg(F.countDistinct("_partition").alias("nparts"),
+                    F.max(F.when(F.col("is_del"), F.col("_offset")))
+                    .alias("del_off"),
+                    F.max(F.when(~F.col("is_del"), F.col("_offset")))
+                    .alias("up_off")))
+    bad = per_key.where((F.col("nparts") != 1)
+                        | (F.col("del_off") <= F.col("up_off"))).count()
+    assert bad == 0

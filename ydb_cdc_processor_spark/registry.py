@@ -4757,6 +4757,62 @@ def q_secondary_index(spark, sf_dir):
     return ix.lookup([7, 21, 42])
 
 
+@register("q_chained_views", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 6
+""")
+def q_chained_views(spark, sf_dir):
+    """CHAINED pipelines via the changefeed emitter (sources/
+    changefeed_out.ChangefeedEmitter): view A's maintenance deltas are
+    emitted as a wire-format JSON changefeed — key-routed partitions,
+    dense per-partition offsets, at-least-once with a batch-token
+    fence — and a SECOND CdcPipeline consumes that feed as its source,
+    exactly how the reference composes multi-hop flows (any table,
+    including a view target, can carry a changefeed — README.md:62-72).
+    Three emitted batches (wrong-then-corrected rows, then deletes) put
+    upserts AND erases for the same keys on the wire; the downstream
+    view must land on the final table state."""
+    from pyspark.sql import types as T
+
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.changefeed_out import (
+        ChangefeedEmitter)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    base = _scratch_dir("chain_")
+    em = ChangefeedEmitter(spark, base + "/feed", keys=["o_orderkey"],
+                           n_partitions=4)
+    b1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X-TMP"))
+        .otherwise(F.col("o_orderpriority")))
+    em.apply_delta(b1, None, batch_token="c1")
+    b2 = orders.where((F.col("o_orderkey") % 3 == 2)
+                      | (F.col("o_orderkey") % 3 == 0))
+    em.apply_delta(b2, None, batch_token="c2")
+    dead = orders.where(F.col("o_orderkey") % 7 == 6) \
+        .localCheckpoint(eager=True)
+    em.apply_delta(None, dead, batch_token="c3")
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType())])
+    p = CdcPipeline(
+        name="chain_b", source_schema=schema, pk=["o_orderkey"],
+        members={"o_orderkey": "Int64", "o_custkey": "Int64",
+                 "o_totalprice": "Double", "o_orderpriority": "Text"},
+        update_sql="SELECT o_orderkey, o_custkey, o_totalprice, "
+                   "o_orderpriority FROM rows",
+        delete_sql="SELECT o_orderkey FROM rows").validate(spark)
+    b = CdcBatchEngine(spark, p, base + "/view_b")
+    b.apply_raw_batch(cdc_json.read_cdc_batch(spark, base + "/feed"))
+    return b.read_view()
+
+
 @register("q_join_view_stream", """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
        c.c_name, c.c_mktsegment
