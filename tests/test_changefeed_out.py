@@ -154,3 +154,69 @@ def test_same_key_changes_stay_in_one_partition(spark, sf_dir, tmp_path):
     bad = per_key.where((F.col("nparts") != 1)
                         | (F.col("del_off") <= F.col("up_off"))).count()
     assert bad == 0
+
+
+def test_streaming_chain_with_restart(spark, sf_dir, tmp_path):
+    """The FULL streaming chain: stream engine A maintains view A and
+    emits the feed; stream engine B consumes the feed as its own
+    checkpointed CDC stream.  Both are killed and restarted (fresh
+    objects, same checkpoints) after late data lands upstream — B must
+    converge to A."""
+    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    src = str(tmp_path / "cdc_src")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                      n_partitions=3, limit=600)
+    feed = str(tmp_path / "feed")
+
+    def engines():
+        em = ChangefeedEmitter(spark, feed, keys=["event_id"],
+                               n_partitions=2)
+        a = CdcStreamEngine(spark, _pipeline(spark, schema, pk, "va"),
+                            str(tmp_path / "view_a"),
+                            str(tmp_path / "ckpt_a"), agg_views=[em])
+        from pyspark.sql import types as T
+        b_schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType())])
+        bp = CdcPipeline(
+            name="vb", source_schema=b_schema, pk=["event_id"],
+            members=VIEW_MEMBERS, update_sql=UPDATE_SQL,
+            delete_sql="SELECT event_id FROM rows").validate(spark)
+        b = CdcStreamEngine(spark, bp, str(tmp_path / "view_b"),
+                            str(tmp_path / "ckpt_b"))
+        return a, b
+
+    a1, b1 = engines()
+    assert a1.run_available(src).ok
+    assert b1.run_available(feed).ok
+    assert _rows(b1.batch_engine.read_view()) \
+        == _rows(a1.batch_engine.read_view())
+
+    # late upstream data while both are down: updates + deletes
+    ids = [r.event_id for r in a1.batch_engine.read_view()
+           .orderBy("event_id").limit(20).collect()]
+    lines = [cdc_json.envelope([i], erase=True) for i in ids[:10]]
+    lines += [cdc_json.envelope(
+        [i], {"ts": "2024-06-01T00:00:00Z", "user_id": 9,
+              "event_type": "chained", "value": 2.5, "props": None})
+        for i in ids[10:20]]
+    with open(os.path.join(src, "part-late.json"), "w") as f:
+        for off, line in enumerate(lines):
+            f.write(json.dumps({"value": line, "_partition": 0,
+                                "_offset": 20_000 + off}) + "\n")
+
+    a2, b2 = engines()
+    assert a2.run_available(src).ok
+    assert b2.run_available(feed).ok
+    va = a2.batch_engine.read_view()
+    vb = b2.batch_engine.read_view()
+    assert _rows(vb) == _rows(va)
+    assert vb.where("event_type = 'chained'").count() == 10
+    assert vb.join(spark.createDataFrame([(i,) for i in ids[:10]],
+                                         "event_id long"),
+                   on="event_id", how="left_semi").count() == 0
