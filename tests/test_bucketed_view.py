@@ -268,3 +268,27 @@ def test_compact_fragmented_buckets(spark, tmp_path):
     assert sorted(tuple(r) for r in view.read().collect()) == before
     # idempotent: nothing left to compact
     assert view.compact(max_files_per_bucket=4) == 0
+
+
+def test_rebucket_preserves_bucket_keys_in_manifest(spark, tmp_path):
+    """rebucket() must carry bucket_keys into the new manifest — a
+    co-located store reopened without repeating bucket_keys= would
+    otherwise hash probes over the full key set and read the wrong
+    directories (found by review)."""
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BucketedMaterializedView)
+    path = str(tmp_path / "colo")
+    mv = BucketedMaterializedView(spark, path, keys=["g", "id"],
+                                  bucket_keys=["g"], n_buckets=2)
+    df = spark.createDataFrame([(i % 5, i, i) for i in range(100)],
+                               "g long, id long, v long")
+    mv.apply(df, action="upsertInto")
+    mv.rebucket(8)
+    reopened = BucketedMaterializedView(spark, path, keys=["g", "id"])
+    assert reopened.bucket_keys == ["g"]
+    assert reopened.n_buckets == 8
+    # probes through the reopened handle still find their rows
+    b = [r[0] for r in spark.createDataFrame([(3,)], "g long")
+         .select(reopened.bucket_expr().alias("b")).collect()]
+    rows = reopened.read_touched(b, df.schema)
+    assert rows.where("g = 3").count() == 20

@@ -465,3 +465,39 @@ def test_property_any_interleaving_matches_recompute(spark,
     dim_df = (_dim(spark, list(dim_state.values()))
               if dim_state else _dim(spark, []).limit(0))
     assert jv.recompute_check(fact_df, dim_df)
+
+
+def test_dim_update_for_unreferenced_key_in_absent_bucket(spark, tmp_path):
+    """A dim change whose key no stored fact row references — and whose
+    bucket directory was never written — must be a no-op refresh, not a
+    schema-inference crash (found by review)."""
+    jv = _jv(spark, tmp_path, n_buckets=64)  # sparse store
+    jv.apply_dim_delta(_dim(spark, [(1, "alice", "gold")]), None)
+    jv.apply_fact_delta(_fact(spark, [(10, 1, 100)]), None)
+    for k in range(2, 30):  # unreferenced keys across many buckets
+        jv.apply_dim_delta(_dim(spark, [(k, f"c{k}", "t")]), None)
+    assert jv.read().count() == 1
+    assert jv.read().collect()[0].name == "alice"
+
+
+def test_fk_dim_pk_type_mismatch_refused(spark, tmp_path):
+    """A double fk against a bigint dim pk would stringify differently
+    ('7.0' vs '7') and silently break dim refreshes — the first fact
+    batch must refuse instead (found by review)."""
+    jv = _jv(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [(10, 1.0, 100)], "order_id long, o_cust double, amount long")
+    with pytest.raises(ValueError, match="must have ONE type"):
+        jv.apply_fact_delta(bad, None)
+
+
+def test_fact_bootstrap_with_old_images(spark, tmp_path):
+    """Old images on the join view's FIRST fact batch (row view predates
+    the join view) must not crash the absent store (found by review)."""
+    jv = _jv(spark, tmp_path)
+    jv.apply_dim_delta(_dim(spark, [(1, "alice", "gold")]), None)
+    olds = _fact(spark, [(10, 1, 99), (11, 1, 98)])
+    jv.apply_fact_delta(_fact(spark, [(10, 1, 100)]),
+                        olds.localCheckpoint(True))
+    rows = {r.order_id for r in jv.read().collect()}
+    assert rows == {10}

@@ -178,3 +178,53 @@ def test_stream_maintains_index_across_restart(spark, sf_dir, tmp_path):
     assert status.ok and status.totals.deleted > 0
     check(se2, ix2)
     assert ix2.lookup(["reindexed"]).count() == 10
+
+
+def test_lookup_miss_on_absent_bucket_returns_empty(spark, tmp_path):
+    """A probed value whose bucket directory was never written must
+    return an EMPTY typed frame, not crash on schema inference (found
+    by review: read_touched on a schema-less store with zero present
+    dirs raised ValueError)."""
+    ix = _ix(spark, tmp_path, n_buckets=64)  # sparse: most dirs absent
+    ix.apply_delta(_fact(spark, [(1, "only", 10)]), None)
+    for probe in ["missing-a", "missing-b", "missing-c"]:
+        got = ix.lookup([probe])
+        assert got.count() == 0
+        assert set(got.columns) == {"status", "order_id"}
+
+
+def test_lookup_probe_rendering_matches_spark_cast(spark, tmp_path):
+    """Probes must render via Spark's cast, not Python str(): booleans
+    ('true' vs 'True') and large doubles ('1.0E20' vs '1e+20') would
+    otherwise silently miss stored rows (found by review)."""
+    from ydb_cdc_processor_spark.operators.secondary_index import (
+        SecondaryIndex)
+    rows = spark.createDataFrame(
+        [(1, True, 1.0e20), (2, False, 0.0001), (3, True, 5.0)],
+        "id long, flag boolean, score double")
+    fx = SecondaryIndex(spark, str(tmp_path / "fx"), pk=["id"],
+                        col="flag", n_buckets=4)
+    fx.apply_delta(rows.select("id", "flag"), None)
+    assert sorted(r.id for r in fx.lookup([True]).collect()) == [1, 3]
+    dx = SecondaryIndex(spark, str(tmp_path / "dx"), pk=["id"],
+                        col="score", n_buckets=4)
+    dx.apply_delta(rows.select("id", "score"), None)
+    assert [r.id for r in dx.lookup([1.0e20]).collect()] == [1]
+    assert [r.id for r in dx.lookup([0.0001]).collect()] == [2]
+
+
+def test_first_batch_with_stale_old_images_bootstraps(spark, tmp_path):
+    """The engine's old-image feed can carry images on the index's very
+    FIRST batch (fact view predates the index).  A delete in that batch
+    must not crash on the absent store (found by review:
+    FileNotFoundError from deleteFrom-before-existence)."""
+    ix = _ix(spark, tmp_path)
+    f_old = _fact(spark, [(1, "open", 10), (2, "open", 20)])
+    # delete-only first batch: new=None, old images present
+    ix.apply_delta(None, f_old.localCheckpoint(True))
+    # upsert+delete first batch on a second fresh index
+    ix2 = SecondaryIndex(spark, str(tmp_path / "ix2"), pk=["order_id"],
+                         col="status", n_buckets=4)
+    ix2.apply_delta(_fact(spark, [(1, "paid", 11)]),
+                    f_old.localCheckpoint(True))
+    assert _entries(ix2) == [("paid", 1)]

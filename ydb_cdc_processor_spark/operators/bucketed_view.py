@@ -635,7 +635,12 @@ class BucketedMaterializedView:
         (self._with_bucket(df, n_buckets)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
-        manifest: dict = {"n_buckets": n_buckets}
+        # bucket_keys is LAYOUT state exactly like n_buckets: dropping it
+        # here would void the manifest-wins protection after a rebucket
+        # (a handle reopened without bucket_keys= would hash probes over
+        # the full key set and read the wrong directories)
+        manifest: dict = {"n_buckets": n_buckets,
+                          "bucket_keys": self.bucket_keys}
         last = self.last_token()
         if last is not None:
             # the rewrite was built from state that already INCLUDES the

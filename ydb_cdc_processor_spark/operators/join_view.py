@@ -43,27 +43,20 @@ AggregateView and ChecksumView.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, BucketedMaterializedView)
+from ydb_cdc_processor_spark.operators.ivm_feed import (
+    Feed, null_safe_key, stale_keys)
 from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 
 logger = logging.getLogger(__name__)
 
 FKB = "_fkb"  # null-safe string image of the fk — the store's merge key
-
-
-class _Feed:
-    """agg_views-protocol adapter binding one side of the join."""
-
-    def __init__(self, fn):
-        self._fn = fn
-
-    def apply_delta(self, new_rows, old_rows, batch_token=None) -> None:
-        self._fn(new_rows, old_rows, batch_token)
 
 
 class JoinView:
@@ -103,18 +96,31 @@ class JoinView:
             spark, path + "/dim", [dim_pk], schema=dim_schema)
 
     def _fkb(self) -> F.Column:
-        return F.coalesce(F.col(self.fk_col).cast("string"),
-                          F.lit("\x00null")).alias(FKB)
+        return null_safe_key(self.fk_col, FKB)
+
+    def _check_fk_type(self, fact_schema) -> None:
+        """The store keys on STRING images of the fk (fact side) and the
+        dim pk (dim side); if the two columns stringify differently
+        (double 7.0 vs bigint 7) the images silently diverge and dim
+        refreshes stop finding their fact rows — refuse up front."""
+        ft = fact_schema[self.fk_col].dataType
+        dt = self.dim_schema[self.dim_pk].dataType
+        if ft != dt:
+            raise ValueError(
+                f"fk {self.fk_col!r} is {ft.simpleString()} but dim pk "
+                f"{self.dim_pk!r} is {dt.simpleString()} — the join key "
+                "must have ONE type on both sides (string key images "
+                "would diverge and dim refreshes would miss rows)")
 
     # -- engine adapters -----------------------------------------------------
 
-    def fact_feed(self) -> _Feed:
+    def fact_feed(self) -> Feed:
         """Adapter for the FACT engine's ``agg_views`` list."""
-        return _Feed(self.apply_fact_delta)
+        return Feed(self.apply_fact_delta)
 
-    def dim_feed(self) -> _Feed:
+    def dim_feed(self) -> Feed:
         """Adapter for the DIM engine's ``agg_views`` list."""
-        return _Feed(self.apply_dim_delta)
+        return Feed(self.apply_dim_delta)
 
     # -- internals -----------------------------------------------------------
 
@@ -147,31 +153,29 @@ class JoinView:
         join key."""
         if new_rows is None and old_rows is None:
             return
-        if old_rows is not None:
-            olds = old_rows.select(self._fkb(), *self.fact_pk)
-            if new_rows is not None:
-                new_keys = new_rows.select(
-                    *[F.col(c).alias(f"_n_{c}") for c in self.fact_pk],
-                    self._fkb().alias("_n_fkb"))
-                cond = [F.col(c) == F.col(f"_n_{c}") for c in self.fact_pk]
-                j = olds.join(F.broadcast(new_keys), cond, "left")
-                # deleted (no new image) OR moved (fk changed — the
-                # null-safe key image makes to/from-NULL moves visible)
-                stale = (j.where(F.col(f"_n_{self.fact_pk[0]}").isNull()
-                                 | (F.col("_n_fkb") != F.col(FKB)))
-                         .select(FKB, *self.fact_pk))
-            else:
-                stale = olds
+        self._check_fk_type((new_rows if new_rows is not None
+                             else old_rows).schema)
+        stale = None
+        # the bootstrap guard matters: old images can arrive on the very
+        # FIRST batch (the engine's row view predating the join view),
+        # and a deleteFrom against a store that does not exist yet would
+        # refuse (schema-less empty-view materialization)
+        if old_rows is not None and self.view.exists():
             # cheap emptiness probe first: the common steady-state batch
             # (pure upserts, no fk moves) has NOTHING stale, and a
-            # deleteFrom apply would still pay a persist + bucket-collect
+            # delete pass would still pay a persist + bucket-collect
             # job over the join plan before discovering that
-            stale = stale.localCheckpoint(eager=True)
-            if not stale.isEmpty():
-                self.view.apply(stale, action="deleteFrom")
+            probe = stale_keys(old_rows, new_rows, self.fact_pk,
+                               self.fk_col, FKB)                 .localCheckpoint(eager=True)
+            if not probe.isEmpty():
+                stale = probe
+        ups = None
         if new_rows is not None:
-            self.view.apply(self._enrich(new_rows).withColumn(
-                FKB, self._fkb()), action="upsertInto")
+            ups = self._enrich(new_rows).withColumn(FKB, self._fkb())
+        # ONE touched-bucket read-merge-rewrite pass for both sides
+        # (sides are key-disjoint: a moved row's old and new (fkb, pk)
+        # differ by construction) — halves bucket IO vs two applies
+        self.view.apply_batch(ups, stale)
 
     # -- dim side ------------------------------------------------------------
 
@@ -206,8 +210,7 @@ class JoinView:
         # SET stays distributed (a big dim batch never round-trips its
         # values through the driver); only the BUCKET ids collect, and
         # those are bounded by n_buckets.
-        parts = [df.select(F.coalesce(F.col(self.dim_pk).cast("string"),
-                                      F.lit("\x00null")).alias(FKB))
+        parts = [df.select(null_safe_key(self.dim_pk, FKB))
                  for df in (new_rows, old_rows) if df is not None]
         changed_df = (parts[0] if len(parts) == 1
                       else parts[0].unionByName(parts[1])) \
@@ -216,10 +219,21 @@ class JoinView:
             return
         buckets = sorted({r[0] for r in changed_df.select(
             self.view.bucket_expr().alias("_b")).distinct().collect()})
+        # a changed key whose bucket directory does not exist has NO
+        # stored fact rows — skip it (and bail if none remain; asking
+        # read_touched for only-absent buckets on a schema-less store
+        # cannot type its empty frame).  recover() first, so a crash-
+        # displaced bucket is restored before we probe for it.
+        self.view.recover()
+        present = [b for b in buckets
+                   if os.path.isdir(os.path.join(
+                       self.view.path, f"{BUCKET_COL}={b}"))]
+        if not present:
+            return
         # broadcast semi-join, NOT isin(*changed): a big dim batch would
         # inline thousands of literals into the plan (quadratic
         # analysis cost), while the semi-join stays O(1) plan size
-        affected = (self.view.read_touched(buckets)
+        affected = (self.view.read_touched(present)
                     .drop(BUCKET_COL)
                     .join(F.broadcast(changed_df), on=FKB,
                           how="left_semi"))

@@ -13,11 +13,16 @@ view and its indexes in lockstep.
 
 Layout: a :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
 BucketedMaterializedView` keyed ``(_ixv, *pk)`` and CO-LOCATED on
-``_ixv`` — the null-safe string image of the indexed value (SQL join
-equality never matches NULL; the same ``\\x00`` sentinel trick
-join_view.py uses for fks).  A lookup therefore reads ONLY the probed
-values' buckets — O(touched), never O(|fact|) — and maintenance per
-batch touches only the batch's old+new values' buckets.
+``_ixv`` — the null-safe string image of the indexed value
+(operators/ivm_feed.py; SQL join equality never matches NULL).  A
+lookup therefore reads ONLY the probed values' buckets — O(touched),
+never O(|fact|) — and maintenance per batch touches only the batch's
+old+new values' buckets, both sides of a batch in ONE fused
+read-merge-rewrite pass.
+
+The entry schema is persisted beside the store on first build, so a
+lookup that misses every stored bucket (value not in the index) types
+its empty result correctly instead of guessing.
 
 Maintenance is delete-stale + upsert (idempotent keyed ops), so R1
 retries and checkpoint replays converge without a token fence.
@@ -25,27 +30,22 @@ retries and checkpoint replays converge without a token fence.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, BucketedMaterializedView)
+from ydb_cdc_processor_spark.operators.ivm_feed import (
+    NULL_KEY, Feed, null_safe_key, stale_keys)
 
 logger = logging.getLogger(__name__)
 
 IXV = "_ixv"  # null-safe string image of the indexed value — merge key
-
-
-class _Feed:
-    """agg_views-protocol adapter (apply_delta(new, old, token))."""
-
-    def __init__(self, fn):
-        self._fn = fn
-
-    def apply_delta(self, new_rows, old_rows, batch_token=None) -> None:
-        self._fn(new_rows, old_rows, batch_token)
 
 
 class SecondaryIndex:
@@ -60,19 +60,41 @@ class SecondaryIndex:
         if col in pk:
             raise ValueError("indexing a pk column is a no-op by design")
         self.spark = spark
+        self.path = path
         self.pk = list(pk)
         self.col = col
         self.view = BucketedMaterializedView(
-            spark, path, keys=[IXV] + list(pk), bucket_keys=[IXV],
+            spark, os.path.join(path, "entries"),
+            keys=[IXV] + list(pk), bucket_keys=[IXV],
             n_buckets=n_buckets)
 
-    def feed(self) -> _Feed:
+    def feed(self) -> Feed:
         """Adapter for the fact engine's ``agg_views`` list."""
-        return _Feed(self.apply_delta)
+        return Feed(self.apply_delta)
 
     def _ixv(self) -> F.Column:
-        return F.coalesce(F.col(self.col).cast("string"),
-                          F.lit("\x00null")).alias(IXV)
+        return null_safe_key(self.col, IXV)
+
+    # -- persisted entry schema (typed empty results for misses) -------------
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_entry_schema.json")
+
+    def _save_schema(self, entries: DataFrame) -> None:
+        if os.path.exists(self._schema_path()):
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._schema_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries.drop(IXV).schema.jsonValue(), fh)
+        os.replace(tmp, self._schema_path())
+
+    def _load_schema(self) -> T.StructType | None:
+        try:
+            with open(self._schema_path()) as fh:
+                return T.StructType.fromJson(json.load(fh))
+        except (OSError, ValueError, KeyError):
+            return None
 
     # -- maintenance ---------------------------------------------------------
 
@@ -83,52 +105,84 @@ class SecondaryIndex:
         a delete-only batch), ``old_rows`` = pre-merge fact images of
         every touched key (None before the fact view exists).  Stale
         entries — deleted pks, or pks whose indexed value CHANGED — are
-        deleted by their OLD value's key; current entries upsert.  Cost
-        ∝ touched values' buckets."""
+        deleted by their OLD value's key; current entries upsert; both
+        sides ride ONE fused touched-bucket pass.  Cost ∝ touched
+        values' buckets."""
         if new_rows is None and old_rows is None:
             return
-        if old_rows is not None:
-            olds = old_rows.select(self._ixv(), *self.pk)
-            if new_rows is not None:
-                news = new_rows.select(
-                    *[F.col(c).alias(f"_n_{c}") for c in self.pk],
-                    self._ixv().alias("_n_ixv"))
-                cond = [F.col(c) == F.col(f"_n_{c}") for c in self.pk]
-                j = olds.join(F.broadcast(news), cond, "left")
-                stale = (j.where(F.col(f"_n_{self.pk[0]}").isNull()
-                                 | (F.col("_n_ixv") != F.col(IXV)))
-                         .select(IXV, *self.pk))
-            else:
-                stale = olds
-            # emptiness probe first — the steady-state batch (no value
-            # changes, no deletes) must not pay a deleteFrom apply
-            stale = stale.localCheckpoint(eager=True)
-            if not stale.isEmpty():
-                self.view.apply(stale, action="deleteFrom")
+        stale = None
+        # bootstrap guard: old images can arrive on the very first batch
+        # (fact view predating the index) — nothing stored means nothing
+        # stale, and a deleteFrom on the absent store would refuse
+        if old_rows is not None and self.view.exists():
+            probe = stale_keys(old_rows, new_rows, self.pk,
+                               self.col, IXV).localCheckpoint(eager=True)
+            if not probe.isEmpty():
+                stale = probe
+        ups = None
         if new_rows is not None:
-            entries = new_rows.select(self._ixv(), self.col, *self.pk)
-            self.view.apply(entries, action="upsertInto")
+            ups = new_rows.select(self._ixv(), self.col, *self.pk)
+            self._save_schema(ups)
+        self.view.apply_batch(ups, stale)
 
     # -- serving -------------------------------------------------------------
+
+    def _probe_frame(self, values: list) -> DataFrame:
+        """Probe values rendered EXACTLY as the stored key images: the
+        non-null values go through the same Spark cast-to-string the
+        maintenance path used (Python ``str()`` disagrees with it for
+        booleans, large doubles, timestamps — a str()-built probe would
+        silently miss stored rows)."""
+        schema = self._load_schema()
+        col_type = schema[self.col].dataType if schema is not None else None
+        non_null = [v for v in values if v is not None]
+        frames = []
+        if non_null:
+            if col_type is not None:
+                typed = self.spark.createDataFrame(
+                    [(v,) for v in non_null],
+                    T.StructType([T.StructField(self.col, col_type)]))
+            else:  # pre-schema legacy store: infer from the probes
+                typed = self.spark.createDataFrame(
+                    [(v,) for v in non_null], [self.col])
+            frames.append(typed.select(self._ixv()))
+        if len(non_null) < len(values):
+            frames.append(self.spark.createDataFrame(
+                [(NULL_KEY,)],
+                T.StructType([T.StructField(IXV, T.StringType())])))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
 
     def lookup(self, values: list) -> DataFrame:
         """All ``(col, *pk)`` entries for the probed values, reading
         ONLY their buckets (O(touched) directory listings).  ``values``
         is a bounded probe list (the point-lookup shape); use
-        :meth:`read` for full scans/joins."""
-        from pyspark.sql import types as T
+        :meth:`read` for full scans/joins.  A miss — including probes
+        whose bucket was never written — is an EMPTY result typed from
+        the persisted entry schema, never a crash."""
         if not self.view.exists():
-            # a never-built index has no layout to type pks from —
-            # refuse rather than invent a wrong empty schema (the
-            # vector index's empty-store lesson)
             raise FileNotFoundError(
                 f"secondary index at {self.view.path} was never built")
-        probe = self.spark.createDataFrame(
-            [(("\x00null" if v is None else str(v)),) for v in values],
-            T.StructType([T.StructField(IXV, T.StringType())]))
+        probe = self._probe_frame(values)
         buckets = sorted({r[0] for r in probe.select(
             self.view.bucket_expr().alias("_b")).distinct().collect()})
-        rows = self.view.read_touched(buckets).drop(BUCKET_COL)
+        # recover BEFORE probing directories (a crash-displaced bucket
+        # must be restored, not read as absent), then skip buckets that
+        # genuinely hold nothing — a probed value with no entries
+        self.view.recover()
+        present = [b for b in buckets
+                   if os.path.isdir(os.path.join(
+                       self.view.path, f"{BUCKET_COL}={b}"))]
+        if not present:
+            schema = self._load_schema()
+            if schema is None:
+                raise FileNotFoundError(
+                    f"secondary index at {self.view.path} has no entry "
+                    "schema sidecar; re-apply a batch to heal")
+            return self.spark.createDataFrame([], schema)
+        rows = self.view.read_touched(present).drop(BUCKET_COL)
         return (rows.join(F.broadcast(probe), on=IXV, how="left_semi")
                 .drop(IXV))
 
