@@ -1,0 +1,114 @@
+"""Measure the secondary index's point-lookup cost as the fact side
+grows 10×.
+
+The claim secondary_index.py makes: a value lookup reads only the
+probed values' buckets — O(touched buckets, held constant by the
+n_buckets ∝ |fact| sizing rule) — while the alternative the index
+exists to avoid (filter over a full fact scan) grows linearly with the
+table.  At 100 TB a point lookup that scans is a non-starter.
+
+Builds synthetic fact stores at two sizes with CONSTANT bucket size,
+then times ONE 3-value lookup through both paths:
+
+- ``index``: SecondaryIndex.lookup (bucket-pruned)
+- ``scan``: full parquet scan + filter over the same rows
+
+Writes tools/secondary_index_growth_results.json and prints a table.
+Run SOLO (any concurrent Spark skews timings 3-10×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZES = [10_000_000, 100_000_000]
+BUCKET_ROWS = 50_000
+N_VALUES = 1000
+
+
+def _median3(fn) -> float:
+    import statistics
+    fn()  # warm (JIT, page cache, codegen) — not counted
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 2)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ydb_cdc_processor_spark.operators.secondary_index import (
+        SecondaryIndex)
+    from ydb_cdc_processor_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or SIZES
+    spark = get_spark("secondary-index-growth")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"sig_{n}_")
+        try:
+            n_buckets = 1
+            while n_buckets < n // BUCKET_ROWS:
+                n_buckets *= 2
+            fact = spark.range(n).select(
+                F.col("id").alias("order_id"),
+                (F.col("id") % N_VALUES).alias("cust"),
+                (F.col("id") * 7 % 997).alias("amount"))
+            flat = base + "/fact"
+            fact.write.parquet(flat)
+            ix = SecondaryIndex(spark, base + "/ix", pk=["order_id"],
+                                col="cust", n_buckets=n_buckets)
+            ix.apply_delta(fact.select("cust", "order_id"), None)
+
+            probes = [7, 421, 888]
+            got_ix = ix.lookup(probes).count()
+            got_scan = (spark.read.parquet(flat)
+                        .where(F.col("cust").isin(probes))
+                        .select("cust", "order_id").count())
+            assert got_ix == got_scan, (got_ix, got_scan)
+            t_ix = _median3(lambda: ix.lookup(probes).count())
+            t_scan = _median3(
+                lambda: spark.read.parquet(flat)
+                .where(F.col("cust").isin(probes))
+                .select("cust", "order_id").count())
+
+            # the metric that TRANSFERS to a real cluster is data
+            # touched, not seconds: a local page-cached NVMe scan of
+            # 100M rows finishes in ~0.2 s, hiding the 100%-vs-<1% IO
+            # difference that dominates at 100 TB over network storage
+            probe_df = ix._probe_frame(probes)
+            buckets = sorted({r[0] for r in probe_df.select(
+                ix.view.bucket_expr().alias("_b")).distinct().collect()})
+            rows_read = ix.view.read_touched(buckets).count()
+            results[str(n)] = {"n_buckets": n_buckets,
+                               "lookup_s": round(t_ix, 2),
+                               "scan_s": round(t_scan, 2),
+                               "lookup_rows_read": rows_read,
+                               "scan_rows_read": n,
+                               "rows": got_ix}
+            print(f"{n:>12,} rows  buckets={n_buckets:>5}  "
+                  f"lookup={t_ix:6.2f}s ({rows_read:,} rows read)  "
+                  f"scan={t_scan:6.2f}s ({n:,} rows read)  "
+                  f"({got_ix} hits)")
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "secondary_index_growth_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
