@@ -4721,6 +4721,84 @@ def q_join_view(spark, sf_dir):
     return jv.read()
 
 
+@register("q_unpivot", """
+WITH m AS (
+  SELECT l_returnflag, 'quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(38,4)) AS v FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice',
+         CAST(l_extendedprice AS DECIMAL(38,4)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount',
+         CAST(l_discount AS DECIMAL(38,4)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax',
+         CAST(l_tax AS DECIMAL(38,4)) FROM lineitem)
+SELECT l_returnflag, measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) AS total
+FROM m GROUP BY l_returnflag, measure
+""")
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT (wide→long reshape): four lineitem measures melt into
+    (measure, value) rows, then aggregate per (returnflag, measure) —
+    the standard long-format feed for metric stores and plotting
+    layers.  Spark's native ``unpivot`` lowers to ONE Expand inside the
+    scan stage (rows replicate 4× map-side, no shuffle per measure, one
+    hash agg after) — same shape CUBE uses; the oracle replays it as
+    UNION ALL.  Values go through decimal so the four sums are exact
+    cross-engine."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  *[F.col(c).cast("decimal(38,4)").alias(c)
+                    for c in ("l_quantity", "l_extendedprice",
+                              "l_discount", "l_tax")]))
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "v")
+    names = {"l_quantity": "quantity",
+             "l_extendedprice": "extendedprice",
+             "l_discount": "discount", "l_tax": "tax"}
+    mapping = F.create_map(*[x for k, v in names.items()
+                             for x in (F.lit(k), F.lit(v))])
+    return (long.withColumn("measure", mapping[F.col("measure")])
+            .groupBy("l_returnflag", "measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("double").alias("total")))
+
+
+@register("q_grouping_sets", """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+""")
+def q_grouping_sets(spark, sf_dir):
+    """Custom GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    exactly the three requested set combinations in one Expand +
+    HashAggregate pass — never one scan per set.  Expressed through
+    Spark SQL over a temp view (the DataFrame API exposes only
+    cube/rollup; SQL is the native surface for arbitrary sets)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+                 AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)
+
+
 @register("q_secondary_index", """
 SELECT o_custkey, o_orderkey FROM orders
 WHERE o_custkey IN (7, 21, 42) AND o_orderkey % 7 <> 6
