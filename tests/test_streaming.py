@@ -760,3 +760,29 @@ def test_status_dict_surfaces_checksum_integrity(spark, sf_dir, tmp_path):
                             str(tmp_path / "ckpt2"))
     plain.run_available(src)
     assert "integrity" not in plain.status_dict()
+
+
+def test_status_lists_derived_views(spark, sf_dir, tmp_path):
+    """The status surface inventories every attached derived artifact
+    (type + store path) — including ones bound through Feed adapters —
+    without running a Spark job."""
+    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+    from ydb_cdc_processor_spark.operators.secondary_index import (
+        SecondaryIndex)
+
+    src = str(tmp_path / "src")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, src, limit=100)
+    p = _pipeline(spark, sf_dir)
+    cv = ChecksumView(spark, str(tmp_path / "ck"),
+                      ["event_id", "event_type"])
+    ix = SecondaryIndex(spark, str(tmp_path / "ix"), pk=["event_id"],
+                        col="event_type")
+    se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                         str(tmp_path / "ckpt"),
+                         agg_views=[cv, ix.feed()])
+    assert se.run_available(src).ok
+    d = se.status_dict()
+    kinds = {v["type"] for v in d["derivedViews"]}
+    assert kinds == {"ChecksumView", "SecondaryIndex"}
+    assert all(v["path"] for v in d["derivedViews"])
+    assert "integrity" in d

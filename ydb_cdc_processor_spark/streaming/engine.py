@@ -260,8 +260,9 @@ class CdcStreamEngine:
             "rowsPerSec": s.rows_per_sec,
         }
         from ydb_cdc_processor_spark.functions.checksum import ChecksumView
+        derived = []
         for v in getattr(self.batch_engine, "agg_views", []):
-            if isinstance(v, ChecksumView):
+            if isinstance(v, ChecksumView) and "integrity" not in out:
                 try:
                     out["integrity"] = v.read()
                 except ValueError as e:
@@ -269,7 +270,19 @@ class CdcStreamEngine:
                     # monitoring endpoint crashing is the worst possible
                     # behavior during exactly the upgrade it describes
                     out["integrity"] = {"error": str(e)}
-                break
+            # inventory every attached derived artifact (rollup,
+            # checksum, index, join view, outbound feed adapters) so an
+            # operator can SEE what this pipeline maintains — metadata
+            # only, no Spark job on the status path
+            target = getattr(v, "_fn", None)
+            owner = getattr(target, "__self__", v) if target else v
+            path = next((getattr(owner, a) for a in ("path", "out_dir")
+                         if getattr(owner, a, None) is not None),
+                        getattr(getattr(owner, "view", None),
+                                "path", None))
+            derived.append({"type": type(owner).__name__, "path": path})
+        if derived:
+            out["derivedViews"] = derived
         return out
 
 
