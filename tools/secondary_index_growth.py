@@ -87,10 +87,8 @@ def main() -> None:
             # touched, not seconds: a local page-cached NVMe scan of
             # 100M rows finishes in ~0.2 s, hiding the 100%-vs-<1% IO
             # difference that dominates at 100 TB over network storage
-            probe_df = ix._probe_frame(probes)
-            buckets = sorted({r[0] for r in probe_df.select(
-                ix.view.bucket_expr().alias("_b")).distinct().collect()})
-            rows_read = ix.view.read_touched(buckets).count()
+            rows_read = ix.view.read_touched(
+                ix.touched_buckets(probes)).count()
             results[str(n)] = {"n_buckets": n_buckets,
                                "lookup_s": round(t_ix, 2),
                                "scan_s": round(t_scan, 2),

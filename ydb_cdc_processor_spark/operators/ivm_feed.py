@@ -25,10 +25,15 @@ NULL_KEY = "\x00null"   # no cast-to-string of a real value starts with \x00
 
 
 class Feed:
-    """agg_views-protocol adapter (``apply_delta(new, old, token)``)."""
+    """agg_views-protocol adapter (``apply_delta(new, old, token)``).
+
+    ``owner`` is the store the bound method belongs to (None for
+    unbound callables) — the status surface inventories it instead of
+    reaching into private attributes."""
 
     def __init__(self, fn):
         self._fn = fn
+        self.owner = getattr(fn, "__self__", None)
 
     def apply_delta(self, new_rows, old_rows, batch_token=None) -> None:
         self._fn(new_rows, old_rows, batch_token)

@@ -79,6 +79,7 @@ class JoinView:
         if dim_pk not in dim_names:
             raise ValueError(f"dim_pk {dim_pk!r} not in dim_schema")
         self.spark = spark
+        self.path = path
         self.fact_pk = list(fact_pk)
         self.fk_col = fk_col
         self.dim_pk = dim_pk

@@ -155,6 +155,20 @@ class SecondaryIndex:
             out = out.unionByName(f)
         return out.distinct()
 
+    def touched_buckets(self, values: list, _probe=None) -> list[int]:
+        """The store buckets a :meth:`lookup` of ``values`` actually
+        reads — the serving path's EXACT pruning (recover first so a
+        crash-displaced bucket is restored, then drop directories that
+        genuinely hold nothing).  Public so observability/bench tooling
+        measures what serving does, not a private re-implementation."""
+        probe = self._probe_frame(values) if _probe is None else _probe
+        buckets = sorted({r[0] for r in probe.select(
+            self.view.bucket_expr().alias("_b")).distinct().collect()})
+        self.view.recover()
+        return [b for b in buckets
+                if os.path.isdir(os.path.join(
+                    self.view.path, f"{BUCKET_COL}={b}"))]
+
     def lookup(self, values: list) -> DataFrame:
         """All ``(col, *pk)`` entries for the probed values, reading
         ONLY their buckets (O(touched) directory listings).  ``values``
@@ -166,15 +180,7 @@ class SecondaryIndex:
             raise FileNotFoundError(
                 f"secondary index at {self.view.path} was never built")
         probe = self._probe_frame(values)
-        buckets = sorted({r[0] for r in probe.select(
-            self.view.bucket_expr().alias("_b")).distinct().collect()})
-        # recover BEFORE probing directories (a crash-displaced bucket
-        # must be restored, not read as absent), then skip buckets that
-        # genuinely hold nothing — a probed value with no entries
-        self.view.recover()
-        present = [b for b in buckets
-                   if os.path.isdir(os.path.join(
-                       self.view.path, f"{BUCKET_COL}={b}"))]
+        present = self.touched_buckets(values, _probe=probe)
         if not present:
             schema = self._load_schema()
             if schema is None:

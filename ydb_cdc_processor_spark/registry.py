@@ -4750,20 +4750,14 @@ def q_unpivot(spark, sf_dir):
     cross-engine."""
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_returnflag",
-                  *[F.col(c).cast("decimal(38,4)").alias(c)
-                    for c in ("l_quantity", "l_extendedprice",
-                              "l_discount", "l_tax")]))
+                  *[F.col(f"l_{m}").cast("decimal(38,4)").alias(m)
+                    for m in ("quantity", "extendedprice",
+                              "discount", "tax")]))
     long = li.unpivot(
         ["l_returnflag"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ["quantity", "extendedprice", "discount", "tax"],
         "measure", "v")
-    names = {"l_quantity": "quantity",
-             "l_extendedprice": "extendedprice",
-             "l_discount": "discount", "l_tax": "tax"}
-    mapping = F.create_map(*[x for k, v in names.items()
-                             for x in (F.lit(k), F.lit(v))])
-    return (long.withColumn("measure", mapping[F.col("measure")])
-            .groupBy("l_returnflag", "measure")
+    return (long.groupBy("l_returnflag", "measure")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("v").cast("double").alias("total")))
 
@@ -4786,17 +4780,10 @@ def q_grouping_sets(spark, sf_dir):
     cube/rollup; SQL is the native surface for arbitrary sets)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority", "o_totalprice")
-    orders.createOrReplaceTempView("_gs_orders")
-    return spark.sql("""
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-                 AS sum_price
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), (o_orderpriority))
-    """)
+    orders.createOrReplaceTempView("orders")
+    # the registered oracle IS dialect-shared SQL — run the ONE string
+    # on both engines instead of keeping a second copy in sync
+    return spark.sql(ORACLES["q_grouping_sets"])
 
 
 @register("q_secondary_index", """

@@ -273,13 +273,11 @@ class CdcStreamEngine:
             # inventory every attached derived artifact (rollup,
             # checksum, index, join view, outbound feed adapters) so an
             # operator can SEE what this pipeline maintains — metadata
-            # only, no Spark job on the status path
-            target = getattr(v, "_fn", None)
-            owner = getattr(target, "__self__", v) if target else v
+            # only, no Spark job on the status path.  Feed adapters
+            # expose their owning store via the public ``owner``.
+            owner = getattr(v, "owner", None) or v
             path = next((getattr(owner, a) for a in ("path", "out_dir")
-                         if getattr(owner, a, None) is not None),
-                        getattr(getattr(owner, "view", None),
-                                "path", None))
+                         if getattr(owner, a, None) is not None), None)
             derived.append({"type": type(owner).__name__, "path": path})
         if derived:
             out["derivedViews"] = derived
