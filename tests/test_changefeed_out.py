@@ -220,3 +220,70 @@ def test_streaming_chain_with_restart(spark, sf_dir, tmp_path):
     assert vb.join(spark.createDataFrame([(i,) for i in ids[:10]],
                                          "event_id long"),
                    on="event_id", how="left_semi").count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a batch is a list of (op, key, payload-version): ups upsert key with
+# version v, del deletes key (keys 0-4, so cross-batch same-key churn
+# is common)
+_op = st.one_of(
+    st.tuples(st.just("up"), st.integers(0, 4), st.integers(0, 9)),
+    st.tuples(st.just("del"), st.integers(0, 4), st.just(0)))
+_batches = st.lists(st.lists(_op, min_size=1, max_size=4),
+                    min_size=1, max_size=5)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(batches=_batches)
+def test_property_emitted_chain_replays_state_machine(spark,
+                                                      tmp_path_factory,
+                                                      batches):
+    """ANY sequence of emitted batches (same-key churn, deletes of
+    absent keys, re-upserts after delete) consumed in ONE downstream
+    read reproduces the reference state machine exactly — the wire
+    format + key routing + offset ordering carry enough information."""
+    from pyspark.sql import types as T
+    tmp_path = tmp_path_factory.mktemp("emit_prop")
+    feed = str(tmp_path / "feed")
+    em = ChangefeedEmitter(spark, feed, keys=["event_id"],
+                           n_partitions=2)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType())])
+    state: dict[int, tuple] = {}
+    for i, batch in enumerate(batches):
+        # within a batch, last op per key wins (the engine's collapse
+        # contract); build the batch's net upserts and deletes
+        net: dict[int, tuple | None] = {}
+        for op, k, v in batch:
+            net[k] = (k, None, k, f"v{v}", float(v)) if op == "up" \
+                else None
+        ups = [r for r in net.values() if r is not None]
+        dels = [k for k, r in net.items() if r is None and k in state]
+        new_df = spark.createDataFrame(ups, schema) if ups else None
+        old_df = None
+        if dels:
+            old_df = spark.createDataFrame(
+                [state[k] for k in dels], schema)
+        if new_df is None and old_df is None:
+            continue
+        em.apply_delta(new_df, old_df, batch_token=f"b{i}")
+        for k, r in net.items():
+            if r is None:
+                state.pop(k, None)
+            else:
+                state[k] = r
+
+    b = _downstream(spark, tmp_path, feed)
+    b.apply_raw_batch(cdc_json.read_cdc_batch(spark, feed))
+    got = {r.event_id: (r.event_type, r.value)
+           for r in b.read_view().collect()}
+    exp = {k: (r[3], r[4]) for k, r in state.items()}
+    assert got == exp
