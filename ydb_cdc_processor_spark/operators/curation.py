@@ -418,3 +418,51 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                      .alias("n_kept"),
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
+def mixture_weights(docs: DataFrame, group_col: str = "source",
+                    weight_col: str | None = None,
+                    max_repeat: float = 4.0) -> DataFrame:
+    """Per-group SAMPLING WEIGHTS that reshape the corpus toward a
+    target mixture — the static data-mixing step every multi-source
+    training pipeline runs before sampling (uniform-target reweighting;
+    a DoReMi-style learned target plugs into ``weight_col``).
+
+    ``weight_col=None`` targets the UNIFORM mixture over groups: weight
+    = target_share / actual_share = total / (n_groups · n_g).  A column
+    name instead supplies per-row target masses (summed per group and
+    normalized).  ``max_repeat`` caps the weight (an over-sampled small
+    source repeats at most this many epochs — the standard repeat-cap);
+    renormalization after capping is the sampler's job, so the cap is
+    visible, not hidden.
+
+    Single divisions over exact integer counts → IEEE-identical on any
+    engine.  Output: ``(group, n_docs, actual_share, weight,
+    capped_weight)``, one row per group — a broadcast-sized frame the
+    sampler joins back onto the corpus.
+
+    Scale shape: one map-side-combined hash agg over the corpus + a
+    broadcast of the (tiny) per-group frame; nothing else."""
+    cnt = docs.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    if weight_col is None:
+        tgt = cnt.select("grp", F.lit(1.0).alias("_mass"))
+    else:
+        tgt = (docs.groupBy(F.col(group_col).alias("grp"))
+               .agg(F.sum(weight_col).cast("double").alias("_mass")))
+    tot = cnt.agg(F.sum("n_docs").cast("long").alias("_total"),
+                  F.count(F.lit(1)).cast("long").alias("_n_groups"))
+    mtot = tgt.agg(F.sum("_mass").cast("double").alias("_mtot"))
+    j = (cnt.join(tgt, on="grp")
+         .crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(mtot)))
+    actual = F.col("n_docs") / F.col("_total")
+    target = F.col("_mass") / F.col("_mtot")
+    weight = target / actual
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(F.least(weight, F.lit(float(max_repeat))), 6)
+         .alias("capped_weight"))

@@ -27,7 +27,7 @@ exchange carries |docs| rows, not |shingles|.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.partitioning import ensure_min_partitions
@@ -578,3 +578,85 @@ def ngram_containment(docs: DataFrame, pairs: DataFrame,
          .alias("contain_ab"),
         F.round(inter / F.greatest(F.size("sh_b"), F.lit(1)), 6)
          .alias("contain_ba"))
+
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_docs: int = 2) -> DataFrame:
+    """SPAN-level duplicate detection — the sub-document sibling of the
+    whole-doc dedup family (the ExactSubstr idea of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, re-expressed relationally): boilerplate, license
+    headers, and quoted passages repeat across otherwise-distinct
+    documents, and removing the repeated SPAN beats dropping either doc.
+
+    A ``k``-token window whose content appears in ≥ ``min_docs`` distinct
+    docs marks its token positions duplicated; runs of overlapping or
+    adjacent duplicated windows merge into maximal spans per doc (island
+    detection: a window whose start is ≤ k tokens after the previous
+    duplicated start extends the span).
+
+    Output: ``(doc_id, span_start, span_end, n_tokens)`` — inclusive
+    token-index spans into the whitespace-normalized token sequence.
+    Callers feed them to :func:`strip_spans` (remove everywhere) or keep
+    one canonical occurrence by exempting the min-doc owner per span
+    content — a policy choice, deliberately not baked in here.
+
+    Scale shape: gram extraction is one projection (tokens computed once
+    per row); the duplicated-gram set is a hash aggregate on the 32-byte
+    gram digest (map-side combine → the shuffle carries one row per
+    distinct gram); marking is an equi-join on the digest (AQE handles
+    the hot-boilerplate skew); span merge is a per-doc window — never
+    anything all-pairs or corpus-quadratic."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.when(F.size(words) >= k,
+                 F.sequence(F.lit(0), F.size(words) - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))))
+    g = (ensure_min_partitions(docs.select(F.col(id_col), F.col(text_col)))
+         .select(id_col, F.posexplode(grams).alias("pos", "_h")))
+    dup = (g.groupBy("_h")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("_h"))
+    hits = g.join(dup, on="_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.lag("pos").over(w).isNull()
+                 | ((F.col("pos") - F.lag("pos").over(w)) > k), 1) \
+        .otherwise(0)
+    isl = hits.withColumn("_brk", brk).withColumn(
+        "_island", F.sum("_brk").over(w))
+    return (isl.groupBy(id_col, "_island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + k - 1).cast("long").alias("span_end"),
+                 (F.max("pos") + k - F.min("pos")).cast("long")
+                 .alias("n_tokens"))
+            .drop("_island"))
+
+
+def strip_spans(docs: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Remove flagged duplicate spans from each document's normalized
+    token sequence: tokens whose position falls inside ANY of the doc's
+    ``(span_start, span_end)`` intervals are dropped, the rest re-join
+    with single spaces.  Documents with no spans pass through with only
+    whitespace normalization (so output text is uniformly normalized).
+
+    One aggregation of spans per doc (bounded: spans are maximal, thus
+    disjoint) + a broadcast-friendly left join + a per-row filter over
+    the token array — no shuffle beyond the span agg when the span side
+    is small, and never a per-row Python UDF."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    j = docs.join(per_doc, on=id_col, how="left")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    keep = F.filter(
+        words,
+        lambda wrd, i: ~F.exists(
+            F.coalesce(F.col("_spans"),
+                       F.array().cast(
+                           "array<struct<span_start:long,span_end:long>>")),
+            lambda s: (i >= s.span_start) & (i <= s.span_end)))
+    return (j.withColumn(text_col, F.concat_ws(" ", keep))
+            .drop("_spans"))

@@ -86,3 +86,80 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph (edges
+    in either/both directions; self-loops dropped).
+
+    Canonical low→high orientation first, then the standard two-path +
+    closing-edge plan: ``e(a,b) ⋈ e(b,c) ⋈ e(a,c)`` with ``a<b<c``
+    enumerates each triangle exactly once.  Orienting by id bounds the
+    join fan-out by each node's LOW-neighbor degree (the classic
+    degree-ordering trick — a hub's triangles are charged to its smaller
+    endpoints, so no single task owns a hub's full neighborhood²); both
+    joins are hash equi-joins on a node key, AQE splits residual skew.
+
+    Output: ``(node, n_triangles)`` for every node of the graph (zero
+    rows included — isolated-from-triangles nodes still report)."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct())
+    # wedges a<b<c closed by edge (a,c)
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = (e.join(e2, on="b")
+           .join(e.select(F.col("a"), F.col("b").alias("c")),
+                 on=["a", "c"], how="left_semi")
+           .select("a", "b", "c"))
+    per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (nodes.join(per_node, on="node", how="left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("long").alias("n_triangles")))
+
+
+def tree_paths(parents: DataFrame, node: str = "node",
+               parent: str = "parent", max_depth: int = 64) -> DataFrame:
+    """Root + depth for every node of a forest given ``(node, parent)``
+    edges (roots appear with NULL parent, or simply never as a child).
+
+    Pointer doubling, not per-level iteration: each round joins the
+    current ancestor pointers with themselves, squaring the jump length
+    — ``(node → anc, d)`` ⋈ ``(anc → anc', d')`` ⇒ ``(node → anc',
+    d+d')`` — so a depth-D forest resolves in ⌈log₂ D⌉ rounds of
+    hash equi-joins instead of D chained joins (the difference between
+    6 and 64 shuffles on a deep hierarchy).  Each round's pointer table
+    is localCheckpoint-ed: the next round references it twice (both
+    sides of the self-join) and lineage would otherwise double per
+    round.
+
+    Output: ``(node, root, depth)`` — depth 0 for roots."""
+    p = (parents.select(F.col(node).alias("n"), F.col(parent).alias("p"))
+         .where(F.col(parent).isNotNull())
+         .localCheckpoint(eager=True))
+    all_nodes = (p.select("n")
+                 .unionByName(p.select(F.col("p").alias("n")))
+                 .distinct())
+    # ptr: node -> highest known ancestor, with hop count
+    ptr = (all_nodes.join(p, on="n", how="left")
+           .select("n", F.coalesce("p", F.col("n")).alias("anc"),
+                   F.col("p").isNotNull().cast("long").alias("d"))
+           .localCheckpoint(eager=True))
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        up = ptr.select(F.col("n").alias("anc"),
+                        F.col("anc").alias("anc2"),
+                        F.col("d").alias("d2"))
+        ptr = (ptr.join(up, on="anc")
+               .select("n", F.col("anc2").alias("anc"),
+                       (F.col("d") + F.col("d2")).alias("d"))
+               .localCheckpoint(eager=True))
+    return ptr.select(F.col("n").alias(node), F.col("anc").alias("root"),
+                      F.col("d").cast("long").alias("depth"))

@@ -5239,6 +5239,235 @@ def q_supplier_part_counts(spark, sf_dir):
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
 
+@register("q_span_dedup", r"""
+WITH nrm AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+  '\s+', ' ', 'g'), ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS h
+  FROM nrm, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, island
+""")
+def q_span_dedup(spark, sf_dir):
+    """Span-level duplicate detection (dedup.duplicate_spans — the
+    ExactSubstr idea of Lee et al. 2021 relationally): 5-token windows
+    repeated across ≥2 docs mark their positions; overlapping/adjacent
+    marked windows merge into maximal per-doc spans via one lag+cumsum
+    island window.  The boilerplate/license-header remover whole-doc
+    dedup can't express — a doc is kept, only its repeated SPAN is
+    flagged (strip_spans applies the removal)."""
+    return dedup.duplicate_spans(load_docs(spark, sf_dir), k=5, min_docs=2)
+
+
+@register("q_triangle_count", """
+WITH pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT pa, pb FROM pr GROUP BY pa, pb
+  HAVING COUNT(DISTINCT ok) >= 2),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+mem AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges) t),
+cnt AS (SELECT node, COUNT(*) AS n FROM mem GROUP BY node)
+SELECT nodes.node, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+""")
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count) over the
+    co-purchase graph: parts are connected when they co-occur in ≥2
+    orders (the support threshold prunes incidental pairs — the
+    market-basket edge rule).  Degree-ordered wedge join: each triangle
+    enumerated once as a<b<c, hubs charged to their smaller endpoints,
+    both joins hash equi-joins — never a neighborhood² blow-up on one
+    task."""
+    from ydb_cdc_processor_spark.operators.graph import triangle_count
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, on="ok")
+             .where(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb")
+             .agg(F.countDistinct("ok").alias("_n"))
+             .where(F.col("_n") >= 2)
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
+    return triangle_count(edges)
+
+
+@register("q_hierarchy_paths", """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS node, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey // 10 >= 1),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT node AS n FROM e UNION ALL SELECT parent FROM e) t),
+walk AS (
+  SELECT n AS node, n AS anc, 0 AS depth FROM nodes
+  UNION ALL
+  SELECT w.node, p.parent, w.depth + 1
+  FROM walk w JOIN e p ON p.node = w.anc
+)
+SELECT w.node, CAST(w.anc AS BIGINT) AS root,
+       CAST(w.depth AS BIGINT) AS depth
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.node = w.anc)
+""")
+def q_hierarchy_paths(spark, sf_dir):
+    """Hierarchy flattening (graph.tree_paths): every node's root and
+    depth in a forest — the org-chart/BOM/category-tree traversal shape
+    SQL needs a recursive CTE for (the oracle literally runs one).  The
+    forest derives deterministically from part keys (parent = key/10).
+    Spark-first: POINTER DOUBLING — ⌈log₂ depth⌉ self-join rounds, not
+    depth-many chained joins; each round one hash equi-join."""
+    from ydb_cdc_processor_spark.operators.graph import tree_paths
+    parents = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.floor(F.col("p_partkey") / 10) >= 1,
+               F.floor(F.col("p_partkey") / 10)).alias("parent"))
+    return tree_paths(parents, max_depth=16)
+
+
+@register("q_mixture_weights", """
+WITH cnt AS (SELECT source AS grp, COUNT(*) AS n_docs
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_groups FROM cnt)
+SELECT grp AS source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / total, 6) AS actual_share,
+       round((1.0 / n_groups) / (n_docs * 1.0 / total), 6) AS weight,
+       round(least((1.0 / n_groups) / (n_docs * 1.0 / total), 4.0), 6)
+         AS capped_weight
+FROM cnt, tot
+""")
+def q_mixture_weights(spark, sf_dir):
+    """Data-mixing weights (curation.mixture_weights): per-source
+    sampling weights reshaping the corpus toward the uniform mixture,
+    with the standard repeat-cap (≤4 epochs for over-sampled small
+    sources).  One map-side-combined hash agg + two broadcast scalars;
+    weights are single IEEE divisions over exact integer counts, so any
+    engine replays them bit-for-bit."""
+    return curation.mixture_weights(load_docs(spark, sf_dir),
+                                    group_col="source", max_repeat=4.0)
+
+
+@register("q_window_frames", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_revenue,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  OVER w3 AS DOUBLE) / COUNT(*) OVER w3, 6) AS mov_avg3,
+       round(percent_rank() OVER wo, 6) AS pct_rank,
+       round(cume_dist() OVER wo, 6) AS cume,
+       CAST(ntile(4) OVER wo AS INT) AS spend_tile,
+       CAST(date_diff('day', lag(o_orderdate) OVER wo, o_orderdate)
+            AS BIGINT) AS gap_days
+FROM orders
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""")
+def q_window_frames(spark, sf_dir):
+    """Window-frame suite over per-customer order history: running
+    total (ROWS UNBOUNDED PRECEDING), 3-row moving average, rank
+    fractions (percent_rank/cume_dist — rationals, no ties thanks to
+    the (date, key) order), quartile tiles, inter-order gaps.  One
+    shuffle on the partition key serves ALL six frames — Spark plans a
+    single Window exchange; sums fold through DECIMAL for cross-engine
+    exactness."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                 "o_orderkey")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = wo.rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast("decimal(38,4)")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(dec).over(run).cast("double").alias("run_revenue"),
+        F.round(F.sum(dec).over(w3).cast("double")
+                / F.count(F.lit(1)).over(w3), 6).alias("mov_avg3"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cume"),
+        F.ntile(4).over(wo).cast("int").alias("spend_tile"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lag("o_orderdate").over(wo)).cast("long")
+         .alias("gap_days"))
+
+
+@register("q_distinct_view", """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events GROUP BY user_id
+""")
+def q_distinct_view(spark, sf_dir):
+    """INCREMENTALLY-maintained COUNT(DISTINCT) — the classic
+    non-self-maintainable aggregate (operators/distinct_view.
+    DistinctCountView): events arrive as three upsert micro-batches
+    keyed by event_id — the middle batch REWRITES a third of the rows
+    to a synthetic event type (inflating several groups' distinct sets)
+    and the last batch restores them (deflating, the delete-side case a
+    plain distinct-merge cannot undo).  Per-(user, value) refcounts
+    maintained as ±deltas over touched buckets only; after the last
+    batch the view equals the full table, so the maintained counts must
+    land exactly on SQL COUNT(DISTINCT) — O(batch) maintenance
+    provably converging to the O(table) recompute."""
+    from ydb_cdc_processor_spark.operators.distinct_view import (
+        DistinctCountView)
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    cols = ["event_id", "user_id", "event_type"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    base = _scratch_dir("dcv_")
+    mv = ParquetMaterializedView(spark, base + "/rows", ["event_id"],
+                                 schema=ev.schema)
+    dv = DistinctCountView(spark, base + "/dcv", ["user_id"],
+                           "event_type")
+    batches = [
+        ev.where(F.col("event_id") % 3 != 2),
+        ev.where(F.col("event_id") % 3 == 2)
+          .withColumn("event_type", F.lit("x-temp")),
+        ev.where(F.col("event_id") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        old = None
+        if mv.exists():
+            old = (mv.read().join(b.select("event_id"), on="event_id",
+                                  how="left_semi")
+                   .localCheckpoint(eager=True))
+        dv.apply_delta(b, old, batch_token=f"dcv:{i}")
+        mv.apply(b, action="upsertInto")
+    return dv.read()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
