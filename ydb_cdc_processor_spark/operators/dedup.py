@@ -607,7 +607,11 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     gram digest (map-side combine → the shuffle carries one row per
     distinct gram); marking is an equi-join on the digest (AQE handles
     the hot-boilerplate skew); span merge is a per-doc window — never
-    anything all-pairs or corpus-quadratic."""
+    anything all-pairs or corpus-quadratic.  The exploded gram stream is
+    eagerly checkpointed: it feeds BOTH the dup-gram aggregate and the
+    mark-join, and re-executing the md5-per-window forest per consumer
+    (plus the posexplode double-eval InferFiltersFromGenerate causes —
+    the documented explode gotcha) measured 16 s → 5 s at sf0.1."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.when(F.size(words) >= k,
                  F.sequence(F.lit(0), F.size(words) - k)) \
@@ -615,7 +619,8 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))))
     g = (ensure_min_partitions(docs.select(F.col(id_col), F.col(text_col)))
-         .select(id_col, F.posexplode(grams).alias("pos", "_h")))
+         .select(id_col, F.posexplode(grams).alias("pos", "_h"))
+         .localCheckpoint(eager=True))
     dup = (g.groupBy("_h")
            .agg(F.countDistinct(id_col).alias("_nd"))
            .where(F.col("_nd") >= min_docs)
