@@ -181,3 +181,52 @@ def test_stream_maintains_distinct_view_across_restart(spark, sf_dir,
     status = se2.run_available(src)
     assert status.ok and status.totals.deleted > 0
     check(se2, dv2)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a step is (op, pk, value-index): upsert assigns (group g0/g1 by pk
+# parity, value v0..v2 or NULL), delete removes the pk if present
+_dstep = st.one_of(
+    st.tuples(st.just("up"), st.integers(0, 5), st.integers(0, 3)),
+    st.tuples(st.just("del"), st.integers(0, 5), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(steps=st.lists(_dstep, min_size=2, max_size=8))
+def test_property_any_interleaving_matches_recompute(spark,
+                                                     tmp_path_factory,
+                                                     steps):
+    """ANY interleaving of keyed upserts (incl. value changes, NULLs)
+    and deletes leaves the maintained counts equal to COUNT(DISTINCT)
+    over the resulting table state."""
+    tmp_path = tmp_path_factory.mktemp("dv_prop")
+    dv = DistinctCountView(spark, str(tmp_path / "dv"), ["region"],
+                           "status", n_buckets=2)
+    state: dict[int, tuple] = {}
+    for i, (op, pk, vi) in enumerate(steps):
+        old_rows = ([state[pk]] if pk in state else [])
+        old = (_fact(spark, old_rows).localCheckpoint(True)
+               if old_rows else None)
+        if op == "up":
+            row = (pk, f"g{pk % 2}", None if vi == 3 else f"v{vi}")
+            dv.apply_delta(_fact(spark, [row]), old,
+                           batch_token=f"s{i}")
+            state[pk] = row
+        else:
+            if not old_rows:
+                continue
+            dv.apply_delta(None, old, batch_token=f"s{i}")
+            state.pop(pk, None)
+    exp = {}
+    for pk, (_, g, v) in state.items():
+        if v is not None:
+            exp.setdefault(g, set()).add(v)
+    # a run whose every step was a no-op (deletes of absent keys) never
+    # creates the store — fresh-store reads raise by convention
+    got = _counts(dv) if dv.view.exists() else []
+    assert got == sorted((g, len(vs)) for g, vs in exp.items())

@@ -240,6 +240,13 @@ class AggregateView:
             logger.info("agg view %s: batch token %r already applied; "
                         "skipping replay", self.path, batch_token)
 
+    def store(self, schema=None):
+        """The backing store, public — derived indexes that prune reads
+        to touched buckets (e.g. the span-dup index) go through this
+        instead of the private ``_store`` (same ownership rule as the
+        bucketed view's public ``read_touched``)."""
+        return self._store(schema)
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, with_avg: bool = False) -> DataFrame:

@@ -612,20 +612,39 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     mark-join, and re-executing the md5-per-window forest per consumer
     (plus the posexplode double-eval InferFiltersFromGenerate causes —
     the documented explode gotcha) measured 16 s → 5 s at sf0.1."""
+    g = gram_stream(docs, id_col, text_col, k)
+    dup = (g.groupBy("_h")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("_h"))
+    hits = g.join(dup, on="_h").select(id_col, "pos")
+    return merge_islands(hits, id_col, k)
+
+
+def gram_stream(docs: DataFrame, id_col: str, text_col: str,
+                k: int) -> DataFrame:
+    """(id, pos, _h) — one row per k-token window of the normalized
+    token sequence, ``_h`` the md5 digest of the window's text, ``pos``
+    its 0-based start token.  Docs shorter than k tokens emit nothing.
+    Eagerly checkpointed: every consumer (duplicate_spans, the span-dup
+    index) reads it at least twice."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.when(F.size(words) >= k,
                  F.sequence(F.lit(0), F.size(words) - k)) \
         .otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))))
-    g = (ensure_min_partitions(docs.select(F.col(id_col), F.col(text_col)))
-         .select(id_col, F.posexplode(grams).alias("pos", "_h"))
-         .localCheckpoint(eager=True))
-    dup = (g.groupBy("_h")
-           .agg(F.countDistinct(id_col).alias("_nd"))
-           .where(F.col("_nd") >= min_docs)
-           .select("_h"))
-    hits = g.join(dup, on="_h").select(id_col, "pos")
+    return (ensure_min_partitions(docs.select(F.col(id_col),
+                                              F.col(text_col)))
+            .select(id_col, F.posexplode(grams).alias("pos", "_h"))
+            .localCheckpoint(eager=True))
+
+
+def merge_islands(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge duplicated k-window start positions ``(id, pos)`` into
+    maximal inclusive token spans: a window starting ≤ k tokens after
+    the previous duplicated start overlaps-or-touches it and extends
+    the span.  One per-doc lag+cumsum window."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.lag("pos").over(w).isNull()
                  | ((F.col("pos") - F.lag("pos").over(w)) > k), 1) \

@@ -5468,6 +5468,62 @@ def q_distinct_view(spark, sf_dir):
     return dv.read()
 
 
+@register("q_span_index", r"""
+WITH nrm AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+  '\s+', ' ', 'g'), ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, doc_id % 3 AS b, i - 1 AS pos,
+         md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS h
+  FROM nrm, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5),
+dd AS (SELECT DISTINCT h, doc_id, b FROM g),
+rk AS (SELECT h, b, row_number() OVER (PARTITION BY h
+                                       ORDER BY b, doc_id) AS rn
+       FROM dd),
+thr AS (SELECT h, MIN(CASE WHEN rn = 2 THEN b END) AS b2
+        FROM rk GROUP BY h),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN thr USING (h)
+  WHERE thr.b2 IS NOT NULL AND g.b >= thr.b2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, island
+""")
+def q_span_index(spark, sf_dir):
+    """Span duplication AT INGEST (operators/span_index.SpanDupIndex):
+    the corpus arrives as three micro-batches into a persistent
+    gram-frequency store (count-only bucketed AggregateView — no
+    posting list); each batch updates counts first, then flags its own
+    spans against everything ingested so far (AS-OF-INGEST semantics —
+    earlier docs are not retro-flagged, which is exactly what the
+    oracle replays: a gram counts as duplicated for a doc iff a second
+    distinct doc holds it in the same or an earlier batch).  The union
+    of per-batch span sets is the result; each doc flags in exactly one
+    batch."""
+    from ydb_cdc_processor_spark.operators.span_index import SpanDupIndex
+    docs = load_docs(spark, sf_dir)
+    idx = SpanDupIndex(spark, _scratch_dir("spanidx_") + "/idx", k=5,
+                       min_docs=2)
+    parts = []
+    for part in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == part)
+        parts.append(idx.apply_batch(batch, batch_token=f"b{part}"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
