@@ -5468,6 +5468,60 @@ def q_distinct_view(spark, sf_dir):
     return dv.read()
 
 
+@register("q_quantile_view", """
+WITH s AS (SELECT o_orderpriority, o_totalprice AS v, COUNT(*) AS rc
+           FROM orders GROUP BY 1, 2),
+c AS (SELECT o_orderpriority, v,
+             SUM(rc) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+             SUM(rc) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s)
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
+       MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+       MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
+FROM c GROUP BY o_orderpriority
+""")
+def q_quantile_view(spark, sf_dir):
+    """INCREMENTALLY-maintained EXACT percentiles (operators/
+    quantile_view.QuantileView) — order statistics, like COUNT
+    (DISTINCT), are non-self-maintainable: a delete can move every
+    quantile of its group.  Orders arrive as three upsert micro-batches
+    keyed by o_orderkey — the middle batch REWRITES a third of the
+    prices to a constant (dragging quantiles down) and the last batch
+    restores them (the delete-side shift a scalar delta cannot undo).
+    Per-(priority, price) weights maintained as ±deltas over touched
+    buckets; after the last batch the view equals the full table, so
+    the read must land exactly on the SQL discrete quantiles.  The read
+    is integer-rational (cum·den ≥ n·num) — no float position math, so
+    both engines agree bit-for-bit at exact-multiple positions."""
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    from ydb_cdc_processor_spark.operators.quantile_view import (
+        QuantileView)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ords = load_table(spark, sf_dir, "orders").select(*cols)
+    base = _scratch_dir("qtv_")
+    mv = ParquetMaterializedView(spark, base + "/rows", ["o_orderkey"],
+                                 schema=ords.schema)
+    qv = QuantileView(spark, base + "/qtv", ["o_orderpriority"],
+                      "o_totalprice")
+    batches = [
+        ords.where(F.col("o_orderkey") % 3 != 2),
+        ords.where(F.col("o_orderkey") % 3 == 2)
+            .withColumn("o_totalprice", F.lit(1.0)),
+        ords.where(F.col("o_orderkey") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        old = None
+        if mv.exists():
+            old = (mv.read().join(b.select("o_orderkey"), on="o_orderkey",
+                                  how="left_semi")
+                   .localCheckpoint(eager=True))
+        qv.apply_delta(b, old, batch_token=f"qtv:{i}")
+        mv.apply(b, action="upsertInto")
+    return qv.read()
+
+
 @register("q_span_index", r"""
 WITH nrm AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
   '\s+', ' ', 'g'), ' ') AS w FROM documents),
