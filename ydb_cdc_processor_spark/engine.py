@@ -182,7 +182,8 @@ class CdcBatchEngine:
                  small_delta: bool | None = None,
                  agg_views: list | None = None,
                  scd2_views: list | None = None,
-                 dlq_path: str | None = None):
+                 dlq_path: str | None = None,
+                 max_parallel_views: int = 4):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
@@ -220,7 +221,17 @@ class CdcBatchEngine:
         SAME batch token), so counting/alerting must go through
         :meth:`read_dlq`, which collapses replays — the same
         fence-then-collapse contract the aggregate views and
-        ``NearDupIndex.read_pairs`` use."""
+        ``NearDupIndex.read_pairs`` use.
+
+        ``max_parallel_views``: attached derived views (``agg_views``,
+        ``scd2_views``) maintain CONCURRENTLY, up to this many at a
+        time — each view is an independent store (own path, own replay
+        fence) whose maintenance is a few small Spark jobs, so a serial
+        loop leaves the cluster idle between jobs while wall-clock adds
+        up per view; the Spark scheduler interleaves the threads' jobs.
+        1 restores the serial loop.  Convergence is unchanged: on any
+        failure every view either applied under the batch token or will
+        re-apply on the replay, exactly as in the serial order."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
@@ -229,6 +240,7 @@ class CdcBatchEngine:
         self.agg_views = list(agg_views or [])
         self.scd2_views = list(scd2_views or [])
         self.dlq_path = dlq_path
+        self.max_parallel_views = max_parallel_views
         self._mv = None
 
     # -- target plumbing ----------------------------------------------------
@@ -510,8 +522,9 @@ class CdcBatchEngine:
             return
         versions = (typed_all.where(F.col("op") == decode.OP_UPSERT)
                     .drop("op", order_col))
-        for sv in self.scd2_views:
-            sv.apply_batch(versions, batch_token=batch_token)
+        self._fan_out_views(self.scd2_views,
+                            lambda sv: sv.apply_batch(
+                                versions, batch_token=batch_token))
 
     def _maintain_agg_views(self, new_rows, affected_keys,
                             batch_token: str | None = None,
@@ -537,9 +550,61 @@ class CdcBatchEngine:
                          how="left_semi")
                    .localCheckpoint(eager=True))
         token = None if batch_token is None else f"{batch_token}:{kind}"
-        for av in self.agg_views:
-            av.apply_delta(new_rows=new_rows, old_rows=old,
-                           batch_token=token)
+        self._fan_out_views(self.agg_views,
+                            lambda av: av.apply_delta(
+                                new_rows=new_rows, old_rows=old,
+                                batch_token=token))
+
+    def _fan_out_views(self, views: list, apply_one) -> None:
+        """Maintain independent derived views CONCURRENTLY (bounded by
+        ``max_parallel_views``).  Each view owns its store path and its
+        replay fence, so the only shared state is the already-
+        checkpointed input frames — concurrent Spark job submission
+        from multiple driver threads is the supported way to overlap
+        independent work on one session, and on a real cluster it keeps
+        executors busy through each view's driver-side planning gaps.
+
+        The caller's job group (R5 timeout cancellation) is re-pinned
+        inside every worker thread: Spark job-group/interrupt flags are
+        THREAD-local properties, so without the copy a timeout's
+        ``cancelJobGroup`` would miss every job the workers submitted
+        and the batch would overrun its budget (pinned by
+        test_timeout_cancels_parallel_view_jobs).
+
+        Failure semantics match the serial loop: every view's attempt
+        runs to completion, the first error re-raises, and the R1
+        retry/checkpoint replay re-applies the batch — views that
+        already promoted under the token fence it out, the failed one
+        re-applies.  (The serial loop skipped views AFTER the failed
+        one; here they complete in the same attempt — both converge,
+        this way with less replay work.)"""
+        if not views:
+            return
+        workers = min(len(views), max(1, self.max_parallel_views))
+        if workers == 1:
+            for v in views:
+                apply_one(v)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+        interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+
+        def run(v) -> None:
+            if group is not None:
+                sc.setLocalProperty("spark.jobGroup.id", group)
+                sc.setLocalProperty("spark.job.interruptOnCancel",
+                                    interrupt or "false")
+            apply_one(v)
+
+        with ThreadPoolExecutor(max_workers=workers,
+                                thread_name_prefix="view-maint") as ex:
+            errs = [f.exception()
+                    for f in [ex.submit(run, v) for v in views]]
+        for e in errs:
+            if e is not None:
+                raise e
 
     def _target_exists(self) -> bool:
         # probe the PATH, not the cached object: after an engine restart
