@@ -1,0 +1,254 @@
+"""Incrementally-maintained full-text retrieval index — BM25-ready
+term postings kept exact under CDC.
+
+The batch builders (``text.inverted_index``, ``text.bm25_topk``) re-scan
+the corpus per query; a 100 TB corpus that ingests continuously wants
+the index MAINTAINED, not rebuilt: this class keeps one row per live
+``(term, doc)`` pair — ``(term, doc, tf, dl)`` — in a
+:class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+BucketedMaterializedView` CO-LOCATED on ``term``, so a ranked query
+reads ONLY the probed terms' buckets (O(touched) directory listing),
+never the index.
+
+Maintenance rides the engines' ``agg_views`` pre-merge old-image feed
+(duck-typed ``apply_delta(new, old, token)`` — operators/ivm_feed): a
+rewritten document retracts by its OLD text's term set (terms that
+disappeared delete; survivors upsert with the new tf AND the new dl —
+dl is denormalized onto every posting row precisely so a doc rewrite
+never leaves a stale length behind), both sides in ONE fused
+touched-bucket pass (``apply_batch``, the SecondaryIndex contract).
+Posting rows are absolute state, so replays are idempotent without a
+fence; the two GLOBAL scalars BM25 needs — corpus size and total token
+count — are ±deltas and ride an
+:class:`~ydb_cdc_processor_spark.operators.agg_view.AggregateView`
+under its batch-token replay fence.
+
+Scoring (:meth:`topk`) is bit-replayable cross-engine, same calls as
+``text.bm25_topk``: rational idf ``(N - df + 0.5)/(df + 0.5)`` (ln is
+not correctly rounded across engines), per-(query, doc) scores folded
+in SORTED term order, and ``avgdl`` computed as the exact-integer
+``sum_dl / n_nonempty`` double division (never a streaming AVG).  df
+per probed term is exact from the touched read — a term's postings
+live entirely in its bucket.
+
+100 TB shape: per-batch maintenance cost ∝ the BATCH's vocabulary's
+buckets (bounded by min(n_buckets, batch vocab) — independent of index
+size); query cost ∝ probed terms' buckets.  Stopword-scale terms make
+single buckets large — size ``n_buckets`` to the corpus vocabulary
+(``maybe_rebucket`` sawtooth) and keep stopwords out of queries, the
+same discipline every posting-list engine imposes.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    BucketedMaterializedView)
+from ydb_cdc_processor_spark.operators.ivm_feed import Feed
+from ydb_cdc_processor_spark.operators.text import normalize_words
+
+logger = logging.getLogger(__name__)
+
+_ALL = "_all"   # the stats rollup's single constant group
+
+
+class TextIndex:
+    """A persisted term→postings index over ``(id_col, text_col)``
+    documents, maintained incrementally from a CDC old-image feed and
+    served with BM25 top-k ranked retrieval."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.view = BucketedMaterializedView(
+            spark, f"{path}/postings", keys=["term", "doc"],
+            bucket_keys=["term"], n_buckets=n_buckets)
+        # (n_docs, sum_dl, sum_nz) — corpus size, total token count, and
+        # the count of non-empty docs (avgdl's denominator, mirroring
+        # the batch scorer whose dl table omits token-less docs)
+        self.stats = AggregateView(
+            spark, f"{path}/stats", [_ALL],
+            {"sum_dl": "dl", "sum_nz": "nz"}, count_col="n_docs")
+
+    def feed(self) -> Feed:
+        """Adapter for a CDC engine's ``agg_views`` list."""
+        return Feed(self.apply_delta)
+
+    # -- tokenization ----------------------------------------------------------
+
+    def _postings(self, rows: DataFrame) -> DataFrame:
+        """``(term, doc, tf, dl)`` for a batch of documents — one
+        explode + two batch-local hash aggs; docs with no tokens
+        contribute no rows (exactly the batch scorer's dl table)."""
+        words = (rows.select(F.col(self.id_col).cast("long").alias("doc"),
+                             F.explode_outer(
+                                 normalize_words(F.col(self.text_col)))
+                             .alias("term"))
+                 .where(F.col("term").isNotNull() & (F.col("term") != "")))
+        tf = words.groupBy("doc", "term").agg(
+            F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+        return tf.join(dl, on="doc")
+
+    def _doc_stats(self, rows: DataFrame) -> DataFrame:
+        """One ``(_all, dl, nz)`` row per document (dl 0 for token-less
+        docs — they count in n_docs but not in avgdl)."""
+        words = (rows.select(F.col(self.id_col).cast("long").alias("doc"),
+                             F.explode_outer(
+                                 normalize_words(F.col(self.text_col)))
+                             .alias("term")))
+        return (words.groupBy("doc")
+                .agg(F.sum(F.when(F.col("term").isNotNull()
+                                  & (F.col("term") != ""), 1)
+                           .otherwise(0)).alias("dl"))
+                .select(F.lit("x").alias(_ALL), F.col("dl"),
+                        F.when(F.col("dl") > 0, 1).otherwise(0)
+                        .alias("nz")))
+
+    # -- maintenance -----------------------------------------------------------
+
+    def apply_delta(self, new_rows: DataFrame | None,
+                    old_rows: DataFrame | None,
+                    batch_token: str | None = None) -> None:
+        """One micro-batch: ``new_rows`` = upserted document rows (None
+        for a delete-only batch), ``old_rows`` = pre-merge images of
+        every touched doc.  Stale postings — deleted docs' terms, or
+        terms the rewrite dropped — delete by (term, doc); surviving
+        and new terms upsert with the batch's tf/dl; one fused
+        touched-bucket pass.  The scalar stats ±delta carries the
+        batch token (fenced; posting rows are idempotent state)."""
+        if new_rows is None and old_rows is None:
+            return
+        ups = None
+        if new_rows is not None:
+            ups = self._postings(new_rows).select("term", "doc", "tf", "dl")
+        stale = None
+        # bootstrap guard: old images can arrive on the very first batch
+        # (fact view predating the index) — nothing stored, nothing stale
+        if old_rows is not None and self.view.exists():
+            if ups is not None:
+                # the batch tokenization feeds the stale anti-join AND
+                # the store merge — evaluate the explode+agg forest once
+                ups = ups.localCheckpoint(eager=True)
+            old_pairs = self._postings(old_rows).select("term", "doc")
+            if ups is not None:
+                old_pairs = old_pairs.join(ups.select("term", "doc"),
+                                           on=["term", "doc"],
+                                           how="left_anti")
+            probe = old_pairs.localCheckpoint(eager=True)
+            if not probe.isEmpty():
+                stale = probe
+        self.view.apply_batch(ups, stale)
+        token = None if batch_token is None else f"{batch_token}:tix"
+        self.stats.apply_delta(
+            new_rows=None if new_rows is None else self._doc_stats(new_rows),
+            old_rows=None if old_rows is None else self._doc_stats(old_rows),
+            batch_token=token)
+
+    # -- serving ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The live ``(term, doc, tf, dl)`` postings relation (audit /
+        recompute-check surface)."""
+        return self.view.read().select("term", "doc", "tf", "dl")
+
+    def _corpus_stats(self) -> tuple[int, int, int]:
+        try:
+            rows = self.stats.read().collect()
+        except FileNotFoundError:   # no batch has ever applied
+            return 0, 0, 0
+        if not rows:
+            return 0, 0, 0
+        r = rows[0]
+        return int(r["n_docs"]), int(r["sum_dl"]), int(r["sum_nz"])
+
+    def topk(self, queries: DataFrame, k: int = 5,
+             k1: float = 1.2, b: float = 0.75,
+             qid_col: str = "qid", qterm_col: str = "term") -> DataFrame:
+        """BM25 top-``k`` docs per query — ``(qid, doc_id, rank, score)``
+        with the exact schema/semantics of ``text.bm25_topk`` over the
+        index's current corpus state.  Reads ONLY the probed terms'
+        buckets: postings, tf, dl, and df all come from the touched
+        read; n_docs/avgdl from the one-row stats rollup."""
+        qterms = (queries.select(F.col(qid_col).alias("qid"),
+                                 F.col(qterm_col).alias("term"))
+                  .distinct().localCheckpoint(eager=True))
+        terms = [r["term"] for r in qterms.select("term")
+                 .distinct().collect()]
+        n_docs, sum_dl, sum_nz = self._corpus_stats()
+        out_schema = T.StructType([
+            T.StructField("qid", T.StringType()),
+            T.StructField(self.id_col, T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("score", T.DoubleType())])
+        if not terms or not self.view.exists() or sum_nz == 0:
+            return self.spark.createDataFrame([], out_schema)
+        probe = self.spark.createDataFrame(
+            [(t,) for t in terms], "term string")
+        touched = sorted({r[0] for r in probe.select(
+            self.view.bucket_expr().alias("_b")).distinct().collect()})
+        post = (self.view.read_touched(touched)
+                .where(F.col("term").isin(terms))
+                .select("term", "doc", "tf", "dl")
+                .localCheckpoint(eager=True))
+        # df is exact from the touched read: a term's postings live
+        # entirely in its own bucket
+        dft = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        avgdl = F.lit(float(sum_dl)) / F.lit(float(sum_nz))
+        idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) \
+            / (F.col("df") + F.lit(0.5))
+        tf_part = (F.col("tf") * F.lit(k1 + 1.0)) \
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / avgdl))
+        scored = (post.join(F.broadcast(qterms), on="term")
+                  .join(F.broadcast(dft), on="term")
+                  .select("qid", "doc", "term",
+                          (idf * tf_part).cast("double").alias("s")))
+        total = (scored.groupBy("qid", "doc")
+                 .agg(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("term", "s"))),
+                     F.lit(0.0), lambda acc, x: acc + x["s"])
+                     .alias("score")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                              F.col("doc").asc())
+        return (total.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", F.col("doc").alias(self.id_col),
+                        F.col("rank").cast("int").alias("rank"),
+                        F.round(F.col("score"), 6).alias("score")))
+
+    # -- invariants ------------------------------------------------------------
+
+    def recompute_check(self, docs: DataFrame) -> bool:
+        """True iff postings AND corpus stats equal a from-scratch
+        tokenization of ``docs`` (the lifecycle tests' invariant)."""
+        want = {tuple(r) for r in self._postings(docs)
+                .select("term", "doc", "tf", "dl").collect()}
+        got = {tuple(r) for r in self.read().collect()}
+        if want != got:
+            return False
+        exp = (self._doc_stats(docs).groupBy(_ALL)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("sdl"), F.sum("nz").alias("snz"))
+               .collect())
+        n, sdl, snz = ((int(exp[0]["n"]), int(exp[0]["sdl"]),
+                        int(exp[0]["snz"])) if exp else (0, 0, 0))
+        return (n, sdl, snz) == self._corpus_stats()
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping (the stream engines call this):
+        bucket-count sawtooth + small-file compaction on the postings
+        store."""
+        self.view.maybe_rebucket()
+        self.view.compact()

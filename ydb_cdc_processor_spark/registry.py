@@ -5578,6 +5578,90 @@ def q_span_index(spark, sf_dir):
     return out
 
 
+_TIX_QUERY_TERMS = [("r1", "hash"), ("r1", "vector"),
+                    ("r2", "stream"), ("r2", "join"), ("r3", "window")]
+
+@register("q_text_index", """
+WITH words AS (
+  SELECT doc_id AS doc, w AS term FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t WHERE w <> ''),
+tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc, term),
+dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM words GROUP BY doc),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl),
+q(qid, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.qid, tf.doc, tf.term,
+         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+            / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((tf.tf * CAST({k1p1} AS DOUBLE))
+            / (tf.tf + CAST({k1} AS DOUBLE)
+               * (CAST({omb} AS DOUBLE)
+                  + CAST({b} AS DOUBLE) * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN q ON q.term = tf.term
+  JOIN dft d ON d.term = tf.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s),
+tot AS (
+  SELECT qid, doc, SUM(s ORDER BY term) AS score
+  FROM cand GROUP BY qid, doc),
+rk AS (
+  SELECT qid, doc, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM tot)
+SELECT qid, doc AS doc_id, CAST(rank AS INT) AS rank,
+       round(score, 6) AS score
+FROM rk WHERE rank <= 5
+""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
+                                 for q, t in _TIX_QUERY_TERMS))
+   .replace("{k1p1}", repr(1.2 + 1.0)).replace("{k1}", repr(1.2))
+   .replace("{omb}", repr(1.0 - 0.75)).replace("{b}", repr(0.75)))
+def q_text_index(spark, sf_dir):
+    """INCREMENTALLY-maintained BM25 retrieval (operators/text_index.
+    TextIndex): documents arrive as three upsert micro-batches keyed by
+    doc_id — the middle batch REWRITES a third of the docs to a
+    placeholder body (postings and corpus stats must retract terms the
+    rewrite dropped) and the last batch restores them.  One live
+    (term, doc, tf, dl) row per posting in a term-co-located bucketed
+    store; the ranked read touches ONLY the probed terms' buckets, with
+    df exact from the touched read and n_docs/avgdl from a fenced 1-row
+    scalar rollup.  After the last batch the index equals the full
+    corpus, so top-5 per query must land exactly on the batch-SQL BM25
+    (rational idf, sorted score fold, sum/count avgdl — the
+    cross-engine-exact arithmetic q_bm25 established)."""
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    from ydb_cdc_processor_spark.operators.text_index import TextIndex
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    base = _scratch_dir("tix_")
+    mv = ParquetMaterializedView(spark, base + "/rows", ["doc_id"],
+                                 schema=docs.schema)
+    ix = TextIndex(spark, base + "/tix", n_buckets=8)
+    batches = [
+        docs.where(F.col("doc_id") % 3 != 2),
+        docs.where(F.col("doc_id") % 3 == 2)
+            .withColumn("text", F.lit("interim placeholder body")),
+        docs.where(F.col("doc_id") % 3 == 2),
+    ]
+    for i, b in enumerate(batches):
+        old = None
+        if mv.exists():
+            old = (mv.read().join(b.select("doc_id"), on="doc_id",
+                                  how="left_semi")
+                   .localCheckpoint(eager=True))
+        ix.apply_delta(b, old, batch_token=f"tix:{i}")
+        mv.apply(b, action="upsertInto")
+    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
+    return ix.topk(q, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
