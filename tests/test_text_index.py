@@ -126,6 +126,19 @@ def test_unknown_terms_and_empty_store(spark, tmp_path):
         [("q", "zzz-not-a-term")], "qid string, term string")).count() == 0
 
 
+def test_bootstrap_old_images_do_not_retract_stats(spark, tmp_path):
+    """First batch WITH old images (fact view predating the index):
+    nothing stored means nothing stale AND nothing to retract — the
+    corpus stats must stay consistent with the postings' doc set
+    (retracting un-tracked docs would leave n_docs short)."""
+    ix = _ix(spark, tmp_path)
+    prev = _docs(spark, [(1, "old text body")])   # pre-index fact image
+    new = _docs(spark, [(1, "fresh words"), (2, "more fresh words")])
+    ix.apply_delta(new, prev.localCheckpoint(True), batch_token="b0")
+    assert ix.recompute_check(new)
+    assert ix._corpus_stats()[0] == 2
+
+
 def test_engine_drives_text_index(spark, sf_dir, tmp_path):
     """CdcBatchEngine(agg_views=[ix.feed()]): postings over the events
     stream (event_type as the text) equal a from-scratch tokenization

@@ -102,7 +102,11 @@ class TextIndex:
 
     def _doc_stats(self, rows: DataFrame) -> DataFrame:
         """One ``(_all, dl, nz)`` row per document (dl 0 for token-less
-        docs — they count in n_docs but not in avgdl)."""
+        docs — they count in n_docs but not in avgdl).  Deliberately a
+        SECOND tokenization of the batch rather than a join against the
+        materialized postings: the explode+agg forest is whole-stage
+        codegen over batch-local data, measured CHEAPER than the
+        distinct+join shuffle that deriving dl from postings costs."""
         words = (rows.select(F.col(self.id_col).cast("long").alias("doc"),
                              F.explode_outer(
                                  normalize_words(F.col(self.text_col)))
@@ -129,13 +133,17 @@ class TextIndex:
         batch token (fenced; posting rows are idempotent state)."""
         if new_rows is None and old_rows is None:
             return
+        # bootstrap guard, shared by postings AND stats: old images can
+        # arrive on the very first batch (fact view predating the
+        # index) — the store tracked NONE of them, so there is nothing
+        # stale to delete and nothing to retract (retracting would
+        # leave n_docs short of the postings' doc set)
+        existed = self.view.exists()
         ups = None
         if new_rows is not None:
             ups = self._postings(new_rows).select("term", "doc", "tf", "dl")
         stale = None
-        # bootstrap guard: old images can arrive on the very first batch
-        # (fact view predating the index) — nothing stored, nothing stale
-        if old_rows is not None and self.view.exists():
+        if old_rows is not None and existed:
             if ups is not None:
                 # the batch tokenization feeds the stale anti-join AND
                 # the store merge — evaluate the explode+agg forest once
@@ -152,7 +160,8 @@ class TextIndex:
         token = None if batch_token is None else f"{batch_token}:tix"
         self.stats.apply_delta(
             new_rows=None if new_rows is None else self._doc_stats(new_rows),
-            old_rows=None if old_rows is None else self._doc_stats(old_rows),
+            old_rows=None if old_rows is None or not existed
+            else self._doc_stats(old_rows),
             batch_token=token)
 
     # -- serving ---------------------------------------------------------------
