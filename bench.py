@@ -111,9 +111,19 @@ def _median_of(fn) -> float:
 
 
 def main() -> None:
+    import gc
+
     from ydb_cdc_processor_spark.session import get_spark
     from ydb_cdc_processor_spark.registry import QUERIES
 
+    # One JVM runs ~160 store-building queries back-to-back; at the 8g
+    # session default their eagerly-materialized localCheckpoint blocks
+    # fill storage memory and the resulting GC pressure inflates
+    # driver-side planning latency for every query that follows
+    # (measured: light pure-Catalyst entries 0.2 s → 0.6 s by the tail
+    # of a full run).  A real deployment runs one pipeline per session
+    # — sizing the BENCH driver up just removes the artifact.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("ydb-cdc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -124,6 +134,11 @@ def main() -> None:
     for name in _full_headline():
         timings[name] = _median_of(
             lambda name=name: _force(QUERIES[name](spark, SF_DIR)))
+        # drop this query's py4j DataFrame refs NOW: ContextCleaner can
+        # only unpersist a finished query's checkpoint RDDs once the
+        # Python side lets go, and CPython's cycle collector left to its
+        # own schedule lets them pile up across the whole run
+        gc.collect()
 
     # flagship CDC engine throughput: replay events as a changefeed
     import shutil
