@@ -171,6 +171,47 @@ def test_engine_drives_text_index(spark, sf_dir, tmp_path):
     assert ix._corpus_stats() == before
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a step is (op, pk, text-index): upsert assigns one of four bodies
+# (overlapping term sets, incl. empty), delete removes the pk if present
+_BODIES = ["quick brown fox", "quick quick dog", "", "lazy dog sleeps"]
+_tstep = st.one_of(
+    st.tuples(st.just("up"), st.integers(0, 4), st.integers(0, 3)),
+    st.tuples(st.just("del"), st.integers(0, 4), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(steps=st.lists(_tstep, min_size=2, max_size=8))
+def test_property_any_interleaving_matches_recompute(spark,
+                                                     tmp_path_factory,
+                                                     steps):
+    """ANY interleaving of keyed doc upserts (incl. rewrites that drop
+    terms, empty bodies) and deletes leaves postings AND corpus stats
+    equal to a from-scratch tokenization of the resulting doc state."""
+    tmp_path = tmp_path_factory.mktemp("tix_prop")
+    ix = TextIndex(spark, str(tmp_path / "tix"), n_buckets=2)
+    state: dict[int, str] = {}
+    for i, (op, pk, bi) in enumerate(steps):
+        old_rows = [(pk, state[pk])] if pk in state else []
+        old = (_docs(spark, old_rows).localCheckpoint(True)
+               if old_rows else None)
+        if op == "up":
+            ix.apply_delta(_docs(spark, [(pk, _BODIES[bi])]), old,
+                           batch_token=f"s{i}")
+            state[pk] = _BODIES[bi]
+        else:
+            if not old_rows:
+                continue
+            ix.apply_delta(None, old, batch_token=f"s{i}")
+            state.pop(pk, None)
+    assert ix.recompute_check(_docs(spark, sorted(state.items())))
+
+
 def test_stream_maintains_text_index_across_restart(spark, sf_dir,
                                                     tmp_path):
     """Kill/restart with fresh objects on the same checkpoint, then

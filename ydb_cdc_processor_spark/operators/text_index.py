@@ -244,7 +244,10 @@ class TextIndex:
         tokenization of ``docs`` (the lifecycle tests' invariant)."""
         want = {tuple(r) for r in self._postings(docs)
                 .select("term", "doc", "tf", "dl").collect()}
-        got = {tuple(r) for r in self.read().collect()}
+        # a store no batch ever touched was never created — empty by
+        # convention (fresh-store reads raise)
+        got = ({tuple(r) for r in self.read().collect()}
+               if self.view.exists() else set())
         if want != got:
             return False
         exp = (self._doc_stats(docs).groupBy(_ALL)
