@@ -157,3 +157,25 @@ def test_mixture_weights_weighted_target(spark):
     # target masses: a=6/8, b=2/8; actual shares: a=2/3, b=1/3
     assert abs(got["a"].weight - (6 / 8) / (2 / 3)) < 1e-9
     assert abs(got["b"].weight - (2 / 8) / (1 / 3)) < 1e-9
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: docs in both lists outrank same-rank single-list docs; a
+    doc missing from a list contributes nothing for it; ties break on
+    doc id; n_lists reports coverage."""
+    from ydb_cdc_processor_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "qid string, doc_id long, rank long")
+    vec = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)],
+        "qid string, doc_id long, rank long")
+    got = {r.doc_id: r for r in rrf_fuse([lex, vec], k=60).collect()}
+    # doc 2: 1/62 + 1/61 beats doc 1's 1/61 alone
+    assert got[2].rank == 1 and got[2].n_lists == 2
+    assert got[1].rank == 2 and got[1].n_lists == 1
+    assert abs(got[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(got[4].rrf_score - round(1 / 62, 6)) < 1e-9
+    # doc 3 (1/63) vs doc 4 (1/62): 4 outranks 3
+    assert got[4].rank == 3 and got[3].rank == 4

@@ -401,3 +401,52 @@ def cosine_topk_quantized(corpus: DataFrame, probes: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .where(F.col("rnk") <= k))
+
+
+def rrf_fuse(rankings: list, k: int = 60, qid_col: str = "qid",
+             id_col: str = "doc_id", rank_col: str = "rank",
+             topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings (hybrid
+    retrieval: lexical BM25 + vector ANN is the canonical pair).
+
+    ``rankings``: DataFrames each holding (qid_col, id_col, rank_col)
+    with rank 1..n per query; a document missing from a list simply
+    contributes nothing for it (the standard RRF convention).  Score is
+    Cormack et al.'s ``Σ_lists 1/(k + rank)`` — rank-only, so the two
+    engines' score SCALES (BM25 floats vs cosine floats) never mix, and
+    the fused score is cross-engine exact: each term is one double
+    division, and the per-(query, doc) sum folds in LIST order over a
+    collected array (float addition is order-dependent; a fixed fold
+    order is what lets any engine replay the exact double — the same
+    call as text.bm25_topk's term fold).
+
+    Plan shape (100 TB): inputs are top-n lists — |queries| × n rows,
+    broadcast-scale by construction; one union + one hash agg + one
+    per-qid window.  Output: (qid, id_col, rank, rrf_score, n_lists),
+    rank 1..topk by (score desc, id asc)."""
+    tagged = [
+        r.select(F.col(qid_col).alias("qid"),
+                 F.col(id_col).alias("_id"),
+                 F.col(rank_col).cast("long").alias("_r"),
+                 F.lit(i).alias("_li"))
+        for i, r in enumerate(rankings)]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    scored = u.select(
+        "qid", "_id", "_li",
+        (F.lit(1.0) / (F.lit(float(k)) + F.col("_r"))).alias("_s"))
+    total = (scored.groupBy("qid", "_id")
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("_li", "_s"))),
+                 F.lit(0.0), lambda acc, x: acc + x["_s"])
+                 .alias("_rrf"),
+                 F.count(F.lit(1)).cast("int").alias("n_lists")))
+    w = Window.partitionBy("qid").orderBy(F.col("_rrf").desc(),
+                                          F.col("_id").asc())
+    return (total.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk)
+            .select("qid", F.col("_id").alias(id_col),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round(F.col("_rrf"), 6).alias("rrf_score"),
+                    "n_lists"))

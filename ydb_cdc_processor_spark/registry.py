@@ -5662,6 +5662,97 @@ def q_text_index(spark, sf_dir):
     return ix.topk(q, k=5)
 
 
+_HYB_TERMS = [("h1", "join"), ("h1", "hash"),
+              ("h2", "stream"), ("h2", "window")]
+
+@register("q_hybrid_search", """
+WITH words AS (
+  SELECT doc_id AS doc, w AS term FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t WHERE w <> ''),
+tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc, term),
+dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM words GROUP BY doc),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
+           AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl),
+q(qid, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.qid, tf.doc, tf.term,
+         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+            / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((tf.tf * CAST(2.2 AS DOUBLE))
+            / (tf.tf + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN q ON q.term = tf.term
+  JOIN dft d ON d.term = tf.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s),
+ltot AS (
+  SELECT qid, doc, SUM(s ORDER BY term) AS score
+  FROM cand GROUP BY qid, doc),
+lex AS (
+  SELECT qid, doc AS doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM ltot),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e
+      WHERE vec_id IN (0, 300)),
+cs AS (SELECT probe_id, vec_id,
+              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
+       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
+vec AS (
+  SELECT CASE WHEN probe_id = 0 THEN 'h1' ELSE 'h2' END AS qid,
+         vec_id AS doc_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cs),
+lists AS (
+  SELECT qid, doc_id, rank, 0 AS li FROM lex WHERE rank <= 20
+  UNION ALL
+  SELECT qid, doc_id, rank, 1 AS li FROM vec WHERE rank <= 20),
+f AS (SELECT qid, doc_id,
+             SUM(CAST(1.0 AS DOUBLE) / (60 + rank) ORDER BY li) AS rrf,
+             CAST(COUNT(*) AS INT) AS n_lists
+      FROM lists GROUP BY qid, doc_id),
+rk AS (SELECT qid, doc_id, rrf, n_lists,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY rrf DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT qid, doc_id, CAST(rank AS INT) AS rank,
+       round(rrf, 6) AS rrf_score, n_lists
+FROM rk WHERE rank <= 10
+""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
+                                 for q, t in _HYB_TERMS)))
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
+    top-20 fused by reciprocal rank (similarity.rrf_fuse, k=60) into a
+    top-10 per query — the standard lexical+dense composition.  RRF is
+    rank-only, so the two engines' incomparable score scales never mix;
+    the fused score folds its two 1/(60+rank) terms in LIST order
+    (fixed-order float fold, the q_bm25 discipline).  documents and
+    embeddings share the id space (TESTDATA), so vec_id IS doc_id."""
+    docs = load_docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(_HYB_TERMS, "qid string, term string")
+    lex = text.bm25_topk(docs, qterms, k=20) \
+        .select("qid", "doc_id", "rank")
+    probes = emb.where(F.col("vec_id").isin(0, 300)) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    vec = (similarity.cosine_topk(emb, probes, k=20)
+           .select(F.when(F.col("probe_id") == 0, "h1").otherwise("h2")
+                   .alias("qid"),
+                   F.col("vec_id").alias("doc_id"),
+                   F.col("rnk").alias("rank")))
+    return similarity.rrf_fuse([lex, vec], k=60, topk=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
