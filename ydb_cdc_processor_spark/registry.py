@@ -5753,6 +5753,120 @@ def q_hybrid_search(spark, sf_dir):
     return similarity.rrf_fuse([lex, vec], k=60, topk=10)
 
 
+@register("q_hybrid_index_search", """
+WITH words AS (
+  SELECT doc_id AS doc, w AS term FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) t WHERE w <> ''),
+tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc, term),
+dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM words GROUP BY doc),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl),
+q(qid, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.qid, tf.doc, tf.term,
+         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+            / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((tf.tf * CAST(2.2 AS DOUBLE))
+            / (tf.tf + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN q ON q.term = tf.term
+  JOIN dft d ON d.term = tf.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s),
+ltot AS (
+  SELECT qid, doc, SUM(s ORDER BY term) AS score
+  FROM cand GROUP BY qid, doc),
+lex AS (
+  SELECT qid, doc AS doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM ltot),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
+         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
+ca AS (SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN cent),
+cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
+p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e
+      WHERE vec_id IN (0, 300)),
+pa AS (SELECT probe_id, pemb, cell,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM p CROSS JOIN cent),
+pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
+cs AS (SELECT pc.probe_id, cc.vec_id,
+              round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
+       FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
+vec AS (
+  SELECT CASE WHEN probe_id = 0 THEN 'h1' ELSE 'h2' END AS qid,
+         vec_id AS doc_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cs),
+lists AS (
+  SELECT qid, doc_id, rank, 0 AS li FROM lex WHERE rank <= 20
+  UNION ALL
+  SELECT qid, doc_id, rank, 1 AS li FROM vec WHERE rank <= 20),
+f AS (SELECT qid, doc_id,
+             SUM(CAST(1.0 AS DOUBLE) / (60 + rank) ORDER BY li) AS rrf,
+             CAST(COUNT(*) AS INT) AS n_lists
+      FROM lists GROUP BY qid, doc_id),
+rk AS (SELECT qid, doc_id, rrf, n_lists,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY rrf DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT qid, doc_id, CAST(rank AS INT) AS rank,
+       round(rrf, 6) AS rrf_score, n_lists
+FROM rk WHERE rank <= 10
+""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
+                                 for q, t in _HYB_TERMS)))
+def q_hybrid_index_search(spark, sf_dir):
+    """Hybrid retrieval SERVED FROM THE PERSISTENT STORES: the
+    maintained BM25 postings index (TextIndex — bucket-pruned lexical
+    top-20) and the maintained IVF vector index (VectorIndex —
+    cell-pruned dense top-20, frozen-quantizer lifecycle) fused by
+    reciprocal rank into a top-10 per query.  This is the serving shape
+    a 100 TB deployment runs: both indexes ingest continuously under
+    CDC (their *_stream entries), and a query touches only probed
+    terms' and probed cells' buckets — never a corpus scan.  The oracle
+    replays both index lifecycles in SQL (q_text_index's converged-
+    corpus BM25, q_vector_index's subset-sampled-centroid IVF) plus the
+    list-order RRF fold."""
+    from ydb_cdc_processor_spark.operators.text_index import TextIndex
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _scratch_dir("hyix_")
+
+    tix = TextIndex(spark, base + "/tix", n_buckets=8)
+    tix.apply_delta(docs, None, batch_token="h0")
+    vix = VectorIndex(spark, base + "/vix", n_cells=16)
+    vix.build(emb.where(F.col("vec_id") % 3 != 2))
+    vix.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+
+    qterms = spark.createDataFrame(_HYB_TERMS, "qid string, term string")
+    lex = tix.topk(qterms, k=20).select("qid", "doc_id", "rank")
+    probes = emb.where(F.col("vec_id").isin(0, 300)) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    vec = (vix.query(probes, k=20, n_probe=4)
+           .select(F.when(F.col("probe_id") == 0, "h1").otherwise("h2")
+                   .alias("qid"),
+                   F.col("vec_id").alias("doc_id"),
+                   F.col("rnk").alias("rank")))
+    return similarity.rrf_fuse([lex, vec], k=60, topk=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
