@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.merge import (
     MERGE_FNS, compose_merge, merge_delete, merge_insert,
-    raise_on_collisions)
+    raise_on_collisions, widen_to_union)
 
 logger = logging.getLogger(__name__)
 
@@ -155,6 +155,53 @@ class BucketedMaterializedView:
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    def _stored_schema(self):
+        """Authoritative view schema (sans bucket column) from the
+        manifest.  Reads apply it EXPLICITLY so buckets written before
+        a widening still surface the union — a missing parquet column
+        reads as NULL by name — without inference (which picks an
+        arbitrary file's schema and silently hides evolved columns on
+        mixed-schema stores) and without mergeSchema (per-file footer
+        merging at plan time, a non-starter at scale).  None on legacy
+        stores → inference, today's behavior."""
+        doc = self._read_manifest_dict().get("schema")
+        if not doc:
+            return None
+        from pyspark.sql import types as T
+        return T.StructType.fromJson(doc)
+
+    def _record_schema(self, schema) -> None:
+        """Persist the current merge's view schema into the manifest
+        when it WIDENS the stored one (new columns append after the
+        existing order).  Called BEFORE bucket promotion: a crash in
+        between leaves only an extra all-NULL column — benign — while
+        the opposite order would hide promoted data behind a stale
+        narrower schema."""
+        from pyspark.sql import types as T
+        stored = self._stored_schema()
+        fields = [] if stored is None else list(stored.fields)
+        names = {f.name for f in fields}
+        new = [f for f in schema.fields
+               if f.name != BUCKET_COL and f.name not in names]
+        if stored is not None and not new:
+            return
+        os.makedirs(self.path, exist_ok=True)
+        doc = self._read_manifest_dict()
+        doc["schema"] = T.StructType(fields + new).jsonValue()
+        doc.setdefault("n_buckets", self.n_buckets)
+        doc.setdefault("bucket_keys", self.bucket_keys)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _with_bucket_schema(self, schema):
+        """``schema`` + the bucket partition column (reads must name it
+        explicitly when supplying a schema)."""
+        from pyspark.sql import types as T
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(BUCKET_COL, T.IntegerType())])
 
     # -- crash recovery ------------------------------------------------------
 
@@ -273,8 +320,11 @@ class BucketedMaterializedView:
                 raise FileNotFoundError(self.path)
             return self._with_bucket(
                 self.spark.createDataFrame([], self.schema))
-        return self.spark.read.option("basePath", self.path) \
-            .parquet(self.path)
+        reader = self.spark.read.option("basePath", self.path)
+        stored = self._stored_schema()
+        if stored is not None:
+            reader = reader.schema(self._with_bucket_schema(stored))
+        return reader.parquet(self.path)
 
     def read_touched(self, touched: list[int],
                      delta_schema=None) -> DataFrame:
@@ -300,13 +350,18 @@ class BucketedMaterializedView:
         dirs = [os.path.join(self.path, f"{BUCKET_COL}={b}")
                 for b in touched]
         dirs = [d for d in dirs if os.path.isdir(d)]
+        stored = self._stored_schema()
         if not dirs:
-            base = (self.spark.createDataFrame([], self.schema)
-                    if self.schema is not None
-                    else self.spark.createDataFrame([], delta_schema))
-            return self._with_bucket(base.limit(0))
+            base_schema = (stored if stored is not None
+                           else self.schema if self.schema is not None
+                           else delta_schema)
+            return self._with_bucket(
+                self.spark.createDataFrame([], base_schema).limit(0))
         # basePath keeps the _bucket=N directory name as a partition column
-        return self.spark.read.option("basePath", self.path).parquet(*dirs)
+        reader = self.spark.read.option("basePath", self.path)
+        if stored is not None:
+            reader = reader.schema(self._with_bucket_schema(stored))
+        return reader.parquet(*dirs)
 
     # -- per-bucket replay tokens --------------------------------------------
 
@@ -345,7 +400,10 @@ class BucketedMaterializedView:
         (self._with_bucket(df)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
+        # AFTER the write: Spark's overwrite truncates the directory,
+        # manifest included
         self._write_manifest()
+        self._record_schema(df.schema)
 
     def _overwrite_touched(self, merged: DataFrame, touched: list[int],
                            token: str | None = None,
@@ -396,6 +454,10 @@ class BucketedMaterializedView:
                 if os.path.isdir(d):
                     with open(os.path.join(d, TOKEN_FILE), "w") as fh:
                         fh.write(token)
+        # schema BEFORE promotion: a crash in between shows one extra
+        # all-NULL column (benign); the opposite order would hide
+        # promoted data behind a stale narrower stored schema
+        self._record_schema(merged.schema)
         os.makedirs(self.path, exist_ok=True)  # first batch: no root yet
         for b in touched:
             self._promote_bucket(tmp, b, drop_if_absent=True)
@@ -461,6 +523,8 @@ class BucketedMaterializedView:
                         else delta.drop(BUCKET_COL).limit(0))
                 target = self._with_bucket(base)
 
+            if action != "deleteFrom":   # delete side is keys-only
+                target, delta = widen_to_union(target, delta)
             keys_b = self.keys + [BUCKET_COL]
             pre = None
             if action == "deleteFrom":
@@ -521,6 +585,7 @@ class BucketedMaterializedView:
                         else ups.drop(BUCKET_COL).limit(0))
                 target = self._with_bucket(base)
 
+            target, ups = widen_to_union(target, ups)
             keys_b = self.keys + [BUCKET_COL]
             pre = None
             obs = None
@@ -641,6 +706,11 @@ class BucketedMaterializedView:
         # the full key set and read the wrong directories)
         manifest: dict = {"n_buckets": n_buckets,
                           "bucket_keys": self.bucket_keys}
+        stored = self._read_manifest_dict().get("schema")
+        if stored:
+            # the evolved schema is LAYOUT state too — a rebucket must
+            # not narrow reads back to per-file inference
+            manifest["schema"] = stored
         last = self.last_token()
         if last is not None:
             # the rewrite was built from state that already INCLUDES the

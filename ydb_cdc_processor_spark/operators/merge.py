@@ -152,6 +152,36 @@ MERGE_FNS = {
 }
 
 
+def widen_to_union(target: DataFrame,
+                   delta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution at the merge boundary (upstream
+    ``ALTER TABLE ... ADD COLUMN``): widen BOTH sides to the union of
+    their columns so the merge neither drops a new column (the
+    ``delta.select(*target.columns)`` projection inside the merge fns
+    would, silently and forever) nor crashes on a column the delta no
+    longer carries.
+
+    - column only in the delta → the store gains it, NULL on every
+      pre-evolution row (exactly what the reference's target table
+      shows after a server-side ADD COLUMN);
+    - column only in the target → kept; NULL on rows the batch
+      replaces (K1/K3 replace the WHOLE row — a column the new image
+      does not carry is absent from it, i.e. NULL).
+
+    Same-name/different-type conflicts are NOT reconciled here — Spark
+    raises on the union, the right outcome for an incompatible
+    evolution."""
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    d_types = {f.name: f.dataType for f in delta.schema.fields}
+    for name, dt in d_types.items():
+        if name not in t_types:
+            target = target.withColumn(name, F.lit(None).cast(dt))
+    for name, dt in t_types.items():
+        if name not in d_types:
+            delta = delta.withColumn(name, F.lit(None).cast(dt))
+    return target, delta
+
+
 def compose_merge(target: DataFrame, ups: DataFrame | None,
                   dels: DataFrame | None, keys: list[str], action: str,
                   order_col: str | None = None,
@@ -292,6 +322,8 @@ class ParquetMaterializedView:
               order_col: str | None = None,
               small_delta: bool | None = None) -> None:
         target = self.read()
+        if action != "deleteFrom":   # delete side is keys-only
+            target, delta = widen_to_union(target, delta)
         obs = self._insert_obs(action, delta)
         if action == "deleteFrom":
             merged = merge_delete(target, delta, self.keys,
@@ -318,7 +350,10 @@ class ParquetMaterializedView:
         pass (see :func:`compose_merge`; sides are key-disjoint by the
         engine's last-wins routing)."""
         obs = self._insert_obs(action, ups)
-        merged = compose_merge(self.read(), ups, dels, self.keys, action,
+        target = self.read()
+        if ups is not None:
+            target, ups = widen_to_union(target, ups)
+        merged = compose_merge(target, ups, dels, self.keys, action,
                                order_col, small_delta, collision_obs=obs)
         self.overwrite(merged, pre_swap=None if obs is None
                        else (lambda: raise_on_collisions(obs)))
