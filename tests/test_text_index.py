@@ -171,6 +171,44 @@ def test_engine_drives_text_index(spark, sf_dir, tmp_path):
     assert ix._corpus_stats() == before
 
 
+def test_start_stream_restart_converges(spark, tmp_path):
+    """Append-only streaming ingest: drain, then restart with a FRESH
+    object on the same checkpoint after more files arrive — only the
+    new files process, and the converged index equals a one-shot
+    tokenization of everything ingested."""
+    import os
+
+    docs1 = _docs(spark, DOCS0)
+    src = str(tmp_path / "src")
+    docs1.repartition(3).write.parquet(src)
+
+    def engine():
+        return TextIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+
+    def stream():
+        return (spark.readStream.schema(docs1.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    ix1 = engine()
+    ix1.start_stream(stream(), str(tmp_path / "ckpt")).awaitTermination()
+    assert ix1.recompute_check(docs1)
+
+    late = _docs(spark, [(5, "errors in the logs"),
+                         (6, "fresh corpus words")])
+    late.coalesce(1).write.mode("append").parquet(src)
+    ix2 = engine()
+    ix2.start_stream(stream(), str(tmp_path / "ckpt")).awaitTermination()
+    full = _docs(spark, DOCS0 + [(5, "errors in the logs"),
+                                 (6, "fresh corpus words")])
+    assert ix2.recompute_check(full)
+
+    # a drained checkpoint replays nothing: state unchanged
+    ix3 = engine()
+    ix3.start_stream(stream(), str(tmp_path / "ckpt")).awaitTermination()
+    assert ix3.recompute_check(full)
+    assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

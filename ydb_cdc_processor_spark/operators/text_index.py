@@ -164,6 +164,32 @@ class TextIndex:
             else self._doc_stats(old_rows),
             batch_token=token)
 
+    def start_stream(self, doc_stream: DataFrame, checkpoint_dir: str,
+                     available_now: bool = True):
+        """Index documents from a STREAM (foreachBatch →
+        :meth:`apply_delta` with no old images) — the append-only
+        continuous-ingest shape, mirroring ``VectorIndex.start_stream``.
+
+        Contract: NEW documents only.  A doc REWRITE needs its old
+        image to retract dropped terms — that path is the CDC engines'
+        ``agg_views`` feed (:meth:`feed`), which supplies old images
+        per batch (pinned by
+        test_stream_maintains_text_index_across_restart).
+
+        Replay: posting upserts are idempotent per (term, doc) and the
+        stats ±delta is fenced by the batch id, so a checkpoint replay
+        converges — kill/restart equals one-shot ingest.  Returns the
+        StreamingQuery."""
+        def _batch(df, batch_id: int) -> None:
+            self.apply_delta(df, None, batch_token=f"tixs:{batch_id}")
+
+        writer = (doc_stream.writeStream
+                  .foreachBatch(_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- serving ---------------------------------------------------------------
 
     def read(self) -> DataFrame:

@@ -5662,6 +5662,30 @@ def q_text_index(spark, sf_dir):
     return ix.topk(q, k=5)
 
 
+@register("q_text_index_stream")
+def q_text_index_stream(spark, sf_dir):
+    """BM25 index maintained from a STREAM (TextIndex.start_stream):
+    the corpus arrives as a checkpointed file stream (one file per
+    trigger) of NEW documents into the persistent postings store;
+    posting upserts are idempotent and the scalar stats delta is
+    fenced per batch id, so the converged index equals the one-shot
+    ingest — exactly what q_text_index's shared SQL oracle (full-corpus
+    BM25) recomputes."""
+    from ydb_cdc_processor_spark.operators.text_index import TextIndex
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    base = _scratch_dir("tixs_")
+    docs.repartition(3).write.parquet(base + "/src")
+    ix = TextIndex(spark, base + "/idx", n_buckets=8)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
+    ix.start_stream(stream, base + "/ckpt").awaitTermination()
+    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
+    return ix.topk(q, k=5)
+
+
+ORACLES["q_text_index_stream"] = ORACLES["q_text_index"]
+
+
 _HYB_TERMS = [("h1", "join"), ("h1", "hash"),
               ("h2", "stream"), ("h2", "window")]
 
