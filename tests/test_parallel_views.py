@@ -105,6 +105,32 @@ def test_parallel_view_failure_replay_converges(spark, sf_dir, tmp_path):
         assert v.recompute_check(eng.read_view())
 
 
+def test_multiple_view_failures_all_surface(spark, sf_dir, tmp_path,
+                                            caplog):
+    """When SEVERAL views fail in one fan-out, the first error drives
+    the R1 retry and the others are logged — never silently dropped."""
+    import logging
+
+    class Boom:
+        def __init__(self, msg):
+            self.msg = msg
+
+        def apply_delta(self, new_rows=None, old_rows=None,
+                        batch_token=None):
+            raise RuntimeError(self.msg)
+
+    p, fixture = _events_pipeline(spark, sf_dir, tmp_path)
+    raw = cdc_json.read_cdc_batch(spark, fixture)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         agg_views=[Boom("boom-a"), Boom("boom-b")],
+                         max_parallel_views=4)
+    with caplog.at_level(logging.ERROR,
+                         logger="ydb_cdc_processor_spark.engine"):
+        with pytest.raises(RuntimeError, match="boom-"):
+            eng.apply_raw_batch(raw, batch_token="b0")
+    assert any("boom-" in r.message for r in caplog.records)
+
+
 def test_timeout_cancels_parallel_view_jobs(spark, sf_dir, tmp_path):
     """R5 through the fan-out: jobs submitted from view-maintenance
     worker threads must carry the batch's job group, or the timeout's

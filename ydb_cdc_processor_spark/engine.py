@@ -12,6 +12,7 @@ sink is the keyed merge writer.
 from __future__ import annotations
 
 import contextlib
+import logging
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -24,6 +25,8 @@ from ydb_cdc_processor_spark.operators.last_wins import (
     collapse_last_wins, split_upsert_delete)
 from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 from ydb_cdc_processor_spark.plans.pipeline import ActionMode, CdcPipeline
+
+logger = logging.getLogger(__name__)
 
 ROWS_VIEW = "rows"
 
@@ -602,9 +605,15 @@ class CdcBatchEngine:
                                 thread_name_prefix="view-maint") as ex:
             errs = [f.exception()
                     for f in [ex.submit(run, v) for v in views]]
-        for e in errs:
-            if e is not None:
-                raise e
+        errs = [e for e in errs if e is not None]
+        for e in errs[1:]:
+            # only the first error propagates (it drives the R1 retry);
+            # the rest must not vanish — each failed view re-applies on
+            # the replay, but the operator reading logs should see WHY
+            logger.error("derived-view maintenance failed (will re-apply "
+                         "on replay): %s", e)
+        if errs:
+            raise errs[0]
 
     def _target_exists(self) -> bool:
         # probe the PATH, not the cached object: after an engine restart
