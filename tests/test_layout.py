@@ -63,3 +63,37 @@ def test_unclustered_baseline_spans_everything(spark, sf_dir, tmp_path):
     span = (hi - lo).total_seconds()
     widths = [(b - a).total_seconds() / span for a, b in ranges]
     assert min(widths) > 0.8  # every file spans ~the whole range
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Two decorrelated uniform columns: the single-key range layout
+    prunes files only on its leading column (the other spans every
+    file); the Z-order layout gives SUBSTANTIAL footer-stat pruning on
+    BOTH — each file owns a compact Morton tile of the (x, y) space."""
+    from pyspark.sql import functions as F
+
+    from ydb_cdc_processor_spark.functions.layout import zorder_write
+
+    df = spark.range(200_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("x"),
+        ((F.col("id") * 40_503 + 17) % 100_000).alias("y"),
+        F.col("id").alias("payload"))
+    zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_write(df, zp, ["x", "y"], n_files=64, bits=8)
+    cluster_write(df, rp, ["x"], n_files=64)
+
+    def skippable(path, col, lo, hi):
+        rng = file_ranges(path, col)
+        assert rng
+        return sum(1 for a, b in rng if b < lo or a > hi) / len(rng)
+
+    lo, hi = 45_000, 55_000   # a 10% slice on either dimension
+    assert skippable(rp, "x", lo, hi) > 0.8   # range layout: leading col
+    assert skippable(rp, "y", lo, hi) == 0.0  # ...and NOTHING on y
+    assert skippable(zp, "x", lo, hi) > 0.5   # z-order: both dimensions
+    assert skippable(zp, "y", lo, hi) > 0.5
+
+    # the rewrite is a layout change only — content preserved
+    assert spark.read.parquet(zp).count() == 200_000
+    got = spark.read.parquet(zp).agg(F.sum("payload")).collect()[0][0]
+    assert got == sum(range(200_000))

@@ -5662,6 +5662,40 @@ def q_text_index(spark, sf_dir):
     return ix.topk(q, k=5)
 
 
+@register("q_zorder", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-06-01'
+  AND l_quantity >= 45
+""")
+def q_zorder(spark, sf_dir):
+    """Z-ORDER layout (functions/layout.zorder_write): lineitem is
+    rewritten Morton-interleaved on (l_shipdate, l_quantity), then a
+    TWO-dimensional predicate (a quarter AND a quantity floor) runs
+    over the clustered copy — parquet min/max stats prune files on
+    BOTH dimensions, where q_range_cluster's single-key layout prunes
+    only its leading column (pruning pinned structurally by
+    test_zorder_write_prunes_both_dimensions; result equality with the
+    unclustered table is this oracle)."""
+    from ydb_cdc_processor_spark.functions.layout import zorder_write
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount")
+    path = _scratch_dir("zorder_") + "/li"
+    zorder_write(li, path, ["l_shipdate", "l_quantity"], n_files=16)
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (spark.read.parquet(path)
+            .where((F.col("l_shipdate") >= "1997-03-01")
+                   & (F.col("l_shipdate") < "1997-06-01")
+                   & (F.col("l_quantity") >= 45))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
+                 .cast("double").alias("revenue")))
+
+
 @register("q_text_index_stream")
 def q_text_index_stream(spark, sf_dir):
     """BM25 index maintained from a STREAM (TextIndex.start_stream):
