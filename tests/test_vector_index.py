@@ -288,3 +288,41 @@ def test_reopen_torn_index_restores_layout_params(spark, emb, tmp_path):
     idx2 = VectorIndex(spark, path, n_cells=8)  # default n_buckets=8 != 32
     assert idx2.view.n_buckets == 32
     assert _res(idx2.query(probes, k=3, n_probe=8)) == expected
+
+
+def test_filtered_query_fills_k_from_allow_set(spark, emb, tmp_path):
+    """query(allow=...): the top-k is computed WITHIN the allow-set
+    (filter-then-rank) — every returned id is allowed, ranks are dense
+    1..k, and the result equals ranking the unfiltered candidates after
+    dropping disallowed ones and RE-RANKING (what naive post-filtering
+    gets wrong by truncating below k)."""
+    from pyspark.sql import functions as F
+
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "ix"), n_cells=8)
+    idx.build(emb)
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    allow = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+
+    got = idx.query(probes, k=3, n_probe=8, allow=allow).collect()
+    assert got and all(r.vec_id % 2 == 0 for r in got)
+    per_probe = {}
+    for r in got:
+        per_probe.setdefault(r.probe_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_probe.values())
+
+    # equivalence: unfiltered ranking, drop disallowed, re-rank, cut 3
+    full = idx.query(probes, k=10**6, n_probe=8).collect()
+    expect = {}
+    for r in sorted(full, key=lambda r: (r.probe_id, r.rnk)):
+        if r.vec_id % 2 == 0:
+            lst = expect.setdefault(r.probe_id, [])
+            if len(lst) < 3:
+                lst.append((r.vec_id, r.cos_sim))
+    got_m = {}
+    for r in sorted(got, key=lambda r: (r.probe_id, r.rnk)):
+        got_m.setdefault(r.probe_id, []).append((r.vec_id, r.cos_sim))
+    assert got_m == expect

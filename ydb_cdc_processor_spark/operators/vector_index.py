@@ -250,11 +250,21 @@ class VectorIndex:
 
     def query(self, probes: DataFrame, k: int = 5, n_probe: int = 4,
               probe_id_col: str = "probe_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              allow: DataFrame | None = None) -> DataFrame:
         """Top-``k`` per probe over the probes' ``n_probe`` nearest
         cells: only those cells' store BUCKETS are read (direct-path,
         O(touched) listings), candidates join on cell, and the per-probe
-        window keeps k.  Output: (probe_id, vec_id, cos_sim, rnk)."""
+        window keeps k.  Output: (probe_id, vec_id, cos_sim, rnk).
+
+        ``allow``: optional FILTERED ANN — a one-column ``vec_id``
+        frame of permitted ids (the result of any metadata predicate:
+        language, license, tenant…); candidates are PRE-filtered by a
+        semi-join before scoring/ranking, so the top-k fills with
+        allowed vectors instead of post-filter truncating below k (the
+        classic post-filtering bug).  Filter-then-rank is exact within
+        the probed cells; broadcast when small, shuffle otherwise —
+        Catalyst's call."""
         cent = self._centroids()
         p = probes.select(
             F.col(probe_id_col).alias("probe_id"),
@@ -302,6 +312,9 @@ class VectorIndex:
         lists = self.view.read_touched(touched) \
             .where(F.col("cell").isin(cells))
 
+        if allow is not None:
+            lists = lists.join(allow.select("vec_id").distinct(),
+                               on="vec_id", how="left_semi")
         cand = lists.join(F.broadcast(pc), on="cell") \
                     .where(F.col("vec_id") != F.col("probe_id"))
         sim = F.round(dot(F.col("_v"), F.col("_p"))

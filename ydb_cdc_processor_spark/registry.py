@@ -5662,6 +5662,52 @@ def q_text_index(spark, sf_dir):
     return ix.topk(q, k=5)
 
 
+@register("q_filtered_ann", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
+         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
+ca AS (SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN cent),
+cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
+p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
+pa AS (SELECT probe_id, pemb, cell,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM p CROSS JOIN cent),
+pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
+s AS (SELECT pc.probe_id, cc.vec_id,
+             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
+      FROM cc JOIN pc USING (cell)
+      WHERE cc.vec_id <> pc.probe_id AND cc.vec_id % 2 = 0),
+r AS (SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""")
+def q_filtered_ann(spark, sf_dir):
+    """FILTERED vector search (VectorIndex.query(allow=...)): top-5
+    neighbors restricted to an allow-set (any metadata predicate —
+    here the even ids).  Candidates pre-filter by a semi-join BEFORE
+    scoring, so the top-k fills with permitted vectors instead of
+    post-filter truncating below k (the classic post-filtering bug).
+    Oracle replays the q_vector_index IVF lifecycle with the same
+    predicate inside the candidate set."""
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(spark, _scratch_dir("fann_") + "/idx", n_cells=16)
+    idx.build(emb.where(F.col("vec_id") % 3 != 2))
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    allow = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    return idx.query(probes, k=5, n_probe=4, allow=allow)
+
+
 @register("q_zorder", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
