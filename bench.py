@@ -131,6 +131,16 @@ def main() -> None:
     QUERIES["q_project_retype"](spark, SF_DIR).limit(10).count()
 
     timings: dict[str, float] = {}
+    # The flagship CDC engine section runs FIRST: it is the headline
+    # round-over-round comparison, and running it after ~160
+    # store-building registry entries charged end-of-session JVM
+    # pressure (GC, listener/cleaner backlog) to the engine instead of
+    # to the queries that caused it (measured round 8: cdc_apply
+    # 1.6 s → 3.6 s, cdc_incremental_4b 4.4 s → 11.8 s with NO engine
+    # code change; solo runs match the round-7 numbers).
+    _bench_cdc(spark, timings)
+    gc.collect()
+
     for name in _full_headline():
         timings[name] = _median_of(
             lambda name=name: _force(QUERIES[name](spark, SF_DIR)))
@@ -139,7 +149,10 @@ def main() -> None:
         # Python side lets go, and CPython's cycle collector left to its
         # own schedule lets them pile up across the whole run
         gc.collect()
+    _emit(timings)
 
+
+def _bench_cdc(spark, timings: dict[str, float]) -> None:
     # flagship CDC engine throughput: replay events as a changefeed
     import shutil
 
@@ -204,6 +217,14 @@ def main() -> None:
     eng_b.apply_raw_batch(raw)  # build the bucketed view (untimed)
     timings["cdc_incremental_bucketed_4b"] = _median_of(lambda: incr(eng_b))
 
+    # release the pre-materialized micro-batches' checkpoint blocks so
+    # they don't occupy storage memory through the registry loop that
+    # follows, and drop the fixture/view scratch dirs
+    del raw, batches, eng, eng_b
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _emit(timings: dict[str, float]) -> None:
     total = round(sum(timings.values()), 3)
     sf = 0.1
     base = os.path.basename(SF_DIR.rstrip("/"))

@@ -186,6 +186,54 @@ def test_kmv_distinct_accuracy_and_degeneracy(spark):
         kmv_distinct(small, "v", k=1)
 
 
+def test_hll_grouped_accuracy_per_group(spark):
+    """Per-group estimates within ~3 std errors (se ≈ 1.04/sqrt(m)),
+    duplicates change nothing (max-merge), and the emitted invariants
+    hold: s_scaled accounts for all m registers, v_zero registers never
+    hit."""
+    from ydb_cdc_processor_spark.functions.sketches import hll_grouped
+
+    df = spark.range(30000).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+        # group a: 10000 distinct, group b: 2000 distinct (with dups)
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+         .otherwise(F.col("id") % 2000).cast("string").alias("v"))
+    rows = {r.g: r for r in hll_grouped(df, ["g"], "v", p=8).collect()}
+    se = 3 * 1.04 / (256 ** 0.5)
+    for g, exact in (("a", 10000), ("b", 2000)):
+        r = rows[g]
+        assert r.m == 256 and 0 <= r.v_zero < 256
+        assert abs(r.est_hll - exact) / exact < se
+    # duplicate-insensitive: the sketch of df ∪ df is identical
+    again = {r.g: r for r in
+             hll_grouped(df.union(df), ["g"], "v", p=8).collect()}
+    assert {g: (r.s_scaled, r.est_hll) for g, r in rows.items()} == \
+           {g: (r.s_scaled, r.est_hll) for g, r in again.items()}
+
+
+def test_hll_grouped_merge_and_validation(spark):
+    """Sharding the input and max-merging register sums equals the
+    one-shot sketch (the property that makes the state mergeable across
+    100 TB partials), and p outside [4,12]/non-multiple-of-4 raises."""
+    import pytest as _pytest
+
+    from ydb_cdc_processor_spark.functions.sketches import hll_grouped
+
+    df = spark.range(8000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    whole = hll_grouped(df, ["g"], "v", p=8).collect()[0]
+    # shard by id parity, sketch each shard with a shared group key:
+    # grouping the UNION of the shards is exactly the register max-merge
+    shards = df.where(F.col("v").cast("long") % 2 == 0).union(
+        df.where(F.col("v").cast("long") % 2 == 1))
+    merged = hll_grouped(shards, ["g"], "v", p=8).collect()[0]
+    assert (whole.s_scaled, whole.est_hll) == \
+           (merged.s_scaled, merged.est_hll)
+    for bad in (3, 6, 16, 0):
+        with _pytest.raises(ValueError):
+            hll_grouped(df, ["g"], "v", p=bad)
+
+
 def test_dedup_paragraphs_removes_shared_units(spark):
     from ydb_cdc_processor_spark.operators.curation import dedup_paragraphs
 

@@ -97,3 +97,77 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zp).count() == 200_000
     got = spark.read.parquet(zp).agg(F.sum("payload")).collect()[0][0]
     assert got == sum(range(200_000))
+
+
+def test_shard_assignment_reproducible_permutation(spark):
+    """(shard, seq) is a pure function of (seed, id): recomputing under
+    a different partitioning is bit-identical, seqs are dense 1..n per
+    shard, shards are near-uniform, and a new seed is a genuinely
+    different permutation."""
+    from ydb_cdc_processor_spark.functions.layout import shard_assignment
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.seq) for r in
+         shard_assignment(df, "doc_id", 16, seed=7).collect()}
+    b = {r.doc_id: (r.shard, r.seq) for r in
+         shard_assignment(df.repartition(5), "doc_id", 16, seed=7)
+         .collect()}
+    assert a == b and len(a) == 4000
+    sizes: dict[int, list[int]] = {}
+    for shard, seq in a.values():
+        sizes.setdefault(shard, []).append(seq)
+    assert len(sizes) == 16
+    for seqs in sizes.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))  # dense rank
+        assert abs(len(seqs) - 250) < 100                     # ~uniform
+    c = {r.doc_id: (r.shard, r.seq) for r in
+         shard_assignment(df, "doc_id", 16, seed=8).collect()}
+    assert c != a  # a fresh epoch permutation
+
+
+def test_shuffle_write_layout_matches_assignment(spark, tmp_path):
+    """The materialized shard=k/ layout delivers shard_assignment's
+    order: file row order within each shard directory equals the seq
+    order, the union of shards is the input, and a rewrite is
+    byte-deterministic at the row-sequence level."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ydb_cdc_processor_spark.functions.layout import (
+        shard_assignment, shuffle_write)
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("payload"))
+    path = str(tmp_path / "shards")
+    shuffle_write(df, path, "doc_id", 8, seed=3)
+
+    def read_order(base):
+        out = {}
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard="):
+                continue
+            shard = int(d.split("=", 1)[1])
+            ids = []
+            for f in sorted(os.listdir(os.path.join(base, d))):
+                if f.endswith(".parquet"):
+                    ids.extend(pq.read_table(os.path.join(base, d, f),
+                                             columns=["doc_id"])
+                               .column("doc_id").to_pylist())
+            out[shard] = ids
+        return out
+
+    got = read_order(path)
+    want: dict[int, list[int]] = {}
+    for r in shard_assignment(df, "doc_id", 8, seed=3) \
+            .orderBy("shard", "seq").collect():
+        want.setdefault(r.shard, []).append(r.doc_id)
+    assert got == want
+    assert sorted(x for ids in got.values() for x in ids) == \
+           list(range(2000))
+
+    # deterministic rewrite: same (input, seed) → same sequences
+    path2 = str(tmp_path / "shards2")
+    shuffle_write(df.repartition(7), path2, "doc_id", 8, seed=3)
+    assert read_order(path2) == got

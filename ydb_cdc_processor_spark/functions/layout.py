@@ -154,3 +154,59 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
         .sortWithinPartitions("_z")
         .drop("_z", *tmp_cols)
         .write.mode("overwrite").parquet(path))
+
+
+def shuffle_key(id_col, seed: int = 0):
+    """The deterministic shuffle sort key: ``md5(seed ':' id)``.  A
+    pure function of (seed, id) — re-running the pipeline, on any
+    cluster layout, reproduces the identical global order; bumping the
+    seed is a fresh independent permutation (epoch reshuffle)."""
+    return F.md5(F.concat_ws(":", F.lit(str(int(seed))),
+                             F.col(id_col).cast("string")))
+
+
+def shard_assignment(df: DataFrame, id_col: str, n_shards: int,
+                     seed: int = 0) -> DataFrame:
+    """``df`` + ``(shard INT, seq BIGINT)`` — a REPRODUCIBLE global
+    shuffle for training-data delivery: row ``id`` goes to shard
+    ``hash32(key) mod n_shards`` at position ``seq`` (1-based rank of
+    its :func:`shuffle_key` within the shard, id as tiebreak for
+    duplicate ids).  Same (input, seed) → bit-identical assignment,
+    which is what makes multi-epoch runs resumable and data ablations
+    comparable; and because md5 fractions are uniform, every shard is an
+    unbiased ~1/n sample of the corpus.
+
+    Plan shape: one hash exchange on shard + one in-partition sort for
+    the rank window — each shard ranks inside a single task, so size
+    ``n_shards`` to the delivery unit (shard ≈ one dataloader file,
+    ~100-1000 rows of padding budget at 100 TB means n_shards in the
+    10⁵-10⁶ range, far above any executor count)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.window import Window
+
+    key = shuffle_key(id_col, seed)
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (df.withColumn("_skey", key).withColumn("shard", shard)
+            .withColumn("seq", F.row_number().over(w).cast("long"))
+            .drop("_skey"))
+
+
+def shuffle_write(df: DataFrame, path: str, id_col: str, n_shards: int,
+                  seed: int = 0) -> None:
+    """Materialize the :func:`shard_assignment` order as a
+    ``shard=<k>/`` partitioned parquet layout, rows stored in shuffle
+    order within each shard — a training job streams shard files
+    sequentially and gets the reproducible global permutation with zero
+    read-time shuffling.  One exchange + in-partition sort, linear in
+    |df| regardless of n_shards."""
+    key = shuffle_key(id_col, seed)
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    (df.withColumn("_skey", key).withColumn("shard", shard)
+       .repartition(max(n_shards, 1), "shard")
+       .sortWithinPartitions("shard", "_skey", id_col)
+       .drop("_skey")
+       .write.partitionBy("shard").mode("overwrite").parquet(path))

@@ -13,6 +13,16 @@ KMV (Bar-Yossef et al. 2002, the "distinct elements in a stream"
 bottom-k estimator): hash every distinct value to a uniform [0,1)
 fraction; if the k-th smallest fraction is f, the universe holds about
 ``(k-1)/f`` distinct values (k minima evenly spaced ≈ f/k apart).
+
+HLL (Flajolet et al. 2007): hash each value, route it to one of
+``m = 2^p`` registers by its first ``p`` bits, and keep per register the
+maximum "position of the first 1-bit" (rho) seen in the remaining bits;
+the harmonic mean of ``2^-M_j`` estimates the cardinality.  Unlike KMV
+(one global bottom-k), the register table is a FIXED-SIZE, max-mergeable
+state per GROUP — the per-group distinct-count shape ("distinct n-grams
+per language over 100 TB") where a bottom-k per group would shuffle
+vocabulary-sized data.  It is insert-only (max() cannot retract); the
+exact, retractable counterpart is operators/distinct_view.py.
 """
 
 from __future__ import annotations
@@ -21,6 +31,84 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.functions.sampling import hash_fraction
+
+#: scaled 2^-rho terms: rho ∈ [1,49] → integer 2^(49-rho); exact in
+#: BIGINT for p ≤ 12 (worst case m·2^48 = 2^60 < 2^63).
+_RHO_SCALE_POW = 49
+_RHO_SCALE = 1 << _RHO_SCALE_POW
+
+
+def hll_alpha_num(p: int) -> float:
+    """The HLL estimator's constant numerator ``alpha_m · m² · 2^49``,
+    as ONE Python float so both engines of a correctness harness can
+    divide the identical double by the identical exact-integer register
+    sum (one correctly-rounded IEEE division each — bit-reproducible,
+    unlike re-deriving alpha through ``ln``/``pow`` in each engine)."""
+    m = 1 << p
+    if p >= 7:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif p == 6:
+        alpha = 0.709
+    elif p == 5:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    return alpha * m * m * float(_RHO_SCALE)
+
+
+def hll_grouped(df: DataFrame, group_cols: list[str], col: str,
+                p: int = 8) -> DataFrame:
+    """Per-group HLL distinct-count estimate — one row per group:
+    ``(*group_cols, m INT, v_zero INT, s_scaled BIGINT, est_hll DOUBLE)``.
+
+    ``s_scaled = Σ_j 2^(49 - M_j)`` over all m registers (absent
+    registers contribute ``2^49``) is the sketch's EXACT-integer digest:
+    two engines replaying the same md5 math land on the same BIGINT, and
+    ``est_hll`` is one rounded division of :func:`hll_alpha_num` by it.
+    ``v_zero`` (registers never hit) is emitted so consumers can apply
+    the standard linear-counting small-range correction
+    ``m·ln(m/v_zero)`` themselves — it is NOT folded into ``est_hll``
+    because ``ln`` is not correctly-rounded across libms and would break
+    bit-replayability.
+
+    Plan shape (100 TB): two map-side-combined hash aggregations — the
+    first exchange carries at most ``|groups|·m`` register rows
+    (duplicates of a (group, register, rho) collapse in the partial
+    max), the second ``|groups|`` rows.  No sort, no window, no Python.
+
+    ``p`` must be a multiple of 4 in [4, 12] (register index = first
+    p/4 hex chars of md5; rho from the next 48 bits).
+    """
+    if p % 4 != 0 or not 4 <= p <= 12:
+        raise ValueError("p must be a multiple of 4 in [4, 12]")
+    m = 1 << p
+    hex_j = p // 4
+    h = F.md5(F.col(col).cast("string"))
+    j = F.conv(F.substring(h, 1, hex_j), 16, 10).cast("int")
+    w = F.conv(F.substring(h, hex_j + 1, 12), 16, 10).cast("long")
+    # rho = leading zeros of the 48-bit suffix + 1; w = 0 → all 48 zero
+    rho = (F.when(w == F.lit(0), F.lit(_RHO_SCALE_POW))
+           .otherwise(F.lit(_RHO_SCALE_POW) - F.length(F.bin(w))))
+    regs = (df.select(*group_cols, j.alias("_j"), rho.alias("_rho"))
+            .groupBy(*group_cols, "_j")
+            .agg(F.max("_rho").alias("_M")))
+    num = F.lit(hll_alpha_num(p))
+    return (regs.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_n_regs"),
+                 # shiftleft with a COLUMN shift count: the python
+                 # wrapper only takes a literal numBits, the SQL
+                 # function takes both
+                 F.sum(F.expr(
+                     f"shiftleft(cast(1 as bigint), {_RHO_SCALE_POW} - _M)"))
+                  .alias("_s_present"))
+            .select(*group_cols, F.lit(m).alias("m"),
+                    (F.lit(m) - F.col("_n_regs")).cast("int")
+                    .alias("v_zero"),
+                    (F.col("_s_present")
+                     + (F.lit(m) - F.col("_n_regs")).cast("long")
+                     * F.lit(_RHO_SCALE)).alias("s_scaled"))
+            .withColumn("est_hll",
+                        F.round(num / F.col("s_scaled").cast("double"), 3)))
 
 
 def kmv_distinct(values: DataFrame, col: str, k: int = 256) -> DataFrame:

@@ -5971,6 +5971,103 @@ def q_hybrid_index_search(spark, sf_dir):
     return similarity.rrf_fuse([lex, vec], k=60, topk=10)
 
 
+def _hexn(col: str, n: int) -> str:
+    """DuckDB integer value of an ``n``-char hex column (no conv())."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        f" * {16 ** (n - i)}" for i in range(1, n + 1))
+
+
+def _hll_num_sql() -> str:
+    from ydb_cdc_processor_spark.functions.sketches import hll_alpha_num
+    return repr(hll_alpha_num(8))
+
+
+@register("q_hll_lang", f"""
+WITH nrm AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),
+                                       '\\s+', ' ', 'g'), ' ') AS w
+             FROM documents),
+g AS (SELECT lang, unnest({_SHINGLE3}) AS gram FROM nrm),
+g2 AS (SELECT lang, gram FROM g WHERE gram <> ''),
+hx AS (SELECT lang, substr(md5(gram), 1, 2) AS hj,
+             substr(md5(gram), 3, 12) AS hw
+       FROM g2),
+jr AS (SELECT lang, CAST({_hexn('hj', 2)} AS INTEGER) AS j,
+             CAST({_hexn('hw', 12)} AS BIGINT) AS wv
+       FROM hx),
+rr AS (SELECT lang, j,
+              CASE WHEN wv = 0 THEN 49
+                   ELSE 49 - length(bin(wv)) END AS rho
+       FROM jr),
+regs AS (SELECT lang, j, max(rho) AS M FROM rr GROUP BY lang, j),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(49 - M AS INTEGER))
+                  AS BIGINT) AS s_present
+      FROM regs GROUP BY lang),
+e AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS n_exact
+      FROM g2 GROUP BY lang)
+SELECT a.lang, CAST(256 AS INTEGER) AS m,
+       CAST(256 - a.n_regs AS INTEGER) AS v_zero,
+       CAST(a.s_present + (256 - a.n_regs) * {1 << 49} AS BIGINT)
+         AS s_scaled,
+       round({{num}} / CAST(a.s_present + (256 - a.n_regs) * {1 << 49}
+                            AS DOUBLE), 3) AS est_hll,
+       e.n_exact
+FROM a JOIN e USING (lang)
+""".replace("{num}", _hll_num_sql()))
+def q_hll_lang(spark, sf_dir):
+    """Per-GROUP HyperLogLog distinct sketch (functions/sketches.
+    hll_grouped): distinct 3-grams per language as 256 max-merged md5
+    registers per group — fixed O(m) state per group where the global
+    bottom-k sketch (`q_distinct_kmv`) cannot group at all, and the
+    insert-only approximate complement of the exact retractable
+    DistinctCountView.  Every field — including the register-sum digest
+    `s_scaled` (exact BIGINT) and the estimate (ONE correctly-rounded
+    IEEE division by a shared constant) — is bit-replayable by the
+    oracle; exact counts ride alongside so the ~6.5% (m=256) error is
+    visible in the gated result.  Plan: two map-side-combined hash aggs,
+    exchanges carry ≤ |groups|·m register rows then |groups| rows."""
+    from ydb_cdc_processor_spark.functions.sketches import hll_grouped
+    docs = load_docs(spark, sf_dir)
+    grams = (docs.select("lang", F.explode_outer(
+                 dedup.shingles(F.col("text"), 3)).alias("gram"))
+             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
+    est = hll_grouped(grams, ["lang"], "gram", p=8)
+    exact = grams.groupBy("lang").agg(
+        F.count_distinct("gram").alias("n_exact"))
+    return est.join(exact, "lang")
+
+
+@register("q_shuffle_shards", f"""
+WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+s AS (SELECT doc_id, skey, substr(skey, 1, 8) AS h8 FROM k),
+a AS (SELECT doc_id, skey,
+             CAST(({_HEX8}) % 8 AS INTEGER) AS shard
+      FROM s)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY skey, doc_id) AS BIGINT) AS seq
+FROM a
+""")
+def q_shuffle_shards(spark, sf_dir):
+    """Reproducible global shuffle for training-data delivery
+    (functions/layout.shard_assignment): every row gets a (shard, seq)
+    position that is a pure function of (seed, id) — rerunning the
+    pipeline on any cluster layout reproduces the identical permutation
+    (resumable epochs, comparable ablations), each shard is an unbiased
+    ~1/n md5-uniform sample, and `layout.shuffle_write` materializes
+    the order as shard=k/ parquet so training streams files with zero
+    read-time shuffling.  Plan: one hash exchange on shard + one
+    in-partition rank sort; n_shards sizes the sort unit, so at 100 TB
+    shards are delivery-file-sized (10⁵-10⁶ of them) and no task ever
+    sorts more than one shard."""
+    from ydb_cdc_processor_spark.functions.layout import shard_assignment
+    docs = load_docs(spark, sf_dir).select("doc_id")
+    return shard_assignment(docs, "doc_id", 8, seed=42) \
+        .select("doc_id", "shard", "seq")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
