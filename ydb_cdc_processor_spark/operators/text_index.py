@@ -19,9 +19,12 @@ never leaves a stale length behind), both sides in ONE fused
 touched-bucket pass (``apply_batch``, the SecondaryIndex contract).
 Posting rows are absolute state, so replays are idempotent without a
 fence; the two GLOBAL scalars BM25 needs — corpus size and total token
-count — are ±deltas and ride an
-:class:`~ydb_cdc_processor_spark.operators.agg_view.AggregateView`
-under its batch-token replay fence.
+count — are ±deltas kept in one tiny ATOMIC-JSON state file under a
+batch-token replay fence (the ChecksumView pattern).  They were
+originally a 1-group ``AggregateView``, but a Spark read+union+write
+store job for a single row cost a FIXED ~1.5 s per micro-batch — pure
+job latency, 35% of the whole ingest entry's wall — where the JSON
+swap costs one 1-row collect of the signed delta agg.
 
 Scoring (:meth:`topk`) is bit-replayable cross-engine, same calls as
 ``text.bm25_topk``: rational idf ``(N - df + 0.5)/(df + 0.5)`` (ln is
@@ -47,7 +50,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ydb_cdc_processor_spark.operators.agg_view import AggregateView
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
@@ -73,12 +75,74 @@ class TextIndex:
         self.view = BucketedMaterializedView(
             spark, f"{path}/postings", keys=["term", "doc"],
             bucket_keys=["term"], n_buckets=n_buckets)
-        # (n_docs, sum_dl, sum_nz) — corpus size, total token count, and
-        # the count of non-empty docs (avgdl's denominator, mirroring
-        # the batch scorer whose dl table omits token-less docs)
-        self.stats = AggregateView(
-            spark, f"{path}/stats", [_ALL],
-            {"sum_dl": "dl", "sum_nz": "nz"}, count_col="n_docs")
+
+    # -- corpus-stats state ------------------------------------------------------
+    # (n_docs, sum_dl, sum_nz) — corpus size, total token count, and the
+    # count of non-empty docs (avgdl's denominator, mirroring the batch
+    # scorer whose dl table omits token-less docs) — as one atomic JSON
+    # swapped temp+rename, with the flat-AggregateView fence semantics:
+    # a replay under the last applied token is skipped whole.
+
+    def _stats_path(self) -> str:
+        import os
+        return os.path.join(self.path, "_stats.json")
+
+    def _read_stats(self) -> dict:
+        import json
+        try:
+            with open(self._stats_path()) as fh:
+                s = json.load(fh)
+        except (OSError, ValueError):
+            return {"n_docs": 0, "sum_dl": 0, "sum_nz": 0,
+                    "batch_token": None}
+        return {"n_docs": int(s["n_docs"]), "sum_dl": int(s["sum_dl"]),
+                "sum_nz": int(s["sum_nz"]),
+                "batch_token": s.get("batch_token")}
+
+    def _write_stats(self, st: dict) -> None:
+        import json
+        import os
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._stats_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, self._stats_path())  # atomic on POSIX
+
+    def _apply_stats_delta(self, new_docs: DataFrame | None,
+                           old_docs: DataFrame | None,
+                           batch_token: str | None) -> None:
+        """+stats of upserted docs, −stats of their old images: one
+        signed agg over the batch → a 1-row collect → atomic JSON swap.
+        Crash ordering vs the postings merge: stats apply AFTER, so a
+        crash between leaves postings idempotently re-appliable and the
+        un-bumped token lets the replay land the stats exactly once."""
+        st = self._read_stats()
+        if batch_token is not None and st["batch_token"] == batch_token:
+            logger.info("text index %s: stats token %r already applied;"
+                        " skipping replay", self.path, batch_token)
+            return
+        parts = []
+        if new_docs is not None:
+            parts.append(self._doc_stats(new_docs)
+                         .select(F.lit(1).alias("_sgn"), "dl", "nz"))
+        if old_docs is not None:
+            parts.append(self._doc_stats(old_docs)
+                         .select(F.lit(-1).alias("_sgn"), "dl", "nz"))
+        if not parts:
+            return
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        row = u.agg(
+            F.coalesce(F.sum("_sgn"), F.lit(0)).alias("dn"),
+            F.coalesce(F.sum(F.col("_sgn") * F.col("dl")), F.lit(0))
+             .alias("ddl"),
+            F.coalesce(F.sum(F.col("_sgn") * F.col("nz")), F.lit(0))
+             .alias("dnz")).collect()[0]
+        self._write_stats({"n_docs": st["n_docs"] + int(row["dn"]),
+                           "sum_dl": st["sum_dl"] + int(row["ddl"]),
+                           "sum_nz": st["sum_nz"] + int(row["dnz"]),
+                           "batch_token": batch_token})
 
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list."""
@@ -158,11 +222,10 @@ class TextIndex:
                 stale = probe
         self.view.apply_batch(ups, stale)
         token = None if batch_token is None else f"{batch_token}:tix"
-        self.stats.apply_delta(
-            new_rows=None if new_rows is None else self._doc_stats(new_rows),
-            old_rows=None if old_rows is None or not existed
-            else self._doc_stats(old_rows),
-            batch_token=token)
+        self._apply_stats_delta(
+            new_rows,
+            None if old_rows is None or not existed else old_rows,
+            token)
 
     def start_stream(self, doc_stream: DataFrame, checkpoint_dir: str,
                      available_now: bool = True):
@@ -198,14 +261,8 @@ class TextIndex:
         return self.view.read().select("term", "doc", "tf", "dl")
 
     def _corpus_stats(self) -> tuple[int, int, int]:
-        try:
-            rows = self.stats.read().collect()
-        except FileNotFoundError:   # no batch has ever applied
-            return 0, 0, 0
-        if not rows:
-            return 0, 0, 0
-        r = rows[0]
-        return int(r["n_docs"]), int(r["sum_dl"]), int(r["sum_nz"])
+        st = self._read_stats()    # zeros when no batch ever applied
+        return st["n_docs"], st["sum_dl"], st["sum_nz"]
 
     def topk(self, queries: DataFrame, k: int = 5,
              k1: float = 1.2, b: float = 0.75,
