@@ -129,6 +129,17 @@ class NearDupIndex:
         stored = self.view.read_touched(touched, band.schema) \
             .select(F.col("doc").alias("_idoc"), "band", "bucket",
                     *[F.col(c).alias(f"_i{c}") for c in self.sig_cols])
+        persisted = None
+        if self.salt_threshold is not None:
+            # the skew probe executes `stored` once and the candidate
+            # join executes it again — persist the touched read for the
+            # batch (bounded: the batch vocabulary's buckets; DISK
+            # spill keeps it safe) instead of paying the pruned parquet
+            # scan twice (measured ~0.5 s/batch at sf0.1, 20% of the
+            # whole entry)
+            from pyspark import StorageLevel
+            persisted = stored = stored.persist(
+                StorageLevel.MEMORY_AND_DISK)
         # plain equality (NULL → no agreement), matching ANSI CASE WHEN
         # semantics so the SQL oracle replays the identical estimate
         agree = sum(F.coalesce((F.col(c) == F.col(f"_i{c}")).cast("int"),
@@ -146,7 +157,10 @@ class NearDupIndex:
         # files, which the NEXT apply_batch's rename-promotion deletes —
         # a caller holding the un-forced frame across batches would hit
         # FileNotFound.  Bounded output (candidate pairs of one batch).
-        return pairs.localCheckpoint(eager=True)
+        out = pairs.localCheckpoint(eager=True)
+        if persisted is not None:
+            persisted.unpersist()
+        return out
 
     def _store_join(self, band: DataFrame, stored: DataFrame) -> DataFrame:
         """The batch-vs-store candidate join, skew-guarded: when any
