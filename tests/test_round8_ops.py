@@ -179,3 +179,68 @@ def test_rrf_fuse_semantics(spark):
     assert abs(got[4].rrf_score - round(1 / 62, 6)) < 1e-9
     # doc 3 (1/63) vs doc 4 (1/62): 4 outranks 3
     assert got[4].rank == 3 and got[3].rank == 4
+
+
+def _lpa_reference(pairs, n_iter):
+    """Plain-Python synchronous LPA with the (most-frequent, smallest)
+    tie-break — the reference model label_propagation must match."""
+    from collections import Counter, defaultdict
+    inn = defaultdict(list)
+    nodes = set()
+    for s, d in pairs:
+        inn[d].append(s)
+        nodes.update((s, d))
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in nodes:
+            if not inn[v]:
+                nxt[v] = lab[v]
+                continue
+            cnt = Counter(lab[u] for u in inn[v])
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_reference_model(spark):
+    from ydb_cdc_processor_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge, both directions (undirected)
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    pairs = und + [(b, a) for a, b in und]
+    for it in (1, 2, 3):
+        got = dict(label_propagation(_edges(spark, pairs), n_iter=it)
+                   .collect())
+        assert got == _lpa_reference(pairs, it), f"n_iter={it}"
+    # the first triangle converges to its min label; the bridge lets
+    # label 3 leak into the second triangle (the reference model says
+    # exactly where)
+    final = dict(label_propagation(_edges(spark, pairs), n_iter=3)
+                 .collect())
+    assert final == _lpa_reference(pairs, 3)
+    assert {final[1], final[2], final[3]} == {1}
+
+
+def test_label_propagation_determinism_and_edges(spark):
+    import pytest as _pytest
+
+    from ydb_cdc_processor_spark.operators.graph import label_propagation
+
+    # a node with no in-edges keeps its own label; ties break to the
+    # smallest label (node 4 hears {1, 2} once each -> 1)
+    pairs = [(1, 4), (2, 4), (1, 2)]
+    got = dict(label_propagation(_edges(spark, pairs), n_iter=1)
+               .collect())
+    assert got == _lpa_reference(pairs, 1)
+    assert got[1] == 1 and got[4] == 1
+    # partitioning-independent
+    df = _edges(spark, pairs).repartition(7)
+    assert dict(label_propagation(df, n_iter=1).collect()) == got
+    # n_iter=0 is the identity labeling
+    got0 = dict(label_propagation(_edges(spark, pairs), n_iter=0)
+                .collect())
+    assert got0 == {1: 1, 2: 2, 4: 4}
+    with _pytest.raises(ValueError):
+        label_propagation(_edges(spark, pairs), n_iter=-1)

@@ -163,3 +163,54 @@ def tree_paths(parents: DataFrame, node: str = "node",
                .localCheckpoint(eager=True))
     return ptr.select(F.col("n").alias(node), F.col("anc").alias("root"),
                       F.col("d").cast("long").alias("depth"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", n_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection by neighbor-majority vote: every node starts labeled with
+    itself; each round, a node adopts the label MOST FREQUENT among its
+    in-neighbors (pass both edge directions for the undirected
+    algorithm), ties broken by the smallest label, nodes with no
+    in-edges keeping their label.  The synchronous update + the
+    deterministic tie-break make the run exactly replayable by any SQL
+    engine (every intermediate is an integer count or a string compare
+    — no floats anywhere), unlike the classic randomized-order variant.
+
+    This is the COMMUNITY operator in the graph family: connected
+    components (dedup.duplicate_clusters) answer reachability, PageRank
+    ranks, LPA groups densely-linked neighborhoods — the distinct use
+    is clustering a near-dup or interaction graph into topical blocks.
+
+    Per round: one labels⋈edges equi-join + one map-side-combined
+    (node, label) count + one per-node arg-min aggregate (min over the
+    (-count, label) struct — a hash agg, NOT a window sort).  Labels
+    are localCheckpoint-ed per round (|V| rows) so the unrolled plan
+    never re-executes prior rounds — the same Pregel-state pattern as
+    :func:`pagerank`/:func:`tree_paths`.
+
+    Output: ``(node, community)`` for every node incident to an edge.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .localCheckpoint(eager=True)
+    labels = (e.select(F.col("_s").alias("node"))
+              .unionByName(e.select(F.col("_d").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(n_iter):
+        votes = (labels.join(e, labels.node == e._s)
+                 .groupBy(F.col("_d").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("_cnt")))
+        best = (votes.groupBy("node")
+                .agg(F.min(F.struct((-F.col("_cnt")).alias("nc"),
+                                    F.col("label").alias("lb")))
+                     .alias("_b"))
+                .select("node", F.col("_b.lb").alias("_new")))
+        labels = (labels.select("node", "label")
+                  .join(best, on="node", how="left")
+                  .select("node",
+                          F.coalesce("_new", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("community"))

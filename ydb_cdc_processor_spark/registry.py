@@ -6068,6 +6068,63 @@ def q_shuffle_shards(spark, sf_dir):
         .select("doc_id", "shard", "seq")
 
 
+_LPA_ROUNDS = "".join(f""",
+v{r} AS (SELECT e.d AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         FROM l{r - 1} l JOIN e ON l.node = e.s GROUP BY e.d, l.label),
+b{r} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rk
+           FROM v{r}) t WHERE rk = 1),
+l{r} AS (SELECT l.node, COALESCE(b.label, l.label) AS label
+         FROM l{r - 1} l LEFT JOIN b{r} b ON l.node = b.node)"""
+                      for r in (1, 2, 3))
+
+
+@register("q_communities", f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION
+  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR),
+                  'c' || CAST(o.o_custkey AS VARCHAR)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+l0 AS (SELECT node, node AS label FROM (
+         SELECT DISTINCT node FROM (
+           SELECT s AS node FROM e UNION ALL SELECT d FROM e) t) n)
+{_LPA_ROUNDS}
+SELECT node, label AS community FROM l3
+""")
+def q_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation): 3 neighbor-majority rounds
+    over the undirected customer–supplier trade graph — the same edge
+    derivation as `q_pagerank`, so the graph family (reachability =
+    `q_dedup_clusters`, ranking = `q_pagerank`, triangles =
+    `q_triangle_count`, communities = this) all speak over one graph.
+    Every intermediate is an integer count or a string comparison —
+    bit-replayable with NO float tolerance anywhere; the deterministic
+    (most-frequent, then smallest) tie-break is what makes the
+    classically randomized algorithm gateable."""
+    from ydb_cdc_processor_spark.operators.graph import label_propagation
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                  .alias("c"),
+                  F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                  .alias("s"))
+          .distinct())
+    edges = (cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(
+                 cs.select(F.col("s").alias("src"),
+                           F.col("c").alias("dst"))))
+    return label_propagation(edges, n_iter=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
