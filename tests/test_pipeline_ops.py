@@ -550,3 +550,43 @@ def test_adapted_tpch_shapes_plan_hygiene(spark, sf_dir):
     plan = anti._sc._jvm.PythonSQLUtils.explainString(
         anti._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_pq_recall_and_validation(spark, sf_dir):
+    """Product quantization at m=16/K=64 reaches IVF-level recall on
+    this weakly-structured corpus (exact top-1 cosine ~0.4), the
+    quantized sim stays a valid cosine, output is exactly k per probe
+    and partitioning-independent, and bad parameters raise."""
+    import pytest as _pytest
+
+    from ydb_cdc_processor_spark.operators import similarity
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = similarity.cosine_topk(emb, probes, k=5).collect()
+    pq = similarity.cosine_topk_pq(emb, probes, k=5, m_sub=16,
+                                   n_codes=64, dim=64).collect()
+    ex, qu = {}, {}
+    for r in exact:
+        ex.setdefault(r.probe_id, set()).add(r.vec_id)
+    for r in pq:
+        qu.setdefault(r.probe_id, set()).add(r.vec_id)
+        assert -1.001 <= r.pq_sim <= 1.001
+    assert set(ex) == set(qu)
+    assert all(len(s) == 5 for s in qu.values())
+    overlaps = [len(ex[p] & qu[p]) / 5 for p in ex]
+    assert sum(overlaps) / len(overlaps) >= 0.2   # measured 0.38 sf0.01
+    # deterministic under any partitioning
+    again = similarity.cosine_topk_pq(emb.repartition(7), probes, k=5,
+                                      m_sub=16, n_codes=64,
+                                      dim=64).collect()
+    assert {(r.probe_id, r.vec_id, r.pq_sim, r.rnk) for r in again} == \
+           {(r.probe_id, r.vec_id, r.pq_sim, r.rnk) for r in pq}
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk_pq(emb, probes, dim=None)
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk_pq(emb, probes, m_sub=5, dim=64)
+    with _pytest.raises(ValueError):
+        similarity.cosine_topk_pq(emb, probes, m_sub=4, n_codes=0, dim=64)

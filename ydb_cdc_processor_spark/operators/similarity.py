@@ -450,3 +450,10 @@ def rrf_fuse(rankings: list, k: int = 60, qid_col: str = "qid",
                     F.col("rank").cast("int").alias("rank"),
                     F.round(F.col("_rrf"), 6).alias("rrf_score"),
                     "n_lists"))
+
+
+# Product quantization lives in its own module (Arrow-vectorized encode
+# — see similarity_pq's module docstring for the Catalyst-vs-UDF cost
+# measurement); re-exported here so the ANN family has one namespace.
+from ydb_cdc_processor_spark.operators.similarity_pq import (  # noqa: E402
+    cosine_topk_pq)
