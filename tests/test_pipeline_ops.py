@@ -590,3 +590,31 @@ def test_pq_recall_and_validation(spark, sf_dir):
         similarity.cosine_topk_pq(emb, probes, m_sub=5, dim=64)
     with _pytest.raises(ValueError):
         similarity.cosine_topk_pq(emb, probes, m_sub=4, n_codes=0, dim=64)
+
+
+def test_ivf_pq_composes_parents(spark, sf_dir):
+    """IVF×PQ = PQ scoring restricted to IVF's candidate set: every
+    result pair must carry the same pq_sim the standalone PQ assigns,
+    and every (probe, candidate) pair must lie in one of the probe's
+    IVF cells (prune-only composition — no new arithmetic)."""
+    from ydb_cdc_processor_spark.operators import similarity
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    comp = similarity.cosine_topk_ivf_pq(emb, probes, k=5, n_cells=16,
+                                         n_probe=4, m_sub=16,
+                                         n_codes=64, dim=64).collect()
+    full = similarity.cosine_topk_pq(emb, probes, k=10 ** 9, m_sub=16,
+                                     n_codes=64, dim=64).collect()
+    full_sim = {(r.probe_id, r.vec_id): r.pq_sim for r in full}
+    ivf = similarity.cosine_topk_ivf(emb, probes, k=10 ** 9, n_cells=16,
+                                     n_probe=4).collect()
+    allowed = {(r.probe_id, r.vec_id) for r in ivf}
+    assert comp and all(len({r.vec_id for r in comp
+                             if r.probe_id == p}) == 5
+                        for p in {r.probe_id for r in comp})
+    for r in comp:
+        assert (r.probe_id, r.vec_id) in allowed          # IVF prune
+        assert full_sim[(r.probe_id, r.vec_id)] == r.pq_sim  # PQ score

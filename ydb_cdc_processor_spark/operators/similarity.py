@@ -456,4 +456,4 @@ def rrf_fuse(rankings: list, k: int = 60, qid_col: str = "qid",
 # — see similarity_pq's module docstring for the Catalyst-vs-UDF cost
 # measurement); re-exported here so the ANN family has one namespace.
 from ydb_cdc_processor_spark.operators.similarity_pq import (  # noqa: E402
-    cosine_topk_pq)
+    cosine_topk_ivf_pq, cosine_topk_pq)
