@@ -6264,6 +6264,87 @@ def q_similarity_ivf_pq(spark, sf_dir):
                                          n_codes=64, dim=64)
 
 
+@register("q_pq_recall", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
+bs AS (SELECT probe_id, vec_id,
+              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
+       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
+br AS (SELECT probe_id, vec_id,
+              row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       FROM bs),
+bt AS (SELECT probe_id, vec_id FROM br WHERE rnk <= 5),
+u AS (SELECT vec_id,
+             list_transform(emb,
+                            x -> x / sqrt(list_inner_product(emb, emb)))
+               AS uv
+      FROM e),
+smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
+        FROM u ORDER BY h LIMIT 64),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
+              uv AS cw
+       FROM smp),
+cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
+        FROM cb CROSS JOIN range(0, 16) t(m)),
+ec AS (SELECT vec_id, m, j,
+              round(list_inner_product(
+                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
+       FROM u CROSS JOIN cbm),
+enc AS (SELECT vec_id, m, j FROM (
+          SELECT vec_id, m, j,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY s DESC, j ASC) AS rk
+          FROM ec) t WHERE rk = 1),
+tab AS (SELECT pu.vec_id AS probe_id, cbm.m, cbm.j,
+               round(list_inner_product(
+                   list_slice(pu.uv, cbm.m * 4 + 1, cbm.m * 4 + 4),
+                   cbm.cws), 6) AS t
+        FROM u pu CROSS JOIN cbm WHERE pu.vec_id % 100 = 0),
+ip AS (SELECT t.probe_id, enc.vec_id, SUM(t.t ORDER BY t.m) AS ips
+       FROM enc JOIN tab t ON t.m = enc.m AND t.j = enc.j
+       WHERE enc.vec_id <> t.probe_id
+       GROUP BY t.probe_id, enc.vec_id),
+qr AS (SELECT probe_id, vec_id,
+              row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY round(ips, 6) DESC,
+                                          vec_id ASC) AS rnk
+       FROM ip),
+qt AS (SELECT probe_id, vec_id FROM qr WHERE rnk <= 5)
+SELECT bt.probe_id,
+       CAST(COUNT(qt.vec_id) AS BIGINT) AS n_hits,
+       round(COUNT(qt.vec_id) / 5.0, 6) AS recall_at_5
+FROM bt LEFT JOIN qt ON qt.probe_id = bt.probe_id AND qt.vec_id = bt.vec_id
+GROUP BY bt.probe_id
+ORDER BY bt.probe_id
+""")
+def q_pq_recall(spark, sf_dir):
+    """PQ quality self-measurement — recall@5 of the product-quantized
+    ranking against the exact brute-force top-5, per probe: the number
+    a 100 TB deployment watches when trading code budget (m_sub ×
+    log2(n_codes) bits) against retrieval quality, computed engine-side
+    exactly like `q_ann_recall` does for SRP-LSH.  Both rankings reuse
+    their oracle-replayable pipelines; the recall join is probe-keyed
+    and broadcast-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    brute = similarity.cosine_topk(emb, probes, k=5) \
+        .select("probe_id", "vec_id")
+    pq = (similarity.cosine_topk_pq(emb, probes, k=5, m_sub=16,
+                                    n_codes=64, dim=64)
+          .select(F.col("probe_id").alias("q_probe"),
+                  F.col("vec_id").alias("q_vec")))
+    j = brute.join(F.broadcast(pq),
+                   (F.col("probe_id") == F.col("q_probe"))
+                   & (F.col("vec_id") == F.col("q_vec")), how="left")
+    return (j.groupBy("probe_id")
+            .agg(F.count("q_vec").cast("long").alias("n_hits"),
+                 F.round(F.count("q_vec") / F.lit(5.0), 6)
+                  .alias("recall_at_5"))
+            .orderBy("probe_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
