@@ -53,10 +53,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ydb_cdc_processor_spark.registry import QUERIES
-    return dict(QUERIES)
+    """All registry queries, ordered by ``driver_window_priority()``:
+    never-driver-stamped entries first, then stalest stamps — so the
+    external harness's first-N correctness window always spends its
+    budget on the least-verified queries.  The ordering lives HERE (the
+    one consumer that wants it), not in the registry, whose iteration
+    order stays registration order for bench/tests/tools."""
+    from ydb_cdc_processor_spark.registry import (
+        QUERIES, driver_window_priority)
+    return {n: QUERIES[n] for n in driver_window_priority()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from ydb_cdc_processor_spark.registry import ORACLES
-    return dict(ORACLES)
+    from ydb_cdc_processor_spark.registry import (
+        ORACLES, driver_window_priority)
+    return {n: ORACLES[n] for n in driver_window_priority() if n in ORACLES}

@@ -88,11 +88,16 @@ HEADLINE = [
 
 
 def _full_headline() -> list[str]:
-    """HEADLINE (curated order) + every registry entry not yet listed —
-    the bench can never silently miss a new query again."""
+    """HEADLINE (curated FIXED order) + every registry entry not yet
+    listed, name-sorted — the bench can never silently miss a new query,
+    and execution order is fully deterministic round over round.  A
+    query's share of end-of-session JVM pressure depends on its session
+    position (measured ±50% on tail entries), so order must be a pure
+    function of the query SET — never of registry iteration order or the
+    driver-window stamp history, which change every round."""
     from ydb_cdc_processor_spark.registry import QUERIES
     listed = set(HEADLINE)
-    return HEADLINE + [q for q in QUERIES if q not in listed]
+    return HEADLINE + sorted(q for q in QUERIES if q not in listed)
 
 
 def _force(df) -> None:

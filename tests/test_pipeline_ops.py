@@ -552,6 +552,61 @@ def test_adapted_tpch_shapes_plan_hygiene(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in plan
 
 
+def test_round6_half_away_matches_duckdb_round(spark):
+    """_round6_half_away == DuckDB round() bit-for-bit on adversarial
+    .5e-6 boundary values — THE equivalence the PQ oracles rely on
+    (the Spark side of those queries rounds via this numpy helper; the
+    oracle side rounds via DuckDB).  Spark's own F.round (BigDecimal
+    HALF_UP on the decimal repr) is checked too: it is KNOWN to diverge
+    from both exactly on binary-tie/decimal-non-tie edges (e.g.
+    0.6152704999999999), so the test pins (a) DuckDB equivalence
+    everywhere, (b) F.round equivalence away from that documented edge
+    set — a numpy/Spark/DuckDB upgrade that moves any of the three
+    fails here instead of silently un-hash-matching oracles."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark.operators.similarity_pq import (
+        _round6_half_away)
+
+    # half-boundary .5e-6 ties (exact and off-by-one-ulp), sign
+    # symmetry, and a dense random sweep near boundaries
+    edges = []
+    for mant in (0, 1, 3, 7, 1234567, 999999):
+        base = mant / 1e6 + 0.5e-6
+        edges += [base, -base, np.nextafter(base, 0),
+                  np.nextafter(base, 1), -np.nextafter(base, 0)]
+    rng = np.random.RandomState(42)
+    near = (rng.randint(0, 2_000_000, 500) / 1e6
+            + (rng.randint(-2, 3, 500)) * 1e-7 + 0.5e-6)
+    vals = np.array(edges + list(near) + list(-near), dtype=np.float64)
+
+    got = _round6_half_away(vals)
+
+    con = duckdb.connect()
+    duck = np.array([con.execute(
+        "select round(?::DOUBLE, 6)", [float(v)]).fetchone()[0]
+        for v in vals])
+    bad = np.nonzero(got != duck)[0]
+    assert bad.size == 0, ("DuckDB divergence at "
+                           f"{[(vals[i], got[i], duck[i]) for i in bad[:5]]}")
+
+    sp_rows = (spark.createDataFrame(
+        [(float(v),) for v in vals], "x double")
+        .select(F.round(F.col("x"), 6).alias("r")).collect())
+    sp = np.array([r["r"] for r in sp_rows])
+    # the documented edge set: binary product x*1e6 is an EXACT .5 tie
+    # (numpy/DuckDB round away) while the shortest decimal repr of x is
+    # not a tie (Spark rounds by the repr) — divergence is expected
+    # exactly there and nowhere else
+    prod = np.abs(vals) * 1e6
+    binary_tie = (prod - np.floor(prod)) == 0.5
+    diverged = got != sp
+    assert not np.any(diverged & ~binary_tie), (
+        "F.round diverged OFF the documented binary-tie edge set at "
+        f"{[(vals[i], got[i], sp[i]) for i in np.nonzero(diverged & ~binary_tie)[0][:5]]}")
+
+
 def test_pq_recall_and_validation(spark, sf_dir):
     """Product quantization at m=16/K=64 reaches IVF-level recall on
     this weakly-structured corpus (exact top-1 cosine ~0.4), the

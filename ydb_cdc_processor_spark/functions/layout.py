@@ -219,11 +219,16 @@ def shuffle_write(df: DataFrame, path: str, id_col: str, n_shards: int,
     sequentially and gets the reproducible global permutation with zero
     read-time shuffling.  One exchange + in-partition sort, linear in
     |df| regardless of n_shards."""
+    if n_shards < 1:
+        # same contract as shard_assignment: pmod by 0 yields NULL
+        # shards, which partitionBy would silently write to
+        # __HIVE_DEFAULT_PARTITION__ instead of failing
+        raise ValueError("n_shards must be >= 1")
     key = shuffle_key(id_col, seed)
     shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
                    F.lit(n_shards)).cast("int")
     (df.withColumn("_skey", key).withColumn("shard", shard)
-       .repartition(max(n_shards, 1), "shard")
+       .repartition(n_shards, "shard")
        .sortWithinPartitions("shard", "_skey", id_col)
        .drop("_skey")
        .write.partitionBy("shard").mode("overwrite").parquet(path))

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from ydb_cdc_processor_spark.functions.sampling import hash_fraction
 
 #: scaled 2^-rho terms: rho ∈ [1,49] → integer 2^(49-rho); exact in
-#: BIGINT for p ≤ 12 (worst case m·2^48 = 2^60 < 2^63).
+#: BIGINT for p ≤ 12 (absent registers contribute _RHO_SCALE = 2^49
+#: each, so the worst case is m·2^49 = 2^61 < 2^63).
 _RHO_SCALE_POW = 49
 _RHO_SCALE = 1 << _RHO_SCALE_POW
 

@@ -25,10 +25,18 @@ from ydb_cdc_processor_spark.functions.vector import as_double_array, dot, norm
 
 
 def _round6_half_away(x):
-    """round(x, 6) with HALF-AWAY-FROM-ZERO ties — what Spark's
-    ``F.round`` (BigDecimal HALF_UP) and DuckDB's ``round()`` both do;
-    numpy's own ``np.round`` is banker's (half-even) and would diverge
-    on exact .5e-6 boundaries."""
+    """round(x, 6) with HALF-AWAY-FROM-ZERO ties on the BINARY value —
+    bit-identical to DuckDB's ``round()`` (``std::round(x*1e6)/1e6``),
+    which is the equivalence the PQ oracles rely on.  numpy's own
+    ``np.round`` is banker's (half-even) and would diverge on exact
+    .5e-6 boundaries.  Spark's ``F.round`` (BigDecimal HALF_UP on the
+    shortest DECIMAL representation) agrees except on adversarial
+    edges where the binary product x*1e6 is an exact .5 tie while the
+    decimal repr is not (e.g. 0.6152704999999999 → binary 615270.5
+    rounds up here and in DuckDB, down in Spark) — pinned by
+    test_round6_half_away_matches_duckdb_round; inner products of
+    md5-derived doubles never land there in practice, which is why the
+    F.round calls elsewhere in this module also hash-match."""
     import numpy as np
 
     return np.where(x >= 0,

@@ -89,10 +89,16 @@ class TextIndex:
 
     def _read_stats(self) -> dict:
         import json
+        # ONLY a genuinely-absent file means "no batch ever applied".
+        # A permission error or transient IO failure must propagate:
+        # swallowing it would silently reset n_docs/sum_dl/sum_nz to
+        # zero (corrupting BM25) AND drop the batch_token replay fence.
+        # A torn write can't produce ValueError — _write_stats swaps via
+        # atomic os.replace — so any JSON error is real corruption.
         try:
             with open(self._stats_path()) as fh:
                 s = json.load(fh)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return {"n_docs": 0, "sum_dl": 0, "sum_nz": 0,
                     "batch_token": None}
         return {"n_docs": int(s["n_docs"]), "sum_dl": int(s["sum_dl"]),
