@@ -501,3 +501,47 @@ def test_fact_bootstrap_with_old_images(spark, tmp_path):
                         olds.localCheckpoint(True))
     rows = {r.order_id for r in jv.read().collect()}
     assert rows == {10}
+
+
+def test_large_dim_falls_back_to_shuffle_join(spark, tmp_path):
+    """A dim mirror past dim_broadcast_max_bytes must NOT be force-
+    broadcast into the enrichment join (a 10-100 GB dimension would OOM
+    executors); the plan drops the hint and maintenance results are
+    unchanged.  Threshold forced to 1 byte so the small test dim crosses
+    it — the oracle (recompute_check) stays identical either way."""
+    jv = JoinView(spark, str(tmp_path / "jvL"), fact_pk=["order_id"],
+                  fk_col="o_cust", dim_pk="cust_id",
+                  dim_schema=DIM_SCHEMA, n_buckets=4,
+                  dim_broadcast_max_bytes=1)
+    dim = _dim(spark, [(i, f"c{i}", "t") for i in range(1, 40)])
+    jv.apply_dim_delta(dim, None)
+    assert jv._dim_disk_bytes() > 1
+
+    # the enrichment plan must carry NO broadcast hint on the dim side
+    plan = jv._enrich(_fact(spark, [(10, 1, 100)]))._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan and "BROADCAST" not in plan
+
+    fact = _fact(spark, [(10, 1, 100), (11, 2, 200), (12, 99, 300)])
+    jv.apply_fact_delta(fact, None)
+    got = {r.order_id: r.name for r in jv.read().collect()}
+    assert got == {10: "c1", 11: "c2", 12: None}
+    assert jv.recompute_check(fact, dim)
+
+    # an update batch (old images, moves) exercises the same path
+    f2 = _fact(spark, [(11, 3, 205)])
+    old = (jv.read().select("order_id", "o_cust", "amount")
+           .join(f2.select("order_id"), on="order_id", how="left_semi")
+           .localCheckpoint(eager=True))
+    jv.apply_fact_delta(f2, old)
+    cur = _fact(spark, [(10, 1, 100), (11, 3, 205), (12, 99, 300)])
+    assert jv.recompute_check(cur, dim)
+
+    # below the cap (default ctor) the hint IS applied
+    jv2 = JoinView(spark, str(tmp_path / "jvS"), fact_pk=["order_id"],
+                   fk_col="o_cust", dim_pk="cust_id",
+                   dim_schema=DIM_SCHEMA, n_buckets=4)
+    jv2.apply_dim_delta(dim, None)
+    plan2 = jv2._enrich(_fact(spark, [(10, 1, 100)]))._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in plan2 or "broadcast" in plan2.lower()

@@ -305,3 +305,39 @@ def test_stream_maintains_text_index_across_restart(spark, sf_dir,
     status = se2.run_available(src)
     assert status.ok and status.totals.deleted > 0
     assert ix2.recompute_check(se2.batch_engine.read_view())
+
+
+def test_stopword_guard_drops_hot_terms(spark, tmp_path):
+    """Adversarial stopword-scale corpus: one term in EVERY document.
+    bucket_stats names the hot bucket (occupancy observability), and
+    max_df_ratio prunes the term from scoring — results equal exact
+    BM25 over the query minus the stopword, an all-stopword query
+    returns empty, and the default (None) still scores everything."""
+    rows = [(i, f"the w{i} w{i % 7} extra{i % 3}") for i in range(1, 41)]
+    docs = _docs(spark, rows)
+    ix = _ix(spark, tmp_path)
+    ix.apply_delta(docs, None, batch_token="b0")
+
+    # occupancy: 'the' (df=40) dominates its bucket's postings
+    stats = {r.bucket: r for r in ix.bucket_stats().collect()}
+    assert sum(r.n_postings for r in stats.values()) \
+        == ix.read().count()
+    hot = max(stats.values(), key=lambda r: r.max_term_df)
+    assert hot.max_term_df == 40
+
+    q = spark.createDataFrame(
+        [("q1", "the"), ("q1", "w3"), ("q2", "the")],
+        "qid string, term string")
+    # guard ON: 'the' (df/N = 1.0 > 0.5) is pruned; q1 scores on 'w3'
+    # alone, q2 (all stopwords) vanishes
+    got = ix.topk(q, k=3, max_df_ratio=0.5)
+    exp = ix.topk(spark.createDataFrame([("q1", "w3")],
+                                        "qid string, term string"), k=3)
+    assert _rows(got) == _rows(exp)
+    assert got.where("qid = 'q2'").count() == 0
+
+    # guard OFF (default): 'the' still scores — every doc is a q2 hit
+    assert ix.topk(q, k=3).where("qid = 'q2'").count() == 3
+
+    # a ratio that keeps everything equals the unguarded read
+    assert _rows(ix.topk(q, k=3, max_df_ratio=1.0)) == _rows(ix.topk(q, k=3))

@@ -326,3 +326,129 @@ def test_filtered_query_fills_k_from_allow_set(spark, emb, tmp_path):
     for r in sorted(got, key=lambda r: (r.probe_id, r.rnk)):
         got_m.setdefault(r.probe_id, []).append((r.vec_id, r.cos_sim))
     assert got_m == expect
+
+
+# -- PQ mode (IVFADC as a maintained store) ----------------------------------
+
+def test_pq_index_matches_oneshot_ivfadc(spark, emb, tmp_path):
+    """A PQ index built on the full corpus serves bit-identical results
+    to similarity_pq.cosine_topk_ivf_pq with the same parameters — the
+    maintained store and the one-shot operator share training rules
+    (md5-seeded centroid + codebook picks), encoding, and ADC scoring."""
+    from ydb_cdc_processor_spark.operators import similarity_pq
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    idx = VectorIndex(spark, str(tmp_path / "pq"), n_cells=16,
+                      m_sub=16, n_codes=64)
+    idx.build(emb, dim=64)
+    got = _res(idx.query(probes, k=5, n_probe=4))
+    exp = _res(similarity_pq.cosine_topk_ivf_pq(
+        emb, probes, k=5, n_cells=16, n_probe=4, m_sub=16,
+        n_codes=64, dim=64))
+    assert got == exp and got
+
+
+def test_pq_lifecycle_ingest_query_retrain(spark, emb, tmp_path):
+    """The full IVFADC store lifecycle: build on a subset (trains
+    quantizer AND codebook), ingest the rest through add_batch (encoded
+    against the FROZEN codebook), query, then RETRAIN on the full
+    corpus — after which results equal a full-corpus one-shot build
+    (retrain re-encodes everything inside the atomic swap)."""
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+
+    idx = VectorIndex(spark, str(tmp_path / "pql"), n_cells=8,
+                      m_sub=8, n_codes=32)
+    idx.build(emb.where(F.col("vec_id") % 3 != 2), dim=64)
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    pre = _res(idx.query(probes, k=3, n_probe=3))
+    assert pre
+
+    # batching must not change served results (frozen codebook)
+    two = VectorIndex(spark, str(tmp_path / "pql2"), n_cells=8,
+                      m_sub=8, n_codes=32)
+    two.build(emb.where(F.col("vec_id") % 3 != 2), dim=64)
+    two.add_batch(emb.where((F.col("vec_id") % 3 == 2)
+                            & (F.col("vec_id") % 2 == 0)))
+    two.add_batch(emb.where((F.col("vec_id") % 3 == 2)
+                            & (F.col("vec_id") % 2 == 1)))
+    assert _res(two.query(probes, k=3, n_probe=3)) == pre
+
+    # retrain on the full corpus == one-shot full build
+    idx.build(emb, dim=64)
+    full = VectorIndex(spark, str(tmp_path / "pqf"), n_cells=8,
+                       m_sub=8, n_codes=32)
+    full.build(emb, dim=64)
+    assert _res(idx.query(probes, k=3, n_probe=3)) == \
+        _res(full.query(probes, k=3, n_probe=3))
+
+
+def test_pq_store_holds_codes_not_vectors(spark, emb, tmp_path):
+    """THE point of IVFADC: the inverted lists persist ~m_sub small
+    codes per vector, never dim doubles.  Pins (a) the stored schema
+    (int codes only, no _v/_nv), (b) on-disk bytes vs the flat twin —
+    parquet bit-packs the 6-bit codes, so the PQ lists must come in
+    well under the flat lists (64 doubles/vec)."""
+    import os
+    pq = VectorIndex(spark, str(tmp_path / "c_pq"), n_cells=8,
+                     m_sub=16, n_codes=64, n_buckets=4)
+    pq.build(emb, dim=64)
+    flat = VectorIndex(spark, str(tmp_path / "c_flat"), n_cells=8,
+                       n_buckets=4)
+    flat.build(emb)
+
+    cols = set(pq.view.read().columns)
+    assert "_v" not in cols and "_nv" not in cols
+    assert cols == {"cell", "vec_id"} | {f"_q{m}" for m in range(16)}
+    for f in pq.view.read().schema.fields:
+        if f.name.startswith("_q"):
+            assert f.dataType.simpleString() == "int"
+
+    def disk(view):
+        total = 0
+        for root, _d, files in os.walk(view.path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    b_pq, b_flat = disk(pq.view), disk(flat.view)
+    assert b_pq * 3 < b_flat, (b_pq, b_flat)
+
+
+def test_pq_remove_batch_and_replay(spark, emb, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "rm_pq"), n_cells=8,
+                      m_sub=8, n_codes=32)
+    idx.build(emb, dim=64)
+    victims = emb.where(F.col("vec_id") % 7 == 0)
+    n0 = idx.view.read().count()
+    idx.remove_batch(victims)
+    n1 = idx.view.read().count()
+    assert n1 == n0 - victims.count()
+    idx.remove_batch(victims)  # idempotent
+    assert idx.view.read().count() == n1
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    got = idx.query(probes, k=5, n_probe=8)
+    assert got.where(F.col("vec_id") % 7 == 0).count() == 0
+
+
+def test_pq_mode_validation_and_meta(spark, emb, tmp_path):
+    """dim is required (and must divide by m_sub) in PQ mode; querying
+    or ingesting against a store whose codebook was never built fails
+    loudly; a FLAT store reopened with PQ ctor args stays flat (layout
+    metadata wins, the n_cells/seed rule)."""
+    idx = VectorIndex(spark, str(tmp_path / "v"), m_sub=16, n_codes=64)
+    with pytest.raises(ValueError, match="dim"):
+        idx.build(emb)
+    with pytest.raises(ValueError, match="divisible"):
+        idx.build(emb, dim=63)
+    with pytest.raises(ValueError, match="codebook"):
+        idx.add_batch(emb)   # never built: no codebook, no centroids
+
+    flat = VectorIndex(spark, str(tmp_path / "f"), n_cells=8)
+    flat.build(emb)
+    reopened = VectorIndex(spark, str(tmp_path / "f"), m_sub=16)
+    assert reopened.m_sub is None   # layout wins over the constructor
+    probes = emb.limit(3).select(F.col("vec_id").alias("probe_id"),
+                                 "embedding")
+    assert "cos_sim" in reopened.query(probes, k=2).columns

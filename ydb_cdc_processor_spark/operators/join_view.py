@@ -72,7 +72,8 @@ class JoinView:
 
     def __init__(self, spark: SparkSession, path: str,
                  fact_pk: list[str], fk_col: str,
-                 dim_pk: str, dim_schema, n_buckets: int = 16):
+                 dim_pk: str, dim_schema, n_buckets: int = 16,
+                 dim_broadcast_max_bytes: int = 64 << 20):
         if fk_col in fact_pk:
             raise ValueError("fk_col must not be part of fact_pk")
         dim_names = [f.name for f in dim_schema.fields]
@@ -95,6 +96,14 @@ class JoinView:
             bucket_keys=[FKB], n_buckets=n_buckets)
         self.dim_mirror = ParquetMaterializedView(
             spark, path + "/dim", [dim_pk], schema=dim_schema)
+        # fact-batch enrichment broadcasts the dim mirror only while its
+        # on-disk size stays under this cap; past it, a 10-100 GB
+        # dimension would OOM every executor's broadcast copy, so the
+        # enrichment falls back to a shuffle join (Catalyst's pick) —
+        # the fact batch is the small side there, and the view's
+        # fk-bucketed layout keeps the dim-refresh path O(touched
+        # buckets) either way
+        self.dim_broadcast_max_bytes = dim_broadcast_max_bytes
 
     def _fkb(self) -> F.Column:
         return null_safe_key(self.fk_col, FKB)
@@ -131,11 +140,32 @@ class JoinView:
         return self.dim_mirror.read().select(
             F.col(self.dim_pk).alias(self.fk_col), *self.dim_cols)
 
+    def _dim_disk_bytes(self) -> int:
+        """On-disk parquet bytes of the dim mirror — a free (no Spark
+        job) proxy for its broadcast cost.  Parquet compresses, so the
+        in-memory relation is larger; the default 64 MB cap leaves
+        headroom against executor broadcast memory either way."""
+        total = 0
+        for root, _dirs, files in os.walk(self.dim_mirror.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
     def _enrich(self, fact_rows: DataFrame) -> DataFrame:
-        """fact rows LEFT JOIN the current dim mirror — the dim side is
-        dimension-sized, so broadcast it."""
-        return fact_rows.join(F.broadcast(self._dim_lookup()),
-                              on=self.fk_col, how="left")
+        """fact rows LEFT JOIN the current dim mirror.  Enrichment-sized
+        dims broadcast; a dim mirror past ``dim_broadcast_max_bytes`` on
+        disk joins WITHOUT the hint — forcing the broadcast of a huge
+        dimension would OOM executors at scale, and Catalyst/AQE pick a
+        shuffle join with the (small) fact batch instead (pinned by
+        test_large_dim_falls_back_to_shuffle_join)."""
+        lookup = self._dim_lookup()
+        if self._dim_disk_bytes() <= self.dim_broadcast_max_bytes:
+            lookup = F.broadcast(lookup)
+        return fact_rows.join(lookup, on=self.fk_col, how="left")
 
     # -- fact side -----------------------------------------------------------
 

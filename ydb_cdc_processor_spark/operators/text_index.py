@@ -259,6 +259,29 @@ class TextIndex:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    # -- observability -----------------------------------------------------------
+
+    def bucket_stats(self) -> DataFrame:
+        """Per-bucket occupancy of the postings store — bounded output
+        (≤ ``n_buckets`` rows), the hot-term / rebucket signal
+        (VectorIndex.cell_stats' pattern).  A stopword-scale term
+        concentrates postings in ITS bucket: ``max_term_df`` names the
+        worst term's document frequency per bucket, and a bucket whose
+        ``n_postings`` is a large multiple of the others means every
+        micro-batch touching that term rewrites a store-sized file —
+        the signal to raise ``n_buckets`` (``maintain``'s sawtooth) and
+        to serve queries with ``max_df_ratio`` so the term's postings
+        stop being scored.  (Query-time parallelism itself does not
+        collapse on a hot bucket: parquet splits its files across
+        tasks.)"""
+        per_term = (self.view.read().groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df")))
+        return (per_term.withColumn("bucket", self.view.bucket_expr())
+                .groupBy("bucket")
+                .agg(F.sum("df").alias("n_postings"),
+                     F.count(F.lit(1)).alias("n_terms"),
+                     F.max("df").alias("max_term_df")))
+
     # -- serving ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
@@ -272,12 +295,24 @@ class TextIndex:
 
     def topk(self, queries: DataFrame, k: int = 5,
              k1: float = 1.2, b: float = 0.75,
-             qid_col: str = "qid", qterm_col: str = "term") -> DataFrame:
+             qid_col: str = "qid", qterm_col: str = "term",
+             max_df_ratio: float | None = None) -> DataFrame:
         """BM25 top-``k`` docs per query — ``(qid, doc_id, rank, score)``
         with the exact schema/semantics of ``text.bm25_topk`` over the
         index's current corpus state.  Reads ONLY the probed terms'
         buckets: postings, tf, dl, and df all come from the touched
-        read; n_docs/avgdl from the one-row stats rollup."""
+        read; n_docs/avgdl from the one-row stats rollup.
+
+        ``max_df_ratio``: the hot-term guard — query terms whose
+        document frequency exceeds ``ratio·n_docs`` are DROPPED from
+        scoring (classic stopword pruning: their BM25 idf
+        ``(N-df+.5)/(df+.5)`` is near zero while their posting list is
+        corpus-sized, so they cost almost everything and contribute
+        almost nothing).  Scores then equal exact BM25 over the query
+        MINUS the pruned terms; a query that is ALL stopwords returns
+        empty.  df is exact from the touched read (a term's postings
+        live entirely in its bucket), so the cut is deterministic —
+        pinned by test_stopword_guard_drops_hot_terms."""
         qterms = (queries.select(F.col(qid_col).alias("qid"),
                                  F.col(qterm_col).alias("term"))
                   .distinct().localCheckpoint(eager=True))
@@ -302,6 +337,13 @@ class TextIndex:
         # df is exact from the touched read: a term's postings live
         # entirely in its own bucket
         dft = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if max_df_ratio is not None:
+            dft = dft.where(F.col("df") <= F.lit(max_df_ratio * n_docs))
+            # prune the hot terms' postings BEFORE the scoring joins —
+            # the inner dft join below would drop them anyway, but the
+            # explicit semi-join keeps the big frame small up front
+            post = post.join(F.broadcast(dft.select("term")),
+                             on="term", how="left_semi")
         avgdl = F.lit(float(sum_dl)) / F.lit(float(sum_nz))
         idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) \
             / (F.col("df") + F.lit(0.5))

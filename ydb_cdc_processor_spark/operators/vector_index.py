@@ -44,15 +44,39 @@ from ydb_cdc_processor_spark.operators.bucketed_view import (
 
 
 class VectorIndex:
-    """IVF-flat index persisted as centroids parquet + bucketed lists."""
+    """IVF index persisted as centroids parquet + bucketed lists.
+
+    Two storage modes, chosen at construction and frozen into the
+    layout metadata:
+
+    - **flat** (default, ``m_sub=None``): lists hold the full vector
+      ``(cell, vec_id, _v, _nv)`` and :meth:`query` scores exact cosine
+      within the probed cells — IVF-flat.
+    - **PQ** (``m_sub=m, n_codes=K``): lists hold ``m`` small integer
+      codes ``(cell, vec_id, _q0.._q{m-1})`` instead of ``dim``
+      doubles — the IVFADC layout (Jégou et al. 2011 §IV: codes live
+      in the inverted lists AT INGEST; queries score by asymmetric
+      distance against per-probe lookup tables, never touching a full
+      vector).  At m=16/K=64 that is ~96 bits of payload per vector vs
+      64 doubles (~42×) — the difference between a 100 TB embedding
+      store's index fitting in cluster memory or not.  The PQ codebook
+      (``K`` unit vectors, ≤ a few MB) trains on the BUILD corpus with
+      the same md5-seeded pick as ``similarity_pq`` and is FROZEN like
+      the coarse quantizer; retrain = :meth:`build` again (full
+      crash-safe replace, re-encodes everything).
+    """
 
     def __init__(self, spark: SparkSession, path: str,
                  n_cells: int = 16, seed: int = 42,
-                 n_buckets: int = 8):
+                 n_buckets: int = 8,
+                 m_sub: int | None = None, n_codes: int = 64):
         self.spark = spark
         self.path = path
         self.n_cells = n_cells
         self.seed = seed
+        self.m_sub = m_sub
+        self.n_codes = n_codes
+        self.dim: int | None = None   # set by build() in PQ mode
         # test seam: called by build() after the new index is fully
         # staged but before the atomic swap (retrain-while-serving test)
         self._pre_swap_hook = None
@@ -72,6 +96,12 @@ class VectorIndex:
         if stored:
             self.n_cells = int(stored.get("n_cells", n_cells))
             self.seed = int(stored.get("seed", seed))
+            if stored.get("m_sub") is not None:
+                self.m_sub = int(stored["m_sub"])
+                self.n_codes = int(stored["n_codes"])
+                self.dim = int(stored["dim"])
+            elif "m_sub" in stored:
+                self.m_sub = None
 
     # -- centroids + metadata (INSIDE the lists dir — underscore-prefixed,
     #    invisible to the parquet scan, and atomic with the lists swap) ------
@@ -92,6 +122,44 @@ class VectorIndex:
 
     def _centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.cent_path)
+
+    # -- PQ codebook (LAYOUT metadata, same contract as the centroids) -------
+
+    @property
+    def pq_enabled(self) -> bool:
+        return self.m_sub is not None
+
+    def _codebook(self):
+        """The m_sub per-subspace codeword matrices, decoded from the
+        index metadata (driver-side constant — K·dim doubles, ≤ a few
+        MB at any realistic K; the same bounded-metadata contract the
+        centroid sample carries)."""
+        import numpy as np
+        cb = self._read_index_meta().get("codebook")
+        if cb is None:
+            raise ValueError(
+                f"index at {self.path} has no PQ codebook — build() a "
+                "PQ-mode index before ingesting or querying")
+        return [np.array(sub, dtype=np.float64) for sub in cb]
+
+    def _unit_of(self, assigned: DataFrame) -> DataFrame:
+        """``_u`` = L2-normalized ``_v`` (norm already stored) — PQ
+        codes/tables are inner products over unit vectors so the ADC
+        score approximates cosine, exactly similarity_pq's convention."""
+        return assigned.withColumn(
+            "_u", F.transform(F.col("_v"), lambda x: x / F.col("_nv")))
+
+    def _encode(self, assigned: DataFrame, C) -> DataFrame:
+        """(cell, vec_id, _q0.._q{m-1}) codes for cell-assigned rows —
+        one numpy matmul per subspace per Arrow batch (the measured
+        Pandas-UDF exception; see similarity_pq module docstring)."""
+        from ydb_cdc_processor_spark.operators.similarity_pq import (
+            _pq_encode)
+        types = dict(assigned.dtypes)
+        rows = self._unit_of(assigned).select("vec_id", "cell", "_u")
+        return _pq_encode(rows, C, "vec_id", types["vec_id"],
+                          self.m_sub, self.dim // self.m_sub,
+                          keep=[("cell", types["cell"])])
 
     def _assign(self, df: DataFrame, cent: DataFrame, out_id: str,
                 out_vec: str, out_norm: str, rank_limit: int) -> DataFrame:
@@ -134,8 +202,22 @@ class VectorIndex:
         centroids serve old lists).  Serving continues during a retrain:
         a concurrent :meth:`query` sees the complete old index until the
         swap and the complete new one after, never a mix (pinned by
-        test_vector_index_query_during_retrain via _pre_swap_hook)."""
+        test_vector_index_query_during_retrain via _pre_swap_hook).
+
+        PQ mode additionally trains the codebook here (md5-seeded
+        ``n_codes``-sample of the build corpus's UNIT vectors — the
+        similarity_pq pick) and stores CODES in the lists instead of
+        vectors; a retrain re-encodes everything against the fresh
+        codebook inside the same atomic swap, so codes and codebook can
+        never mix generations.  ``dim`` is required in PQ mode (and
+        must be divisible by ``m_sub``)."""
         import uuid
+
+        if self.pq_enabled:
+            from ydb_cdc_processor_spark.operators.similarity_pq import (
+                _check_params)
+            _check_params(dim, self.m_sub, self.n_codes)
+            self.dim = dim
 
         cent = (ensure_min_partitions(corpus)
                 .withColumn("_h", F.md5(F.concat_ws(
@@ -166,17 +248,34 @@ class VectorIndex:
             self._prep(corpus, id_col, vec_col),
             self.spark.read.parquet(os.path.join(tmp, "_centroids")),
             "vec_id", "_v", "_nv", 1)
-        tmp_view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
-                       action="upsertInto")
+        meta = {"n_cells": self.n_cells, "seed": self.seed,
+                "m_sub": self.m_sub}
+        if self.pq_enabled:
+            from ydb_cdc_processor_spark.operators.similarity_pq import (
+                _train_codebook)
+            C = _train_codebook(
+                self._unit_of(self._prep(corpus, id_col, vec_col))
+                    .select("vec_id", "_u"),
+                "vec_id", self.n_codes, self.seed, self.m_sub,
+                dim // self.m_sub)
+            meta.update({"n_codes": self.n_codes, "dim": self.dim,
+                         "codebook": [sub.tolist() for sub in C]})
+            store_rows = self._encode(rows, C)
+            cols = ["cell", "vec_id"] + [f"_q{m}"
+                                         for m in range(self.m_sub)]
+        else:
+            store_rows = rows
+            cols = ["cell", "vec_id", "_v", "_nv"]
+        tmp_view.apply(store_rows.select(*cols), action="upsertInto")
         # vec_id's type is LAYOUT metadata too: an empty-store query
         # must type its empty result from what the lists WOULD hold,
         # not from whatever the probes happen to carry
         from pyspark.sql import types as T
         vid_schema = T.StructType(
             [T.StructField("vec_id", rows.schema["vec_id"].dataType)])
+        meta["vec_id_schema"] = vid_schema.jsonValue()
         with open(os.path.join(tmp, "_index.json"), "w") as fh:
-            json.dump({"n_cells": self.n_cells, "seed": self.seed,
-                       "vec_id_schema": vid_schema.jsonValue()}, fh)
+            json.dump(meta, fh)
         if self._pre_swap_hook is not None:
             # test seam: everything is staged, nothing swapped — a
             # concurrent reader must still see the complete OLD index
@@ -188,11 +287,23 @@ class VectorIndex:
         """Ingest new vectors against the FROZEN quantizer: one
         broadcast-assign pass + an idempotent upsert touching only the
         batch's cells (replay-safe: same (cell, vec_id) rows merge to
-        the same state)."""
+        the same state).  PQ mode encodes the batch against the FROZEN
+        codebook here — codes enter the inverted lists at ingest, so
+        queries never see a raw vector (Jégou 2011 §IV)."""
+        # codebook first: on a never-built PQ store this raises the
+        # actionable "build() first" error before the centroid read
+        # surfaces as a missing-path AnalysisException
+        C = self._codebook() if self.pq_enabled else None
         rows = self._assign(self._prep(vectors, id_col, vec_col),
                             self._centroids(), "vec_id", "_v", "_nv", 1)
-        self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
-                        action="upsertInto")
+        if self.pq_enabled:
+            enc = self._encode(rows, C)
+            cols = ["cell", "vec_id"] + [f"_q{m}"
+                                         for m in range(self.m_sub)]
+            self.view.apply(enc.select(*cols), action="upsertInto")
+        else:
+            self.view.apply(rows.select("cell", "vec_id", "_v", "_nv"),
+                            action="upsertInto")
 
     def remove_batch(self, vectors: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> None:
@@ -264,7 +375,15 @@ class VectorIndex:
         allowed vectors instead of post-filter truncating below k (the
         classic post-filtering bug).  Filter-then-rank is exact within
         the probed cells; broadcast when small, shuffle otherwise —
-        Catalyst's call."""
+        Catalyst's call.
+
+        PQ mode serves the SAME probe/cell/bucket path but scores by
+        asymmetric distance: each probe carries ``m_sub`` lookup tables
+        (one Arrow pass over the probe frame), and a candidate costs
+        ``m_sub`` codegen'd ``element_at`` lookups + adds against its
+        stored codes — no vector is ever read.  Output then is
+        ``(probe_id, vec_id, pq_sim, rnk)``, matching
+        ``similarity_pq.cosine_topk_ivf_pq``."""
         cent = self._centroids()
         p = probes.select(
             F.col(probe_id_col).alias("probe_id"),
@@ -304,10 +423,11 @@ class VectorIndex:
             stored = self._read_index_meta().get("vec_id_schema")
             if stored:
                 vid_t = T.StructType.fromJson(stored)["vec_id"].dataType
+            sim_name = "pq_sim" if self.pq_enabled else "cos_sim"
             return self.spark.createDataFrame([], T.StructType([
                 T.StructField("probe_id", pid_t),
                 T.StructField("vec_id", vid_t),
-                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField(sim_name, T.DoubleType()),
                 T.StructField("rnk", T.IntegerType())]))
         lists = self.view.read_touched(touched) \
             .where(F.col("cell").isin(cells))
@@ -315,6 +435,25 @@ class VectorIndex:
         if allow is not None:
             lists = lists.join(allow.select("vec_id").distinct(),
                                on="vec_id", how="left_semi")
+
+        if self.pq_enabled:
+            from ydb_cdc_processor_spark.operators.similarity_pq import (
+                _adc_topk, _pq_tables)
+            pu = pc.select(
+                "probe_id", "cell",
+                F.transform(F.col("_p"),
+                            lambda x: x / F.col("_np")).alias("_u"))
+            tabs = _pq_tables(
+                pu.select("probe_id", "_u").dropDuplicates(["probe_id"]),
+                self._codebook(), "probe_id",
+                dict(pc.dtypes)["probe_id"], self.m_sub,
+                self.dim // self.m_sub)
+            pq_probes = pu.select("probe_id", "cell") \
+                          .join(tabs, on="probe_id")
+            cand = lists.join(F.broadcast(pq_probes), on="cell") \
+                        .where(F.col("vec_id") != F.col("probe_id"))
+            return _adc_topk(cand, self.m_sub, k)
+
         cand = lists.join(F.broadcast(pc), on="cell") \
                     .where(F.col("vec_id") != F.col("probe_id"))
         sim = F.round(dot(F.col("_v"), F.col("_p"))

@@ -4189,6 +4189,90 @@ def q_vector_index_stream(spark, sf_dir):
     return idx.query(probes, k=5, n_probe=4)
 
 
+@register("q_vector_index_pq", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(emb,
+                            x -> x / sqrt(list_inner_product(emb, emb)))
+               AS uv
+      FROM e),
+cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
+         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
+ca AS (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM e CROSS JOIN cent),
+cc AS (SELECT vec_id, cell FROM ca WHERE cr = 1),
+p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
+pa AS (SELECT probe_id, cell,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
+                         cell ASC) AS cr
+       FROM p CROSS JOIN cent),
+pc AS (SELECT probe_id, cell FROM pa WHERE cr <= 4),
+smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
+        FROM u WHERE vec_id % 3 <> 2 ORDER BY h LIMIT 64),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
+              uv AS cw
+       FROM smp),
+cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
+        FROM cb CROSS JOIN range(0, 16) t(m)),
+ec AS (SELECT vec_id, m, j,
+              round(list_inner_product(
+                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
+       FROM u CROSS JOIN cbm),
+enc AS (SELECT vec_id, m, j FROM (
+          SELECT vec_id, m, j,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY s DESC, j ASC) AS rk
+          FROM ec) t WHERE rk = 1),
+tab AS (SELECT pu.vec_id AS probe_id, cbm.m, cbm.j,
+               round(list_inner_product(
+                   list_slice(pu.uv, cbm.m * 4 + 1, cbm.m * 4 + 4),
+                   cbm.cws), 6) AS t
+        FROM u pu CROSS JOIN cbm WHERE pu.vec_id % 100 = 0),
+pairs AS (SELECT pc.probe_id, cc.vec_id
+          FROM cc JOIN pc USING (cell)
+          WHERE cc.vec_id <> pc.probe_id),
+ip AS (SELECT pr.probe_id, pr.vec_id, SUM(t.t ORDER BY t.m) AS ips
+       FROM pairs pr
+       JOIN enc ON enc.vec_id = pr.vec_id
+       JOIN tab t ON t.probe_id = pr.probe_id
+               AND t.m = enc.m AND t.j = enc.j
+       GROUP BY pr.probe_id, pr.vec_id),
+r AS (SELECT probe_id, vec_id, round(ips, 6) AS pq_sim FROM ip)
+SELECT probe_id, vec_id, pq_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT probe_id, vec_id, pq_sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY pq_sim DESC, vec_id ASC) AS rnk
+  FROM r) t
+WHERE rnk <= 5
+""")
+def q_vector_index_pq(spark, sf_dir):
+    """IVFADC as a MAINTAINED store (VectorIndex(m_sub=..., n_codes=...)
+    — the 100 TB serving shape of Jégou et al. 2011 §IV): the coarse
+    quantizer AND the PQ codebook train on two-thirds of the corpus,
+    the remaining third ingests through add_batch ENCODED against the
+    frozen codebook (codes live in the inverted lists at ingest — the
+    store never holds a raw vector, ~96 bits/vec instead of 64
+    doubles), and the query reads only the probed cells' buckets,
+    scoring candidates by ADC table lookups.  Unlike
+    q_similarity_ivf_pq (per-call re-train + re-encode of everything),
+    the per-batch cost here is O(|batch|) and query cost is
+    O(probed-cell occupancy) — the oracle replays the whole lifecycle
+    with subset-trained centroids + codebook but full-corpus codes."""
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(spark, _scratch_dir("vecidxpq_") + "/idx",
+                      n_cells=16, m_sub=16, n_codes=64)
+    idx.build(emb.where(F.col("vec_id") % 3 != 2), dim=64)
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return idx.query(probes, k=5, n_probe=4)
+
+
 @register("q_media_scenes", f"""
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
