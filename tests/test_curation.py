@@ -262,3 +262,39 @@ def test_dedup_paragraphs_removes_shared_units(spark):
     r = dedup_paragraphs(long, unit_words=8).collect()[0]
     assert r.text_dedup == " ".join(f"w{i}" for i in range(20))
     assert r.n_units == 3 and r.n_kept == 3
+
+
+def test_cms_top_terms_overestimates_and_finds_heavy_hitters(spark):
+    """CMS semantics: est >= true for EVERY value (collisions only add);
+    on a skewed corpus the true heavy hitters lead the estimate ranking;
+    a universe far below the sketch width is counted exactly; bad
+    params raise."""
+    import pytest as _pytest
+    from pyspark.sql import Row, functions as F
+    from ydb_cdc_processor_spark.functions.sketches import cms_top_terms
+
+    # skewed: value 'hot' 500x, 'warm' 100x, 60 singletons
+    rows = [Row(v="hot")] * 500 + [Row(v="warm")] * 100 + \
+        [Row(v=f"cold{i}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    got = {r.term: (r.est_count, r.rnk)
+           for r in cms_top_terms(df, "v", depth=4, width_hex=2,
+                                  k=1000).collect()}
+    true = {r.v: r.c for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for term, cnt in true.items():
+        assert got[term][0] >= cnt, (term, got[term], cnt)
+    assert got["hot"][1] == 1 and got["warm"][1] == 2
+
+    # tiny universe, wide sketch: depth-4 collision in 256 buckets is
+    # vanishingly unlikely for 3 values — counts exact
+    small = spark.createDataFrame(
+        [Row(v="a")] * 7 + [Row(v="b")] * 3 + [Row(v="c")])
+    ex = {r.term: r.est_count
+          for r in cms_top_terms(small, "v", k=10).collect()}
+    assert ex == {"a": 7, "b": 3, "c": 1}
+
+    with _pytest.raises(ValueError, match="depth"):
+        cms_top_terms(small, "v", depth=0)
+    with _pytest.raises(ValueError, match="width_hex"):
+        cms_top_terms(small, "v", width_hex=0)

@@ -1,0 +1,86 @@
+"""HllView — incrementally-maintained per-group HLL registers: any
+insert-only ingest history equals the one-shot sketch; replays converge
+without a fence; deletes are refused."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.functions.sketches import hll_grouped
+from ydb_cdc_processor_spark.operators.hll_view import HllView
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(lo, hi)],
+        "grp string, val string")
+
+
+def _est(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    hv = HllView(spark, str(tmp_path / "h"), ["grp"], "val", p=8)
+    full = _rows(spark, 0, 900)
+    for lo, hi in ((0, 300), (300, 600), (600, 900)):
+        hv.apply_delta(_rows(spark, lo, hi))
+    assert hv.recompute_check(full)
+    assert _est(hv.read()) == _est(hll_grouped(full, ["grp"], "val", p=8))
+
+
+def test_hll_view_replay_and_any_batching(spark, tmp_path):
+    """Max-merge is idempotent + commutative: replaying a batch, and
+    ingesting the same rows under a different batching, both land on
+    the identical register table."""
+    a = HllView(spark, str(tmp_path / "a"), ["grp"], "val", p=8)
+    b1, b2 = _rows(spark, 0, 500), _rows(spark, 400, 900)  # overlapping
+    a.apply_delta(b1)
+    a.apply_delta(b2)
+    a.apply_delta(b2)          # replay
+    a.apply_delta(b1)          # out-of-order replay
+    b = HllView(spark, str(tmp_path / "b"), ["grp"], "val", p=8)
+    b.apply_delta(_rows(spark, 0, 900))   # one shot (union of the two)
+    assert _est(a.registers()) == _est(b.registers())
+
+
+def test_delete_bearing_batch_refused(spark, tmp_path):
+    hv = HllView(spark, str(tmp_path / "d"), ["grp"], "val")
+    hv.apply_delta(_rows(spark, 0, 100))
+    with pytest.raises(ValueError, match="cannot retract"):
+        hv.apply_delta(_rows(spark, 0, 10), _rows(spark, 0, 10))
+    # bootstrap old images (store didn't exist yet) are tolerated
+    hv2 = HllView(spark, str(tmp_path / "d2"), ["grp"], "val")
+    hv2.apply_delta(_rows(spark, 0, 50), _rows(spark, 0, 5))
+    assert hv2.registers().count() > 0
+
+
+def test_p_is_layout_metadata(spark, tmp_path):
+    hv = HllView(spark, str(tmp_path / "p"), ["grp"], "val", p=12)
+    hv.apply_delta(_rows(spark, 0, 200))
+    reopened = HllView(spark, str(tmp_path / "p"), ["grp"], "val", p=4)
+    assert reopened.p == 12   # layout wins over the constructor
+    assert reopened.recompute_check(_rows(spark, 0, 200))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        HllView(spark, str(tmp_path / "bad"), ["grp"], "val", p=7)
+
+
+def test_stream_restart_converges(spark, tmp_path):
+    """foreachBatch ingest with a kill/restart between triggers lands on
+    the one-shot registers (idempotent merge, no fence needed)."""
+    full = _rows(spark, 0, 600).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    full.repartition(3).write.parquet(src)
+    hv = HllView(spark, str(tmp_path / "s"), ["grp"], "val", p=8)
+
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = hv.start_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    # restart over the same checkpoint: nothing reprocesses, state holds
+    q2 = hv.start_stream(
+        (spark.readStream.schema(full.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert hv.recompute_check(full)
+    assert _est(hv.read()) == _est(hll_grouped(full, ["grp"], "val", p=8))

@@ -80,9 +80,19 @@ def hll_grouped(df: DataFrame, group_cols: list[str], col: str,
     ``p`` must be a multiple of 4 in [4, 12] (register index = first
     p/4 hex chars of md5; rho from the next 48 bits).
     """
+    regs = hll_registers(df, group_cols, col, p)
+    return hll_estimate(regs, group_cols, p)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], col: str,
+                  p: int = 8) -> DataFrame:
+    """The max-rolled register table ``(*group_cols, _j INT, _M INT)``
+    for one input — the MERGEABLE half of :func:`hll_grouped` (register
+    max is associative/commutative/idempotent, so tables from any
+    partition of the input combine by ``max(_M)`` per ``(group, _j)``
+    — the property operators/hll_view.py maintains incrementally)."""
     if p % 4 != 0 or not 4 <= p <= 12:
         raise ValueError("p must be a multiple of 4 in [4, 12]")
-    m = 1 << p
     hex_j = p // 4
     h = F.md5(F.col(col).cast("string"))
     j = F.conv(F.substring(h, 1, hex_j), 16, 10).cast("int")
@@ -90,9 +100,16 @@ def hll_grouped(df: DataFrame, group_cols: list[str], col: str,
     # rho = leading zeros of the 48-bit suffix + 1; w = 0 → all 48 zero
     rho = (F.when(w == F.lit(0), F.lit(_RHO_SCALE_POW))
            .otherwise(F.lit(_RHO_SCALE_POW) - F.length(F.bin(w))))
-    regs = (df.select(*group_cols, j.alias("_j"), rho.alias("_rho"))
+    return (df.select(*group_cols, j.alias("_j"), rho.alias("_rho"))
             .groupBy(*group_cols, "_j")
             .agg(F.max("_rho").alias("_M")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """The estimate rollup over a register table — the serving half of
+    :func:`hll_grouped` (one row per group, same output contract)."""
+    m = 1 << p
     num = F.lit(hll_alpha_num(p))
     return (regs.groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias("_n_regs"),
@@ -142,3 +159,55 @@ def kmv_distinct(values: DataFrame, col: str, k: int = 256) -> DataFrame:
                     F.round(F.when(F.col("n_minima") < k, F.col("n_minima"))
                              .otherwise(F.lit(k - 1) / F.col("_kth")), 3)
                      .alias("est_distinct")))
+
+
+def cms_top_terms(values: DataFrame, col: str, depth: int = 4,
+                  width_hex: int = 2, k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    top-``k`` values of ``values[col]`` by their CMS frequency
+    ESTIMATE — ``(term, est_count BIGINT, rnk INT)``.
+
+    The sketch is ``depth`` counter rows of ``width = 16^width_hex``
+    buckets; row ``d`` buckets a value by the first ``width_hex`` hex
+    chars of ``md5(d || ':' || value)`` (the bucket stays a hex STRING
+    — no integer conversion, so any md5-capable engine replays it),
+    and a value's estimate is the MIN of its ``depth`` counters.
+    CMS guarantees est ≥ true count (collisions only ADD), with
+    overshoot ≤ ε·N at probability 1-δ for width = e/ε, depth = ln(1/δ)
+    — so the top-k BY ESTIMATE is a superset-biased view of the true
+    heavy hitters, the standard trade.
+
+    Plan shape (100 TB): the corpus touches ONE aggregation —
+    corpus×depth rows collapse map-side to ≤ depth·width partials per
+    partition, so the exchange carries ~|partitions|·depth·width rows,
+    never data.  Estimates touch only the DISTINCT value set
+    (vocabulary-sized) joined against the broadcast depth·width counter
+    table; the final top-k is one rank window over vocabulary rows.
+    The counter table is MERGEABLE state (cell-wise sum), the property
+    that lets sketches of shards/days combine without re-scanning.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if not 1 <= width_hex <= 8:
+        raise ValueError("width_hex must be in [1, 8]")
+    from pyspark.sql import Window
+
+    ds = F.array([F.lit(i) for i in range(depth)])
+    vals = values.select(F.col(col).cast("string").alias("term"))
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("_d").cast("string"),
+                          F.col("term"))), 1, width_hex)
+    counters = (vals
+                .select("term", F.explode(ds).alias("_d"))
+                .groupBy("_d", bucket.alias("_b"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+    vocab = vals.distinct()
+    est = (vocab
+           .select("term", F.explode(ds).alias("_d"))
+           .withColumn("_b", bucket)
+           .join(F.broadcast(counters), on=["_d", "_b"])
+           .groupBy("term")
+           .agg(F.min("_c").alias("est_count")))
+    w = Window.orderBy(F.col("est_count").desc(), F.col("term").asc())
+    return (est.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .where(F.col("rnk") <= k))

@@ -2054,6 +2054,45 @@ def q_distinct_kmv(spark, sf_dir):
     return est.crossJoin(F.broadcast(exact))
 
 
+@register("q_heavy_hitters", f"""
+WITH nrm AS ({_NORM_WORDS}),
+wrd AS (SELECT unnest(w) AS term FROM nrm),
+w2 AS (SELECT term FROM wrd WHERE term <> ''),
+hb AS (SELECT term, d,
+              substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 2) AS b
+       FROM w2 CROSS JOIN range(0, 4) t(d)),
+cnt AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY d, b),
+v AS (SELECT DISTINCT term FROM w2),
+vb AS (SELECT term, d,
+              substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 2) AS b
+       FROM v CROSS JOIN range(0, 4) t(d)),
+est AS (SELECT term, MIN(c) AS est_count
+        FROM vb JOIN cnt USING (d, b) GROUP BY term)
+SELECT term, est_count, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT term, est_count,
+         row_number() OVER (ORDER BY est_count DESC, term ASC) AS rnk
+  FROM est) t
+WHERE rnk <= 20
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (functions/sketches.cms_top_terms,
+    Cormode & Muthukrishnan 2005) over the corpus word stream: top-20
+    terms by CMS estimate from a 4×256 counter table.  The corpus
+    touches ONE map-side-combined aggregation (the exchange carries
+    ~partitions·depth·width counter partials, never words); estimates
+    join the vocabulary against the BROADCAST 1024-row counter table;
+    buckets stay 2-hex-char strings so DuckDB replays the sketch
+    bit-for-bit.  The counter table is cell-wise-sum MERGEABLE — the
+    property that lets per-shard/per-day sketches combine at 100 TB
+    without re-scanning."""
+    from ydb_cdc_processor_spark.functions.sketches import cms_top_terms
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select(F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
+
+
 @register("q_bucketed_join", """
 SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
@@ -6129,6 +6168,35 @@ def q_hll_lang(spark, sf_dir):
     exact = grams.groupBy("lang").agg(
         F.count_distinct("gram").alias("n_exact"))
     return est.join(exact, "lang")
+
+
+@register("q_hll_view")
+def q_hll_view(spark, sf_dir):
+    """The per-group HLL sketch as a MAINTAINED store
+    (operators/hll_view.HllView): the corpus's per-language 3-gram
+    registers ingest in three micro-batches into a group-co-located
+    bucketed view (per-batch cost ∝ batch groups' buckets, state a
+    FIXED m=256 ints per group regardless of cardinality), and the
+    serving read is the hll_estimate rollup.  Register max-merge is
+    idempotent/commutative, so the final state equals the one-shot
+    q_hll_lang sketch — which is exactly what the shared oracle
+    replays.  The approximate, insert-only complement of
+    q_distinct_view's exact refcounted IVM."""
+    from ydb_cdc_processor_spark.operators.hll_view import HllView
+    docs = load_docs(spark, sf_dir)
+    grams = (docs.select("lang", "doc_id", F.explode_outer(
+                 dedup.shingles(F.col("text"), 3)).alias("gram"))
+             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
+    hv = HllView(spark, _scratch_dir("hllview_") + "/hll",
+                 ["lang"], "gram", p=8)
+    for i in range(3):
+        hv.apply_delta(grams.where(F.col("doc_id") % 3 == i))
+    exact = grams.groupBy("lang").agg(
+        F.count_distinct("gram").alias("n_exact"))
+    return hv.read().join(exact, "lang")
+
+
+ORACLES["q_hll_view"] = ORACLES["q_hll_lang"]
 
 
 @register("q_shuffle_shards", f"""
