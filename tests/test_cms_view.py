@@ -1,0 +1,71 @@
+"""CmsView — incrementally-maintained count-min sketch: the counter
+table tracks the live corpus exactly (linear sketch) under inserts,
+rewrites (old-image retraction), deletes, and replays; point estimates
+never undercount live values."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ydb_cdc_processor_spark.functions.sketches import cms_top_terms
+from ydb_cdc_processor_spark.operators.cms_view import CmsView
+
+
+def _vals(spark, spec):
+    """spec: {value: multiplicity}"""
+    rows = [Row(v=val) for val, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_lifecycle_tracks_live_corpus(spark, tmp_path):
+    cv = CmsView(spark, str(tmp_path / "c"), "v", depth=4, width_hex=2)
+    b1 = _vals(spark, {"hot": 50, "warm": 10, "x": 1})
+    b2 = _vals(spark, {"hot": 30, "y": 2})
+    cv.apply_delta(b1, batch_token="b1")
+    cv.apply_delta(b2, batch_token="b2")
+    assert cv.recompute_check(_vals(spark, {"hot": 80, "warm": 10,
+                                            "x": 1, "y": 2}))
+
+    # retraction: delete all 'warm' and one 'hot' (delete-only batch)
+    cv.apply_delta(None, _vals(spark, {"warm": 10, "hot": 1}),
+                   batch_token="b3")
+    live = {"hot": 79, "x": 1, "y": 2}
+    assert cv.recompute_check(_vals(spark, live))
+
+    # estimates: >= true for every live value, 0 for a never-seen term
+    # in untouched cells (4-deep collision on 256 buckets ~ never here)
+    est = {r.term: r.est_count for r in cv.estimate(
+        spark.createDataFrame([("hot",), ("x",), ("gone",)],
+                              "term string")).collect()}
+    assert est["hot"] >= 79 and est["x"] >= 1
+    assert est["gone"] == 0
+
+    # top_terms == the one-shot sketch of the live corpus
+    vocab = spark.createDataFrame([(t,) for t in live], "term string")
+    got = sorted(tuple(r) for r in cv.top_terms(vocab, k=3).collect())
+    exp = sorted(tuple(r) for r in
+                 cms_top_terms(_vals(spark, live), "v", k=3).collect())
+    assert got == exp
+
+
+def test_replay_fence_and_rewrite(spark, tmp_path):
+    """A replayed token is a no-op (AggregateView's per-bucket fence);
+    a rewrite batch (new + old images) lands the net delta once."""
+    cv = CmsView(spark, str(tmp_path / "r"), "v")
+    cv.apply_delta(_vals(spark, {"a": 5, "b": 3}), batch_token="t1")
+    # rewrite: 'b' becomes 'c' (old image retracts b, new adds c)
+    cv.apply_delta(_vals(spark, {"c": 3}), _vals(spark, {"b": 3}),
+                   batch_token="t2")
+    cv.apply_delta(_vals(spark, {"c": 3}), _vals(spark, {"b": 3}),
+                   batch_token="t2")   # replay
+    assert cv.recompute_check(_vals(spark, {"a": 5, "c": 3}))
+
+
+def test_geometry_is_layout_metadata(spark, tmp_path):
+    cv = CmsView(spark, str(tmp_path / "g"), "v", depth=2, width_hex=1)
+    cv.apply_delta(_vals(spark, {"a": 4}))
+    reopened = CmsView(spark, str(tmp_path / "g"), "v",
+                       depth=8, width_hex=3)
+    assert (reopened.depth, reopened.width_hex) == (2, 1)
+    assert reopened.recompute_check(_vals(spark, {"a": 4}))
+    with pytest.raises(ValueError, match="depth"):
+        CmsView(spark, str(tmp_path / "bad"), "v", depth=0)

@@ -1,0 +1,187 @@
+"""Incrementally-maintained count-min sketch — approximate frequencies
+under CDC, deletes included.
+
+The IVM sketch family, completed: HllView (hll_view.py) maintains
+approximate DISTINCT counts but cannot retract (register max is
+monotone); this view maintains approximate FREQUENCIES and CAN —
+count-min counters are a LINEAR sketch (each cell is a sum of
+contributions), so an old image's words feed through as −1s and the
+counter table tracks the live corpus exactly as if rebuilt from
+scratch (pinned by recompute_check in the lifecycle test).  The
+classic turnstile guarantee holds: as long as every live true count is
+≥ 0, each counter equals true + non-negative collision mass, so
+``est = min over depth`` never underestimates.
+
+State: ``depth · 16^width_hex`` counter cells — FIXED size regardless
+of vocabulary (the |vocab|-independence that distinguishes it from the
+exact q_top_terms rollup), stored as a bucketed
+:class:`~ydb_cdc_processor_spark.operators.agg_view.AggregateView`
+keyed ``(_d, _b)`` under the standard per-bucket replay fence.
+Per-batch cost: one map-side-combined ±contribution agg over the batch
+(exchange ≤ partitions·depth·width rows) + a merge touching only the
+batch cells' buckets.  Serving: point estimates for a probe term set
+read only the probes' cells' buckets.
+
+Hash rule shared verbatim with ``sketches.cms_top_terms`` (bucket =
+first ``width_hex`` hex chars of ``md5(d || ':' || value)``) so the
+one-shot sketch, this view, and the DuckDB oracle are bit-identical.
+Reference anchor for the maintained-store contract:
+``YqlWriter.java:118-147`` (idempotent keyed merge per batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+from ydb_cdc_processor_spark.operators.ivm_feed import Feed
+
+#: counter-store row schema — read_touched types empty results from it
+_STORE_SCHEMA = T.StructType([T.StructField("_d", T.IntegerType()),
+                              T.StructField("_b", T.StringType()),
+                              T.StructField("c", T.LongType())])
+
+
+class CmsView:
+    """Persistent count-min counter table with signed incremental
+    maintenance and bucket-pruned point estimates."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 value_col: str, depth: int = 4, width_hex: int = 2,
+                 n_buckets: int = 8):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        if not 1 <= width_hex <= 8:
+            raise ValueError("width_hex must be in [1, 8]")
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.depth = depth
+        self.width_hex = width_hex
+        self.counts = AggregateView(
+            spark, os.path.join(path, "cells"), group_cols=["_d", "_b"],
+            sum_cols={}, count_col="c", backend="bucketed",
+            n_buckets=n_buckets)
+        # (depth, width_hex) are LAYOUT properties: cells of a store
+        # built at one geometry are meaningless at another
+        stored = self._read_meta()
+        if stored:
+            self.depth = int(stored["depth"])
+            self.width_hex = int(stored["width_hex"])
+
+    # -- layout metadata -------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_cms.json")
+
+    def _read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"depth": self.depth,
+                       "width_hex": self.width_hex}, fh)
+        os.replace(tmp, self._meta_path())
+
+    # -- hashing (the cms_top_terms rule, verbatim) ----------------------------
+
+    def _cells(self, rows: DataFrame) -> DataFrame:
+        """One ``(_d, _b)`` contribution row per input row per depth."""
+        ds = F.array([F.lit(i) for i in range(self.depth)])
+        return (rows
+                .select(F.col(self.value_col).cast("string").alias("_t"))
+                .select("_t", F.explode(ds).alias("_d"))
+                .select("_d", F.substring(
+                    F.md5(F.concat_ws(":", F.col("_d").cast("string"),
+                                      F.col("_t"))),
+                    1, self.width_hex).alias("_b")))
+
+    # -- maintenance -------------------------------------------------------------
+
+    def apply_delta(self, new_rows: DataFrame | None,
+                    old_rows: DataFrame | None = None,
+                    batch_token: str | None = None) -> None:
+        """Merge one micro-batch: +1 per cell of each new row's value,
+        −1 per cell of each old image's value (a rewrite retracts the
+        old value and contributes the new — the linear-sketch property;
+        both sides ride AggregateView's signed merge under its
+        per-bucket token fence)."""
+        if new_rows is None and old_rows is None:
+            return
+        self.counts.apply_delta(
+            self._cells(new_rows) if new_rows is not None else None,
+            self._cells(old_rows) if old_rows is not None else None,
+            batch_token=batch_token)
+        self._write_meta()
+
+    def feed(self) -> Feed:
+        """Adapter for a CDC engine's ``agg_views`` list."""
+        return Feed(self.apply_delta)
+
+    # -- serving -----------------------------------------------------------------
+
+    def estimate(self, terms: DataFrame, term_col: str = "term") -> DataFrame:
+        """Point estimates ``(term, est_count BIGINT)`` for a probe term
+        set — est ≥ live true count (turnstile CMS).  Reads ONLY the
+        probes' cells' store buckets; a term whose cells were never
+        touched estimates 0."""
+        probes = (terms.select(F.col(term_col).cast("string")
+                               .alias("term")).distinct())
+        ds = F.array([F.lit(i) for i in range(self.depth)])
+        pb = (probes.select("term", F.explode(ds).alias("_d"))
+              .withColumn("_b", F.substring(
+                  F.md5(F.concat_ws(":", F.col("_d").cast("string"),
+                                    F.col("term"))),
+                  1, self.width_hex))
+              .localCheckpoint(eager=True))
+        store = self.counts.store(_STORE_SCHEMA)
+        touched = sorted({r[0] for r in pb.select(
+            store.bucket_expr().alias("_k")).distinct().collect()})
+        cells = (store.read_touched(touched, _STORE_SCHEMA)
+                 .select("_d", "_b", "c"))
+        return (pb.join(cells, on=["_d", "_b"], how="left")
+                .groupBy("term")
+                .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                     .alias("est_count")))
+
+    def top_terms(self, vocab: DataFrame, k: int = 20,
+                  term_col: str = "term") -> DataFrame:
+        """Top-``k`` of a candidate vocabulary by estimate —
+        ``(term, est_count, rnk)``, the ``cms_top_terms`` output
+        contract over the maintained state."""
+        from pyspark.sql import Window
+        est = self.estimate(vocab, term_col)
+        w = Window.orderBy(F.col("est_count").desc(),
+                           F.col("term").asc())
+        return (est.withColumn("rnk",
+                               F.row_number().over(w).cast("int"))
+                .where(F.col("rnk") <= k))
+
+    def recompute_check(self, rows: DataFrame) -> bool:
+        """True iff the counter table equals a from-scratch sketch of
+        ``rows`` (zero cells dropped — AggregateView deletes groups
+        whose count reaches 0)."""
+        want = {tuple(r) for r in self._cells(rows)
+                .groupBy("_d", "_b").agg(F.count(F.lit(1)).alias("c"))
+                .collect()}
+        got = {tuple(r) for r in self.counts.read()
+               .select("_d", "_b", "c").collect()}
+        return want == got
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the cell store (state is
+        depth·width rows — compaction is the one that matters)."""
+        store = self.counts.store(_STORE_SCHEMA)
+        store.maybe_rebucket()
+        store.compact()

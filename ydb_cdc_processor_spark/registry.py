@@ -2093,6 +2093,39 @@ def q_heavy_hitters(spark, sf_dir):
     return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
 
 
+@register("q_cms_view")
+def q_cms_view(spark, sf_dir):
+    """The count-min sketch as a MAINTAINED store under CDC
+    (operators/cms_view.CmsView): corpus words ingest in two
+    micro-batches, a third batch DELETES one doc-slice's words and a
+    fourth re-inserts them (old-image retraction — counters are a
+    LINEAR sketch, the property HllView lacks), leaving the live state
+    equal to the one-shot sketch, which the shared q_heavy_hitters
+    oracle replays.  State is a FIXED depth·width counter table
+    (vocabulary-independent); per-batch cost one map-side-combined
+    ±agg + touched-bucket merge; the top-k read prunes to the probed
+    cells' buckets."""
+    from ydb_cdc_processor_spark.operators.cms_view import CmsView
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select("doc_id", F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    cv = CmsView(spark, _scratch_dir("cmsview_") + "/cms", "term",
+                 depth=4, width_hex=2)
+    cv.apply_delta(words.where(F.col("doc_id") % 2 == 0),
+                   batch_token="cms:b1")
+    cv.apply_delta(words.where(F.col("doc_id") % 2 == 1),
+                   batch_token="cms:b2")
+    slice5 = words.where(F.col("doc_id") % 5 == 0)
+    cv.apply_delta(None, slice5, batch_token="cms:b3")   # delete
+    cv.apply_delta(slice5, None, batch_token="cms:b4")   # restore
+    vocab = words.select("term").distinct()
+    return cv.top_terms(vocab, k=20)
+
+
+ORACLES["q_cms_view"] = ORACLES["q_heavy_hitters"]
+
+
 @register("q_bucketed_join", """
 SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
