@@ -452,3 +452,34 @@ def test_pq_mode_validation_and_meta(spark, emb, tmp_path):
     probes = emb.limit(3).select(F.col("vec_id").alias("probe_id"),
                                  "embedding")
     assert "cos_sim" in reopened.query(probes, k=2).columns
+
+
+def test_pq_filtered_query_fills_k(spark, emb, tmp_path):
+    """The allow-set semi-join composes with PQ serving: candidates are
+    pre-filtered BEFORE ADC ranking, so the top-k fills with allowed
+    vectors (never post-filter truncation), and every result id is in
+    the allow set."""
+    idx = VectorIndex(spark, str(tmp_path / "fpq"), n_cells=8,
+                      m_sub=8, n_codes=32)
+    idx.build(emb, dim=64)
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    allow = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = idx.query(probes, k=5, n_probe=8, allow=allow)
+    assert got.where(F.col("vec_id") % 2 == 1).count() == 0
+    # fills k where the probed cells hold >= k allowed candidates:
+    # unfiltered top-5 over the same cells restricted to even ids has
+    # exactly the same members (filter-then-rank == rank-all-then-pick
+    # restricted, since scoring is per-pair)
+    unfiltered = idx.query(probes, k=10 ** 6, n_probe=8)
+    exp = (unfiltered.where(F.col("vec_id") % 2 == 0)
+           .withColumn("rnk2", F.row_number().over(
+               __import__("pyspark.sql.window", fromlist=["Window"])
+               .Window.partitionBy("probe_id")
+               .orderBy(F.col("pq_sim").desc(), F.col("vec_id").asc())))
+           .where(F.col("rnk2") <= 5)
+           .select("probe_id", "vec_id", "pq_sim"))
+    a = sorted(tuple(r) for r in got.select("probe_id", "vec_id",
+                                            "pq_sim").collect())
+    b = sorted(tuple(r) for r in exp.collect())
+    assert a == b and a
