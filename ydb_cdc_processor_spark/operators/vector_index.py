@@ -448,8 +448,10 @@ class VectorIndex:
                 self._codebook(), "probe_id",
                 dict(pc.dtypes)["probe_id"], self.m_sub,
                 self.dim // self.m_sub)
+            # both sides are probe-sized but post-UDF (no stats), so
+            # Catalyst would SMJ — hint the broadcast explicitly
             pq_probes = pu.select("probe_id", "cell") \
-                          .join(tabs, on="probe_id")
+                          .join(F.broadcast(tabs), on="probe_id")
             cand = lists.join(F.broadcast(pq_probes), on="cell") \
                         .where(F.col("vec_id") != F.col("probe_id"))
             return _adc_topk(cand, self.m_sub, k)
