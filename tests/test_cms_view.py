@@ -69,3 +69,39 @@ def test_geometry_is_layout_metadata(spark, tmp_path):
     assert reopened.recompute_check(_vals(spark, {"a": 4}))
     with pytest.raises(ValueError, match="depth"):
         CmsView(spark, str(tmp_path / "bad"), "v", depth=0)
+
+
+def test_rank_sketch_maintained_via_cms_view(spark, tmp_path):
+    """The dyadic rank sketch composes with CmsView: maintain the node
+    stream under inserts + a delete, and per-node point estimates sum
+    to rank estimates that track the LIVE corpus (>= true, exact here
+    absent collisions) — the retractable maintained form of
+    q_rank_sketch."""
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark.functions.sketches import (
+        dyadic_node_stream, dyadic_probe_nodes)
+
+    cv = CmsView(spark, str(tmp_path / "rk"), "node",
+                 depth=4, width_hex=2)
+    b1 = spark.createDataFrame([(v,) for v in (1, 5, 5, 12, 40)],
+                               "v long")
+    b2 = spark.createDataFrame([(v,) for v in (3, 12, 60)], "v long")
+    cv.apply_delta(dyadic_node_stream(b1, "v", levels=8),
+                   batch_token="r1")
+    cv.apply_delta(dyadic_node_stream(b2, "v", levels=8),
+                   batch_token="r2")
+    # delete the two 12s (old images retract their nodes)
+    gone = spark.createDataFrame([(12,), (12,)], "v long")
+    cv.apply_delta(None, dyadic_node_stream(gone, "v", levels=8),
+                   batch_token="r3")
+
+    live = [1, 5, 5, 40, 3, 60]
+    probes = spark.createDataFrame([(x,) for x in (2, 6, 41, 256)],
+                                   "x long")
+    pn = dyadic_probe_nodes(probes, "x", levels=8)
+    est = (pn.join(cv.estimate(pn.select("node"), "node"),
+                   pn.node == F.col("term"))
+           .groupBy("x").agg(F.sum("est_count").alias("est_rank")))
+    got = {r.x: r.est_rank for r in est.collect()}
+    true = {x: sum(1 for v in live if v < x) for x in (2, 6, 41, 256)}
+    assert got == true

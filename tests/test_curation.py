@@ -298,3 +298,59 @@ def test_cms_top_terms_overestimates_and_finds_heavy_hitters(spark):
         cms_top_terms(small, "v", depth=0)
     with _pytest.raises(ValueError, match="width_hex"):
         cms_top_terms(small, "v", width_hex=0)
+
+
+def test_dyadic_rank_sketch_bounds_and_decomposition(spark):
+    """Dyadic-CM rank sketch: est_rank >= true rank for every probe
+    (CMS only overestimates), exact on a tiny collision-free universe,
+    monotone in x, and the probe decomposition covers [0, x) exactly
+    (pinned by the exactness case)."""
+    import pytest as _pytest
+    from pyspark.sql import Row, functions as F
+    from ydb_cdc_processor_spark.functions.sketches import (
+        dyadic_node_stream, dyadic_probe_nodes, dyadic_rank_estimates)
+
+    # small universe: 10 distinct values with known multiplicities
+    spec = {0: 3, 1: 2, 5: 4, 7: 1, 12: 5, 33: 2, 64: 1, 100: 3,
+            200: 2, 255: 1}
+    rows = [Row(v=val) for val, n in spec.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "v long")
+    probes = spark.createDataFrame(
+        [(x,) for x in (0, 1, 2, 6, 13, 64, 101, 256)], "x long")
+    got = {r.x: r.est_rank for r in dyadic_rank_estimates(
+        df, "v", probes, "x", levels=8, depth=4).collect()}
+    true = {x: sum(n for val, n in spec.items() if val < x)
+            for x in (0, 1, 2, 6, 13, 64, 101, 256)}
+    assert all(got[x] >= true[x] for x in true)
+    # collision-free at this size: exact
+    assert got == true
+    # monotone
+    xs = sorted(got)
+    assert all(got[a] <= got[b] for a, b in zip(xs, xs[1:]))
+
+    # skewed bigger universe: bound still holds
+    big = spark.range(0, 3000).select(
+        (F.col("id") % 700).alias("v"))
+    p2 = spark.createDataFrame([(100,), (350,), (700,)], "x long")
+    est = {r.x: r.est_rank for r in dyadic_rank_estimates(
+        big, "v", p2, "x", levels=10, depth=4).collect()}
+    tr = {100: 100 * 5, 350: 350 * 5, 700: 3000}
+    # v in [0,700): ids 0..2999 → values hit ~4.29x each... compute truly
+    tr = {x: sum(1 for i in range(3000) if (i % 700) < x)
+          for x in (100, 350, 700)}
+    assert all(est[x] >= tr[x] for x in tr)
+
+    # decomposition unit check: nodes of [0, 13) at 4 levels
+    pn = {(r.x, r.node) for r in dyadic_probe_nodes(
+        spark.createDataFrame([(13,)], "x long"), "x", levels=4).collect()}
+    # 13 = 0b1101 → bits 0,2,3 → nodes 0:(12), 2:(2), 3:(0)
+    assert pn == {(13, "0:12"), (13, "2:2"), (13, "3:0")}
+
+    # update stream: one node per level per row, root level included
+    ns = dyadic_node_stream(spark.createDataFrame([(5,)], "v long"),
+                            "v", levels=4)
+    assert sorted(r.node for r in ns.collect()) == \
+        ["0:5", "1:2", "2:1", "3:0", "4:0"]
+
+    with _pytest.raises(ValueError, match="levels"):
+        dyadic_node_stream(df, "v", levels=0)

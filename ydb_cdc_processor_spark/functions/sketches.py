@@ -211,3 +211,95 @@ def cms_top_terms(values: DataFrame, col: str, depth: int = 4,
     w = Window.orderBy(F.col("est_count").desc(), F.col("term").asc())
     return (est.withColumn("rnk", F.row_number().over(w).cast("int"))
             .where(F.col("rnk") <= k))
+
+
+def dyadic_node_stream(rows: DataFrame, col: str,
+                       levels: int = 16) -> DataFrame:
+    """One ``node`` string ``"l:(v >> l)"`` per row per level — the
+    dyadic decomposition UPDATE stream (Cormode & Muthukrishnan 2005
+    §4.2: a count-min over these nodes answers range/rank queries).
+    Values clip to ``[0, 2^levels)`` (the top node absorbs the tail —
+    ranks above the clip merge, documented).  Levels run 0..``levels``
+    INCLUSIVE: the root node ``"levels:0"`` counts every row, so a
+    probe at/past the top (x ≥ 2^levels, which decomposes to the root
+    alone) estimates N.  Feed this through :func:`cms_top_terms`'s
+    counter build or an ``operators/cms_view.CmsView``
+    (value_col="node") and rank queries become ≤ ``levels+1`` point
+    estimates."""
+    if not 1 <= levels <= 32:
+        raise ValueError("levels must be in [1, 32]")
+    v = F.least(F.greatest(F.col(col).cast("long"), F.lit(0)),
+                F.lit((1 << levels) - 1))
+    ls = F.array([F.lit(i) for i in range(levels + 1)])
+    return (rows.select(v.alias("_v"), F.explode(ls).alias("_l"))
+            .select(F.concat_ws(
+                ":", F.col("_l").cast("string"),
+                F.floor(F.col("_v") / F.pow(F.lit(2.0), F.col("_l")))
+                 .cast("long").cast("string")).alias("node")))
+
+
+def dyadic_probe_nodes(probes: DataFrame, col: str,
+                       levels: int = 16) -> DataFrame:
+    """The ≤ ``levels`` node strings whose counter sum estimates
+    ``rank(x) = |{v : v < x}|`` — one ``(x, node)`` row per SET bit of
+    ``x``: bit ``l`` contributes the level-``l`` node
+    ``(x >> (l+1)) << 1`` (the canonical dyadic cover of ``[0, x)``).
+    Pure integer arithmetic, identical in any SQL engine.  Output rows
+    carry the CALLER's ``x``; the decomposition itself runs on ``x``
+    clipped to ``[0, 2^levels]`` (a probe at or past the top estimates
+    rank-below-everything, i.e. N — x = 2^levels decomposes to the
+    single root node)."""
+    if not 1 <= levels <= 32:
+        raise ValueError("levels must be in [1, 32]")
+    xc = F.least(F.greatest(F.col(col).cast("long"), F.lit(0)),
+                 F.lit(1 << levels))
+    ls = F.array([F.lit(i) for i in range(levels + 1)])
+    base = (probes.select(F.col(col).cast("long").alias("x"),
+                          xc.alias("_xc"), F.explode(ls).alias("_l"))
+            .withColumn("_hi", F.floor(
+                F.col("_xc") / F.pow(F.lit(2.0), F.col("_l") + 1))
+                .cast("long")))
+    bit = (F.floor(F.col("_xc") / F.pow(F.lit(2.0), F.col("_l")))
+           .cast("long") % 2)
+    return (base.where(bit == 1)
+            .select("x",
+                    F.concat_ws(":", F.col("_l").cast("string"),
+                                (F.col("_hi") * 2).cast("string"))
+                    .alias("node")))
+
+
+def dyadic_rank_estimates(values: DataFrame, col: str,
+                          probes: DataFrame, probe_col: str,
+                          levels: int = 16, depth: int = 4,
+                          width_hex: int = 2) -> DataFrame:
+    """One-shot rank/quantile sketch: ``(x, est_rank BIGINT)`` per
+    probe value — ``est_rank ≥ true rank`` (CMS overestimates; each
+    rank is ≤ ``levels`` point estimates, so overshoot ≤
+    levels·ε·N·levels in the classic bound).  The UPDATE side is one
+    map-side-combined pass over values×levels; the counter table
+    (depth·width cells) broadcasts; probes decompose to ≤ levels nodes
+    each.  State is FIXED-size and mergeable (cell-wise sum) —
+    retractable too when maintained via CmsView (linear counters),
+    which is the same construction with old-image −1s."""
+    nodes = dyadic_node_stream(values, col, levels)
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("_d").cast("string"),
+                          F.col("node"))), 1, width_hex)
+    ds = F.array([F.lit(i) for i in range(depth)])
+    counters = (nodes.select("node", F.explode(ds).alias("_d"))
+                .groupBy("_d", bucket.alias("_b"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+    pn = (dyadic_probe_nodes(probes, probe_col, levels)
+          .select("x", "node", F.explode(ds).alias("_d"))
+          .withColumn("_b", bucket))
+    per_node = (pn.join(F.broadcast(counters), on=["_d", "_b"],
+                        how="left")
+                .groupBy("x", "node")
+                .agg(F.min(F.coalesce(F.col("_c"), F.lit(0)))
+                     .alias("_est")))
+    probe_xs = probes.select(
+        F.col(probe_col).cast("long").alias("x")).distinct()
+    return (probe_xs.join(per_node, on="x", how="left")
+            .groupBy("x")
+            .agg(F.coalesce(F.sum("_est"), F.lit(0)).cast("long")
+                 .alias("est_rank")))

@@ -2093,6 +2093,72 @@ def q_heavy_hitters(spark, sf_dir):
     return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
 
 
+@register("q_rank_sketch", """
+WITH vals AS (
+  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS BIGINT) AS n
+  FROM documents),
+clip AS (SELECT least(greatest(n, 0), 65535) AS v FROM vals),
+nodes AS (SELECT l, CAST(floor(v / power(2, l)) AS BIGINT) AS node
+          FROM clip CROSS JOIN range(0, 17) t(l)),
+cells AS (SELECT d, substr(md5(CAST(d AS VARCHAR) || ':' ||
+                 CAST(l AS VARCHAR) || ':' || CAST(node AS VARCHAR)),
+                 1, 2) AS b
+          FROM nodes CROSS JOIN range(0, 4) t2(d)),
+cnt AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY d, b),
+px AS (SELECT CAST(x AS BIGINT) AS x FROM (VALUES (8), (16), (32), (64),
+              (128), (256), (512), (1024)) t(x)),
+pdec AS (SELECT x, l,
+                CAST(floor(least(x, 65536) / power(2, l + 1)) AS BIGINT)
+                  * 2 AS node
+         FROM px CROSS JOIN range(0, 17) t(l)
+         WHERE CAST(floor(least(x, 65536) / power(2, l)) AS BIGINT)
+               % 2 = 1),
+pe AS (SELECT x, l, node,
+              MIN(COALESCE(cnt.c, 0)) AS est
+       FROM (SELECT x, l, node, d,
+                    substr(md5(CAST(d AS VARCHAR) || ':' ||
+                           CAST(l AS VARCHAR) || ':' ||
+                           CAST(node AS VARCHAR)), 1, 2) AS b
+             FROM pdec CROSS JOIN range(0, 4) t2(d)) pb
+       LEFT JOIN cnt USING (d, b)
+       GROUP BY x, l, node),
+rk AS (SELECT px.x,
+              CAST(COALESCE(SUM(pe.est), 0) AS BIGINT) AS est_rank
+       FROM px LEFT JOIN pe USING (x) GROUP BY px.x),
+ex AS (SELECT px.x, CAST(COUNT(vals.n) AS BIGINT) AS n_exact_lt
+       FROM px LEFT JOIN vals ON vals.n < px.x GROUP BY px.x)
+SELECT x, est_rank, n_exact_lt FROM rk JOIN ex USING (x)
+""")
+def q_rank_sketch(spark, sf_dir):
+    """Rank/quantile estimation from a MERGEABLE fixed-size sketch
+    (functions/sketches.dyadic_rank_estimates — the Cormode–Muthukrishnan
+    dyadic count-min construction): each doc's token count writes one
+    node per dyadic level into a 4×256 counter table, and
+    rank(x) = |{v < x}| is the sum of ≤17 point estimates over the
+    canonical dyadic cover of [0, x).  est ≥ true always (CMS only
+    overestimates); exact ranks ride alongside so the error is visible
+    in the gated result.  State is FIXED (depth·width cells) regardless
+    of cardinality, cell-wise-sum mergeable across shards/days, and
+    retractable when maintained via CmsView (linear counters) — the
+    approximate complement of the exact QuantileView.  Plan: one
+    map-side-combined pass over values×levels; probes decompose and
+    join the broadcast counter table."""
+    from ydb_cdc_processor_spark.functions.sketches import (
+        dyadic_rank_estimates)
+    docs = load_docs(spark, sf_dir)
+    vals = docs.select(text.token_count(F.col("text")).alias("n"))
+    xs = [8, 16, 32, 64, 128, 256, 512, 1024]
+    probes = spark.createDataFrame([(x,) for x in xs], "x long")
+    est = dyadic_rank_estimates(vals, "n", probes, "x",
+                                levels=16, depth=4, width_hex=2)
+    exact = (probes.join(vals, vals.n < probes.x, "left")
+             .groupBy("x").agg(F.count(vals.n).alias("n_exact_lt")))
+    return est.join(exact, "x")
+
+
 @register("q_cms_view")
 def q_cms_view(spark, sf_dir):
     """The count-min sketch as a MAINTAINED store under CDC
