@@ -354,3 +354,35 @@ def test_dyadic_rank_sketch_bounds_and_decomposition(spark):
 
     with _pytest.raises(ValueError, match="levels"):
         dyadic_node_stream(df, "v", levels=0)
+
+
+def test_bpe_apply_semantics(spark):
+    """BPE application: known merge outcomes, greedy-leftmost pairing on
+    repeats, no cross-boundary merges (delimiter is outside the
+    alphabet), empty docs yield 0 tokens / NULL compression."""
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "the then"), (2, "lll"), (3, ""), (4, "xy"),
+         (5, "to ton")],
+        "doc_id long, text string")
+    merges = [("t", "h"), ("th", "e"), ("l", "l"), ("t", "o")]
+    got = {r.doc_id: (r.n_chars, r.n_bpe_tokens)
+           for r in bpe_apply(docs, merges).collect()}
+    # "the then" → marked "the_then" (8 chars); merges: t h→th,
+    # th e→the, t o: tokens [the][_][the][n] = 4
+    assert got[1] == (8, 4)
+    # "lll": l l merges leftmost pair only → [ll][l] = 2 tokens
+    assert got[2] == (3, 2)
+    assert got[3] == (0, 0)
+    # no applicable merges: 2 chars → 2 tokens
+    assert got[4] == (2, 2)
+    # "to ton" → "to_ton": [to][_][to][n] = 4 — the 'to' inside 'ton'
+    # merges because BPE is position-blind, but '_t' never merges with
+    # a preceding token (boundary safety)
+    assert got[5] == (6, 4)
+
+    # compression is chars/token rounded 6, NULL on empty
+    rows = {r.doc_id: r.compression for r in bpe_apply(docs, merges).collect()}
+    assert rows[1] == 2.0 and rows[3] is None

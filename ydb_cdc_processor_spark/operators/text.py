@@ -451,3 +451,98 @@ def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
                      .alias("n_oov"),
                     F.floor(F.col("_no") * F.lit(1_000_000.0)
                             / F.col("_nt")).cast("long").alias("oov_ppm")))
+
+
+#: the toy FIXED tokenizer shared by bpe_apply's default and the
+#: q_bpe_encode oracle (a tokenizer is CONFIG, not data — merges ship
+#: with the model exactly like a PQ codebook ships with the index)
+BPE_MERGES_EN = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("an", "d"), ("t", "o"), ("in", "g"), ("e", "s"), ("o", "f"),
+    ("i", "s"),
+]
+
+#: token delimiter for the merge passes — U+001F (unit separator),
+#: outside any normalized corpus alphabet; '|' or space would collide
+#: with corpus characters and let a merge match across token boundaries
+_BPE_SEP = "\x1f"
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply a FIXED, trained BPE merge table to every document — the
+    "tokenize 100 TB with the model's tokenizer" pipeline stage — as a
+    chain of codegen'd string replaces, no Python in the hot path.
+
+    Construction: whitespace-normalized lowercase text, spaces mapped
+    to ``_`` (the word-boundary marker), split into delimiter-separated
+    characters (``\\x1f`` — outside the corpus alphabet, so a merge can
+    never match across token boundaries), then ONE ``replace`` pass per
+    merge rule in priority order: ``<SEP>a<SEP>b<SEP> → <SEP>ab<SEP>``.
+    Plain leftmost non-overlapping replacement reproduces BPE's
+    greedy-leftmost pairing for repeated tokens (``l l l`` → ``ll l``);
+    the deliberate, documented simplification vs canonical BPE is one
+    pass per rule instead of rescan-until-fixed-point — deterministic,
+    and bit-identical in any engine with ``replace()``, which is what
+    makes the whole tokenizer oracle-replayable.
+
+    Output: ``(id_col, n_chars BIGINT, n_bpe_tokens BIGINT,
+    compression DOUBLE)`` — compression = chars per token, rounded 6.
+
+    Plan shape (100 TB): a per-row expression chain (len(merges) + 3
+    string ops) inside whole-stage codegen — embarrassingly parallel,
+    zero shuffles before the caller's aggregation.
+    """
+    if merges is None:
+        merges = BPE_MERGES_EN
+    S = _BPE_SEP
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    marked = F.replace(norm, F.lit(" "), F.lit("_"))
+    s = F.concat(F.lit(S),
+                 F.regexp_replace(marked, "(.)", f"$1{S}"))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{S}{a}{S}{b}{S}"),
+                      F.lit(f"{S}{a}{b}{S}"))
+    n_delims = F.length(s) - F.length(F.replace(s, F.lit(S), F.lit("")))
+    n_chars = F.length(marked).cast("long")
+    n_tok = (F.when(n_chars == 0, F.lit(0))
+             .otherwise(n_delims - 1).cast("long"))
+    return docs.select(
+        F.col(id_col), n_chars.alias("n_chars"),
+        n_tok.alias("n_bpe_tokens"),
+        F.when(n_tok == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(n_chars.cast("double") / n_tok, 6))
+         .alias("compression"))
+
+
+def bpe_oracle_sql(merges: list[tuple[str, str]] | None = None) -> str:
+    """The DuckDB replay of :func:`bpe_apply` over ``documents`` —
+    generated from the SAME merge table so the two engines cannot
+    drift."""
+    if merges is None:
+        merges = BPE_MERGES_EN
+    s = ("chr(31) || regexp_replace(replace(regexp_replace(lower(trim(text)),"
+         " '\\s+', ' ', 'g'), ' ', '_'), '(.)', '\\1' || chr(31), 'g')")
+    for a, b in merges:
+        pat = f"chr(31) || '{a}' || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    marked = ("replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+              " ' ', '_')")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length({marked}) AS BIGINT) AS n_chars,
+         CAST(length({s}) - length(replace({s}, chr(31), ''))
+              AS BIGINT) AS n_delims
+  FROM documents)
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN n_chars = 0 THEN 0 ELSE n_delims - 1 END
+            AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE round(CAST(n_chars AS DOUBLE)
+                       / (n_delims - 1), 6) END AS compression
+FROM b
+"""

@@ -2093,6 +2093,20 @@ def q_heavy_hitters(spark, sf_dir):
     return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
 
 
+@register("q_bpe_encode", text.bpe_oracle_sql())
+def q_bpe_encode(spark, sf_dir):
+    """Apply a FIXED trained BPE merge table to every document
+    (text.bpe_apply) — the "tokenize the corpus with the model's
+    tokenizer" stage: delimiter-separated characters (U+001F, outside
+    the corpus alphabet so merges can't cross token boundaries), then
+    one codegen'd replace pass per merge rule in priority order.  No
+    shuffle, no Python — a per-row expression chain that scales
+    embarrassingly; the oracle SQL is GENERATED from the same merge
+    table (text.bpe_oracle_sql) so the engines cannot drift.  Output:
+    per-doc char count, BPE token count, chars-per-token compression."""
+    return text.bpe_apply(load_docs(spark, sf_dir))
+
+
 @register("q_rank_sketch", """
 WITH vals AS (
   SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
