@@ -386,3 +386,30 @@ def test_bpe_apply_semantics(spark):
     # compression is chars/token rounded 6, NULL on empty
     rows = {r.doc_id: r.compression for r in bpe_apply(docs, merges).collect()}
     assert rows[1] == 2.0 and rows[3] is None
+
+
+def test_dyadic_quantiles_extraction(spark):
+    """Driver-side quantile extraction from the dyadic-CM counters:
+    exact on a collision-free universe (the returned x is the smallest
+    value whose strict rank reaches q*N), one-sided (<= true position)
+    in general, and bad q raises."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from ydb_cdc_processor_spark.functions.sketches import dyadic_quantiles
+
+    # 100 values 0..99, uniform
+    df = spark.createDataFrame([Row(v=i) for i in range(100)], "v long")
+    got = dict(dyadic_quantiles(df, "v", [0.25, 0.5, 0.9, 1.0],
+                                levels=8, depth=4))
+    # smallest x with |{v < x}| >= q*100, minus 1 → the value at the
+    # q-th position: q=0.5 → x=50 has rank 50 → value 49
+    assert got == {0.25: 24, 0.5: 49, 0.9: 89, 1.0: 99}
+
+    # skewed: 90 zeros + 10 nines
+    sk = spark.createDataFrame(
+        [Row(v=0)] * 90 + [Row(v=9)] * 10, "v long")
+    g2 = dict(dyadic_quantiles(sk, "v", [0.5, 0.95], levels=4, depth=4))
+    assert g2[0.5] == 0 and g2[0.95] == 9
+
+    with _pytest.raises(ValueError, match="q must be"):
+        dyadic_quantiles(df, "v", [0.0])

@@ -100,20 +100,30 @@ def main() -> None:
                             disk_bytes(flat.view.path))
             # candidate rows a 4-probe query reads: probes' 4 nearest
             # cells' occupancy (identical across modes: same quantizer)
-            pc = pq._assign(pq._prep(probes, "probe_id", "embedding"),
-                            pq._centroids(), "probe_id", "_p", "_np", 4)
+            from ydb_cdc_processor_spark.functions.vector import (
+                as_double_array, norm)
+            p = (probes.select("probe_id",
+                               as_double_array("embedding").alias("_p"))
+                 .withColumn("_np", norm(F.col("_p"))))
+            pc = pq._assign(p, pq._centroids(), "probe_id",
+                            "_p", "_np", 4)
             occ = {r["cell"]: r["n_vectors"]
                    for r in pq.cell_stats().collect()}
-            cells = [r["cell"] for r in pc.select("cell")
-                     .distinct().collect()]
-            rows_read = sum(occ.get(c, 0) for c in cells)
+            # candidate rows PER PROBE (each query scores only ITS 4
+            # cells' occupants — the union over all probes would
+            # overstate a single query's read)
+            per_probe: dict = {}
+            for r in pc.select("probe_id", "cell").collect():
+                per_probe.setdefault(r["probe_id"], 0)
+                per_probe[r["probe_id"]] += occ.get(r["cell"], 0)
+            rows_read = round(sum(per_probe.values()) / len(per_probe))
             row = {
                 "n_vectors": n, "n_cells": n_cells,
                 "pq_bytes_per_vec": round(b_pq / n, 1),
                 "flat_bytes_per_vec": round(b_flat / n, 1),
                 "compression": round(b_flat / b_pq, 1),
-                "rows_read_4probe": rows_read,
-                "rows_read_frac": round(rows_read / n, 4),
+                "rows_scored_per_probe": rows_read,
+                "rows_scored_frac": round(rows_read / n, 4),
                 "pq_query_sec": median_query_sec(pq, probes),
                 "flat_query_sec": median_query_sec(flat, probes),
             }

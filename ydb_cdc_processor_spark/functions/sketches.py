@@ -303,3 +303,65 @@ def dyadic_rank_estimates(values: DataFrame, col: str,
             .groupBy("x")
             .agg(F.coalesce(F.sum("_est"), F.lit(0)).cast("long")
                  .alias("est_rank")))
+
+
+def dyadic_quantiles(values: DataFrame, col: str,
+                     qs: list[float], levels: int = 16,
+                     depth: int = 4,
+                     width_hex: int = 2) -> list[tuple[float, int]]:
+    """Quantile extraction from the dyadic-CM sketch: the smallest ``x``
+    with ``est_rank(x) ≥ q·N`` per requested ``q`` — ``[(q, x), ...]``.
+
+    ONE bounded collect (the ``depth·16^width_hex`` counter table —
+    sketch state, never data; the same driver-metadata contract as the
+    PQ codebook), then pure-Python binary searches: each probe costs
+    ≤ ``levels+1`` dict lookups, so the whole extraction is O(|qs| ·
+    levels²) driver arithmetic.  Because est_rank ≥ true rank and is
+    monotone in x, the returned x is ≤ the true q-quantile's position
+    — a one-sided estimate, like every CMS answer.  N is read from the
+    root node's estimate (exact when the root cells are collision-free,
+    which depth rows make near-certain)."""
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    nodes = dyadic_node_stream(values, col, levels)
+    ds = F.array([F.lit(i) for i in range(depth)])
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("_d").cast("string"),
+                          F.col("node"))), 1, width_hex)
+    counters = {(r["_d"], r["_b"]): r["_c"] for r in
+                (nodes.select("node", F.explode(ds).alias("_d"))
+                 .groupBy("_d", bucket.alias("_b"))
+                 .agg(F.count(F.lit(1)).alias("_c")).collect())}
+
+    import hashlib
+
+    def est_node(node: str) -> int:
+        return min(counters.get(
+            (d, hashlib.md5(f"{d}:{node}".encode()).hexdigest()
+             [:width_hex]), 0) for d in range(depth))
+
+    def est_rank(x: int) -> int:
+        x = min(max(x, 0), 1 << levels)
+        total, l = 0, 0
+        while x:
+            if x & 1:
+                total += est_node(f"{l}:{(x >> 1) << 1}")
+            x >>= 1
+            l += 1
+        return total
+
+    n = est_node(f"{levels}:0")
+    out = []
+    for q in qs:
+        target = q * n
+        lo, hi = 0, 1 << levels     # smallest x with est_rank(x) >= target
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if est_rank(mid) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        # rank counts values STRICTLY below x, so the q-quantile VALUE
+        # is x-1 (the largest value still inside the first ceil(q·N))
+        out.append((q, max(lo - 1, 0)))
+    return out
