@@ -2093,6 +2093,37 @@ def q_heavy_hitters(spark, sf_dir):
     return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
 
 
+@register("q_time_travel", """
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_id % 2 = 0
+""")
+def q_time_travel(spark, sf_dir):
+    """Snapshot reads over a maintained view (operators/snapshot.
+    SnapshotView): a keyed view ingests two upsert batches with a
+    hardlink snapshot taken between them — O(#files) inode links, zero
+    bytes copied, the local-filesystem spelling of Delta/Iceberg's
+    immutable-snapshot design — and the query reads AS-OF version 1:
+    exactly the batch-1 state, bit-stable across the later batch that
+    rewrote every row (it doubles value) and a delete.  The reference's
+    mutable target loses pre-batch states by design
+    (YqlWriter.java:118-147); this is the warehouse answer."""
+    from ydb_cdc_processor_spark.operators.merge import (
+        ParquetMaterializedView)
+    from ydb_cdc_processor_spark.operators.snapshot import SnapshotView
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double"))
+    mv = ParquetMaterializedView(
+        spark, _scratch_dir("timetravel_") + "/mv", ["event_id"],
+        schema=ev.schema)
+    snap = SnapshotView(mv, keep_last=3)
+    mv.apply(ev.where(F.col("event_id") % 2 == 0))
+    v1 = snap.snapshot(label="b1")
+    mv.apply(ev.withColumn("value", F.col("value") * 2))  # rewrite all
+    snap.snapshot(label="b2")
+    mv.apply(ev.select("event_id").limit(10), action="deleteFrom")
+    return snap.read_as_of(v1)
+
+
 @register("q_bpe_encode", text.bpe_oracle_sql())
 def q_bpe_encode(spark, sf_dir):
     """Apply a FIXED trained BPE merge table to every document
