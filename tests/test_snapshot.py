@@ -70,3 +70,48 @@ def test_labeled_snapshot_collapses_replay(spark, tmp_path):
     empty = _mv(spark, tmp_path, "nv")
     with pytest.raises(FileNotFoundError, match="no state"):
         SnapshotView(empty).snapshot()
+
+
+def test_bucketed_snapshot_shares_untouched_inodes(spark, tmp_path):
+    """Snapshots of a BUCKETED view: versions read correctly across
+    touched-bucket rewrites, and files of buckets a later batch never
+    touched are THE SAME inodes in consecutive snapshots — storage
+    grows with churn, not view size."""
+    import os
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BucketedMaterializedView)
+
+    mv = BucketedMaterializedView(spark, str(tmp_path / "bv"),
+                                  keys=["k"], n_buckets=8)
+    snap = SnapshotView(mv, keep_last=5)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(64)],
+                                 "k long, v string")
+    mv.apply(base)
+    v1 = snap.snapshot()
+    # touch exactly one key → one bucket rewritten
+    mv.apply(spark.createDataFrame([(3, "CHANGED")], "k long, v string"))
+    v2 = snap.snapshot()
+
+    a = {r.k: r.v for r in snap.read_as_of(v1).collect()}
+    b = {r.k: r.v for r in snap.read_as_of(v2).collect()}
+    assert a[3] == "v3" and b[3] == "CHANGED"
+    assert {k: v for k, v in b.items() if k != 3} == \
+        {k: v for k, v in a.items() if k != 3}
+
+    def inodes(version):
+        out = {}
+        root = os.path.join(snap.snap_dir, f"v{version}")
+        for r, _d, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    i1, i2 = inodes(v1), inodes(v2)
+    shared = {p for p in i1 if p in i2 and i1[p] == i2[p]}
+    changed = {p for p in set(i1) | set(i2) if p not in shared}
+    assert shared, "untouched buckets must share inodes across versions"
+    # only the rewritten bucket's files (and any manifest) may differ
+    touched_dirs = {p.split(os.sep)[0] for p in changed}
+    assert len(touched_dirs) <= 2, (touched_dirs)

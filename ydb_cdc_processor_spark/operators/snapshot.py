@@ -67,6 +67,11 @@ class SnapshotView:
             for v in self.versions():
                 if v.get("label") == label:
                     return v["version"]
+        if hasattr(self.view, "recover"):
+            # bucketed views: repair any crash-torn bucket BEFORE the
+            # link walk — a snapshot of a displaced bucket would freeze
+            # the torn state forever
+            self.view.recover()
         if not self.view.exists():
             raise FileNotFoundError(
                 f"view at {self.view.path} has no state to snapshot")
@@ -75,17 +80,25 @@ class SnapshotView:
                           default=0)
         tmp = os.path.join(self.snap_dir,
                            f".v{version}.tmp-{uuid.uuid4().hex[:8]}")
-        os.makedirs(tmp)
+        # recursive link walk: a BUCKETED view's _bucket=N subdirs come
+        # along too, and buckets the next batches never touch keep
+        # pointing at the SAME inodes across versions — snapshot storage
+        # grows with churn, not with view size (the manifest-sharing
+        # property Delta/Iceberg get from immutable object keys)
         n_files = 0
-        for name in os.listdir(self.view.path):
-            src = os.path.join(self.view.path, name)
-            if os.path.isfile(src):
-                os.link(src, os.path.join(tmp, name))
+        for root, _dirs, files in os.walk(self.view.path):
+            rel = os.path.relpath(root, self.view.path)
+            dst = tmp if rel == "." else os.path.join(tmp, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in files:
+                os.link(os.path.join(root, name),
+                        os.path.join(dst, name))
                 n_files += 1
+        view_meta = (self.view.read_meta()
+                     if hasattr(self.view, "read_meta") else {})
         with open(os.path.join(tmp, _SNAP_META), "w") as fh:
             json.dump({"version": version, "label": label,
-                       "n_files": n_files,
-                       "view_meta": self.view.read_meta()}, fh)
+                       "n_files": n_files, "view_meta": view_meta}, fh)
         os.rename(tmp, os.path.join(self.snap_dir, f"v{version}"))
         self._prune()
         return version
@@ -113,11 +126,20 @@ class SnapshotView:
         return sorted(out, key=lambda v: v["version"])
 
     def read_as_of(self, version: int) -> DataFrame:
-        """The view exactly as it stood when ``version`` was taken."""
+        """The view exactly as it stood when ``version`` was taken.
+        Bucketed snapshots read their ``_bucket=N`` layout with the
+        snapshot root as basePath; the internal bucket column is
+        dropped, matching the live view's public ``read()``."""
         path = os.path.join(self.snap_dir, f"v{version}")
         if not os.path.isdir(path):
             have = [v["version"] for v in self.versions()]
             raise FileNotFoundError(
                 f"no snapshot v{version} at {self.snap_dir} "
                 f"(retained: {have} — keep_last={self.keep_last})")
-        return self.view.spark.read.parquet(path)
+        df = (self.view.spark.read.option("basePath", path)
+              .parquet(path))
+        from ydb_cdc_processor_spark.operators.bucketed_view import (
+            BUCKET_COL)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df
