@@ -105,3 +105,50 @@ def test_rank_sketch_maintained_via_cms_view(spark, tmp_path):
     got = {r.x: r.est_rank for r in est.collect()}
     true = {x: sum(1 for v in live if v < x) for x in (2, 6, 41, 256)}
     assert got == true
+
+
+def test_engine_drives_cms_view(spark, sf_dir, tmp_path):
+    """CdcBatchEngine(agg_views=[cv.feed()]): event_type frequency
+    counters over the events changefeed equal a from-scratch sketch of
+    the LIVE row view (upserts net out via old images, deletes
+    retract), and an engine-level replay under the same token is a
+    no-op."""
+    from pyspark.sql import functions as F
+    from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    cv = CmsView(spark, str(tmp_path / "cms"), "event_type")
+    p = CdcPipeline(
+        name="cms_fact", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         agg_views=[cv.feed()])
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
+                        batch_token="c0")
+    assert cv.recompute_check(eng.read_view())
+    state = sorted(tuple(r) for r in cv.counts.read().collect())
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
+                        batch_token="c0")   # replay
+    assert sorted(tuple(r) for r in cv.counts.read().collect()) == state
+
+
+def test_cms_stream_restart_converges(spark, tmp_path):
+    full = _vals(spark, {"a": 30, "b": 12, "c": 5}) \
+        .localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    full.repartition(3).write.parquet(src)
+    cv = CmsView(spark, str(tmp_path / "s"), "v")
+    for _ in range(2):   # second start: checkpoint replays nothing
+        q = cv.start_stream(
+            (spark.readStream.schema(full.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination()
+    assert cv.recompute_check(full)

@@ -84,3 +84,47 @@ def test_stream_restart_converges(spark, tmp_path):
     q2.awaitTermination()
     assert hv.recompute_check(full)
     assert _est(hv.read()) == _est(hll_grouped(full, ["grp"], "val", p=8))
+
+
+def test_engine_drive_insert_only_and_delete_refusal(spark, sf_dir,
+                                                     tmp_path):
+    """HllView rides a CDC engine's agg_views feed for INSERT-ONLY
+    sources (the first fixture batch bootstraps with old images
+    tolerated on the absent store); a second batch carrying old images
+    — updates or deletes — must surface the documented refusal rather
+    than silently under-counting."""
+    import pytest as _pytest
+    from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    hv = HllView(spark, str(tmp_path / "hll"), ["grp"], "val", p=8)
+
+    def shaped(apply):
+        def _f(new_rows, old_rows, batch_token=None):
+            sel = lambda df: (None if df is None else df.select(
+                F.col("event_type").alias("grp"),
+                F.col("event_id").cast("string").alias("val")))
+            apply(sel(new_rows), sel(old_rows), batch_token)
+        from ydb_cdc_processor_spark.operators.ivm_feed import Feed
+        return Feed(_f)
+
+    p = CdcPipeline(
+        name="hll_fact", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"),
+                         agg_views=[shaped(hv.apply_delta)])
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
+                        batch_token="h0")
+    assert hv.registers().count() > 0
+    # second apply: the view now exists, the fixture carries updates →
+    # old images arrive → the monotone-register refusal must surface
+    with _pytest.raises(Exception, match="cannot retract"):
+        eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
+                            batch_token="h1")

@@ -126,8 +126,27 @@ class CmsView:
         self._write_meta()
 
     def feed(self) -> Feed:
-        """Adapter for a CDC engine's ``agg_views`` list."""
+        """Adapter for a CDC engine's ``agg_views`` list: upserts
+        contribute +new −old-image, deletes retract via old images
+        alone — the DistinctCountView protocol, so the counter table
+        tracks the engine's LIVE row view."""
         return Feed(self.apply_delta)
+
+    def start_stream(self, rows_stream: DataFrame, checkpoint_dir: str,
+                     available_now: bool = True):
+        """Maintain the sketch from an APPEND-ONLY stream (foreachBatch
+        → :meth:`apply_delta` with no old images, fenced by the batch
+        id).  Rewrites/deletes need old images — ride a CDC engine's
+        ``agg_views`` feed for those.  Returns the StreamingQuery."""
+        def _batch(df, batch_id: int) -> None:
+            self.apply_delta(df, None, batch_token=f"cms:{batch_id}")
+
+        writer = (rows_stream.writeStream
+                  .foreachBatch(_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     # -- serving -----------------------------------------------------------------
 
