@@ -118,6 +118,9 @@ class HllView:
         batch = hll_registers(new_rows, self.group_cols,
                               self.value_col, self.p)
         if self.view.exists():
+            # the register agg feeds the touched-bucket collect AND the
+            # merge join — evaluate the explode+max forest once
+            batch = batch.localCheckpoint(eager=True)
             # max-merge against ONLY the batch keys' current registers:
             # read the touched buckets, left-join the old M, keep the max
             touched = sorted({r[0] for r in batch.select(

@@ -62,7 +62,14 @@ class SnapshotView:
         the version already carrying ``label`` — the replay-collapse
         path).  Returns the version number.  Atomic: links build in a
         temp sibling and rename in; a crash mid-snapshot leaves only an
-        ignorable temp directory."""
+        ignorable temp directory.
+
+        Label-collapse scope: a replay is only collapsible while its
+        version is RETAINED — re-snapshotting a label that retention
+        already pruned mints a new version of the CURRENT state.  Size
+        ``keep_last`` above the checkpoint replay window (replays
+        re-apply the last batch, never one ``keep_last`` generations
+        back)."""
         if label is not None:
             for v in self.versions():
                 if v.get("label") == label:
