@@ -2204,6 +2204,50 @@ def q_rank_sketch(spark, sf_dir):
     return est.join(exact, "x")
 
 
+@register("q_rank_sketch_view")
+def q_rank_sketch_view(spark, sf_dir):
+    """The dyadic rank sketch MAINTAINED under CDC: token-count node
+    streams ingest through a CmsView in two micro-batches, a third
+    batch DELETES one doc-slice's nodes and a fourth restores them
+    (linear counters retract exactly), leaving the live counter table
+    equal to the one-shot sketch — so rank estimates for the same
+    probes replay q_rank_sketch's oracle.  The retractable maintained
+    form of the quantile sketch: fixed depth·width state, per-batch
+    cost one ±agg + touched-bucket merge."""
+    from ydb_cdc_processor_spark.functions.sketches import (
+        dyadic_node_stream, dyadic_probe_nodes)
+    from ydb_cdc_processor_spark.operators.cms_view import CmsView
+    docs = load_docs(spark, sf_dir)
+    vals = docs.select("doc_id",
+                       text.token_count(F.col("text")).alias("n"))
+    nodes = lambda df: dyadic_node_stream(df, "n", levels=16)
+    cv = CmsView(spark, _scratch_dir("rksview_") + "/cms", "node",
+                 depth=4, width_hex=2)
+    cv.apply_delta(nodes(vals.where(F.col("doc_id") % 2 == 0)),
+                   batch_token="rk:b1")
+    cv.apply_delta(nodes(vals.where(F.col("doc_id") % 2 == 1)),
+                   batch_token="rk:b2")
+    slice5 = nodes(vals.where(F.col("doc_id") % 5 == 0))
+    cv.apply_delta(None, slice5, batch_token="rk:b3")   # delete
+    cv.apply_delta(slice5, None, batch_token="rk:b4")   # restore
+    xs = [8, 16, 32, 64, 128, 256, 512, 1024]
+    probes = spark.createDataFrame([(x,) for x in xs], "x long")
+    pn = dyadic_probe_nodes(probes, "x", levels=16)
+    per_node = pn.join(cv.estimate(pn.select("node"), "node"),
+                       pn.node == F.col("term"))
+    est = (probes.join(per_node.groupBy("x")
+                       .agg(F.sum("est_count").alias("_s")),
+                       on="x", how="left")
+           .select("x", F.coalesce(F.col("_s"), F.lit(0)).cast("long")
+                   .alias("est_rank")))
+    exact = (probes.join(vals, vals.n < probes.x, "left")
+             .groupBy("x").agg(F.count(vals.n).alias("n_exact_lt")))
+    return est.join(exact, "x")
+
+
+ORACLES["q_rank_sketch_view"] = ORACLES["q_rank_sketch"]
+
+
 @register("q_cms_view")
 def q_cms_view(spark, sf_dir):
     """The count-min sketch as a MAINTAINED store under CDC
