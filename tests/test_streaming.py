@@ -318,6 +318,15 @@ def test_status_http_endpoints(spark, sf_dir, fixture_dir, tmp_path):
             urllib.request.urlopen(f"{base}/nope", timeout=10)
         assert e404.value.code == 404
 
+        # GET /stores: disk inventory of the target view — a real file
+        # count once the stream has materialized, no Spark job
+        stores = _json.load(urllib.request.urlopen(f"{base}/stores",
+                                                   timeout=10))
+        assert len(stores) == 1
+        tgt = stores[0][0]
+        assert tgt["type"] == "target" and tgt["name"] == "stream_view1"
+        assert tgt["nFiles"] >= 0 and tgt["bytes"] >= 0
+
         out = _json.load(urllib.request.urlopen(
             urllib.request.Request(f"{base}/stop", method="POST"),
             timeout=60))

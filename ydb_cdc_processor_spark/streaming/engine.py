@@ -283,6 +283,39 @@ class CdcStreamEngine:
             out["derivedViews"] = derived
         return out
 
+    def store_stats(self) -> list[dict]:
+        """Disk inventory of the pipeline's target view and every
+        attached derived store — file counts and bytes by directory
+        walk, NO Spark job (the capacity/compaction signal that pairs
+        with /status's logical inventory; per-store occupancy detail
+        stays on the owners: TextIndex.bucket_stats,
+        VectorIndex.cell_stats, NearDupIndex.last_skew)."""
+        import os
+
+        def disk(path):
+            n, b = 0, 0
+            if path:
+                for root, _d, files in os.walk(path):
+                    for f in files:
+                        try:
+                            b += os.path.getsize(os.path.join(root, f))
+                            n += 1
+                        except OSError:
+                            pass   # file raced away mid-walk
+            return {"nFiles": n, "bytes": b}
+
+        rows = [{"type": "target", "name": self.pipeline.name,
+                 "path": self.batch_engine.target_path,
+                 **disk(self.batch_engine.target_path)}]
+        for v in (list(getattr(self.batch_engine, "agg_views", []))
+                  + list(getattr(self.batch_engine, "scd2_views", []))):
+            owner = getattr(v, "owner", None) or v
+            path = next((getattr(owner, a) for a in ("path", "out_dir")
+                         if getattr(owner, a, None) is not None), None)
+            rows.append({"type": type(owner).__name__, "path": path,
+                         **disk(path)})
+        return rows
+
 
 def _now_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

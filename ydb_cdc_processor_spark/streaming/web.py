@@ -123,6 +123,11 @@ class StatusServer:
                     self._json([e.status_dict() for e in outer.engines])
                 elif self.path == "/config":
                     self._json(outer.config_dict())
+                elif self.path == "/stores":
+                    # per-engine disk inventory (target + derived
+                    # stores) — directory walks only, no Spark job
+                    self._json([e.store_stats() for e in outer.engines
+                                if hasattr(e, "store_stats")])
                 elif self.path in ("/", "/index.html"):
                     body = INDEX_HTML.encode()
                     self.send_response(200)
