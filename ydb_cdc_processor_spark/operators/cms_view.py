@@ -68,11 +68,18 @@ class CmsView:
             sum_cols={}, count_col="c", backend="bucketed",
             n_buckets=n_buckets)
         # (depth, width_hex) are LAYOUT properties: cells of a store
-        # built at one geometry are meaningless at another
+        # built at one geometry are meaningless at another.  Written
+        # HERE, before any data — a first-batch crash between the
+        # counter merge and a post-merge meta write would leave a
+        # populated store whose reopen could silently probe at a
+        # different geometry and UNDERcount (the one error class CMS
+        # must never make; review finding)
         stored = self._read_meta()
         if stored:
             self.depth = int(stored["depth"])
             self.width_hex = int(stored["width_hex"])
+        else:
+            self._write_meta()
 
     # -- layout metadata -------------------------------------------------------
 
@@ -123,7 +130,6 @@ class CmsView:
             self._cells(new_rows) if new_rows is not None else None,
             self._cells(old_rows) if old_rows is not None else None,
             batch_token=batch_token)
-        self._write_meta()
 
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list: upserts

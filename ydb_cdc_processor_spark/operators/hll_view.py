@@ -70,16 +70,23 @@ class HllView:
             n_buckets=n_buckets)
         # p is a LAYOUT property (register indices are p-dependent): a
         # store built at one p reopened with another must serve the
-        # layout's p — the VectorIndex n_cells/seed rule
+        # layout's p — the VectorIndex n_cells/seed rule.  The meta is
+        # written HERE, before any data, so no crash window can leave a
+        # populated store without its geometry (review finding), and it
+        # lives OUTSIDE view.path — rebucket()'s whole-directory swap
+        # would silently destroy a file stored inside the bucket dir
+        # (review finding; CmsView's layout was already one level up).
         self.view.recover()
         stored = self._read_meta()
         if stored:
             self.p = int(stored["p"])
+        else:
+            self._write_meta()
 
     # -- layout metadata -------------------------------------------------------
 
     def _meta_path(self) -> str:
-        return os.path.join(self.view.path, "_hll.json")
+        return os.path.join(self.path, "_hll.json")
 
     def _read_meta(self) -> dict:
         try:
@@ -89,7 +96,7 @@ class HllView:
             return {}
 
     def _write_meta(self) -> None:
-        os.makedirs(self.view.path, exist_ok=True)
+        os.makedirs(self.path, exist_ok=True)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"p": self.p}, fh)
@@ -137,7 +144,6 @@ class HllView:
                              .alias("_M")))
         self.view.apply(batch.select(*self.group_cols, "_j", "_M"),
                         action="upsertInto")
-        self._write_meta()
 
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list (insert-only

@@ -145,15 +145,8 @@ class JoinView:
         job) proxy for its broadcast cost.  Parquet compresses, so the
         in-memory relation is larger; the default 64 MB cap leaves
         headroom against executor broadcast memory either way."""
-        total = 0
-        for root, _dirs, files in os.walk(self.dim_mirror.path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        return total
+        from ydb_cdc_processor_spark.functions.disk import disk_usage
+        return disk_usage(self.dim_mirror.path, suffix=".parquet")[1]
 
     def _enrich(self, fact_rows: DataFrame) -> DataFrame:
         """fact rows LEFT JOIN the current dim mirror.  Enrichment-sized

@@ -60,9 +60,14 @@ class SnapshotView:
     def snapshot(self, label: str | None = None) -> int:
         """Capture the CURRENT view state as the next version (or re-use
         the version already carrying ``label`` — the replay-collapse
-        path).  Returns the version number.  Atomic: links build in a
-        temp sibling and rename in; a crash mid-snapshot leaves only an
-        ignorable temp directory.
+        path).  Returns the version number.  Atomic AGAINST CRASHES:
+        links build in a temp sibling and rename in; a crash
+        mid-snapshot leaves only an ignorable temp directory.  NOT safe
+        against a CONCURRENT writer: a swap racing the link walk could
+        freeze a cross-bucket torn version (or ENOENT mid-link) — call
+        snapshot() from the same maintenance loop that calls apply(),
+        between batches, exactly like maintain(); the engines'
+        driver-serialized batch loop satisfies this by construction.
 
         Label-collapse scope: a replay is only collapsible while its
         version is RETAINED — re-snapshotting a label that retention

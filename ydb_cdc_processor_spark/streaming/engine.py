@@ -290,18 +290,10 @@ class CdcStreamEngine:
         with /status's logical inventory; per-store occupancy detail
         stays on the owners: TextIndex.bucket_stats,
         VectorIndex.cell_stats, NearDupIndex.last_skew)."""
-        import os
+        from ydb_cdc_processor_spark.functions.disk import disk_usage
 
         def disk(path):
-            n, b = 0, 0
-            if path:
-                for root, _d, files in os.walk(path):
-                    for f in files:
-                        try:
-                            b += os.path.getsize(os.path.join(root, f))
-                            n += 1
-                        except OSError:
-                            pass   # file raced away mid-walk
+            n, b = disk_usage(path)
             return {"nFiles": n, "bytes": b}
 
         rows = [{"type": "target", "name": self.pipeline.name,
