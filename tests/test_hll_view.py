@@ -128,3 +128,27 @@ def test_engine_drive_insert_only_and_delete_refusal(spark, sf_dir,
     with _pytest.raises(Exception, match="cannot retract"):
         eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
                             batch_token="h1")
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union: two shard stores maintained over overlapping
+    slices merge into a third whose registers equal the one-shot sketch
+    of the union; layout mismatches are refused."""
+    a = HllView(spark, str(tmp_path / "sa"), ["grp"], "val", p=8)
+    b = HllView(spark, str(tmp_path / "sb"), ["grp"], "val", p=8)
+    a.apply_delta(_rows(spark, 0, 500))
+    b.apply_delta(_rows(spark, 400, 900))   # overlap 400..499
+    merged = HllView(spark, str(tmp_path / "m"), ["grp"], "val", p=8)
+    merged.merge_from(a)
+    merged.merge_from(b)
+    merged.merge_from(b)   # re-merge: idempotent
+    assert merged.recompute_check(_rows(spark, 0, 900))
+    assert _est(merged.read()) == \
+        _est(hll_grouped(_rows(spark, 0, 900), ["grp"], "val", p=8))
+
+    with pytest.raises(ValueError, match="layout-dependent"):
+        merged.merge_from(HllView(spark, str(tmp_path / "p4"),
+                                  ["grp"], "val", p=4))
+    with pytest.raises(ValueError, match="group_cols"):
+        merged.merge_from(HllView(spark, str(tmp_path / "g2"),
+                                  ["other"], "val", p=8))

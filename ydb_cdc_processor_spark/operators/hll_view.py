@@ -122,11 +122,15 @@ class HllView:
                 "DistinctCountView for exact retractable counts")
         if new_rows is None:
             return
-        batch = hll_registers(new_rows, self.group_cols,
-                              self.value_col, self.p)
+        self._merge_registers(hll_registers(
+            new_rows, self.group_cols, self.value_col, self.p))
+
+    def _merge_registers(self, batch: DataFrame) -> None:
+        """Max-merge a register table into the store — the semilattice
+        join shared by row ingestion and store-to-store union."""
         if self.view.exists():
             # the register agg feeds the touched-bucket collect AND the
-            # merge join — evaluate the explode+max forest once
+            # merge join — evaluate its plan once
             batch = batch.localCheckpoint(eager=True)
             # max-merge against ONLY the batch keys' current registers:
             # read the touched buckets, left-join the old M, keep the max
@@ -144,6 +148,23 @@ class HllView:
                              .alias("_M")))
         self.view.apply(batch.select(*self.group_cols, "_j", "_M"),
                         action="upsertInto")
+
+    def merge_from(self, other: "HllView") -> None:
+        """UNION another HllView's registers into this one — federated
+        sketching: per-shard / per-datacenter stores, each maintained
+        locally over its own slice, combine by register max WITHOUT
+        touching raw data (the merged state equals the one-shot sketch
+        of the union — max-merge associativity, same argument as the
+        replay contract; pinned by test_merge_from_shards).  Cost:
+        O(|other's registers|) rows through one touched-bucket merge.
+        Requires identical ``p`` — register indices are p-dependent."""
+        if other.p != self.p:
+            raise ValueError(
+                f"cannot merge p={other.p} registers into a p={self.p} "
+                "store — register indices are layout-dependent")
+        if list(other.group_cols) != list(self.group_cols):
+            raise ValueError("group_cols must match to merge")
+        self._merge_registers(other.registers())
 
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list (insert-only
