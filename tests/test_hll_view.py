@@ -43,15 +43,47 @@ def test_hll_view_replay_and_any_batching(spark, tmp_path):
     assert _est(a.registers()) == _est(b.registers())
 
 
-def test_delete_bearing_batch_refused(spark, tmp_path):
+def test_delete_bearing_batch_refused(spark, tmp_path, caplog):
     hv = HllView(spark, str(tmp_path / "d"), ["grp"], "val")
     hv.apply_delta(_rows(spark, 0, 100))
     with pytest.raises(ValueError, match="cannot retract"):
         hv.apply_delta(_rows(spark, 0, 10), _rows(spark, 0, 10))
-    # bootstrap old images (store didn't exist yet) are tolerated
+    # refusal keys on CONTENT: an EMPTY old-image frame (what the engine
+    # hands every insert-only post-bootstrap batch) must pass through
+    hv.apply_delta(_rows(spark, 100, 150), _rows(spark, 0, 0))
+    assert hv.recompute_check(_rows(spark, 0, 150))
+    # bootstrap old images (store didn't exist yet) are tolerated — but
+    # no longer silently: the drop is logged as a warning
     hv2 = HllView(spark, str(tmp_path / "d2"), ["grp"], "val")
-    hv2.apply_delta(_rows(spark, 0, 50), _rows(spark, 0, 5))
+    with caplog.at_level("WARNING",
+                         logger="ydb_cdc_processor_spark.operators.hll_view"):
+        hv2.apply_delta(_rows(spark, 0, 50), _rows(spark, 0, 5))
+    assert any("discarding old images" in r.message for r in caplog.records)
     assert hv2.registers().count() > 0
+
+
+def test_group_types_are_layout_metadata(spark, tmp_path):
+    """Non-string group cols: the empty-store registers()/read() schema
+    equals the post-ingest one, reopen adopts the stored types, and a
+    batch whose group types contradict the layout is refused."""
+    rows = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(200)], "grp int, val string")
+    hv = HllView(spark, str(tmp_path / "t"), ["grp"], "val", p=8,
+                 group_types=["int"])
+    empty_schema = hv.registers().schema
+    empty_read_schema = hv.read().schema
+    hv.apply_delta(rows)
+    assert hv.registers().schema == empty_schema
+    assert hv.read().schema == empty_read_schema
+    reopened = HllView(spark, str(tmp_path / "t"), ["grp"], "val", p=8)
+    assert reopened.group_types == ["int"]   # layout wins
+    assert reopened.recompute_check(rows)
+    with pytest.raises(ValueError, match="group column types"):
+        reopened.apply_delta(_rows(spark, 0, 10))   # string grp vs int store
+    # merge_from refuses a type-mismatched shard
+    other = HllView(spark, str(tmp_path / "t2"), ["grp"], "val", p=8)
+    with pytest.raises(ValueError, match="group_types"):
+        reopened.merge_from(other)
 
 
 def test_p_is_layout_metadata(spark, tmp_path):
@@ -123,8 +155,23 @@ def test_engine_drive_insert_only_and_delete_refusal(spark, sf_dir,
     eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
                         batch_token="h0")
     assert hv.registers().count() > 0
-    # second apply: the view now exists, the fixture carries updates →
-    # old images arrive → the monotone-register refusal must surface
+    # second INSERT-ONLY batch (fresh keys): the engine still hands the
+    # feed an old-image frame (target exists, key-pruned → EMPTY) — the
+    # content-keyed refusal must let it through (advisor medium finding:
+    # presence-keyed refusal broke every post-bootstrap insert-only batch)
+    fresh = spark.createDataFrame(
+        [(cdc_json.envelope(
+            [10_000_000 + i],
+            {"ts": "2026-01-01T00:00:00.000000Z", "user_id": 1,
+             "event_type": f"fresh_{i % 2}", "value": 1.0, "props": None}),
+          0, 1_000_000 + i) for i in range(6)],
+        cdc_json.RAW_SCHEMA)
+    before = {tuple(r) for r in hv.registers().collect()}
+    eng.apply_raw_batch(fresh, batch_token="h_fresh")
+    after = {tuple(r) for r in hv.registers().collect()}
+    assert before < after   # grew, did not raise
+    # third apply: replaying the original fixture carries true updates →
+    # old images arrive non-empty → the monotone-register refusal surfaces
     with _pytest.raises(Exception, match="cannot retract"):
         eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture),
                             batch_token="h1")

@@ -483,3 +483,30 @@ def test_pq_filtered_query_fills_k(spark, emb, tmp_path):
                                             "pq_sim").collect())
     b = sorted(tuple(r) for r in exp.collect())
     assert a == b and a
+
+
+def test_legacy_meta_without_m_sub_key_is_flat(spark, emb, tmp_path):
+    """A store whose _index.json predates the m_sub key entirely (not
+    merely m_sub=None) must reopen as FLAT even under a PQ constructor —
+    otherwise add_batch demands a codebook and query looks for _q
+    columns the lists don't hold (advisor finding)."""
+    import json as _json
+
+    flat = VectorIndex(spark, str(tmp_path / "legacy"), n_cells=8)
+    flat.build(emb.where(F.col("vec_id") % 2 == 0))
+    # simulate legacy metadata: strip the m_sub/n_codes/dim keys
+    with open(flat._meta_path()) as fh:
+        meta = _json.load(fh)
+    for k in ("m_sub", "n_codes", "dim"):
+        meta.pop(k, None)
+    with open(flat._meta_path(), "w") as fh:
+        _json.dump(meta, fh)
+
+    reopened = VectorIndex(spark, str(tmp_path / "legacy"),
+                           m_sub=16, n_codes=64)
+    assert reopened.m_sub is None          # layout (flat) wins
+    reopened.add_batch(emb.where(F.col("vec_id") % 2 == 1))  # no codebook error
+    probes = emb.limit(3).select(F.col("vec_id").alias("probe_id"),
+                                 "embedding")
+    res = reopened.query(probes, k=2)
+    assert "cos_sim" in res.columns and res.count() > 0

@@ -37,6 +37,7 @@ functions/sketches.py.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,8 @@ from ydb_cdc_processor_spark.operators.bucketed_view import (
     BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
 
+logger = logging.getLogger(__name__)
+
 
 class HllView:
     """Persistent per-group HLL register table with incremental
@@ -56,7 +59,8 @@ class HllView:
 
     def __init__(self, spark: SparkSession, path: str,
                  group_cols: list[str], value_col: str,
-                 p: int = 8, n_buckets: int = 8):
+                 p: int = 8, n_buckets: int = 8,
+                 group_types: list[str] | None = None):
         if p % 4 != 0 or not 4 <= p <= 12:
             raise ValueError("p must be a multiple of 4 in [4, 12]")
         self.spark = spark
@@ -64,6 +68,18 @@ class HllView:
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.p = p
+        # group-col TYPES are layout metadata too: the empty-store
+        # registers() frame must carry the same schema the store will
+        # hold after first ingest, or read()/merge_from/recompute_check
+        # on a not-yet-ingested store diverge from the ingested one
+        # (advisor finding).  Declared at construction (DDL strings,
+        # default "string"), persisted alongside p, layout wins on
+        # reopen like p does.
+        if group_types is not None and len(group_types) != len(group_cols):
+            raise ValueError("group_types must match group_cols 1:1")
+        self.group_types = [
+            T.StructType.fromDDL(f"x {t}")[0].dataType.simpleString()
+            for t in (group_types or ["string"] * len(self.group_cols))]
         self.view = BucketedMaterializedView(
             spark, os.path.join(path, "regs"),
             keys=self.group_cols + ["_j"], bucket_keys=self.group_cols,
@@ -80,6 +96,10 @@ class HllView:
         stored = self._read_meta()
         if stored:
             self.p = int(stored["p"])
+            # stores written before group_types existed are all-string
+            # by construction (the only shape registers() ever built)
+            self.group_types = list(stored.get(
+                "group_types", ["string"] * len(self.group_cols)))
         else:
             self._write_meta()
 
@@ -99,7 +119,7 @@ class HllView:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"p": self.p}, fh)
+            json.dump({"p": self.p, "group_types": self.group_types}, fh)
         os.replace(tmp, self._meta_path())
 
     # -- maintenance -------------------------------------------------------------
@@ -109,17 +129,31 @@ class HllView:
                     batch_token: str | None = None) -> None:
         """Merge one micro-batch's registers into the store.
 
-        ``old_rows`` must be None (or the engine's bootstrap feed on a
-        store that doesn't exist yet): HLL registers cannot retract, so
-        a delete/rewrite-bearing batch raises instead of serving
-        silently-wrong counts.  ``batch_token`` is accepted for feed
-        compatibility but unused — the max-merge is naturally
-        idempotent (module docstring)."""
-        if old_rows is not None and self.view.exists():
-            raise ValueError(
-                "HllView cannot retract (register max is monotone) — "
-                "this batch carries old images; use "
-                "DistinctCountView for exact retractable counts")
+        ``old_rows`` must be None or EMPTY: HLL registers cannot
+        retract, so a batch that actually carries old images (deletes /
+        rewrites of live rows) raises instead of serving silently-wrong
+        counts.  The check is on CONTENT, not presence — the engine's
+        ``_maintain_agg_views`` hands every post-bootstrap batch a
+        key-pruned old-image frame that is empty whenever the source is
+        insert-only, and an eagerly-checkpointed empty frame costs one
+        cheap isEmpty (advisor finding: presence-keyed refusal broke
+        the documented insert-only engine feed).  On a store that does
+        not exist yet, non-empty old images are tolerated for engine
+        bootstrap but logged loudly — a genuinely rewrite-bearing first
+        batch is exactly the over-count the refusal exists to surface.
+        ``batch_token`` is accepted for feed compatibility but unused —
+        the max-merge is naturally idempotent (module docstring)."""
+        if old_rows is not None and not old_rows.isEmpty():
+            if self.view.exists():
+                raise ValueError(
+                    "HllView cannot retract (register max is monotone) — "
+                    "this batch carries old images; use "
+                    "DistinctCountView for exact retractable counts")
+            logger.warning(
+                "HllView %s: discarding old images on bootstrap (store "
+                "absent) — if this first batch rewrites live rows the "
+                "registers will over-count; bootstrap from an "
+                "insert-only scan to avoid this", self.path)
         if new_rows is None:
             return
         self._merge_registers(hll_registers(
@@ -128,6 +162,13 @@ class HllView:
     def _merge_registers(self, batch: DataFrame) -> None:
         """Max-merge a register table into the store — the semilattice
         join shared by row ingestion and store-to-store union."""
+        got = [batch.schema[c].dataType.simpleString()
+               for c in self.group_cols]
+        if got != self.group_types:
+            raise ValueError(
+                f"batch group column types {got} do not match the "
+                f"store layout {self.group_types} — declare group_types "
+                "at construction")
         if self.view.exists():
             # the register agg feeds the touched-bucket collect AND the
             # merge join — evaluate its plan once
@@ -164,6 +205,10 @@ class HllView:
                 "store — register indices are layout-dependent")
         if list(other.group_cols) != list(self.group_cols):
             raise ValueError("group_cols must match to merge")
+        if list(other.group_types) != list(self.group_types):
+            raise ValueError(
+                f"group_types must match to merge "
+                f"({other.group_types} vs {self.group_types})")
         self._merge_registers(other.registers())
 
     def feed(self) -> Feed:
@@ -189,9 +234,14 @@ class HllView:
     # -- serving -----------------------------------------------------------------
 
     def registers(self) -> DataFrame:
-        """The live register table (audit / recompute-check surface)."""
+        """The live register table (audit / recompute-check surface).
+        The empty-store frame is built from the PERSISTED group-col
+        types, so its schema equals the post-ingest one (advisor
+        finding: a hardcoded all-string empty frame made read() /
+        merge_from over non-string groups type-flip at first ingest)."""
         schema = T.StructType(
-            [T.StructField(c, T.StringType()) for c in self.group_cols]
+            [T.StructField(c, T.StructType.fromDDL(f"x {t}")[0].dataType)
+             for c, t in zip(self.group_cols, self.group_types)]
             + [T.StructField("_j", T.IntegerType()),
                T.StructField("_M", T.IntegerType())])
         if not self.view.exists():

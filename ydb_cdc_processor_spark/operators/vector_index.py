@@ -100,7 +100,13 @@ class VectorIndex:
                 self.m_sub = int(stored["m_sub"])
                 self.n_codes = int(stored["n_codes"])
                 self.dim = int(stored["dim"])
-            elif "m_sub" in stored:
+            else:
+                # stored metadata without a non-None m_sub — including
+                # legacy metadata written before the key existed — means
+                # the LISTS ARE FLAT (no _q columns, no codebook); the
+                # layout must win over a PQ constructor argument or
+                # add_batch/query would demand codes the store does not
+                # hold (advisor finding)
                 self.m_sub = None
 
     # -- centroids + metadata (INSIDE the lists dir — underscore-prefixed,
