@@ -1,0 +1,172 @@
+"""RangePartitionedView — the range/time-partitioned maintained store
+(operators/range_view.py): merge parity with the flat view, partition-
+pruned range reads, layout metadata, retention, crash repair."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
+from ydb_cdc_processor_spark.operators.range_view import RangePartitionedView
+
+
+def _rows(spark, lo, hi, month_of=lambda i: 1 + (i % 6)):
+    return spark.createDataFrame(
+        [(i, f"2024-{month_of(i):02d}-{1 + i % 28:02d}", f"v{i}")
+         for i in range(lo, hi)],
+        "id long, day string, val string").withColumn(
+            "day", F.col("day").cast("date"))
+
+
+def _res(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_parity_with_flat_view(spark, tmp_path):
+    """upsert → update → delete lifecycle lands on the same rows as the
+    flat view fed the same sequence (inherited merge semantics)."""
+    rv = RangePartitionedView(spark, str(tmp_path / "rv"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    b1 = _rows(spark, 0, 300)
+    fv = ParquetMaterializedView(spark, str(tmp_path / "fv"),
+                                 keys=["day", "id"], schema=b1.schema)
+    b2 = _rows(spark, 150, 450).withColumn("val", F.lit("updated"))
+    dels = _rows(spark, 100, 200).select("day", "id")
+    for v in (rv, fv):
+        v.apply(b1, action="upsertInto")
+        v.apply(b2, action="upsertInto")
+        v.apply(dels, action="deleteFrom")
+    assert _res(rv.read()) == _res(fv.read())
+    # a batch touches only its months' partitions (6 distinct months)
+    assert len(rv.existing_partitions()) == 6
+
+
+def test_read_range_prunes_partitions(spark, tmp_path):
+    """read_range plans a scan over ONLY the overlapping partitions
+    (pinned by intercepting read_touched) and returns exactly the
+    filter's rows."""
+    rv = RangePartitionedView(spark, str(tmp_path / "p"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    full = _rows(spark, 0, 600)
+    rv.apply(full, action="upsertInto")
+
+    seen = {}
+    orig = rv.read_touched
+
+    def spy(touched, delta_schema=None):
+        seen["pids"] = list(touched)
+        return orig(touched, delta_schema)
+
+    rv.read_touched = spy
+    got = rv.read_range("2024-02-01", "2024-03-31").select("id", "day", "val")
+    exp = full.where(F.col("day").between("2024-02-01", "2024-03-31"))
+    assert _res(got) == _res(exp)
+    # months feb+mar 2024 → pids {649, 650}; never the other 4
+    assert sorted(seen["pids"]) == [649, 650]
+    # open-ended bounds work too
+    rv.read_touched = orig
+    assert _res(rv.read_range(lo="2024-05-01").select("id", "day", "val")) \
+        == _res(full.where(F.col("day") >= "2024-05-01"))
+
+
+def test_residual_filter_inside_boundary_partition(spark, tmp_path):
+    """Bounds that fall mid-partition are enforced by the residual
+    filter — pruning can only over-read, never over-return."""
+    rv = RangePartitionedView(spark, str(tmp_path / "resid"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    full = _rows(spark, 0, 200)
+    rv.apply(full, action="upsertInto")
+    got = rv.read_range("2024-02-10", "2024-02-20").select("id", "day", "val")
+    exp = full.where(F.col("day").between("2024-02-10", "2024-02-20"))
+    assert _res(got) == _res(exp) and got.count() > 0
+
+
+def test_numeric_granularity_and_engine_target(spark, sf_dir, tmp_path):
+    """Numeric width partitioning on a key column, driven END-TO-END as
+    a CdcBatchEngine target (deletes carry only the PK — the partition
+    value must be derivable from it, which numeric-id ranges give)."""
+    from ydb_cdc_processor_spark import CdcBatchEngine, CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    rv = RangePartitionedView(spark, str(tmp_path / "view"),
+                              keys=list(pk), part_col=pk[0],
+                              granularity=100)
+    p = CdcPipeline(
+        name="ranged", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value "
+                   "FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    eng = CdcBatchEngine(spark, p, str(tmp_path / "view"), target_view=rv)
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    n = eng.read_view().count()
+    assert n > 0
+    # idempotent replay through the engine, range layout intact
+    eng.apply_raw_batch(cdc_json.read_cdc_batch(spark, fixture))
+    assert eng.read_view().count() == n
+    assert rv.existing_partitions()  # ids bucketed by width 100
+    lo, hi = 200, 399
+    got = rv.read_range(lo, hi)
+    assert _res(got.select("event_id")) == _res(
+        eng.read_view().where(F.col("event_id").between(lo, hi))
+        .select("event_id"))
+
+
+def test_granularity_is_layout_metadata(spark, tmp_path):
+    rv = RangePartitionedView(spark, str(tmp_path / "g"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    rv.apply(_rows(spark, 0, 100), action="upsertInto")
+    reopened = RangePartitionedView(spark, str(tmp_path / "g"),
+                                    keys=["day", "id"], part_col="day",
+                                    granularity="day")
+    assert reopened.granularity == "month"   # layout wins
+    assert _res(reopened.read()) == _res(rv.read())
+    with pytest.raises(ValueError, match="partitioned on"):
+        RangePartitionedView(spark, str(tmp_path / "g"),
+                             keys=["day", "id"], part_col="id",
+                             granularity=10)
+    with pytest.raises(ValueError, match="must be one of keys"):
+        RangePartitionedView(spark, str(tmp_path / "bad"),
+                             keys=["id"], part_col="day")
+    with pytest.raises(NotImplementedError):
+        rv.rebucket(16)
+
+
+def test_drop_range_retention(spark, tmp_path):
+    """drop_range removes whole expired partitions without touching
+    survivors — O(dropped) directory removals."""
+    rv = RangePartitionedView(spark, str(tmp_path / "ret"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    full = _rows(spark, 0, 600)
+    rv.apply(full, action="upsertInto")
+    dropped = rv.drop_range("2024-04-01")   # drop jan..mar
+    assert dropped == 3
+    assert _res(rv.read().select("id", "day", "val")) == \
+        _res(full.where(F.col("day") >= "2024-04-01"))
+    assert rv.drop_range("2024-04-01") == 0  # idempotent
+
+
+def test_crash_torn_partition_recovers(spark, tmp_path):
+    """A partition left displaced by a mid-promotion crash is restored
+    by the next read (inherited recovery, re-pinned for this layout)."""
+    rv = RangePartitionedView(spark, str(tmp_path / "c"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="month")
+    full = _rows(spark, 0, 300)
+    rv.apply(full, action="upsertInto")
+    pid = rv.existing_partitions()[0]
+    live = os.path.join(rv.path, f"_bucket={pid}")
+    os.rename(live, os.path.join(rv.path, f".displaced-_bucket={pid}"))
+    assert _res(rv.read().select("id", "day", "val")) == _res(full)

@@ -186,7 +186,8 @@ class CdcBatchEngine:
                  agg_views: list | None = None,
                  scd2_views: list | None = None,
                  dlq_path: str | None = None,
-                 max_parallel_views: int = 4):
+                 max_parallel_views: int = 4,
+                 target_view=None):
         """``n_buckets`` switches the target to the hash-bucketed view
         (operators/bucketed_view.py): per-batch cost O(touched buckets)
         instead of O(|view|) — the right choice for any view that outgrows
@@ -234,7 +235,15 @@ class CdcBatchEngine:
         up per view; the Spark scheduler interleaves the threads' jobs.
         1 restores the serial loop.  Convergence is unchanged: on any
         failure every view either applied under the batch token or will
-        re-apply on the replay, exactly as in the serial order."""
+        re-apply on the replay, exactly as in the serial order.
+
+        ``target_view``: a PRE-BUILT materialized view object to use as
+        the merge target instead of the default flat/bucketed one — any
+        object with the view contract (``apply/apply_batch/read/exists``
+        + a ``schema`` attribute), e.g. a
+        :class:`~ydb_cdc_processor_spark.operators.range_view.
+        RangePartitionedView` for time-partitioned fact targets.  Its
+        path must equal ``target_path``; ``n_buckets`` is ignored."""
         self.spark = spark
         self.p = pipeline
         self.target_path = target_path
@@ -244,7 +253,7 @@ class CdcBatchEngine:
         self.scd2_views = list(scd2_views or [])
         self.dlq_path = dlq_path
         self.max_parallel_views = max_parallel_views
-        self._mv = None
+        self._mv = target_view
 
     # -- target plumbing ----------------------------------------------------
 

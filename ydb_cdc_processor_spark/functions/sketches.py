@@ -161,6 +161,73 @@ def kmv_distinct(values: DataFrame, col: str, k: int = 256) -> DataFrame:
                      .alias("est_distinct")))
 
 
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
+                k: int = 256) -> DataFrame:
+    """Theta-sketch set operations over two KMV sketches — distinct
+    union / intersection / difference ESTIMATES from two bottom-k
+    samples, never a scan of either full set.  One output row:
+    ``(k INT, theta DOUBLE, est_union, est_intersection, est_only_a,
+    est_only_b DOUBLE, jaccard DOUBLE)``.
+
+    The 100 TB use case is cross-corpus overlap accounting: "how many
+    distinct 8-grams / user ids / URLs do these two crawls share?" —
+    e.g. a train/benchmark contamination ESTIMATE before paying for the
+    exact decontamination join.  Each side collapses to ≤ k hash
+    fractions (the same map-side-combined distinct + bottom-k plan as
+    :func:`kmv_distinct`), so sketching cost is two scans and the set
+    algebra runs on ≤ 2k rows.
+
+    Math (Dasgupta et al., the theta-sketch framework): with
+    ``theta = min`` over sides of (1.0 when the side is exact — fewer
+    than k distinct — else its k-th smallest fraction), every side's
+    retained fractions ``< theta`` are a uniform theta-sample of that
+    side, so ``|retained| / theta`` estimates any composed set's
+    cardinality: union = retained(a) ∪ retained(b), intersection =
+    both-sided, differences = single-sided.  ``jaccard`` is the
+    retained-set ratio (the estimate thetas cancel).  When BOTH sides
+    are exact the estimates are exact counts.  All intermediates are
+    md5-deterministic → bit-replayable by the SQL oracle.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def sketch(side: DataFrame):
+        return (side.select(hash_fraction(F.col(col)).alias("frac"))
+                .distinct().orderBy(F.col("frac").asc()).limit(k))
+
+    fa, fb = sketch(a), sketch(b)
+    theta_of = lambda f: f.agg(  # noqa: E731
+        F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+         .otherwise(F.max("frac")).alias("theta"))
+    theta = (theta_of(fa).crossJoin(theta_of(fb).select(
+                 F.col("theta").alias("_tb")))
+             .select(F.least("theta", "_tb").alias("theta")))
+    # retained = fractions strictly below the combined theta, flagged by
+    # side; the crossJoin broadcasts ONE row against ≤ 2k rows
+    flagged = (fa.select("frac", F.lit(1).alias("_a"))
+               .join(fb.select("frac", F.lit(1).alias("_b")),
+                     on="frac", how="full_outer")
+               .crossJoin(F.broadcast(theta))
+               .where(F.col("frac") < F.col("theta")))
+    agg = flagged.groupBy("theta").agg(
+        F.count(F.lit(1)).alias("_n_union"),
+        F.sum(F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(),
+                     1).otherwise(0)).alias("_n_both"),
+        F.sum(F.when(F.col("_a").isNotNull() & F.col("_b").isNull(),
+                     1).otherwise(0)).alias("_n_only_a"),
+        F.sum(F.when(F.col("_a").isNull() & F.col("_b").isNotNull(),
+                     1).otherwise(0)).alias("_n_only_b"))
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.round("theta", 6).alias("theta"),
+        F.round(F.col("_n_union") / F.col("theta"), 3).alias("est_union"),
+        F.round(F.col("_n_both") / F.col("theta"), 3)
+         .alias("est_intersection"),
+        F.round(F.col("_n_only_a") / F.col("theta"), 3).alias("est_only_a"),
+        F.round(F.col("_n_only_b") / F.col("theta"), 3).alias("est_only_b"),
+        F.round(F.col("_n_both") / F.col("_n_union"), 6).alias("jaccard"))
+
+
 def cms_top_terms(values: DataFrame, col: str, depth: int = 4,
                   width_hex: int = 2, k: int = 20) -> DataFrame:
     """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):

@@ -6697,6 +6697,153 @@ def q_pq_recall(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
+@register("q_kmv_overlap", f"""
+WITH nrm AS ({_NORM_WORDS}),
+ga AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm
+       WHERE doc_id % 2 = 0),
+gb AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm
+       WHERE doc_id % 2 = 1),
+ga2 AS (SELECT gram FROM ga WHERE gram <> ''),
+gb2 AS (SELECT gram FROM gb WHERE gram <> ''),
+fa AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
+       FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM ga2)),
+fb AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
+       FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM gb2)),
+ka AS (SELECT frac FROM fa ORDER BY frac ASC LIMIT 256),
+kb AS (SELECT frac FROM fb ORDER BY frac ASC LIMIT 256),
+ta AS (SELECT CASE WHEN count(*) < 256 THEN 1.0 ELSE max(frac) END AS th
+       FROM ka),
+tb AS (SELECT CASE WHEN count(*) < 256 THEN 1.0 ELSE max(frac) END AS th
+       FROM kb),
+th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+j AS (SELECT coalesce(a.frac, b.frac) AS frac,
+             a.frac IS NOT NULL AS ia, b.frac IS NOT NULL AS ib
+      FROM ka a FULL OUTER JOIN kb b ON a.frac = b.frac),
+r AS (SELECT j.*, th.theta FROM j, th WHERE j.frac < th.theta),
+agg AS (SELECT theta,
+               CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_both,
+               CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oa,
+               CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ob
+        FROM r GROUP BY theta),
+ex AS (SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT gram FROM ga2 UNION SELECT gram FROM gb2))
+           AS n_exact_union,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT gram FROM ga2 INTERSECT SELECT gram FROM gb2))
+           AS n_exact_inter)
+SELECT 256 AS k, round(theta, 6) AS theta,
+       round(n_union / theta, 3) AS est_union,
+       round(n_both / theta, 3) AS est_intersection,
+       round(n_oa / theta, 3) AS est_only_a,
+       round(n_ob / theta, 3) AS est_only_b,
+       round(CAST(n_both AS DOUBLE) / n_union, 6) AS jaccard,
+       ex.n_exact_union, ex.n_exact_inter
+FROM agg, ex
+""")
+def q_kmv_overlap(spark, sf_dir):
+    """Theta-sketch set operations (functions/sketches.kmv_set_ops):
+    distinct 3-gram union / intersection / difference ESTIMATES between
+    two corpus halves from two bottom-256 KMV sketches — the cross-
+    corpus overlap accounting ("how contaminated is this training slice
+    by that benchmark?") that at 100 TB must run on sketches, never on
+    an exact distinct join.  Each side collapses map-side to ≤ k md5
+    fractions; the theta algebra runs on ≤ 2k rows; exact counts ride
+    alongside so the estimate error stays visible in the gated result.
+    Every intermediate is md5-deterministic → the oracle replays the
+    estimates bit-for-bit."""
+    from ydb_cdc_processor_spark.functions.sketches import kmv_set_ops
+    docs = load_docs(spark, sf_dir)
+    grams = (docs.select("doc_id", F.explode_outer(
+                 dedup.shingles(F.col("text"), 3)).alias("gram"))
+             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
+    a = grams.where(F.col("doc_id") % 2 == 0).select("gram")
+    b = grams.where(F.col("doc_id") % 2 == 1).select("gram")
+    est = kmv_set_ops(a, b, "gram", k=256)
+    da, db = a.distinct(), b.distinct()
+    ex = (da.unionByName(db).distinct()
+          .agg(F.count(F.lit(1)).alias("n_exact_union"))
+          .crossJoin(da.join(db, "gram", "left_semi")
+                     .agg(F.count(F.lit(1)).alias("n_exact_inter"))))
+    return est.crossJoin(F.broadcast(ex))
+
+
+@register("q_sample_view", """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 15
+""")
+def q_sample_view(spark, sf_dir):
+    """Per-group reservoir sample as a MAINTAINED store
+    (operators/sample_view.SampleView): 15 docs per language kept under
+    three micro-batch ingests.  "Top-n per group by a deterministic
+    md5 priority" is a bounded-join semilattice — idempotent,
+    commutative, mergeable — so the maintained state EQUALS the
+    one-shot q_sample_per_group reservoir of the union, which the
+    oracle replays; state is n rows per group forever (the corpus
+    spot-check surface a 100 TB pipeline keeps warm without scans).
+    Per batch: prune the batch to its own top-n, then merge against
+    only the touched groups' co-located buckets."""
+    from ydb_cdc_processor_spark.operators.sample_view import SampleView
+    docs = load_docs(spark, sf_dir)
+    sv = SampleView(spark, _scratch_dir("sampleview_") + "/s",
+                    ["lang"], "doc_id", n=15)
+    for i in range(3):
+        sv.apply_delta(docs.where(F.col("doc_id") % 3 == i)
+                       .select("lang", "doc_id"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").asc())
+    return (sv.read()
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .select("lang", "doc_id", "rk"))
+
+
+@register("q_range_partitioned", """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type <> 'error'
+  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+GROUP BY 1
+""")
+def q_range_partitioned(spark, sf_dir):
+    """Time-partitioned maintained store (operators/range_view.
+    RangePartitionedView) — the 100 TB fact-table layout: the events
+    table ingests in three CDC batches into DAY partitions (each batch
+    touches only its own days' directories), a delete batch retracts
+    one event type, and the serving read is read_range over an 11-day
+    window — O(matching partitions) planned by direct directory path,
+    with the bounds re-applied as a residual filter so pruning is
+    performance-only.  The oracle replays the final state as a plain
+    filtered aggregate over the source."""
+    from ydb_cdc_processor_spark.operators.range_view import (
+        RangePartitionedView)
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", F.date_trunc("day", F.col("ts")).alias("day"),
+                  "event_type", "value"))
+    rv = RangePartitionedView(spark, _scratch_dir("rangeview_") + "/rv",
+                              keys=["day", "event_id"], part_col="day",
+                              granularity="day")
+    for i in range(3):
+        rv.apply(ev.where(F.col("event_id") % 3 == i), action="upsertInto")
+    rv.apply(ev.where(F.col("event_type") == "error")
+             .select("day", "event_id"), action="deleteFrom")
+    rv.compact()
+    return (rv.read_range("2024-01-10", "2024-01-20")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 dec_sum("value", "sum_value")))
+
+
 # The external correctness harness stamps the FIRST 50 registry entries in
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
