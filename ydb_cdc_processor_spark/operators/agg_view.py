@@ -82,7 +82,13 @@ class AggregateView:
                  group_cols: list[str], sum_cols: dict[str, str],
                  count_col: str = "n_rows",
                  max_groups_warn: int | None = None,
-                 backend: str = "flat", n_buckets: int = 64):
+                 backend: str = "flat", n_buckets: int = 64,
+                 bucket_keys: list[str] | None = None):
+        """``bucket_keys`` (bucketed backend): co-location key — a
+        subset of ``group_cols`` to hash for bucket placement, so a
+        serving read keyed by that prefix prunes to one bucket (the
+        TopKView shape: rollup rows keyed (group, value), co-located on
+        group).  Default: all group columns."""
         if backend not in ("flat", "bucketed"):
             raise ValueError(f"unknown AggregateView backend {backend!r}")
         self.spark = spark
@@ -93,6 +99,7 @@ class AggregateView:
         self.path = path
         self.backend = backend
         self.n_buckets = n_buckets
+        self.bucket_keys = list(bucket_keys) if bucket_keys else None
         if max_groups_warn is not None:
             self.max_groups_warn = max_groups_warn
         self._size_warned = False
@@ -126,7 +133,7 @@ class AggregateView:
                     BucketedMaterializedView)
                 self._mv = BucketedMaterializedView(
                     self.spark, self.path, self.group_cols, schema=schema,
-                    n_buckets=self.n_buckets)
+                    n_buckets=self.n_buckets, bucket_keys=self.bucket_keys)
             else:
                 self._mv = ParquetMaterializedView(
                     self.spark, self.path, self.group_cols, schema=schema)

@@ -1,0 +1,156 @@
+"""Incrementally-maintained EXACT per-group top-k view, with retraction.
+
+The sketch family answers "heaviest values" approximately and insert-
+only-or-linearly (:func:`~ydb_cdc_processor_spark.functions.sketches.
+cms_top_terms`, :class:`~ydb_cdc_processor_spark.operators.cms_view.
+CmsView`); this view keeps the answer EXACT and fully retractable by
+maintaining the complete per-(group, value) count rollup and serving
+top-k at read time.  The trade is state ∝ |distinct (group, value)|
+pairs — the right shape whenever the value universe is vocabulary-like
+(terms, event types, URL domains), and explicitly the WRONG one when it
+approaches the fact table (use CmsView's fixed-size counters there; the
+module docstrings cross-reference).
+
+Maintenance is pure delegation to :class:`~ydb_cdc_processor_spark.
+operators.agg_view.AggregateView` (bucketed backend): each batch lands
+±count contributions via the per-bucket replay fence — deletes and
+rewrites retract exactly (Gupta–Mumick counting algorithm), a crash
+mid-promotion replays only un-promoted buckets.  The store is keyed
+``(group, value)`` but CO-LOCATED on group alone, so
+
+* :meth:`lookup` — "top-k for THIS group" — reads exactly one bucket
+  (the serving shape: a dashboard probing one language/tenant/domain
+  never scans the rollup);
+* :meth:`read` — top-k for every group — is one window over the rollup
+  (|distinct pairs| rows, compact by assumption).
+
+Ordering is deterministic: count DESC, value ASC tie-break — the same
+rule on the serving read, the oracle, and :meth:`recompute_check`.
+
+Reference anchors: maintained-store contract per YqlWriter.java:181-206
+(idempotent keyed merge + deferred commit ≙ per-bucket token fence);
+counting IVM per Gupta & Mumick 1995 via agg_view.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+from ydb_cdc_processor_spark.operators.ivm_feed import Feed
+
+
+class TopKView:
+    """Persistent exact top-k-per-group view over a maintained
+    (group, value) count rollup."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 group_cols: list[str], value_col: str, k: int,
+                 n_buckets: int = 8):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = k
+        self.agg = AggregateView(
+            spark, os.path.join(path, "counts"),
+            group_cols=self.group_cols + [value_col], sum_cols={},
+            count_col="n", backend="bucketed", n_buckets=n_buckets,
+            bucket_keys=self.group_cols)
+
+    # -- maintenance (pure delegation: ± counting IVM) -------------------------
+
+    def apply_delta(self, new_rows: DataFrame | None,
+                    old_rows: DataFrame | None = None,
+                    batch_token: str | None = None) -> None:
+        """±count maintenance: +1 per new row's (group, value), −1 per
+        old image's — deletes and rewrites retract exactly; zero-count
+        pairs drop from the store.  ``batch_token`` is the per-bucket
+        replay fence (non-idempotent deltas NEED it under at-least-once
+        feeds — same contract as every AggregateView)."""
+        self.agg.apply_delta(new_rows, old_rows, batch_token=batch_token)
+
+    def feed(self) -> Feed:
+        """Adapter for a CDC engine's ``agg_views`` list — full
+        update/delete sources supported (unlike the monotone HLL/sample
+        views, counts retract)."""
+        return Feed(self.apply_delta)
+
+    def start_stream(self, rows_stream: DataFrame, checkpoint_dir: str,
+                     available_now: bool = True):
+        """Maintain from an INSERT-ONLY stream (foreachBatch with the
+        batch id as the replay fence).  Rewrite/delete-bearing feeds
+        must ride an engine's old-image feed instead."""
+        def _batch(df, batch_id: int) -> None:
+            self.apply_delta(df, None, batch_token=f"stream-{batch_id}")
+
+        writer = (rows_stream.writeStream
+                  .foreachBatch(_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- serving -----------------------------------------------------------------
+
+    def _rank(self, counts: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col("n").desc(), F.col(self.value_col).asc())
+        return (counts.withColumn("rk", F.row_number().over(w).cast("int"))
+                .where(F.col("rk") <= self.k))
+
+    def counts(self) -> DataFrame:
+        """The full maintained rollup (audit surface)."""
+        return self.agg.read()
+
+    def read(self) -> DataFrame:
+        """Top-k per group: ``(*group_cols, value_col, n, rk)`` —
+        count DESC, value ASC tie-break."""
+        return self._rank(self.agg.read())
+
+    def lookup(self, group_values: list) -> DataFrame:
+        """Top-k for ONE group — reads exactly the group's bucket
+        (direct-path, O(bucket) rows), never the rollup: the serving
+        probe shape.  ``group_values`` pair positionally with
+        ``group_cols``."""
+        if len(group_values) != len(self.group_cols):
+            raise ValueError("group_values must pair with group_cols")
+        store = self.agg.store()
+        # type the probe from the LIVE rollup schema and hash it through
+        # the SAME Spark expression the store buckets with — a probe
+        # typed differently would xxhash64 to the wrong bucket (the
+        # secondary-index typed-probe rule)
+        from pyspark.sql import types as T
+        live = {f.name: f.dataType for f in self.agg.read().schema.fields}
+        probe = self.spark.createDataFrame(
+            [tuple(group_values)],
+            T.StructType([T.StructField(c, live[c])
+                          for c in self.group_cols]))
+        b = probe.select(store.bucket_expr().alias("_b")).collect()[0][0]
+        rows = store.read_touched([b]).drop("_bucket")
+        for c, v in zip(self.group_cols, group_values):
+            rows = rows.where(F.col(c) == F.lit(v))
+        return self._rank(rows.select(*self.group_cols, self.value_col,
+                                      F.col("n").cast("long").alias("n")))
+
+    def recompute_check(self, rows: DataFrame) -> bool:
+        """True iff the maintained top-k equals the from-scratch group-
+        count top-k of ``rows``."""
+        fresh = rows.groupBy(*self.group_cols, self.value_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        want = {tuple(r) for r in self._rank(fresh).collect()}
+        got = {tuple(r) for r in self.read().select(
+            *self.group_cols, self.value_col,
+            F.col("n").cast("long").alias("n"), "rk").collect()}
+        return want == got
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the backing rollup store."""
+        st = self.agg.store()
+        st.maybe_rebucket()
+        st.compact()

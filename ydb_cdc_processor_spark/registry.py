@@ -6697,6 +6697,47 @@ def q_pq_recall(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering — a COMPUTED coverage policy
 # ---------------------------------------------------------------------------
+@register("q_topk_view", r"""
+WITH nrm AS (SELECT doc_id, lang,
+                    string_split(regexp_replace(lower(trim(text)),
+                        '\s+', ' ', 'g'), ' ') AS w
+             FROM documents),
+wrd AS (SELECT lang, unnest(w) AS term FROM nrm),
+w2 AS (SELECT lang, term FROM wrd WHERE term <> ''),
+cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        FROM w2 GROUP BY lang, term),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY n DESC, term ASC) AS rk
+      FROM cnt)
+SELECT lang, term, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+""")
+def q_topk_view(spark, sf_dir):
+    """EXACT retractable top-k per group as a MAINTAINED store
+    (operators/topk_view.TopKView): per-language top-10 terms kept
+    current through three ingest batches plus a delete-then-restore
+    cycle (±count retraction via the per-bucket replay fence — the
+    exact complement of q_cms_view's fixed-size approximate counters;
+    state here is the full (lang, term) rollup, co-located on lang so
+    a single-language probe reads ONE bucket).  The final state equals
+    the one-shot group-count top-10, which the oracle replays with the
+    same count-DESC/term-ASC tie-break."""
+    from ydb_cdc_processor_spark.operators.topk_view import TopKView
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select("doc_id", "lang", F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    tv = TopKView(spark, _scratch_dir("topkview_") + "/topk",
+                  ["lang"], "term", k=10)
+    for i in range(3):
+        tv.apply_delta(words.where(F.col("doc_id") % 3 == i), None,
+                       batch_token=f"topk:b{i}")
+    slice5 = words.where(F.col("doc_id") % 5 == 0)
+    tv.apply_delta(None, slice5, batch_token="topk:del")    # delete
+    tv.apply_delta(slice5, None, batch_token="topk:rest")   # restore
+    return tv.read().select("lang", "term", "n", "rk")
+
+
 @register("q_kmv_overlap", f"""
 WITH nrm AS ({_NORM_WORDS}),
 ga AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm
