@@ -187,6 +187,11 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
     retained-set ratio (the estimate thetas cancel).  When BOTH sides
     are exact the estimates are exact counts.  All intermediates are
     md5-deterministic → bit-replayable by the SQL oracle.
+
+    Plan note: the retained-set combine is a FULL OUTER join of the two
+    ≤ k-row sketches — Spark has no broadcast strategy for keyed full
+    outer, so the audit shows one SortMergeJoin over ≤ 2k rows by
+    design (sketch-sized, not data-sized).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
