@@ -795,3 +795,50 @@ def test_status_lists_derived_views(spark, sf_dir, tmp_path):
     assert kinds == {"ChecksumView", "SecondaryIndex"}
     assert all(v["path"] for v in d["derivedViews"])
     assert "integrity" in d
+
+
+def test_stream_maintains_derived_stores(spark, sf_dir, tmp_path):
+    """Between-batch housekeeping reaches ATTACHED derived stores at the
+    rebucket_every cadence (round-10): a TopKView riding the stream gets
+    its maintain() called through the Feed adapter's owner, and the
+    maintained state still equals the recompute afterwards."""
+    from ydb_cdc_processor_spark.operators.topk_view import TopKView
+
+    src = str(tmp_path / "cdc_src")
+    n = cdc_json.write_events_cdc_fixture(spark, sf_dir, src,
+                                          n_partitions=3, limit=600)
+    assert n > 0
+    p = _pipeline(spark, sf_dir)
+    tv = TopKView(spark, str(tmp_path / "topk"), ["grp"], "term", k=3)
+
+    calls = {"n": 0}
+    orig = tv.maintain
+
+    def counting_maintain():
+        calls["n"] += 1
+        orig()
+
+    tv.maintain = counting_maintain
+
+    from ydb_cdc_processor_spark.operators.ivm_feed import Feed
+
+    def shaped(new_rows, old_rows, batch_token=None):
+        sel = lambda df: (None if df is None else df.select(
+            F.col("event_type").alias("grp"),
+            (F.col("user_id") % 10).cast("string").alias("term")))
+        tv.apply_delta(sel(new_rows), sel(old_rows), batch_token)
+
+    feed = Feed(shaped)
+    feed.owner = tv   # unbound callable: declare the owning store
+    se = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                         str(tmp_path / "ckpt"), max_retries=2,
+                         n_buckets=4, rebucket_every=1,
+                         agg_views=[feed])
+    q = se.start(src, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert se.status().batches >= 3
+    assert calls["n"] >= 3   # maintenance ran at the cadence
+    final = se.batch_engine.read_view().select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % 10).cast("string").alias("term"))
+    assert tv.recompute_check(final)

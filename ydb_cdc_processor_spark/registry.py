@@ -6847,6 +6847,47 @@ def q_sample_view(spark, sf_dir):
             .select("lang", "doc_id", "rk"))
 
 
+@register("q_sample_view_weighted", """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM documents WHERE n_chars > 0),
+s AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln((CAST({hex8} AS DOUBLE) + 1) / 4294967296.0)
+               / n_chars, 9) AS aes_key
+  FROM h),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY aes_key DESC, doc_id ASC) AS rk FROM s)
+SELECT lang, doc_id, n_chars, aes_key, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 10
+""".replace("{hex8}", " + ".join(
+    f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) "
+    f"* {16 ** (8 - i)}" for i in range(1, 9))))
+def q_sample_view_weighted(spark, sf_dir):
+    """The WEIGHTED maintained reservoir (operators/sample_view.
+    SampleView, weight_col=): per-language top-10 docs by the
+    Efraimidis–Spirakis key (q_weighted_sample's exact rounded
+    arithmetic — selection probability ∝ n_chars), kept current through
+    three micro-batch ingests.  The per-group best-n-by-key state is the
+    same bounded semilattice as the uniform variant, so the maintained
+    sample equals the one-shot A-ES top-10 per group, which the oracle
+    replays key-for-key."""
+    from ydb_cdc_processor_spark.operators.sample_view import SampleView
+    docs = load_docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    sv = SampleView(spark, _scratch_dir("sampleview_w_") + "/s",
+                    ["lang"], "doc_id", n=10, payload_cols=["n_chars"],
+                    weight_col="n_chars")
+    for i in range(3):
+        sv.apply_delta(docs.where(F.col("doc_id") % 3 == i))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("_pri").desc(), F.col("doc_id").asc())
+    return (sv.view.read()
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .select("lang", "doc_id", "n_chars",
+                    F.col("_pri").alias("aes_key"), "rk"))
+
+
 @register("q_range_partitioned", """
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        CAST(count(*) AS BIGINT) AS n_events,

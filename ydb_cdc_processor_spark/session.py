@@ -32,6 +32,13 @@ def get_spark(app_name: str = "ydb-cdc-processor-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning, pinned ON explicitly (the
+        # default has moved across Spark lines): when one side of a
+        # shuffle join carries a selective predicate, Spark builds a
+        # bloom filter from it and prunes the OTHER side's shuffle —
+        # at 100 TB that turns fact⋈filtered-dim joins from full-fact
+        # shuffles into pre-filtered ones, with zero plan changes here
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # write timestamps as INT64 micros, not legacy INT96: INT96

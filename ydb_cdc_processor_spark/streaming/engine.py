@@ -169,6 +169,7 @@ class CdcStreamEngine:
                     # a rebucket already rewrote every bucket to one
                     # file; compaction only matters when it didn't run
                     mv.compact()
+            self._maintain_derived_stores()
         dt = max(time.perf_counter() - t0, 1e-9)
         with self._lock:
             s = self._status
@@ -282,6 +283,24 @@ class CdcStreamEngine:
         if derived:
             out["derivedViews"] = derived
         return out
+
+    def _maintain_derived_stores(self) -> None:
+        """Between-batch housekeeping for every attached derived store
+        that exposes ``maintain()`` (rollups, indexes, sketch/sample/
+        top-k views — reached through the Feed adapter's public
+        ``owner``).  Runs at the target's ``rebucket_every`` cadence:
+        a long-lived pipeline's derived stores fragment exactly like
+        the target (per-batch files, crash-replay leftovers), and
+        without this only hand-driven callers ever compacted them.
+        Each ``maintain()`` is the store's own metadata-checked
+        sawtooth (maybe_rebucket + compact) — cheap when nothing
+        crossed a threshold."""
+        for v in (list(getattr(self.batch_engine, "agg_views", []))
+                  + list(getattr(self.batch_engine, "scd2_views", []))):
+            owner = getattr(v, "owner", None) or v
+            m = getattr(owner, "maintain", None)
+            if callable(m):
+                m()
 
     def store_stats(self) -> list[dict]:
         """Disk inventory of the pipeline's target view and every
