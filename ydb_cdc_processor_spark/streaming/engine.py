@@ -285,22 +285,15 @@ class CdcStreamEngine:
         return out
 
     def _maintain_derived_stores(self) -> None:
-        """Between-batch housekeeping for every attached derived store
-        that exposes ``maintain()`` (rollups, indexes, sketch/sample/
-        top-k views — reached through the Feed adapter's public
-        ``owner``).  Runs at the target's ``rebucket_every`` cadence:
-        a long-lived pipeline's derived stores fragment exactly like
-        the target (per-batch files, crash-replay leftovers), and
-        without this only hand-driven callers ever compacted them.
-        Each ``maintain()`` is the store's own metadata-checked
-        sawtooth (maybe_rebucket + compact) — cheap when nothing
-        crossed a threshold."""
-        for v in (list(getattr(self.batch_engine, "agg_views", []))
-                  + list(getattr(self.batch_engine, "scd2_views", []))):
-            owner = getattr(v, "owner", None) or v
-            m = getattr(owner, "maintain", None)
-            if callable(m):
-                m()
+        """Between-batch housekeeping for every attached derived store —
+        delegates to the batch engine's shared implementation
+        (:meth:`~ydb_cdc_processor_spark.engine.CdcBatchEngine.
+        maintain_derived_stores`), which hand-driven batch loops reach
+        via ``maintain_every`` so both engines get the same sawtooth.
+        Runs at the target's ``rebucket_every`` cadence: a long-lived
+        pipeline's derived stores fragment exactly like the target
+        (per-batch files, crash-replay leftovers)."""
+        self.batch_engine.maintain_derived_stores()
 
     def store_stats(self) -> list[dict]:
         """Disk inventory of the pipeline's target view and every
