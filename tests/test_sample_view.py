@@ -121,3 +121,53 @@ def test_stream_restart_converges(spark, tmp_path):
         str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert sv.recompute_check(full)
+
+
+def test_reoffered_id_resolves_deterministically(spark, tmp_path):
+    """Re-offering a (group, id) with a CHANGED payload (and, weighted,
+    a changed weight → changed _pri) must converge to one deterministic
+    survivor in every offer order — max by (priority, payload digest),
+    never an arbitrary dropDuplicates pick (advisor finding)."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "grp string, id long, txt string, w double")
+    a = mk([("g", i, f"old{i}", 1.0) for i in range(6)])
+    b = mk([("g", i, f"new{i}", 5.0) for i in range(6)])   # same ids
+
+    def run(path, order, weighted):
+        sv = SampleView(spark, path, ["grp"], "id", n=4,
+                        payload_cols=["txt", "w"],
+                        weight_col="w" if weighted else None)
+        for batch in order:
+            sv.apply_delta(batch)
+        return sorted(tuple(r) for r in sv.view.read()
+                      .select("grp", "id", "txt", "w", "_pri").collect())
+
+    for weighted in (False, True):
+        ab = run(str(tmp_path / f"ab{weighted}"), (a, b), weighted)
+        ba = run(str(tmp_path / f"ba{weighted}"), (b, a), weighted)
+        both = run(str(tmp_path / f"u{weighted}"),
+                   (a.unionByName(b),), weighted)   # intra-batch dup
+        assert ab == ba == both
+    # weighted: the HIGHER-priority offer (w=5) must be the survivor
+    assert all(t[3] == 5.0 for t in ab)
+
+
+def test_uniform_payload_tiebreak_is_digest_ordered(spark, tmp_path):
+    """Uniform mode: _pri is a pure function of the id, so two offers of
+    one id tie on priority — the lowest payload digest wins, on every
+    path (bootstrap batch, later merge, merge_from)."""
+    from pyspark.sql import Row
+    import hashlib
+    import json
+    sv = SampleView(spark, str(tmp_path / "t"), ["grp"], "id", n=3,
+                    payload_cols=["txt"])
+    sv.apply_delta(spark.createDataFrame(
+        [("g", 1, "aaa"), ("g", 1, "bbb")], "grp string, id long, txt string"))
+    sv.apply_delta(spark.createDataFrame(
+        [("g", 1, "ccc")], "grp string, id long, txt string"))
+    got = sv.read().collect()
+    assert len(got) == 1
+    digest = lambda s: hashlib.md5(  # noqa: E731
+        json.dumps({"txt": s}, separators=(",", ":")).encode()).hexdigest()
+    want = min(("aaa", "bbb", "ccc"), key=digest)
+    assert got[0]["txt"] == want

@@ -96,14 +96,42 @@ class HllView:
         stored = self._read_meta()
         if stored:
             self.p = int(stored["p"])
-            # stores written before group_types existed are all-string
-            # by construction (the only shape registers() ever built)
-            self.group_types = list(stored.get(
-                "group_types", ["string"] * len(self.group_cols)))
+            gt = stored.get("group_types")
+            if gt is not None:
+                self.group_types = list(gt)
+            else:
+                # meta written before group_types existed: the ingested
+                # registers carry the SOURCE column types
+                # (hll_registers preserves them), so an all-string
+                # default would fail every _merge_registers type check
+                # on a non-string-grouped legacy store — and the
+                # error's "declare group_types" advice would be a dead
+                # end, because stored meta wins over the constructor
+                # (advisor finding).  Resolve from the live store's
+                # schema; an empty/never-ingested store keeps the
+                # constructor declaration.  Persist so the backfill
+                # runs once.
+                sniffed = self._sniff_group_types()
+                if sniffed is not None:
+                    if sniffed != self.group_types:
+                        logger.info(
+                            "HllView %s: backfilled legacy group_types=%s"
+                            " from the live store schema", path, sniffed)
+                    self.group_types = sniffed
+                self._write_meta()
         else:
             self._write_meta()
 
     # -- layout metadata -------------------------------------------------------
+
+    def _sniff_group_types(self) -> list[str] | None:
+        """Group-col types as the live store actually holds them —
+        manifest-stored schema when present (free), else one parquet
+        read-schema inference; None when nothing was ever ingested."""
+        if not self.view.exists():
+            return None
+        schema = self.view._stored_schema() or self.view.read().schema
+        return [schema[c].dataType.simpleString() for c in self.group_cols]
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_hll.json")

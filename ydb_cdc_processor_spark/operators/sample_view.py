@@ -105,6 +105,30 @@ class SampleView:
                else F.col("_pri").desc())
         return [pri, F.col(self.id_col).asc()]
 
+    def _payload_digest(self) -> F.Column:
+        """Injective digest of the payload columns (JSON field names
+        disambiguate nulls) — the deterministic tie-break when the same
+        (group, id) is offered with different payloads."""
+        if not self.payload_cols:
+            return F.lit("")
+        return F.md5(F.to_json(F.struct(
+            *[F.col(c) for c in self.payload_cols])))
+
+    def _dedup_keys(self, df: DataFrame) -> DataFrame:
+        """One row per (group, id): keep the winning-priority offer,
+        then the lowest payload digest — never an arbitrary
+        dropDuplicates survivor (advisor finding: an arbitrary survivor
+        made the stored payload — and, in weighted mode, the _pri
+        ranking key, which depends on the weight — nondeterministic,
+        silently breaking the maintained-equals-one-shot semilattice
+        guarantee).  ``max by (priority, digest)`` is idempotent,
+        commutative and associative, so every convergence argument in
+        the module docstring survives re-offered ids unchanged."""
+        w = Window.partitionBy(*self.group_cols, self.id_col).orderBy(
+            self._rank_cols()[0], self._payload_digest().asc())
+        return (df.withColumn("_dup", F.row_number().over(w))
+                .where(F.col("_dup") == 1).drop("_dup"))
+
     def _candidates(self, rows: DataFrame) -> DataFrame:
         """Project + prune a batch to its own per-group top-n — the
         map-side collapse that bounds the merge input."""
@@ -113,6 +137,7 @@ class SampleView:
         cand = rows.select(*self.group_cols, self.id_col,
                            *self.payload_cols,
                            self._priority().alias("_pri"))
+        cand = self._dedup_keys(cand)   # intra-batch re-offers too
         w = Window.partitionBy(*self.group_cols).orderBy(*self._rank_cols())
         return (cand.withColumn("_rk", F.row_number().over(w))
                 .where(F.col("_rk") <= self.n).drop("_rk"))
@@ -155,10 +180,11 @@ class SampleView:
         touched = sorted({r[0] for r in cand.select(
             self.view.bucket_expr().alias("_b")).distinct().collect()})
         old = self.view.read_touched(touched).drop("_bucket")
-        # candidate ids already stored must not double: union-dedup on
-        # the full key (replays re-offer the same (group, id, pri))
-        merged = (old.unionByName(cand, allowMissingColumns=True)
-                  .dropDuplicates(self.group_cols + [self.id_col]))
+        # candidate ids already stored must not double: replays re-offer
+        # the same (group, id) — resolved DETERMINISTICALLY by
+        # _dedup_keys, never positionally
+        merged = self._dedup_keys(
+            old.unionByName(cand, allowMissingColumns=True))
         w = Window.partitionBy(*self.group_cols).orderBy(*self._rank_cols())
         ranked = merged.withColumn("_rk", F.row_number().over(w)).persist()
         try:
