@@ -292,3 +292,46 @@ def test_rebucket_preserves_bucket_keys_in_manifest(spark, tmp_path):
          .select(reopened.bucket_expr().alias("b")).collect()]
     rows = reopened.read_touched(b, df.schema)
     assert rows.where("g = 3").count() == 20
+
+
+def test_rewrite_rows_preserves_tokens_and_fences_empty_buckets(
+        spark, tmp_path):
+    """rewrite_rows: in-place housekeeping rewrite — content transformed,
+    per-bucket replay tokens preserved, and a bucket whose rows are ALL
+    removed stays on disk as an empty token-bearing directory (dropping
+    it would un-fence a replay of the last batch that touched it)."""
+    import os
+
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BUCKET_COL, BucketedMaterializedView)
+    path = str(tmp_path / "rw")
+    mv = BucketedMaterializedView(spark, path, keys=["id"], n_buckets=4)
+    df = spark.createDataFrame([(i, i % 10) for i in range(200)],
+                               "id long, v long")
+    mv.merge_touched(df, lambda target, d: d.unionByName(target),
+                     batch_token="tok-a")
+    toks_before = {b: mv.bucket_token(b) for b in range(4)}
+    assert any(t == "tok-a" for t in toks_before.values())
+
+    # drop most rows; one bucket loses EVERYTHING (v-filter chosen so
+    # at least one bucket has no survivors is not guaranteed — force it
+    # by filtering a whole bucket out explicitly)
+    victim = 0
+    n = mv.rewrite_rows(
+        lambda rows: rows.where((rows["v"] < 2)
+                                & (rows[BUCKET_COL] != victim)))
+    assert n == 4
+    got = mv.read()
+    assert got.where("v >= 2").count() == 0
+    assert got.count() == spark.createDataFrame(
+        [(i, i % 10) for i in range(200)], "id long, v long") \
+        .where("v < 2") \
+        .withColumn("_b", mv.bucket_expr()).where(f"_b != {victim}").count()
+    # tokens survived the rewrite — including the emptied bucket's
+    for b in range(4):
+        assert mv.bucket_token(b) == toks_before[b]
+    assert os.path.isdir(os.path.join(path, f"{BUCKET_COL}={victim}"))
+    # fence intact: replaying the original batch is still a no-op
+    assert mv.merge_touched(df, lambda target, d: d.unionByName(target),
+                            batch_token="tok-a") is False
+    assert mv.read().where("v >= 2").count() == 0

@@ -140,3 +140,90 @@ def test_stream_restart_converges(spark, tmp_path):
 def test_k_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="k must be"):
         TopKView(spark, str(tmp_path / "bad"), ["grp"], "term", k=0)
+
+
+def _zipf(spark, n_heads=5, head_n=50, n_tail=2000):
+    """Adversarial zipfian domain: a few heavy head terms plus a long
+    count-1 tail of unique values per group."""
+    head = [(f"g{i % 2}", f"head{i % n_heads}")
+            for i in range(n_heads * head_n)]
+    tail = [(f"g{i % 2}", f"tail{i}") for i in range(n_tail)]
+    return spark.createDataFrame(head + tail, "grp string, term string")
+
+
+def test_prune_bounds_state_on_zipfian_domain(spark, tmp_path):
+    """Bounded mode: the lossy sweep collapses the count-1 tail —
+    rollup state lands near |heads| + k·|groups|, NOT |distinct pairs|
+    — while the served top-k stays exactly the heavy hitters."""
+    tv = TopKView(spark, str(tmp_path / "z"), ["grp"], "term", k=3,
+                  prune_floor=2)
+    rows = _zipf(spark)
+    tv.apply_delta(rows, None, batch_token="b0")
+    before = tv.counts().count()
+    assert before > 2000                       # tail resident pre-sweep
+    pruned = tv.prune()
+    after = tv.counts().count()
+    assert pruned == before - after
+    assert after <= 5 * 2 + 3 * 2              # heads + top-k slack
+    # top-k unchanged by the sweep: heads dominate the tail
+    want = {("g0",) + (f"head{i}",) for i in range(3)} | \
+           {("g1",) + (f"head{i}",) for i in range(3)}
+    got = {(r["grp"], r["term"]) for r in tv.read().collect()}
+    assert got == want
+
+
+def test_prune_preserves_replay_fence(spark, tmp_path):
+    """A replay of the last batch stays fenced out AFTER a prune sweep
+    (rewrite_rows keeps per-bucket tokens, even for emptied buckets)."""
+    tv = TopKView(spark, str(tmp_path / "pf"), ["grp"], "term", k=2,
+                  prune_floor=3)
+    b = _zipf(spark, n_heads=2, head_n=10, n_tail=500)
+    tv.apply_delta(b, None, batch_token="tok")
+    tv.prune()
+    state = _res(tv.counts())
+    tv.apply_delta(b, None, batch_token="tok")   # replay: still fenced
+    assert _res(tv.counts()) == state
+
+
+def test_prune_undercount_bound_and_forfeit(spark, tmp_path):
+    """A pruned value restarting from zero under-counts by at most
+    prune_floor−1 per sweep that dropped it; a late delete for a
+    pruned pair forfeits (never resurrects or goes negative)."""
+    tv = TopKView(spark, str(tmp_path / "ub"), ["grp"], "term", k=1,
+                  prune_floor=4)
+    mk = lambda pairs: spark.createDataFrame(  # noqa: E731
+        pairs, "grp string, term string")
+    # heavy term keeps k=1 occupied; 'v' accumulates 3 (< floor)
+    tv.apply_delta(mk([("g", "hot")] * 10 + [("g", "v")] * 3),
+                   None, batch_token="b0")
+    assert tv.prune() == 1                      # 'v' dropped (3 < 4)
+    # 'v' re-offered 5 times → resident count 5, true count 8:
+    # deficit 3 == prune_floor − 1, within the documented bound
+    tv.apply_delta(mk([("g", "v")] * 5), None, batch_token="b1")
+    n = {r["term"]: r["n"] for r in tv.counts().collect()}
+    assert n["v"] == 5
+    # a delete for a long-gone pair forfeits: no resurrection, no
+    # negative count
+    tv.apply_delta(None, mk([("g", "w")]), batch_token="b2")
+    assert "w" not in {r["term"] for r in tv.counts().collect()}
+
+
+def test_maintain_runs_prune_in_bounded_mode(spark, tmp_path):
+    tv = TopKView(spark, str(tmp_path / "m"), ["grp"], "term", k=2,
+                  prune_floor=2)
+    tv.apply_delta(_zipf(spark, n_tail=800), None, batch_token="b0")
+    assert tv.counts().count() > 800
+    tv.maintain()
+    assert tv.counts().count() <= 5 * 2 + 2 * 2
+    # exact mode: maintain never prunes
+    ex = TopKView(spark, str(tmp_path / "ex"), ["grp"], "term", k=2)
+    ex.apply_delta(_zipf(spark, n_tail=300), None, batch_token="b0")
+    n0 = ex.counts().count()
+    ex.maintain()
+    assert ex.counts().count() == n0 and ex.prune() == 0
+
+
+def test_prune_floor_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        TopKView(spark, str(tmp_path / "v"), ["grp"], "term", k=2,
+                 prune_floor=1)

@@ -791,6 +791,61 @@ class BucketedMaterializedView:
                     self.path, len(fragmented))
         return len(fragmented)
 
+    def rewrite_rows(self, transform_fn, buckets: list[int] | None = None
+                     ) -> int:
+        """Housekeeping rewrite of the given (default: every non-empty)
+        buckets through ``transform_fn(rows) -> rows`` — the primitive a
+        bounded view's PRUNE sweep needs.  Like :meth:`compact` it runs
+        OUTSIDE the batch/token protocol and preserves each bucket's
+        replay-fence token; unlike compact it may legitimately change row
+        CONTENT and even empty a bucket, in which case the bucket
+        directory is KEPT with only its token file — dropping the
+        directory would drop the fence and un-fence a replay of the last
+        batch that touched it (the drop_range retention-fence lesson,
+        round 10 advisor).
+
+        ``transform_fn`` receives and must return rows carrying
+        ``_bucket`` and MUST NOT move rows between buckets (a filter /
+        column rewrite, never a re-key).  Promotion is the same
+        displaced-rename dance as a merge batch, so a crash mid-rewrite
+        is repaired by :meth:`_recover`.  Returns the number of buckets
+        rewritten."""
+        self._recover()
+        if not os.path.isdir(self.path):
+            return 0
+        if buckets is None:
+            buckets = [int(e.split("=", 1)[1])
+                       for e in os.listdir(self.path)
+                       if e.startswith(f"{BUCKET_COL}=")]
+        buckets = [b for b in buckets if os.path.isdir(
+            os.path.join(self.path, f"{BUCKET_COL}={b}"))]
+        if not buckets:
+            return 0
+        tokens = {b: self.bucket_token(b) for b in buckets}
+        out = (transform_fn(self._read_touched(buckets, None))
+               .repartition(BUCKET_COL))
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        tmp = os.path.join(
+            parent,
+            f".{os.path.basename(self.path)}.rewrite-{uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        for b in buckets:
+            d = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            # a fully-pruned bucket is absent from the temp output:
+            # materialize it EMPTY so the promotion replaces the live
+            # data while the token file below keeps the replay fence
+            os.makedirs(d, exist_ok=True)
+            tok = tokens.get(b)
+            if tok is not None:
+                with open(os.path.join(d, TOKEN_FILE), "w") as fh:
+                    fh.write(tok)
+        for b in buckets:
+            self._promote_bucket(tmp, b, drop_if_absent=False)
+        shutil.rmtree(tmp, ignore_errors=True)
+        logger.info("bucketed view %s: rewrote %d bucket(s) in place",
+                    self.path, len(buckets))
+        return len(buckets)
+
     def maybe_rebucket(self, target_bucket_bytes: int = 128 << 20,
                        growth_factor: int = 4) -> bool:
         """The documented growth trigger: when the MEAN bucket size (from

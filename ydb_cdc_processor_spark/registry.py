@@ -6973,6 +6973,47 @@ def q_range_bucketed(spark, sf_dir):
                  dec_sum("value", "sum_value")))
 
 
+@register("q_topk_view_bounded", r"""
+WITH nrm AS (SELECT doc_id, lang,
+                    string_split(regexp_replace(lower(trim(text)),
+                        '\s+', ' ', 'g'), ' ') AS w
+             FROM documents),
+wrd AS (SELECT lang, unnest(w) AS term FROM nrm),
+w2 AS (SELECT lang, term FROM wrd WHERE term <> ''),
+cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        FROM w2 GROUP BY lang, term),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY n DESC, term ASC) AS rk
+      FROM cnt)
+SELECT lang, term, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+""")
+def q_topk_view_bounded(spark, sf_dir):
+    """TopKView's BOUNDED mode (round-10 judge item #5,
+    topk_view.TopKView(prune_floor=)): the same per-language top-10
+    term view as q_topk_view, but on a zipfian domain the exact rollup
+    is mostly count-1 tail — after ingest, ``maintain()`` runs the
+    lossy-counting sweep (Manku & Motwani 2002 shape) that drops every
+    (lang, term) below the floor while ALWAYS keeping each language's
+    current top-k, so the post-sweep serve still equals the exact
+    one-shot top-10 the oracle replays (a single post-ingest sweep is
+    top-k-lossless by construction: survivors keep exact counts).  The
+    state collapse and the s·(floor−1) under-count bound across
+    repeated sweeps are pinned by tests/test_topk_view.py."""
+    from ydb_cdc_processor_spark.operators.topk_view import TopKView
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select("doc_id", "lang", F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    tv = TopKView(spark, _scratch_dir("topkviewb_") + "/topk",
+                  ["lang"], "term", k=10, prune_floor=4)
+    for i in range(3):
+        tv.apply_delta(words.where(F.col("doc_id") % 3 == i), None,
+                       batch_token=f"topkb:b{i}")
+    tv.maintain()   # lossy sweep: tail collapses, top-k survives exact
+    return tv.read().select("lang", "term", "n", "rk")
+
+
 # The external correctness harness stamps the FIRST 50 registry entries in
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
