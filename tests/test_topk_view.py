@@ -227,3 +227,49 @@ def test_prune_floor_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         TopKView(spark, str(tmp_path / "v"), ["grp"], "term", k=2,
                  prune_floor=1)
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union: two shard stores maintained over disjoint
+    slices merge by count SUM into the one-shot rollup of the union;
+    the merge is token-fenced (a replay is a no-op)."""
+    full = _rows(spark, 0, 300)
+    a = TopKView(spark, str(tmp_path / "a"), ["grp"], "term", k=3)
+    b = TopKView(spark, str(tmp_path / "b"), ["grp"], "term", k=3)
+    a.apply_delta(_rows(spark, 0, 150), None, batch_token="a0")
+    b.apply_delta(_rows(spark, 150, 300), None, batch_token="b0")
+    a.merge_from(b, batch_token="fed:b")
+    assert a.recompute_check(full)
+    state = _res(a.counts())
+    a.merge_from(b, batch_token="fed:b")    # replay: fenced out
+    assert _res(a.counts()) == state
+    # mismatched layouts refuse
+    c = TopKView(spark, str(tmp_path / "c"), ["grp"], "other", k=3)
+    with pytest.raises(ValueError, match="must match"):
+        a.merge_from(c)
+    # merging a never-written shard is a no-op
+    d = TopKView(spark, str(tmp_path / "d"), ["grp"], "term", k=3)
+    a.merge_from(d, batch_token="fed:d")
+    assert _res(a.counts()) == state
+
+
+def test_agg_view_merge_rollup_sums(spark, tmp_path):
+    """AggregateView.merge_rollup: shard rollups with SUM columns merge
+    linearly (counts, sums, and null-contribution counters all add);
+    a frame missing the raw state columns (e.g. a public read()) is
+    refused with a pointer at store().read()."""
+    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
+
+    rows = spark.createDataFrame(
+        [(f"g{i % 3}", float(i) if i % 5 else None) for i in range(100)],
+        "grp string, v double")
+    mk = lambda p: AggregateView(  # noqa: E731
+        spark, str(tmp_path / p), ["grp"], {"sum_v": "v"},
+        count_col="n", backend="bucketed", n_buckets=4)
+    a, b = mk("a"), mk("b")
+    a.apply_delta(rows.where("v IS NULL OR v < 50"), None, batch_token="a0")
+    b.apply_delta(rows.where("v >= 50"), None, batch_token="b0")
+    a.merge_rollup(b.store().read(), batch_token="fed")
+    assert a.recompute_check(rows)
+    with pytest.raises(ValueError, match="store\\(\\).read\\(\\)"):
+        a.merge_rollup(b.read())

@@ -254,6 +254,36 @@ class AggregateView:
         bucketed view's public ``read_touched``)."""
         return self._store(schema)
 
+    def merge_rollup(self, rollup: DataFrame,
+                     batch_token: str | None = None) -> None:
+        """Merge a PRE-AGGREGATED (±) contribution frame into this view —
+        federated sketching for the COUNTING stores: per-shard rollups,
+        each maintained locally over its own slice, combine by SUM
+        (counts and decimal sums are linear, so the merged state equals
+        the one-shot rollup of the union; the HllView.merge_from
+        argument, but for a non-idempotent monoid — pass ``batch_token``
+        when the caller may replay, the per-bucket fence applies).
+
+        ``rollup`` must be shaped like this view's own state: another
+        shard's ``store().read()``, or any frame carrying the group
+        columns, ``count_col``, and (for sum views) the decimal sums
+        plus their ``_nn_*`` non-null counters.  Cost: one
+        touched-bucket merge, O(|rollup|) — raw shard data never moves."""
+        need = [*self.group_cols, self.count_col]
+        for out in self.sum_cols:
+            need += [out, self._nn(out)]
+        missing = [c for c in need if c not in rollup.columns]
+        if missing:
+            raise ValueError(
+                f"rollup frame is missing state columns {missing} — "
+                "pass the shard's store().read() (raw state), not its "
+                "public read()")
+        delta = rollup.select(*need)
+        if self.backend == "bucketed":
+            self._apply_delta_bucketed(delta, batch_token)
+        else:
+            self._apply_delta_flat(delta, batch_token)
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, with_avg: bool = False) -> DataFrame:

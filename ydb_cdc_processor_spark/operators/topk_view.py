@@ -90,6 +90,24 @@ class TopKView:
         views, counts retract)."""
         return Feed(self.apply_delta)
 
+    def merge_from(self, other: "TopKView",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard top-k stores: per-shard rollups
+        combine by count SUM (linear, so the merged state equals the
+        one-shot rollup of the union — the HllView.merge_from shape,
+        but counts ADD, so the merge is NOT idempotent: pass
+        ``batch_token`` when the caller may replay).  Cost: O(|other's
+        rollup|) rows through one touched-bucket merge; raw shard data
+        never moves.  Bounded shards under-count per their own sweep
+        history — merge bounds compose additively."""
+        if (list(other.group_cols) != list(self.group_cols)
+                or other.value_col != self.value_col):
+            raise ValueError("group_cols and value_col must match to merge")
+        st = other.agg.store()
+        if not st.exists():
+            return
+        self.agg.merge_rollup(st.read(), batch_token=batch_token)
+
     def start_stream(self, rows_stream: DataFrame, checkpoint_dir: str,
                      available_now: bool = True):
         """Maintain from an INSERT-ONLY stream (foreachBatch with the
