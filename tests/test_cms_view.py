@@ -152,3 +152,35 @@ def test_cms_stream_restart_converges(spark, tmp_path):
             str(tmp_path / "ckpt"))
         q.awaitTermination()
     assert cv.recompute_check(full)
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union: shard count-min sketches SUM cell-wise into the
+    one-shot sketch of the union (same geometry required); the merge is
+    token-fenced."""
+    import pytest
+
+    from ydb_cdc_processor_spark.operators.cms_view import CmsView
+
+    ids = spark.createDataFrame(
+        [(i, f"t{i % 11}") for i in range(400)], "id long, term string")
+    rows = ids.select("term")
+    a = CmsView(spark, str(tmp_path / "a"), "term")
+    b = CmsView(spark, str(tmp_path / "b"), "term")
+    a.apply_delta(ids.where("id % 2 = 0").select("term"), None,
+                  batch_token="a0")
+    b.apply_delta(ids.where("id % 2 = 1").select("term"), None,
+                  batch_token="b0")
+    a.merge_from(b, batch_token="fed")
+    assert a.recompute_check(rows)
+    cells = sorted(tuple(r) for r in a.counts.store().read().collect())
+    a.merge_from(b, batch_token="fed")   # replay: fenced out
+    assert sorted(tuple(r)
+                  for r in a.counts.store().read().collect()) == cells
+    with pytest.raises(ValueError, match="geometry"):
+        a.merge_from(CmsView(spark, str(tmp_path / "c"), "term", depth=2))
+    # never-written shard: no-op
+    a.merge_from(CmsView(spark, str(tmp_path / "d"), "term"),
+                 batch_token="fed2")
+    assert sorted(tuple(r)
+                  for r in a.counts.store().read().collect()) == cells

@@ -2,6 +2,7 @@
 refcount store tracks the fact state exactly under upserts, value
 changes, deletes, and replays."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark.operators.distinct_view import (
@@ -230,3 +231,30 @@ def test_property_any_interleaving_matches_recompute(spark,
     # creates the store — fresh-store reads raise by convention
     got = _counts(dv) if dv.view.exists() else []
     assert got == sorted((g, len(vs)) for g, vs in exp.items())
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union: shard refcount stores SUM into the one-shot
+    refcounts of the union; the merge is token-fenced."""
+    from ydb_cdc_processor_spark.operators.distinct_view import (
+        DistinctCountView)
+
+    rows = spark.createDataFrame(
+        [(i, f"u{i % 7}", f"t{i % 5}") for i in range(200)],
+        "event_id long, user_id string, event_type string")
+    mk = lambda p: DistinctCountView(  # noqa: E731
+        spark, str(tmp_path / p), ["user_id"], "event_type")
+    a, b = mk("a"), mk("b")
+    a.apply_delta(rows.where("event_id % 2 = 0"), None, batch_token="a0")
+    b.apply_delta(rows.where("event_id % 2 = 1"), None, batch_token="b0")
+    a.merge_from(b, batch_token="fed")
+    assert a.recompute_check(rows)
+    state = sorted(tuple(r) for r in a.read_values().collect())
+    a.merge_from(b, batch_token="fed")   # replay: fenced out
+    assert sorted(tuple(r) for r in a.read_values().collect()) == state
+    with pytest.raises(ValueError, match="must match"):
+        a.merge_from(DistinctCountView(spark, str(tmp_path / "c"),
+                                       ["user_id"], "other"))
+    # never-written shard: no-op
+    a.merge_from(mk("d"), batch_token="fed2")
+    assert sorted(tuple(r) for r in a.read_values().collect()) == state

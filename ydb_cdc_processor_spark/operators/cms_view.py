@@ -131,6 +131,25 @@ class CmsView:
             self._cells(old_rows) if old_rows is not None else None,
             batch_token=batch_token)
 
+    def merge_from(self, other: "CmsView",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard sketches: count-min counters are
+        LINEAR, so per-shard cell counts SUM into the one-shot sketch of
+        the union (Cormode–Muthukrishnan's mergeability) — same geometry
+        required, cells of one (depth, width) are meaningless at
+        another.  Rides :meth:`~ydb_cdc_processor_spark.operators.
+        agg_view.AggregateView.merge_rollup` (token-fenced: counter
+        addition is not idempotent)."""
+        if (other.depth, other.width_hex) != (self.depth, self.width_hex):
+            raise ValueError(
+                f"cannot merge a depth={other.depth}/width_hex="
+                f"{other.width_hex} sketch into depth={self.depth}/"
+                f"width_hex={self.width_hex} — cell geometry differs")
+        st = other.counts.store()
+        if not st.exists():
+            return
+        self.counts.merge_rollup(st.read(), batch_token=batch_token)
+
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list: upserts
         contribute +new −old-image, deletes retract via old images

@@ -124,6 +124,32 @@ class DistinctCountView:
             logger.info("distinct view %s: batch token %r already "
                         "applied; skipping replay", self.path, batch_token)
 
+    def merge_from(self, other: "DistinctCountView",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard refcount stores: refcounts are
+        linear, so per-shard (group, value) refcounts SUM into the
+        one-shot refcounts of the union — distinct counts of a sharded
+        corpus without moving raw data (the AggregateView.merge_rollup
+        shape; NOT idempotent, pass ``batch_token`` when the caller may
+        replay).  Cost: O(|other's live pairs|) through one
+        touched-bucket merge."""
+        if (list(other.group_cols) != list(self.group_cols)
+                or other.value_col != self.value_col):
+            raise ValueError("group_cols and value_col must match to merge")
+        if not other.view.exists():
+            return
+        applied = self.view.merge_touched(
+            other.view.read(),
+            lambda target, d: (
+                target.unionByName(d)
+                .groupBy(*self.group_cols, VK, BUCKET_COL)
+                .agg(F.sum(RC).alias(RC))
+                .where(F.col(RC) > 0)),
+            batch_token=batch_token)
+        if not applied and batch_token is not None:
+            logger.info("distinct view %s: merge token %r already "
+                        "applied; skipping replay", self.path, batch_token)
+
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
