@@ -32,14 +32,20 @@ FLAGGED = [
 
 
 def _driver_numbers() -> dict[str, dict[str, float]]:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    """Per-query driver medians for r9/r10.  BENCH_r*.json holds only a
+    truncated tail; the full detail lives in bench_details.json at each
+    round's closing commit — read it from git history."""
+    import subprocess
     out: dict[str, dict[str, float]] = {}
-    for r in ("09", "10"):
+    for label, ref in (("r09", "652142c"), ("r10", "cad48e8")):
         try:
-            with open(os.path.join(root, f"BENCH_r{r}.json")) as fh:
-                out[f"r{r}"] = json.load(fh).get("queries", {})
-        except OSError:
-            out[f"r{r}"] = {}
+            txt = subprocess.run(
+                ["git", "show", f"{ref}:bench_details.json"],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))).stdout
+            out[label] = json.loads(txt).get("queries", {})
+        except (OSError, ValueError):
+            out[label] = {}
     return out
 
 
