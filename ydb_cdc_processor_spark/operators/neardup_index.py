@@ -222,3 +222,12 @@ class NearDupIndex:
         return (self.spark.read.parquet(pairs_path)
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn"))
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the backing store — the
+        rebucket/compact sawtooth (engines reach this through
+        ``maintain_derived_stores``; hand-driven loops call it at their
+        own cadence)."""
+        st = self.view
+        st.maybe_rebucket()
+        st.compact()

@@ -172,3 +172,12 @@ class QuantileView:
         a = {tuple(r) for r in full.collect()}
         b = {tuple(r) for r in cur.collect()}
         return a == b
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the backing store — the
+        rebucket/compact sawtooth (engines reach this through
+        ``maintain_derived_stores``; hand-driven loops call it at their
+        own cadence)."""
+        st = self.view
+        st.maybe_rebucket()
+        st.compact()

@@ -195,3 +195,12 @@ class SecondaryIndex:
     def read(self) -> DataFrame:
         """The full index relation ``(col, *pk)``."""
         return self.view.read().drop(BUCKET_COL, IXV)
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the backing store — the
+        rebucket/compact sawtooth (engines reach this through
+        ``maintain_derived_stores``; hand-driven loops call it at their
+        own cadence)."""
+        st = self.view
+        st.maybe_rebucket()
+        st.compact()

@@ -181,3 +181,12 @@ class SpanDupIndex:
         return (self.spark.read.parquet(spans_path)
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn"))
+
+    def maintain(self) -> None:
+        """Between-batch housekeeping on the backing store — the
+        rebucket/compact sawtooth (engines reach this through
+        ``maintain_derived_stores``; hand-driven loops call it at their
+        own cadence)."""
+        st = self.counts.store()
+        st.maybe_rebucket()
+        st.compact()
