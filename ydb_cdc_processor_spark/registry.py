@@ -7014,6 +7014,45 @@ def q_topk_view_bounded(spark, sf_dir):
     return tv.read().select("lang", "term", "n", "rk")
 
 
+@register("q_distinct_federated", """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY user_id
+""")
+def q_distinct_federated(spark, sf_dir):
+    """Federated COUNT(DISTINCT) (round-11: every counting store
+    federates): two DistinctCountView SHARDS, each maintained only over
+    its own half of the events table — the per-datacenter / per-shard
+    deployment where raw rows never cross shards — merged by
+    ``merge_from`` (refcounts are linear, so per-shard (group, value)
+    refcounts SUM into the one-shot refcounts of the union; the merge
+    is one touched-bucket pass over the SKETCH state, not the data).
+    One shard also takes a rewrite batch first (its own ±retraction),
+    proving the merge composes with per-shard maintenance history.  The
+    oracle replays the union as a plain COUNT(DISTINCT)."""
+    from ydb_cdc_processor_spark.operators.distinct_view import (
+        DistinctCountView)
+    cols = ["event_id", "user_id", "event_type"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    base = _scratch_dir("dcvfed_")
+    a = DistinctCountView(spark, base + "/a", ["user_id"], "event_type")
+    b = DistinctCountView(spark, base + "/b", ["user_id"], "event_type")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    # shard A: ingest, then a rewrite cycle (retraction history)
+    slice_a = half_a.where(F.col("event_id") % 6 == 0)
+    a.apply_delta(half_a, None, batch_token="fed:a0")
+    a.apply_delta(slice_a.withColumn("event_type", F.lit("x-temp")),
+                  slice_a, batch_token="fed:a1")
+    a.apply_delta(slice_a,
+                  slice_a.withColumn("event_type", F.lit("x-temp")),
+                  batch_token="fed:a2")
+    b.apply_delta(ev.where(F.col("event_id") % 2 == 1), None,
+                  batch_token="fed:b0")
+    a.merge_from(b, batch_token="fed:union")
+    return a.read().select("user_id", F.col("n_distinct"))
+
+
 # The external correctness harness stamps the FIRST 50 registry entries in
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
