@@ -139,3 +139,29 @@ def test_engine_drives_quantile_view(spark, sf_dir, tmp_path):
              F.expr("percentile_disc(0.75) WITHIN GROUP "
                     "(ORDER BY value)").alias("p75")).collect())
     assert got == exp
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union: shard (group, value, weight) stores SUM into
+    the one-shot weights of the union — exact quantiles preserved; the
+    merge is token-fenced."""
+    import pytest
+
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 20)) for i in range(180)],
+        "id long, grp string, v double")
+    a = QuantileView(spark, str(tmp_path / "a"), ["grp"], "v")
+    b = QuantileView(spark, str(tmp_path / "b"), ["grp"], "v")
+    a.apply_delta(rows.where("id % 2 = 0"), None, batch_token="a0")
+    b.apply_delta(rows.where("id % 2 = 1"), None, batch_token="b0")
+    a.merge_from(b, batch_token="fed")
+    assert a.recompute_check(rows)
+    state = sorted(tuple(r) for r in a.read_weights().collect())
+    a.merge_from(b, batch_token="fed")   # replay: fenced out
+    assert sorted(tuple(r) for r in a.read_weights().collect()) == state
+    with pytest.raises(ValueError, match="must match"):
+        a.merge_from(QuantileView(spark, str(tmp_path / "c"),
+                                  ["grp"], "other"))
+    a.merge_from(QuantileView(spark, str(tmp_path / "d"), ["grp"], "v"),
+                 batch_token="fed2")    # never-written shard: no-op
+    assert sorted(tuple(r) for r in a.read_weights().collect()) == state

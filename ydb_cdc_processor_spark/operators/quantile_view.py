@@ -127,6 +127,31 @@ class QuantileView:
             logger.info("quantile view %s: batch token %r already "
                         "applied; skipping replay", self.path, batch_token)
 
+    def merge_from(self, other: "QuantileView",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard weight stores: per-(group, value)
+        multiplicities are linear, so shard weights SUM into the
+        one-shot weights of the union — exact quantiles of a sharded
+        corpus without moving raw rows (only the collapsed
+        (group, value, weight) relation crosses).  NOT idempotent; pass
+        ``batch_token`` when the caller may replay."""
+        if (list(other.group_cols) != list(self.group_cols)
+                or other.value_col != self.value_col):
+            raise ValueError("group_cols and value_col must match to merge")
+        if not other.view.exists():
+            return
+        applied = self.view.merge_touched(
+            other.view.read(),
+            lambda target, d: (
+                target.unionByName(d)
+                .groupBy(*self.group_cols, self.value_col, BUCKET_COL)
+                .agg(F.sum(RC).alias(RC))
+                .where(F.col(RC) > 0)),
+            batch_token=batch_token)
+        if not applied and batch_token is not None:
+            logger.info("quantile view %s: merge token %r already "
+                        "applied; skipping replay", self.path, batch_token)
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, quantiles: dict[str, tuple[int, int]] | None = None
