@@ -341,3 +341,35 @@ def test_stopword_guard_drops_hot_terms(spark, tmp_path):
 
     # a ratio that keeps everything equals the unguarded read
     assert _rows(ix.topk(q, k=3, max_df_ratio=1.0)) == _rows(ix.topk(q, k=3))
+
+
+def test_merge_from_shards(spark, tmp_path):
+    """Federated union over disjoint doc shards: postings union by
+    keyed merge, corpus scalars sum — the merged index's BM25 equals a
+    single index over the union corpus; the merge is token-fenced."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} " + ("beta " * (i % 4)))
+         for i in range(40)], "doc_id long, text string")
+    ref = TextIndex(spark, str(tmp_path / "ref"))
+    ref.apply_delta(docs, None, batch_token="all")
+    a = TextIndex(spark, str(tmp_path / "a"))
+    b = TextIndex(spark, str(tmp_path / "b"))
+    a.apply_delta(docs.where("doc_id % 2 = 0"), None, batch_token="a0")
+    b.apply_delta(docs.where("doc_id % 2 = 1"), None, batch_token="b0")
+    a.merge_from(b, batch_token="fed")
+    assert a.recompute_check(docs)
+    q = spark.createDataFrame([(0, "beta"), (1, "gamma")],
+                              "qid long, term string")
+    want = sorted(tuple(r) for r in ref.topk(q, k=3).collect())
+    got = sorted(tuple(r) for r in a.topk(q, k=3).collect())
+    assert got == want
+    # replay: both postings AND scalars fenced
+    stats = a._read_stats()
+    a.merge_from(b, batch_token="fed")
+    assert a._read_stats() == stats
+    assert a.recompute_check(docs)
+    with pytest.raises(ValueError, match="must match"):
+        a.merge_from(TextIndex(spark, str(tmp_path / "c"),
+                               id_col="other"))

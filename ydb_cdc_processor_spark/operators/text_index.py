@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ydb_cdc_processor_spark.operators.bucketed_view import (
-    BucketedMaterializedView)
+    BUCKET_COL, BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
 from ydb_cdc_processor_spark.operators.text import normalize_words
 
@@ -288,6 +288,44 @@ class TextIndex:
         """The live ``(term, doc, tf, dl)`` postings relation (audit /
         recompute-check surface)."""
         return self.view.read().select("term", "doc", "tf", "dl")
+
+    def merge_from(self, other: "TextIndex",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard text indexes over DISJOINT doc sets
+        (the per-shard corpus deployment — each shard indexes its own
+        documents; a doc must live in exactly ONE shard, the same
+        partitioned-ownership rule every sharded search system imposes).
+        Postings rows are per-(term, doc) facts, so the union is a keyed
+        merge into the touched term buckets; the corpus scalars
+        (n_docs, sum_dl, sum_nz) SUM.  Crash ordering matches
+        apply_delta: postings merge first (keyed, replays converge),
+        scalars after under the stats token fence — pass ``batch_token``
+        when the caller may replay.  Key collisions (contract
+        violations) resolve deterministically to the higher (tf, dl)
+        row, never positionally."""
+        if (other.id_col, other.text_col) != (self.id_col, self.text_col):
+            raise ValueError("id_col and text_col must match to merge")
+        from pyspark.sql import Window
+        if other.view.exists():
+            w = Window.partitionBy("term", "doc", BUCKET_COL).orderBy(
+                F.col("tf").desc(), F.col("dl").desc())
+            self.view.merge_touched(
+                other.view.read(),
+                lambda target, d: (
+                    target.unionByName(d)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1).drop("_rn")),
+                batch_token=batch_token)
+        st = self._read_stats()
+        if batch_token is not None and st["batch_token"] == batch_token:
+            logger.info("text index %s: merge token %r already applied;"
+                        " skipping stats", self.path, batch_token)
+            return
+        ost = other._read_stats()
+        self._write_stats({"n_docs": st["n_docs"] + ost["n_docs"],
+                           "sum_dl": st["sum_dl"] + ost["sum_dl"],
+                           "sum_nz": st["sum_nz"] + ost["sum_nz"],
+                           "batch_token": batch_token})
 
     def _corpus_stats(self) -> tuple[int, int, int]:
         st = self._read_stats()    # zeros when no batch ever applied
