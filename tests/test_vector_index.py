@@ -510,3 +510,61 @@ def test_legacy_meta_without_m_sub_key_is_flat(spark, emb, tmp_path):
                                  "embedding")
     res = reopened.query(probes, k=2)
     assert "cos_sim" in res.columns and res.count() > 0
+
+
+def test_merge_from_shards_shared_quantizer(spark, emb, tmp_path):
+    """Federated shard union: train ONCE, clone_empty() the frozen
+    quantizer to a shard, each side ingests its own slice, merge_from
+    unions the lists — queries against the union equal a single index
+    that ingested everything.  Mismatched quantizers refuse."""
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    train = emb.where(F.col("vec_id") % 2 == 0)
+
+    a = VectorIndex(spark, str(tmp_path / "a"), n_cells=8)
+    a.build(train)                                  # shard A: evens
+    b = a.clone_empty(str(tmp_path / "b"))          # same frozen quantizer
+    assert b.quantizer_digest() == a.quantizer_digest()
+    assert not b.view.exists() or b.view.read().count() == 0
+    b.add_batch(emb.where(F.col("vec_id") % 2 == 1))  # shard B: odds
+
+    ref = VectorIndex(spark, str(tmp_path / "ref"), n_cells=8)
+    ref.build(train)
+    ref.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+
+    a.merge_from(b, batch_token="fed")
+    assert _res(a.query(probes, k=3, n_probe=3)) == \
+        _res(ref.query(probes, k=3, n_probe=3))
+    # replay fenced
+    n = a.view.read().count()
+    a.merge_from(b, batch_token="fed")
+    assert a.view.read().count() == n
+    # independently built quantizer → different centroids → refused
+    alien = VectorIndex(spark, str(tmp_path / "alien"), n_cells=8)
+    alien.build(emb.where(F.col("vec_id") % 3 == 0))
+    with pytest.raises(ValueError, match="fingerprints differ"):
+        a.merge_from(alien)
+    # geometry mismatch refused before any Spark work
+    small = VectorIndex(spark, str(tmp_path / "small"), n_cells=4)
+    small.build(train)
+    with pytest.raises(ValueError, match="geometry differs"):
+        a.merge_from(small)
+
+
+def test_merge_from_shards_pq_mode(spark, emb, tmp_path):
+    """The same shard union with PQ lists: codes encoded against the
+    SHARED frozen codebook union byte-identically."""
+    probes = emb.where(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    train = emb.where(F.col("vec_id") % 2 == 0)
+    a = VectorIndex(spark, str(tmp_path / "pa"), n_cells=8, m_sub=8)
+    a.build(train, dim=64)
+    b = a.clone_empty(str(tmp_path / "pb"))
+    assert b.pq_enabled and b.m_sub == 8
+    b.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+    ref = VectorIndex(spark, str(tmp_path / "pref"), n_cells=8, m_sub=8)
+    ref.build(train, dim=64)
+    ref.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+    a.merge_from(b, batch_token="fed")
+    assert _res(a.query(probes, k=3, n_probe=3)) == \
+        _res(ref.query(probes, k=3, n_probe=3))

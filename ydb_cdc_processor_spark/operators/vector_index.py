@@ -40,7 +40,7 @@ from ydb_cdc_processor_spark.functions.partitioning import (
 from ydb_cdc_processor_spark.functions.vector import (
     as_double_array, dot, norm)
 from ydb_cdc_processor_spark.operators.bucketed_view import (
-    BucketedMaterializedView)
+    BUCKET_COL, BucketedMaterializedView)
 
 
 class VectorIndex:
@@ -320,6 +320,99 @@ class VectorIndex:
         rows = self._assign(self._prep(vectors, id_col, vec_col),
                             self._centroids(), "vec_id", "_v", "_nv", 1)
         self.view.apply(rows.select("cell", "vec_id"), action="deleteFrom")
+
+    # -- federation (shared-frozen-quantizer shard union) --------------------
+
+    def quantizer_digest(self) -> str:
+        """md5 fingerprint of the FROZEN quantizer (centroids + PQ
+        codebook) — the identity two shards must share before their
+        lists may union.  (n_cells, seed) equality is NOT sufficient:
+        centroids derive from the TRAIN corpus, so two independent
+        build() calls disagree even at identical settings.  Bounded:
+        one ≤ n_cells-row collect + the metadata codebook."""
+        import hashlib
+        rows = sorted(
+            (int(r["cell"]),
+             ",".join(repr(float(x)) for x in r["_c"]),
+             repr(float(r["_nc"])))
+            for r in self._centroids().collect())
+        h = hashlib.md5(repr(rows).encode())
+        cb = self._read_index_meta().get("codebook")
+        if cb is not None:
+            h.update(json.dumps(cb).encode())
+        return h.hexdigest()
+
+    def clone_empty(self, path: str) -> "VectorIndex":
+        """A NEW empty index at ``path`` sharing this index's frozen
+        quantizer — the shard-deployment bootstrap (train ONCE, ship
+        the quantizer to every shard, each shard ingests its own slice,
+        union later with :meth:`merge_from`).  Copies only layout
+        metadata (centroids, codebook/meta, bucket manifest) — never
+        list data."""
+        import shutil as _sh
+        src, dst = self.view.path, os.path.join(path, "lists")
+        os.makedirs(dst, exist_ok=True)
+        for e in os.listdir(src):
+            if e.startswith("_bucket="):
+                continue   # list data stays behind
+            s = os.path.join(src, e)
+            d = os.path.join(dst, e)
+            if os.path.isdir(s):
+                _sh.copytree(s, d, dirs_exist_ok=True)
+            else:
+                _sh.copy2(s, d)
+        # the copied bucket manifest carries the SOURCE's last_token —
+        # a clone starting life fenced against the donor's last batch
+        # would silently skip a same-named first batch; strip it
+        man = os.path.join(dst, "_buckets.json")
+        if os.path.exists(man):
+            with open(man) as fh:
+                doc = json.load(fh)
+            doc.pop("last_token", None)
+            with open(man, "w") as fh:
+                json.dump(doc, fh)
+        return VectorIndex(self.spark, path)
+
+    def merge_from(self, other: "VectorIndex",
+                   batch_token: str | None = None) -> None:
+        """Federated union of shard inverted lists: shards that share
+        ONE frozen quantizer (see :meth:`clone_empty`) hold directly
+        unionable lists — a vector's (cell, codes/payload) row is a
+        pure function of the quantizer, so the union index equals the
+        single index that ingested everything (ownership must be
+        disjoint: a vec_id lives in exactly one shard).  The merge is a
+        keyed upsert into the touched cell buckets — O(|other's lists|)
+        state rows cross, raw vectors never re-encode and never move.
+        Refused when the quantizer fingerprints differ — lists from
+        different quantizers are meaningless together.  Contract-
+        violating (cell, vec_id) collisions resolve deterministically
+        by payload order, never positionally."""
+        if (self.n_cells, self.m_sub, self.n_codes) != \
+                (other.n_cells, other.m_sub, other.n_codes):
+            raise ValueError(
+                f"index geometry differs: (n_cells, m_sub, n_codes)="
+                f"{(self.n_cells, self.m_sub, self.n_codes)} vs "
+                f"{(other.n_cells, other.m_sub, other.n_codes)}")
+        mine, theirs = self.quantizer_digest(), other.quantizer_digest()
+        if mine != theirs:
+            raise ValueError(
+                f"quantizer fingerprints differ ({mine[:12]}… vs "
+                f"{theirs[:12]}…): shard lists are only unionable when "
+                "built against ONE frozen quantizer — bootstrap shards "
+                "with clone_empty() (train once, ship everywhere)")
+        if not other.view.exists():
+            return
+        rows = other.view.read()
+        payload = [c for c in rows.columns if c not in ("cell", "vec_id")]
+        w = Window.partitionBy("cell", "vec_id", BUCKET_COL).orderBy(
+            *[F.col(c).cast("string").asc_nulls_last() for c in payload])
+        self.view.merge_touched(
+            rows,
+            lambda target, d: (
+                target.unionByName(d)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn")),
+            batch_token=batch_token)
 
     # -- observability -------------------------------------------------------
 
