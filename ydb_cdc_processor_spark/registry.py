@@ -6973,6 +6973,31 @@ def q_range_bucketed(spark, sf_dir):
                  dec_sum("value", "sum_value")))
 
 
+@register("q_vector_federated", ORACLE_VECTOR_INDEX)
+def q_vector_federated(spark, sf_dir):
+    """Sharded IVF serving (round-11 federation family,
+    vector_index.clone_empty + merge_from): the quantizer trains ONCE
+    on two-thirds of the corpus, ``clone_empty`` ships the frozen
+    centroids to an empty shard (no list data moves), the remaining
+    third ingests INTO THE SHARD, and ``merge_from`` unions the
+    inverted lists back — a keyed upsert of O(shard state) rows, gated
+    on the md5 quantizer fingerprint.  A vector's (cell, payload) row
+    is a pure function of the frozen quantizer, so the union index
+    must serve exactly what q_vector_index's single-index lifecycle
+    serves — the shared SQL oracle replays that."""
+    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _scratch_dir("vecfed_")
+    a = VectorIndex(spark, base + "/a", n_cells=16)
+    a.build(emb.where(F.col("vec_id") % 3 != 2))
+    b = a.clone_empty(base + "/b")
+    b.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    a.merge_from(b, batch_token="fed")
+    probes = emb.where(F.col("vec_id") % 100 == 0) \
+                .select(F.col("vec_id").alias("probe_id"), "embedding")
+    return a.query(probes, k=5, n_probe=4)
+
+
 @register("q_topk_view_bounded", r"""
 WITH nrm AS (SELECT doc_id, lang,
                     string_split(regexp_replace(lower(trim(text)),
