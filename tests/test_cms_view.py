@@ -184,3 +184,16 @@ def test_merge_from_shards(spark, tmp_path):
                  batch_token="fed2")
     assert sorted(tuple(r)
                   for r in a.counts.store().read().collect()) == cells
+
+
+def test_merge_from_value_col_mismatch_refused(spark, tmp_path):
+    """Sketches counting different columns must refuse to merge —
+    summing unrelated hash domains silently over-counts (review
+    finding)."""
+    import pytest
+
+    from ydb_cdc_processor_spark.operators.cms_view import CmsView
+    a = CmsView(spark, str(tmp_path / "a"), "url")
+    b = CmsView(spark, str(tmp_path / "b"), "user_id")
+    with pytest.raises(ValueError, match="value_col must match"):
+        a.merge_from(b)

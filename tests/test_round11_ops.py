@@ -315,3 +315,49 @@ def test_every_derived_store_exposes_maintain(spark, tmp_path):
         inst = ctor(str(tmp_path / path))
         assert callable(inst.maintain)
         inst.maintain()   # empty store: safe no-op
+
+
+def test_maintain_every_safe_on_flat_target(spark, events_pipeline,
+                                            fixture_dir, tmp_path):
+    """maintain_every with the flat-target default (n_buckets=None) must
+    not raise AFTER the batch landed — a post-merge AttributeError would
+    make the caller's retry replay an applied batch (review finding)."""
+    eng = CdcBatchEngine(spark, events_pipeline, str(tmp_path / "flat"),
+                         maintain_every=1)
+    from ydb_cdc_processor_spark.sources import cdc_json
+    raw = cdc_json.read_cdc_batch(spark, fixture_dir)
+    stats = eng.apply_raw_batch(raw)     # triggers maintain_stores
+    assert stats.upserted > 0
+    n = eng.read_view().count()
+    eng.maintain_stores()                # explicit call also safe
+    assert eng.read_view().count() == n
+
+
+def test_read_touched_absent_buckets_on_legacy_schemaless_store(
+        spark, tmp_path):
+    """A pre-manifest-schema store + every touched bucket absent must
+    return a correctly-typed EMPTY frame (inferred from the live files),
+    not crash on createDataFrame([], None) (review finding — the
+    engine's old-image feed hits this on an all-new-keys batch)."""
+    import json
+    import os
+
+    from ydb_cdc_processor_spark.operators.bucketed_view import (
+        BucketedMaterializedView)
+    path = str(tmp_path / "legacy")
+    mv = BucketedMaterializedView(spark, path, keys=["id"], n_buckets=4)
+    mv.apply(spark.createDataFrame([(1, "a")], "id long, v string"),
+             action="upsertInto")
+    # simulate a legacy manifest: drop the recorded schema
+    man = os.path.join(path, "_buckets.json")
+    doc = json.load(open(man))
+    doc.pop("schema", None)
+    json.dump(doc, open(man, "w"))
+    reopened = BucketedMaterializedView(spark, path, keys=["id"])
+    live = [int(e.split("=", 1)[1]) for e in os.listdir(path)
+            if e.startswith("_bucket=")]
+    absent = [b for b in range(4) if b not in live][:1]
+    assert absent
+    out = reopened.read_touched(absent)
+    assert out.count() == 0
+    assert set(out.columns) >= {"id", "v"}

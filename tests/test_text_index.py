@@ -373,3 +373,24 @@ def test_merge_from_shards(spark, tmp_path):
     with pytest.raises(ValueError, match="must match"):
         a.merge_from(TextIndex(spark, str(tmp_path / "c"),
                                id_col="other"))
+
+
+def test_merge_from_untokenized_preserves_stats_fence(spark, tmp_path):
+    """An un-tokenized merge must NOT clobber the previous apply_delta
+    stats fence — writing None there would let a replay of the last
+    ingest batch re-add its doc/length deltas (review finding)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(10)],
+        "doc_id long, text string")
+    a = TextIndex(spark, str(tmp_path / "fa"))
+    b = TextIndex(spark, str(tmp_path / "fb"))
+    a.apply_delta(docs.where("doc_id < 5"), None, batch_token="T")
+    b.apply_delta(docs.where("doc_id >= 5"), None, batch_token="B")
+    fence = a._read_stats()["batch_token"]
+    assert fence is not None
+    a.merge_from(b)                       # no token
+    assert a._read_stats()["batch_token"] == fence   # fence preserved
+    n_docs = a._read_stats()["n_docs"]
+    # the replayed last ingest batch is still fenced out
+    a.apply_delta(docs.where("doc_id < 5"), None, batch_token="T")
+    assert a._read_stats()["n_docs"] == n_docs

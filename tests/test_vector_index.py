@@ -568,3 +568,29 @@ def test_merge_from_shards_pq_mode(spark, emb, tmp_path):
     a.merge_from(b, batch_token="fed")
     assert _res(a.query(probes, k=3, n_probe=3)) == \
         _res(ref.query(probes, k=3, n_probe=3))
+
+
+def test_clone_empty_skips_torn_donor_state(spark, emb, tmp_path):
+    """clone_empty must not ship crash-torn donor leftovers: a
+    '.displaced-_bucket=N' dir would be promoted into live list data by
+    the clone's first recover(), seeding the 'empty' shard with the
+    donor's vectors (review finding); _SUCCESS must not make the empty
+    clone report exists()."""
+    import os
+    import shutil
+
+    a = VectorIndex(spark, str(tmp_path / "donor"), n_cells=8)
+    a.build(emb.where(F.col("vec_id") % 2 == 0))
+    lists = a.view.path
+    live = [e for e in os.listdir(lists) if e.startswith("_bucket=")]
+    # simulate a mid-promotion crash: one bucket displaced aside
+    shutil.copytree(os.path.join(lists, live[0]),
+                    os.path.join(lists, f".displaced-{live[0]}"))
+    b = a.clone_empty(str(tmp_path / "shard"))
+    entries = os.listdir(b.view.path)
+    assert not any(e.startswith((".", "_bucket=")) for e in entries)
+    assert "_SUCCESS" not in entries
+    assert not b.view.exists()
+    # donor itself was recovered (displaced dir healed, not leaked)
+    assert not any(e.startswith(".displaced-")
+                   for e in os.listdir(lists))

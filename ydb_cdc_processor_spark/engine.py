@@ -707,9 +707,17 @@ class CdcBatchEngine:
         per-batch file litter).  Size checks are file metadata only, so
         a sweep where nothing crossed a threshold costs no Spark job.
         Must run BETWEEN batches (single-maintainer contract — the same
-        rule rebucket/compact themselves carry)."""
+        rule rebucket/compact themselves carry).
+
+        The target sweep only applies to targets that HAVE the sawtooth
+        (bucketed/range layouts): a flat ParquetMaterializedView target
+        (the n_buckets=None default) or a duck-typed injected
+        target_view has neither method, and raising AttributeError HERE
+        — after the batch's data already landed — would make the
+        caller's retry replay an applied batch (review finding)."""
         mv = self._target(None)
-        if mv.exists():
+        if (hasattr(mv, "maybe_rebucket") and hasattr(mv, "compact")
+                and mv.exists()):
             if not mv.maybe_rebucket(
                     target_bucket_bytes=self.target_bucket_bytes):
                 # a rebucket already rewrote every bucket to one file;

@@ -268,7 +268,16 @@ class AggregateView:
         shard's ``store().read()``, or any frame carrying the group
         columns, ``count_col``, and (for sum views) the decimal sums
         plus their ``_nn_*`` non-null counters.  Cost: one
-        touched-bucket merge, O(|rollup|) — raw shard data never moves."""
+        touched-bucket merge, O(|rollup|) — raw shard data never moves.
+
+        Single-maintainer window (review finding): run ONLY between
+        COMMITTED batches of any live feed.  The merge promotes the
+        touched buckets under ITS token, replacing each bucket's
+        replay-fence file — merging while a micro-batch's checkpoint is
+        still uncommitted un-fences that batch, and its non-idempotent
+        ±delta would double-apply on replay.  Quiesce the feed (or run
+        at the engine's between-batch maintenance point) first — the
+        same contract rebucket/compact carry."""
         need = [*self.group_cols, self.count_col]
         for out in self.sum_cols:
             need += [out, self._nn(out)]

@@ -355,6 +355,15 @@ class BucketedMaterializedView:
             base_schema = (stored if stored is not None
                            else self.schema if self.schema is not None
                            else delta_schema)
+            if base_schema is None:
+                # legacy store (no manifest schema) + caller with no
+                # schema in hand + every touched bucket absent: infer
+                # from the LIVE files instead of crashing on
+                # createDataFrame([], None) — the store exists, only
+                # the touched directories don't (review finding; the
+                # engine's old-image feed hits this on an all-new-keys
+                # batch against a pre-manifest-schema target)
+                return self._read_raw().limit(0)
             return self._with_bucket(
                 self.spark.createDataFrame([], base_schema).limit(0))
         # basePath keeps the _bucket=N directory name as a partition column
@@ -845,6 +854,16 @@ class BucketedMaterializedView:
         logger.info("bucketed view %s: rewrote %d bucket(s) in place",
                     self.path, len(buckets))
         return len(buckets)
+
+    def maintain(self, target_bucket_bytes: int = 128 << 20) -> None:
+        """The standard between-batch housekeeping sawtooth in ONE
+        place: bucket-growth check, then small-file compaction when no
+        rebucket ran (a rebucket already rewrote every bucket to one
+        file).  Derived stores whose maintain() is exactly this should
+        delegate here rather than re-stating the policy (review
+        finding: the pair had been copy-pasted into eight operators)."""
+        if not self.maybe_rebucket(target_bucket_bytes=target_bucket_bytes):
+            self.compact()
 
     def maybe_rebucket(self, target_bucket_bytes: int = 128 << 20,
                        growth_factor: int = 4) -> bool:

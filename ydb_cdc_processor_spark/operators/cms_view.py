@@ -139,7 +139,21 @@ class CmsView:
         required, cells of one (depth, width) are meaningless at
         another.  Rides :meth:`~ydb_cdc_processor_spark.operators.
         agg_view.AggregateView.merge_rollup` (token-fenced: counter
-        addition is not idempotent)."""
+        addition is not idempotent).
+
+        Single-maintainer window (review finding): run ONLY between
+        COMMITTED batches of any live feed.  The merge promotes the
+        touched buckets under ITS token, replacing each bucket's
+        replay-fence file — merging while a micro-batch's checkpoint is
+        still uncommitted un-fences that batch, and its non-idempotent
+        ±delta would double-apply on replay.  Quiesce the feed (or run
+        at the engine's between-batch maintenance point) first — the
+        same contract rebucket/compact carry."""
+        if other.value_col != self.value_col:
+            raise ValueError(
+                f"value_col must match to merge ({other.value_col!r} vs "
+                f"{self.value_col!r}) — counters over different columns "
+                "sum into a meaningless sketch")
         if (other.depth, other.width_hex) != (self.depth, self.width_hex):
             raise ValueError(
                 f"cannot merge a depth={other.depth}/width_hex="
@@ -226,6 +240,4 @@ class CmsView:
     def maintain(self) -> None:
         """Between-batch housekeeping on the cell store (state is
         depth·width rows — compaction is the one that matters)."""
-        store = self.counts.store(_STORE_SCHEMA)
-        store.maybe_rebucket()
-        store.compact()
+        self.counts.store(_STORE_SCHEMA).maintain()

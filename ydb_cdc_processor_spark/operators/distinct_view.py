@@ -132,7 +132,16 @@ class DistinctCountView:
         corpus without moving raw data (the AggregateView.merge_rollup
         shape; NOT idempotent, pass ``batch_token`` when the caller may
         replay).  Cost: O(|other's live pairs|) through one
-        touched-bucket merge."""
+        touched-bucket merge.
+
+        Single-maintainer window (review finding): run ONLY between
+        COMMITTED batches of any live feed.  The merge promotes the
+        touched buckets under ITS token, replacing each bucket's
+        replay-fence file — merging while a micro-batch's checkpoint is
+        still uncommitted un-fences that batch, and its non-idempotent
+        ±delta would double-apply on replay.  Quiesce the feed (or run
+        at the engine's between-batch maintenance point) first — the
+        same contract rebucket/compact carry."""
         if (list(other.group_cols) != list(self.group_cols)
                 or other.value_col != self.value_col):
             raise ValueError("group_cols and value_col must match to merge")
@@ -183,6 +192,4 @@ class DistinctCountView:
         rebucket/compact sawtooth (engines reach this through
         ``maintain_derived_stores``; hand-driven loops call it at their
         own cadence)."""
-        st = self.view
-        st.maybe_rebucket()
-        st.compact()
+        self.view.maintain()

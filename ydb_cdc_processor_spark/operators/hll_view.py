@@ -294,5 +294,4 @@ class HllView:
         """Between-batch housekeeping: bucket-count sawtooth + small-file
         compaction (state is |groups|·m rows — compaction matters more
         than rebucketing here)."""
-        self.view.maybe_rebucket()
-        self.view.compact()
+        self.view.maintain()

@@ -228,6 +228,4 @@ class NearDupIndex:
         rebucket/compact sawtooth (engines reach this through
         ``maintain_derived_stores``; hand-driven loops call it at their
         own cadence)."""
-        st = self.view
-        st.maybe_rebucket()
-        st.compact()
+        self.view.maintain()

@@ -134,7 +134,16 @@ class QuantileView:
         one-shot weights of the union — exact quantiles of a sharded
         corpus without moving raw rows (only the collapsed
         (group, value, weight) relation crosses).  NOT idempotent; pass
-        ``batch_token`` when the caller may replay."""
+        ``batch_token`` when the caller may replay.
+
+        Single-maintainer window (review finding): run ONLY between
+        COMMITTED batches of any live feed.  The merge promotes the
+        touched buckets under ITS token, replacing each bucket's
+        replay-fence file — merging while a micro-batch's checkpoint is
+        still uncommitted un-fences that batch, and its non-idempotent
+        ±delta would double-apply on replay.  Quiesce the feed (or run
+        at the engine's between-batch maintenance point) first — the
+        same contract rebucket/compact carry."""
         if (list(other.group_cols) != list(self.group_cols)
                 or other.value_col != self.value_col):
             raise ValueError("group_cols and value_col must match to merge")
@@ -203,6 +212,4 @@ class QuantileView:
         rebucket/compact sawtooth (engines reach this through
         ``maintain_derived_stores``; hand-driven loops call it at their
         own cadence)."""
-        st = self.view
-        st.maybe_rebucket()
-        st.compact()
+        self.view.maintain()

@@ -257,5 +257,4 @@ class SampleView:
     def maintain(self) -> None:
         """Between-batch housekeeping (state is ≤ |groups|·n rows —
         compaction dominates)."""
-        self.view.maybe_rebucket()
-        self.view.compact()
+        self.view.maintain()

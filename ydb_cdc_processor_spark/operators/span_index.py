@@ -187,6 +187,4 @@ class SpanDupIndex:
         rebucket/compact sawtooth (engines reach this through
         ``maintain_derived_stores``; hand-driven loops call it at their
         own cadence)."""
-        st = self.counts.store()
-        st.maybe_rebucket()
-        st.compact()
+        self.counts.store().maintain()

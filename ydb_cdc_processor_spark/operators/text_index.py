@@ -322,10 +322,16 @@ class TextIndex:
                         " skipping stats", self.path, batch_token)
             return
         ost = other._read_stats()
+        # an un-tokenized merge must not clobber the previously
+        # persisted apply_delta fence: writing None here would let a
+        # replay of the last ingest batch re-add its doc/length deltas
+        # (the agg-view flat-backend rule; review finding)
         self._write_stats({"n_docs": st["n_docs"] + ost["n_docs"],
                            "sum_dl": st["sum_dl"] + ost["sum_dl"],
                            "sum_nz": st["sum_nz"] + ost["sum_nz"],
-                           "batch_token": batch_token})
+                           "batch_token": (batch_token if batch_token
+                                           is not None
+                                           else st["batch_token"])})
 
     def _corpus_stats(self) -> tuple[int, int, int]:
         st = self._read_stats()    # zeros when no batch ever applied
@@ -431,5 +437,4 @@ class TextIndex:
         """Between-batch housekeeping (the stream engines call this):
         bucket-count sawtooth + small-file compaction on the postings
         store."""
-        self.view.maybe_rebucket()
-        self.view.compact()
+        self.view.maintain()

@@ -99,7 +99,16 @@ class TopKView:
         ``batch_token`` when the caller may replay).  Cost: O(|other's
         rollup|) rows through one touched-bucket merge; raw shard data
         never moves.  Bounded shards under-count per their own sweep
-        history — merge bounds compose additively."""
+        history — merge bounds compose additively.
+
+        Single-maintainer window (review finding): run ONLY between
+        COMMITTED batches of any live feed.  The merge promotes the
+        touched buckets under ITS token, replacing each bucket's
+        replay-fence file — merging while a micro-batch's checkpoint is
+        still uncommitted un-fences that batch, and its non-idempotent
+        ±delta would double-apply on replay.  Quiesce the feed (or run
+        at the engine's between-batch maintenance point) first — the
+        same contract rebucket/compact carry."""
         if (list(other.group_cols) != list(self.group_cols)
                 or other.value_col != self.value_col):
             raise ValueError("group_cols and value_col must match to merge")
@@ -240,6 +249,4 @@ class TopKView:
         in bounded mode the lossy prune sweep runs first, so the
         rebucket sizing sees the post-prune state."""
         self.prune()
-        st = self.agg.store()
-        st.maybe_rebucket()
-        st.compact()
+        self.agg.store().maintain()

@@ -350,11 +350,19 @@ class VectorIndex:
         metadata (centroids, codebook/meta, bucket manifest) — never
         list data."""
         import shutil as _sh
+        # repair crash-torn donor state FIRST: a '.displaced-_bucket=N'
+        # left by a mid-promotion crash would not match the skip filter,
+        # and the clone's own first _recover() would then promote the
+        # donor's list data into the "empty" shard — violating the
+        # disjoint-ownership contract merge_from documents (review
+        # finding).  Skip dot-prefixed entries and _SUCCESS too: the
+        # clone must not report exists()==True while holding no lists.
+        self.view.recover()
         src, dst = self.view.path, os.path.join(path, "lists")
         os.makedirs(dst, exist_ok=True)
         for e in os.listdir(src):
-            if e.startswith("_bucket="):
-                continue   # list data stays behind
+            if (e.startswith(("_bucket=", ".")) or e == "_SUCCESS"):
+                continue   # list data / torn leftovers / marker stay behind
             s = os.path.join(src, e)
             d = os.path.join(dst, e)
             if os.path.isdir(s):

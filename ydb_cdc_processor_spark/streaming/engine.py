@@ -118,12 +118,10 @@ class CdcStreamEngine:
         self.pipeline = pipeline
         # streaming micro-batches are trigger-bounded (B1/B3) → the merge
         # may safely pin the delta broadcast (small_delta=True)
-        self.batch_engine = CdcBatchEngine(spark, pipeline, target_path,
-                                           n_buckets=n_buckets,
-                                           small_delta=True,
-                                           agg_views=agg_views,
-                                           scd2_views=scd2_views,
-                                           dlq_path=dlq_path)
+        self.batch_engine = CdcBatchEngine(
+            spark, pipeline, target_path, n_buckets=n_buckets,
+            small_delta=True, agg_views=agg_views, scd2_views=scd2_views,
+            dlq_path=dlq_path, target_bucket_bytes=target_bucket_bytes)
         self.checkpoint_dir = checkpoint_dir
         self.rebucket_every = rebucket_every if n_buckets else None
         self.target_bucket_bytes = target_bucket_bytes
@@ -156,20 +154,11 @@ class CdcStreamEngine:
             raise
         if (self.rebucket_every
                 and (batch_id + 1) % self.rebucket_every == 0):
-            # between-batch maintenance, both checks metadata-only:
-            # growth (one amortized rewrite when mean bucket size crosses
-            # the threshold — keeps per-batch cost ∝ target bucket size)
-            # and small-file compaction (fragmented buckets only; crash
-            # replays and external appenders accumulate files that would
-            # otherwise tax every touched-bucket read)
-            mv = self.batch_engine._target(None)
-            if mv.exists():
-                if not mv.maybe_rebucket(
-                        target_bucket_bytes=self.target_bucket_bytes):
-                    # a rebucket already rewrote every bucket to one
-                    # file; compaction only matters when it didn't run
-                    mv.compact()
-            self._maintain_derived_stores()
+            # between-batch maintenance (target sawtooth + derived-store
+            # sweep), delegated to the batch engine's shared
+            # implementation so the policy lives in ONE place; the
+            # stream's target_bucket_bytes is forwarded at construction
+            self.batch_engine.maintain_stores()
         dt = max(time.perf_counter() - t0, 1e-9)
         with self._lock:
             s = self._status
