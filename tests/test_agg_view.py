@@ -176,6 +176,10 @@ def test_agg_view_bucketed_per_bucket_fence(spark, tmp_path):
     mf = os.path.join(path, "_buckets.json")
     doc = json.load(open(mf))
     doc["last_token"] = "b0"
+    # last_token and applied_tokens are written in ONE atomic manifest
+    # replace — a crash that precedes it leaves b1 in neither
+    doc["applied_tokens"] = [t for t in doc.get("applied_tokens", [])
+                             if t != "b1"]
     json.dump(doc, open(mf, "w"))
 
     # the torn state is visibly mixed (victim bucket back at b0 counts)

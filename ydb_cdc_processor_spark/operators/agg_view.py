@@ -38,6 +38,7 @@ shape, keep the row view and aggregate at query time.
 from __future__ import annotations
 
 import logging
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +104,14 @@ class AggregateView:
         if max_groups_warn is not None:
             self.max_groups_warn = max_groups_warn
         self._size_warned = False
+        #: per-apply observability: the total NEGATIVE count dropped by
+        #: the last maintenance step's ``count > 0`` filter.  Under a
+        #: correct CDC feed a merged count can only go negative when a
+        #: retraction arrives for state that is GONE — e.g. a delete for
+        #: a pair a bounded TopKView's prune sweep forfeited — so this
+        #: is the forfeit signal the bounded stores surface (rides the
+        #: merge's own materialization; no extra job).
+        self.last_negative_drops: int = 0
 
     # -- internals -----------------------------------------------------------
 
@@ -195,28 +204,49 @@ class AggregateView:
     def _apply_delta_flat(self, delta: DataFrame,
                           batch_token: str | None) -> None:
         store = self._store(delta.schema)
-        if (batch_token is not None and store.exists()
-                and store.read_meta().get("batch_token") == batch_token):
+        prev_meta = dict(store.read_meta() or {}) if store.exists() else {}
+        history = list(prev_meta.get("token_history") or [])
+        if batch_token is not None and (
+                prev_meta.get("batch_token") == batch_token
+                or batch_token in history):
+            # the swap is view-wide ATOMIC, so token-in-history ⟺ fully
+            # applied — a replay arriving AFTER a later batch or a
+            # federated merge_rollup rotated ``batch_token`` away still
+            # short-circuits (the bucketed backend's applied_tokens
+            # analogue; without it the replay would double-apply)
             logger.info("agg view %s: batch token %r already applied; "
                         "skipping replay", self.path, batch_token)
             return
         base = store.read() if store.exists() else None
         merged = self._reagg(delta.unionByName(base) if base is not None
-                             else delta) \
-            .where(F.col(self.count_col) > 0)
-        # group-cardinality guard rides the write as an observe metric —
-        # no extra job (same pattern as the engine's decode counters)
+                             else delta)
+        # group-cardinality guard + negative-drop counter ride the write
+        # as observe metrics — no extra job (same pattern as the engine's
+        # decode counters); observe sits BEFORE the >0 filter so dropped
+        # negatives are still counted
         from pyspark.sql import Observation
-        obs = Observation(f"agg_view_size_{id(self)}")
-        merged = merged.observe(obs, F.count(F.lit(1)).alias("n_groups"))
+        obs = Observation(f"agg_view_size_{uuid.uuid4().hex[:8]}")
+        merged = merged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows_preclip"),
+            F.coalesce(F.sum(F.when(F.col(self.count_col) < 0,
+                                    -F.col(self.count_col))
+                             .otherwise(F.lit(0))), F.lit(0))
+            .cast("long").alias("neg"),
+            F.coalesce(F.sum((F.col(self.count_col) > 0).cast("long")),
+                       F.lit(0)).alias("n_groups"))
+        merged = merged.where(F.col(self.count_col) > 0)
         # an un-tokenized apply must not clobber a previously persisted
         # replay fence: overwrite(meta=None) would drop the meta file and
         # a later replay of the last tokenized batch would double-count
         if batch_token is not None:
-            meta = {"batch_token": batch_token}
+            hist = [t for t in history if t != batch_token]
+            meta = {"batch_token": batch_token,
+                    "token_history": (hist + [batch_token])[-16:]}
         else:
-            meta = (store.read_meta() or None) if store.exists() else None
+            meta = prev_meta or None
         store.overwrite(merged, meta=meta)
+        self.last_negative_drops = int(obs.get["neg"] or 0)
         n_groups = int(obs.get["n_groups"] or 0)
         if n_groups > self.max_groups_warn and not self._size_warned:
             self._size_warned = True
@@ -229,20 +259,40 @@ class AggregateView:
                 self.path, n_groups, self.max_groups_warn)
 
     def _apply_delta_bucketed(self, delta: DataFrame,
-                              batch_token: str | None) -> None:
+                              batch_token: str | None,
+                              out_of_band: bool = False) -> None:
         """O(delta + touched buckets) maintenance: the per-group delta is
         bucketed on the group columns, ONLY the touched buckets are read,
         re-aggregated with the delta, and promoted — never an O(|rollup|)
         rewrite.  (No group-cardinality guard here: unbounded group counts
-        are exactly what this backend is for.)"""
+        are exactly what this backend is for.)
+
+        ``out_of_band=True`` (the :meth:`merge_rollup` federation path)
+        bumps the store's maintenance epoch, mechanically enforcing the
+        single-maintainer window — see
+        :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+        MaintenanceFenceError`."""
+        from pyspark.sql import Observation
+
         from ydb_cdc_processor_spark.operators.bucketed_view import BUCKET_COL
         store = self._store(delta.schema)
+        obs = Observation(f"agg_view_neg_{uuid.uuid4().hex[:8]}")
+
+        def _merge(target, d):
+            merged = self._reagg(target.unionByName(d),
+                                 extra_cols=(BUCKET_COL,))
+            # negative-drop counter rides the merge's own materialization
+            merged = merged.observe(
+                obs, F.coalesce(F.sum(F.when(
+                    F.col(self.count_col) < 0,
+                    -F.col(self.count_col)).otherwise(F.lit(0))),
+                    F.lit(0)).cast("long").alias("neg"))
+            return merged.where(F.col(self.count_col) > 0)
+
         applied = store.merge_touched(
-            delta,
-            lambda target, d: self._reagg(
-                target.unionByName(d), extra_cols=(BUCKET_COL,))
-            .where(F.col(self.count_col) > 0),
-            batch_token=batch_token)
+            delta, _merge,
+            batch_token=batch_token, out_of_band=out_of_band)
+        self.last_negative_drops = int(obs.get["neg"]) if applied else 0
         if not applied and batch_token is not None:
             logger.info("agg view %s: batch token %r already applied; "
                         "skipping replay", self.path, batch_token)
@@ -270,14 +320,17 @@ class AggregateView:
         plus their ``_nn_*`` non-null counters.  Cost: one
         touched-bucket merge, O(|rollup|) — raw shard data never moves.
 
-        Single-maintainer window (review finding): run ONLY between
-        COMMITTED batches of any live feed.  The merge promotes the
-        touched buckets under ITS token, replacing each bucket's
-        replay-fence file — merging while a micro-batch's checkpoint is
-        still uncommitted un-fences that batch, and its non-idempotent
-        ±delta would double-apply on replay.  Quiesce the feed (or run
-        at the engine's between-batch maintenance point) first — the
-        same contract rebucket/compact carry."""
+        Single-maintainer window — MECHANICALLY ENFORCED (round-12): run
+        ONLY between COMMITTED batches of any live feed.  The merge
+        promotes the touched buckets under ITS token, rotating each
+        bucket's replay-fence file; on the bucketed backend it also
+        bumps the store's maintenance epoch, so a replay of a torn
+        (never-committed) feed batch refuses with
+        :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+        MaintenanceFenceError` instead of silently double-applying,
+        while a replay of a COMMITTED batch converges via the
+        applied-token history.  (Flat backend: the swap is view-wide
+        atomic, so the bounded token history alone closes the window.)"""
         need = [*self.group_cols, self.count_col]
         for out in self.sum_cols:
             need += [out, self._nn(out)]
@@ -289,7 +342,7 @@ class AggregateView:
                 "public read()")
         delta = rollup.select(*need)
         if self.backend == "bucketed":
-            self._apply_delta_bucketed(delta, batch_token)
+            self._apply_delta_bucketed(delta, batch_token, out_of_band=True)
         else:
             self._apply_delta_flat(delta, batch_token)
 

@@ -62,6 +62,22 @@ MANIFEST = "_buckets.json"
 DISPLACED_PREFIX = ".displaced-"  # dot-prefixed → invisible to Spark scans
 TOKEN_FILE = "_token"             # underscore-prefixed → ignored by Spark
 
+#: bounded manifest history of batch tokens (started + applied) — only
+#: the streaming checkpoint's LAST uncommitted batch can ever replay, so
+#: a short window is ample; older entries age out harmlessly.
+TOKEN_HISTORY = 16
+
+
+class MaintenanceFenceError(RuntimeError):
+    """A replayed non-idempotent delta hit a bucket whose replay fence
+    was rotated by a LATER out-of-band maintenance operation (federated
+    ``merge_from`` / ``rebucket``) — re-applying could double-count and
+    skipping could drop the delta, so the only safe answer is to refuse
+    and converge via recompute.  The reference's deferred-commit
+    guarantee (offsets committed only after the write,
+    YqlWriter.java:181-206) is mechanical; this error is our mechanical
+    analogue of the same invariant for out-of-band maintenance."""
+
 
 class BucketedMaterializedView:
     """Keyed materialized view partitioned by a PK hash bucket."""
@@ -144,17 +160,76 @@ class BucketedMaterializedView:
         given) records the most recent replay fence applied via
         :meth:`apply_merge` — :meth:`rebucket` re-seeds the per-bucket
         token files from it, since a rebucket rewrites the view from
-        state that already INCLUDES that batch."""
+        state that already INCLUDES that batch.  A ``last_token`` is
+        also appended to the bounded ``applied_tokens`` history, so a
+        replay arriving AFTER a later maintenance op rotated
+        ``last_token`` away still short-circuits (converges) instead of
+        hitting the epoch fence."""
         os.makedirs(self.path, exist_ok=True)
         doc = self._read_manifest_dict()
         doc["n_buckets"] = self.n_buckets
         doc["bucket_keys"] = self.bucket_keys
         if last_token is not None:
             doc["last_token"] = last_token
+            hist = [t for t in (doc.get("applied_tokens") or [])
+                    if t != last_token]
+            doc["applied_tokens"] = (hist + [last_token])[-TOKEN_HISTORY:]
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    def _mutate_manifest(self, mutate) -> None:
+        """Read-modify-replace the manifest dict atomically (layout
+        identity fields preserved via setdefault — never clobbered)."""
+        os.makedirs(self.path, exist_ok=True)
+        doc = self._read_manifest_dict()
+        doc.setdefault("n_buckets", self.n_buckets)
+        doc.setdefault("bucket_keys", self.bucket_keys)
+        mutate(doc)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self._manifest_path())
+
+    # -- maintenance epochs (mechanical single-maintainer enforcement) --------
+
+    def maintenance_epoch(self) -> int:
+        """The manifest's monotonically increasing maintenance epoch.
+        Bumped by every out-of-band fence-rotating operation (federated
+        ``merge_from`` via ``merge_touched(out_of_band=True)``,
+        :meth:`rebucket`); 0 on stores that never saw one."""
+        try:
+            return int(self._read_manifest_dict().get("epoch", 0))
+        except (TypeError, ValueError):
+            return 0
+
+    def _bump_epoch(self) -> int:
+        new = self.maintenance_epoch() + 1
+        self._mutate_manifest(lambda doc: doc.__setitem__("epoch", new))
+        return new
+
+    def _token_epoch_of(self, batch_token: str) -> int | None:
+        """The epoch ``batch_token`` was FIRST seen starting under (from
+        the bounded manifest history), or None when never recorded."""
+        te = self._read_manifest_dict().get("token_epochs") or {}
+        v = te.get(batch_token)
+        return int(v) if v is not None else None
+
+    def _record_token_epoch(self, batch_token: str, epoch: int) -> None:
+        def mutate(doc):
+            te = dict(doc.get("token_epochs") or {})
+            te[batch_token] = epoch
+            if len(te) > TOKEN_HISTORY:  # age out oldest insertions
+                for k in list(te)[:len(te) - TOKEN_HISTORY]:
+                    del te[k]
+            doc["token_epochs"] = te
+        self._mutate_manifest(mutate)
+
+    def applied_tokens(self) -> list[str]:
+        """Bounded history of FULLY applied batch tokens (manifest
+        ``last_token`` values, oldest first)."""
+        return list(self._read_manifest_dict().get("applied_tokens") or [])
 
     def _stored_schema(self):
         """Authoritative view schema (sans bucket column) from the
@@ -374,18 +449,41 @@ class BucketedMaterializedView:
 
     # -- per-bucket replay tokens --------------------------------------------
 
-    def bucket_token(self, b: int) -> str | None:
-        """The replay-fence token promoted WITH bucket ``b`` (None when the
-        bucket is absent or was never written under a token).  Written into
-        the bucket directory in the temp sibling before promotion, so data
-        and token become visible in the same atomic rename — the unit of
-        exactly-once for non-idempotent (±delta) merges is the bucket."""
+    def _token_payload(self, b: int) -> str | None:
+        """Raw token-file contents of bucket ``b`` (token + optional
+        epoch line) — preserved VERBATIM by physical rewrites
+        (:meth:`compact` / :meth:`rewrite_rows`)."""
         try:
             with open(os.path.join(self.path, f"{BUCKET_COL}={b}",
                                    TOKEN_FILE)) as fh:
                 return fh.read()
         except OSError:
             return None
+
+    def bucket_token(self, b: int) -> str | None:
+        """The replay-fence token promoted WITH bucket ``b`` (None when the
+        bucket is absent or was never written under a token).  Written into
+        the bucket directory in the temp sibling before promotion, so data
+        and token become visible in the same atomic rename — the unit of
+        exactly-once for non-idempotent (±delta) merges is the bucket."""
+        payload = self._token_payload(b)
+        return payload.split("\n", 1)[0] if payload is not None else None
+
+    def bucket_token_epoch(self, b: int) -> tuple[str | None, int]:
+        """``(token, epoch)`` of bucket ``b``'s replay fence — epoch 0
+        for legacy single-line token files and absent buckets.  The
+        epoch stamp is what lets a replayed delta detect that a LATER
+        out-of-band maintenance op rotated the fence (see
+        :class:`MaintenanceFenceError`)."""
+        payload = self._token_payload(b)
+        if payload is None:
+            return None, 0
+        parts = payload.split("\n")
+        try:
+            epoch = int(parts[1]) if len(parts) > 1 else 0
+        except ValueError:
+            epoch = 0
+        return parts[0], epoch
 
     def last_token(self) -> str | None:
         """Manifest fast-path: the token of the last FULLY promoted batch
@@ -416,7 +514,8 @@ class BucketedMaterializedView:
 
     def _overwrite_touched(self, merged: DataFrame, touched: list[int],
                            token: str | None = None,
-                           pre_promote=None) -> None:
+                           pre_promote=None,
+                           token_epoch: int = 0) -> None:
         """Replace the touched bucket partitions with ``merged``'s rows:
         write to a TEMP sibling (``merged`` still lazily reads the OLD
         partition files — no checkpoint needed, ONE materialization),
@@ -462,7 +561,7 @@ class BucketedMaterializedView:
                 d = os.path.join(tmp, f"{BUCKET_COL}={b}")
                 if os.path.isdir(d):
                     with open(os.path.join(d, TOKEN_FILE), "w") as fh:
-                        fh.write(token)
+                        fh.write(f"{token}\n{token_epoch}")
         # schema BEFORE promotion: a crash in between shows one extra
         # all-NULL column (benign); the opposite order would hide
         # promoted data behind a stale narrower stored schema
@@ -613,7 +712,8 @@ class BucketedMaterializedView:
             dels.unpersist()
 
     def merge_touched(self, delta: DataFrame, merge_fn,
-                      batch_token: str | None = None) -> bool:
+                      batch_token: str | None = None,
+                      out_of_band: bool = False) -> bool:
         """Generic touched-bucket maintenance step with a per-bucket
         replay fence — the primitive non-idempotent incremental view
         maintenance (the aggregate view's ±deltas) needs from a bucketed
@@ -629,15 +729,37 @@ class BucketedMaterializedView:
         re-applies the delta ONLY to the un-promoted remainder — per-
         bucket exactly-once, which composes to batch exactly-once because
         a group lives in exactly one bucket.  The manifest ``last_token``
-        (written after full promotion) short-circuits a fully-applied
-        replay without any Spark job.
+        (written after full promotion) and the bounded ``applied_tokens``
+        history short-circuit a fully-applied replay without any Spark
+        job.
+
+        ``out_of_band=True`` marks a fence-ROTATING maintenance merge
+        (federated ``merge_from``): it bumps the manifest maintenance
+        epoch first, and its promotions stamp the new epoch into every
+        bucket token.  The single-maintainer window is then enforced
+        MECHANICALLY, not contractually: a replayed feed delta whose
+        token was first seen under an OLDER epoch finds pending buckets
+        stamped with a newer one and raises
+        :class:`MaintenanceFenceError` instead of silently
+        double-applying (the reference's deferred-commit analogue,
+        YqlWriter.java:181-206).  Fully-committed batches are unaffected
+        — their replay converges via the applied-token history.
 
         Returns True when a merge ran, False when the batch was entirely
         fenced out (or the delta was empty)."""
-        if batch_token is not None and self.last_token() == batch_token:
-            logger.info("bucketed view %s: batch token %r already fully "
-                        "applied; skipping replay", self.path, batch_token)
-            return False
+        if batch_token is not None:
+            if self.last_token() == batch_token:
+                logger.info("bucketed view %s: batch token %r already fully "
+                            "applied; skipping replay", self.path,
+                            batch_token)
+                return False
+            if batch_token in self.applied_tokens():
+                # fully applied earlier, then a LATER batch/maintenance op
+                # rotated last_token — still a pure replay: converge
+                logger.info("bucketed view %s: batch token %r found in "
+                            "applied-token history; skipping replay",
+                            self.path, batch_token)
+                return False
         # repair crash-torn state BEFORE any bucket/token observation:
         # unlike apply(), this path reads touched buckets by direct isdir
         # probe without going through exists(), so a bucket left
@@ -645,6 +767,26 @@ class BucketedMaterializedView:
         # absent and its rows would be silently dropped from the merge
         # (caught by test_bucketed_crash_recovery_merge_touched_exactly_once)
         self._recover()
+        epoch = self._bump_epoch() if out_of_band else self.maintenance_epoch()
+        tok_epoch = epoch
+        fence_token = batch_token
+        if batch_token is not None:
+            seen = self._token_epoch_of(batch_token)
+            if seen is not None:
+                tok_epoch = seen   # replay: stamp under the ORIGINAL epoch
+            else:
+                # recorded BEFORE any promotion: a crash right after this
+                # point replays with tok_epoch == epoch (no maintenance op
+                # ran) and proceeds normally; if a maintenance op DID run
+                # in between, the epoch gap below refuses — conservative,
+                # exactly the ambiguity the fence guards
+                self._record_token_epoch(batch_token, epoch)
+        elif out_of_band:
+            # an UN-tokenized out-of-band merge still rotates fences (its
+            # promotion replaces the bucket dirs, token files included) —
+            # stamp a synthetic fence so older tokens' replays refuse
+            # instead of double-applying over the merged-in state
+            fence_token = f"oob-{uuid.uuid4().hex[:8]}"
         delta_b = self._with_bucket(delta).persist()
         try:
             touched = [r[0] for r in
@@ -657,12 +799,29 @@ class BucketedMaterializedView:
                 # only the manifest write crashed; heal it
                 self._write_manifest(last_token=batch_token)
                 return False
+            if batch_token is not None:
+                for b in pending:
+                    t, e = self.bucket_token_epoch(b)
+                    if t is not None and t != batch_token and e > tok_epoch:
+                        raise MaintenanceFenceError(
+                            f"bucketed view {self.path}: replay of batch "
+                            f"token {batch_token!r} (first seen at "
+                            f"maintenance epoch {tok_epoch}) found bucket "
+                            f"{b} fenced by {t!r} at epoch {e} — an "
+                            "out-of-band maintenance operation (federated "
+                            "merge_from / rebucket) rotated the replay "
+                            "fence after this batch started; re-applying "
+                            "could double-count.  Converge via recompute "
+                            "(rebuild this view from the row store), or "
+                            "restore the pre-maintenance shard state and "
+                            "replay in order.")
             target = self._read_touched(pending, delta.schema)
             d = (delta_b if len(pending) == len(touched)
                  else delta_b.where(
                      F.col(BUCKET_COL).isin([int(b) for b in pending])))
             merged = merge_fn(target, d)
-            self._overwrite_touched(merged, pending, token=batch_token)
+            self._overwrite_touched(merged, pending, token=fence_token,
+                                    token_epoch=tok_epoch)
             self._write_manifest(last_token=batch_token)
             return True
         finally:
@@ -715,21 +874,38 @@ class BucketedMaterializedView:
         # the full key set and read the wrong directories)
         manifest: dict = {"n_buckets": n_buckets,
                           "bucket_keys": self.bucket_keys}
-        stored = self._read_manifest_dict().get("schema")
+        old_doc = self._read_manifest_dict()
+        stored = old_doc.get("schema")
         if stored:
             # the evolved schema is LAYOUT state too — a rebucket must
             # not narrow reads back to per-file inference
             manifest["schema"] = stored
+        # a rebucket rotates EVERY bucket's fence: bump the maintenance
+        # epoch so a replay of a torn (never-committed) batch refuses via
+        # MaintenanceFenceError instead of double-applying onto the
+        # rewritten layout; committed tokens keep converging through the
+        # carried applied-token history
+        new_epoch = self.maintenance_epoch() + 1
+        manifest["epoch"] = new_epoch
+        if old_doc.get("token_epochs"):
+            manifest["token_epochs"] = old_doc["token_epochs"]
+        if old_doc.get("applied_tokens"):
+            manifest["applied_tokens"] = old_doc["applied_tokens"]
         last = self.last_token()
         if last is not None:
             # the rewrite was built from state that already INCLUDES the
             # last fenced batch — re-seed every new bucket's token so a
             # replay of that batch after the rebucket stays a no-op
             manifest["last_token"] = last
-            for e in os.listdir(tmp):
-                if e.startswith(f"{BUCKET_COL}="):
-                    with open(os.path.join(tmp, e, TOKEN_FILE), "w") as fh:
-                        fh.write(last)
+        seed = last if last is not None else f"rebucket-{uuid.uuid4().hex[:8]}"
+        # a synthetic seed (no committed token) still matters: it carries
+        # the bumped epoch, so a replay of a TORN never-committed batch
+        # hits the epoch fence instead of double-applying onto a layout
+        # rewritten from its partial promotions
+        for e in os.listdir(tmp):
+            if e.startswith(f"{BUCKET_COL}="):
+                with open(os.path.join(tmp, e, TOKEN_FILE), "w") as fh:
+                    fh.write(f"{seed}\n{new_epoch}")
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
             json.dump(manifest, fh)
         # the in-memory count mutates only AFTER the swap succeeds, so an
@@ -772,7 +948,7 @@ class BucketedMaterializedView:
             if n_files > max_files_per_bucket:
                 b = int(e.split("=", 1)[1])
                 fragmented.append(b)
-                tokens[b] = self.bucket_token(b)
+                tokens[b] = self._token_payload(b)  # verbatim: token+epoch
         if not fragmented:
             return 0
         rows = (self._read_touched(fragmented, None)
@@ -830,7 +1006,7 @@ class BucketedMaterializedView:
             os.path.join(self.path, f"{BUCKET_COL}={b}"))]
         if not buckets:
             return 0
-        tokens = {b: self.bucket_token(b) for b in buckets}
+        tokens = {b: self._token_payload(b) for b in buckets}  # verbatim
         out = (transform_fn(self._read_touched(buckets, None))
                .repartition(BUCKET_COL))
         parent = os.path.dirname(os.path.abspath(self.path)) or "."

@@ -141,14 +141,13 @@ class CmsView:
         agg_view.AggregateView.merge_rollup` (token-fenced: counter
         addition is not idempotent).
 
-        Single-maintainer window (review finding): run ONLY between
-        COMMITTED batches of any live feed.  The merge promotes the
-        touched buckets under ITS token, replacing each bucket's
-        replay-fence file — merging while a micro-batch's checkpoint is
-        still uncommitted un-fences that batch, and its non-idempotent
-        ±delta would double-apply on replay.  Quiesce the feed (or run
-        at the engine's between-batch maintenance point) first — the
-        same contract rebucket/compact carry."""
+        Single-maintainer window — MECHANICALLY ENFORCED (round-12, via
+        ``merge_rollup``'s epoch bump): run ONLY between COMMITTED
+        batches of any live feed; a replay of a torn (never-committed)
+        feed batch refuses with :class:`~ydb_cdc_processor_spark.
+        operators.bucketed_view.MaintenanceFenceError` instead of
+        silently double-applying, while a replay of a COMMITTED batch
+        converges via the applied-token history."""
         if other.value_col != self.value_col:
             raise ValueError(
                 f"value_col must match to merge ({other.value_col!r} vs "

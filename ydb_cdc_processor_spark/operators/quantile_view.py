@@ -136,14 +136,14 @@ class QuantileView:
         (group, value, weight) relation crosses).  NOT idempotent; pass
         ``batch_token`` when the caller may replay.
 
-        Single-maintainer window (review finding): run ONLY between
-        COMMITTED batches of any live feed.  The merge promotes the
-        touched buckets under ITS token, replacing each bucket's
-        replay-fence file — merging while a micro-batch's checkpoint is
-        still uncommitted un-fences that batch, and its non-idempotent
-        ±delta would double-apply on replay.  Quiesce the feed (or run
-        at the engine's between-batch maintenance point) first — the
-        same contract rebucket/compact carry."""
+        Single-maintainer window — MECHANICALLY ENFORCED (round-12): run
+        ONLY between COMMITTED batches of any live feed.  The merge
+        bumps the store's maintenance epoch and promotes the touched
+        buckets under ITS token; a replay of a torn (never-committed)
+        feed batch then refuses with :class:`~ydb_cdc_processor_spark.
+        operators.bucketed_view.MaintenanceFenceError` instead of
+        silently double-applying, while a replay of a COMMITTED batch
+        converges via the applied-token history."""
         if (list(other.group_cols) != list(self.group_cols)
                 or other.value_col != self.value_col):
             raise ValueError("group_cols and value_col must match to merge")
@@ -156,7 +156,7 @@ class QuantileView:
                 .groupBy(*self.group_cols, self.value_col, BUCKET_COL)
                 .agg(F.sum(RC).alias(RC))
                 .where(F.col(RC) > 0)),
-            batch_token=batch_token)
+            batch_token=batch_token, out_of_band=True)
         if not applied and batch_token is not None:
             logger.info("quantile view %s: merge token %r already "
                         "applied; skipping replay", self.path, batch_token)

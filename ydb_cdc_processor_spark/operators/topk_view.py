@@ -39,7 +39,9 @@ counting IVM per Gupta & Mumick 1995 via agg_view.py.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -81,8 +83,17 @@ class TopKView:
         old image's — deletes and rewrites retract exactly; zero-count
         pairs drop from the store.  ``batch_token`` is the per-bucket
         replay fence (non-idempotent deltas NEED it under at-least-once
-        feeds — same contract as every AggregateView)."""
+        feeds — same contract as every AggregateView).
+
+        Bounded-mode observability: a delete arriving for an already-
+        PRUNED pair lands as a negative count and is dropped (the
+        documented forfeit) — each such dropped contribution increments
+        the persistent ``pruned_forfeits`` counter (see :meth:`stats`),
+        so silent drift is visible in store stats instead of only in a
+        recompute diff."""
         self.agg.apply_delta(new_rows, old_rows, batch_token=batch_token)
+        if self.agg.last_negative_drops:
+            self._bump_stats(pruned_forfeits=self.agg.last_negative_drops)
 
     def feed(self) -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list — full
@@ -101,14 +112,14 @@ class TopKView:
         never moves.  Bounded shards under-count per their own sweep
         history — merge bounds compose additively.
 
-        Single-maintainer window (review finding): run ONLY between
-        COMMITTED batches of any live feed.  The merge promotes the
-        touched buckets under ITS token, replacing each bucket's
-        replay-fence file — merging while a micro-batch's checkpoint is
-        still uncommitted un-fences that batch, and its non-idempotent
-        ±delta would double-apply on replay.  Quiesce the feed (or run
-        at the engine's between-batch maintenance point) first — the
-        same contract rebucket/compact carry."""
+        Single-maintainer window — MECHANICALLY ENFORCED (round-12,
+        via ``AggregateView.merge_rollup``'s epoch bump): run ONLY
+        between COMMITTED batches of any live feed; a replay of a torn
+        (never-committed) feed batch refuses with
+        :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
+        MaintenanceFenceError` instead of silently double-applying,
+        while a replay of a COMMITTED batch converges via the
+        applied-token history."""
         if (list(other.group_cols) != list(self.group_cols)
                 or other.value_col != self.value_col):
             raise ValueError("group_cols and value_col must match to merge")
@@ -131,6 +142,36 @@ class TopKView:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    # -- observability -----------------------------------------------------------
+
+    def _stats_path(self) -> str:
+        return os.path.join(self.path, "_topk_stats.json")
+
+    def stats(self) -> dict:
+        """Persistent store statistics: ``pruned_forfeits`` (delete
+        contributions dropped because their pair was already pruned —
+        the bounded mode's silent-drift counter), ``prune_sweeps`` and
+        ``rows_pruned`` (lossy-sweep history; the ``s`` in the
+        s·(prune_floor−1) under-count bound)."""
+        try:
+            with open(self._stats_path()) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            doc = {}
+        return {"pruned_forfeits": int(doc.get("pruned_forfeits", 0)),
+                "prune_sweeps": int(doc.get("prune_sweeps", 0)),
+                "rows_pruned": int(doc.get("rows_pruned", 0))}
+
+    def _bump_stats(self, **inc: int) -> None:
+        doc = self.stats()
+        for k, v in inc.items():
+            doc[k] = doc.get(k, 0) + int(v)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self._stats_path())
 
     # -- serving -----------------------------------------------------------------
 
@@ -242,7 +283,9 @@ class TopKView:
 
         if not store.rewrite_rows(_keep):
             return 0
-        return int((obs_in.get["n"] or 0) - (obs_out.get["n"] or 0))
+        pruned = int((obs_in.get["n"] or 0) - (obs_out.get["n"] or 0))
+        self._bump_stats(prune_sweeps=1, rows_pruned=pruned)
+        return pruned
 
     def maintain(self) -> None:
         """Between-batch housekeeping on the backing rollup store —

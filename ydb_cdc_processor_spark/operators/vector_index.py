@@ -377,6 +377,13 @@ class VectorIndex:
             with open(man) as fh:
                 doc = json.load(fh)
             doc.pop("last_token", None)
+            # the donor's epoch/token bookkeeping is its own maintenance
+            # history — a clone carrying applied_tokens would silently
+            # SKIP its own first batch whenever shard engines reuse the
+            # same deterministic token sequence (stream-0, batch-0:u …)
+            doc.pop("epoch", None)
+            doc.pop("token_epochs", None)
+            doc.pop("applied_tokens", None)
             with open(man, "w") as fh:
                 json.dump(doc, fh)
         return VectorIndex(self.spark, path)
