@@ -482,3 +482,39 @@ def test_bounded_topk_delete_heavy_drift_bound(spark, tmp_path):
     ex.apply_delta(None, mk([("a", "1")]), batch_token="e1")
     assert ex.stats()["pruned_forfeits"] == 0
     assert ex.recompute_check(mk([("a", "1")]))
+
+
+def test_maybe_reshard_granules_hot_day_trigger(spark, tmp_path):
+    """The hot-granule growth trigger: with a tiny byte target, only
+    granules over the threshold re-shard (hottest first, bounded per
+    pass), reads stay exact, and maintain() drives it when opted in."""
+    rv = RangePartitionedView(spark, str(tmp_path / "rv"),
+                              keys=["day", "id"], part_col="day",
+                              granularity="day", n_sub=2,
+                              auto_reshard=True)
+    # day 2024-01-03 is ~6x hotter than the others
+    hot = [(i, "2024-01-03", f"hot{i}") for i in range(1000, 1600)]
+    cold = [(i, f"2024-01-{1 + (i % 5):02d}", f"v{i}") for i in range(100)]
+    full = spark.createDataFrame(hot + cold,
+                                 "id long, day string, val string") \
+        .withColumn("day", _F.col("day").cast("date"))
+    rv.apply(full, action="upsertInto")
+    want = _res(rv.read())
+
+    sizes = rv.granule_bytes()
+    hot_pid = rv.partition_id("2024-01-03")
+    # pick a target that only the hot day exceeds (mean sub-bucket
+    # size > target*4 for the hot day alone)
+    target = max(v for p, v in sizes.items() if p != hot_pid) // 2
+    done = rv.maybe_reshard_granules(target_bucket_bytes=target,
+                                     growth_factor=2)
+    assert done == [hot_pid]
+    assert rv.granule_n_sub(hot_pid) > 2
+    assert all(rv.granule_n_sub(p) == 2 for p in sizes if p != hot_pid)
+    assert _res(rv.read()) == want
+    # second pass: nothing left over the bar
+    assert rv.maybe_reshard_granules(target_bucket_bytes=target,
+                                     growth_factor=2) == []
+    # maintain() drives the trigger when opted in (no-op here, clean)
+    rv.maintain(target_bucket_bytes=target)
+    assert _res(rv.read()) == want

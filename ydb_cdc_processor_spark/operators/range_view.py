@@ -95,13 +95,16 @@ class RangePartitionedView(BucketedMaterializedView):
     def __init__(self, spark: SparkSession, path: str, keys: list[str],
                  part_col: str, granularity: str | int | float = "day",
                  schema=None, n_sub: int = 1,
-                 hash_keys: list[str] | None = None):
+                 hash_keys: list[str] | None = None,
+                 auto_reshard: bool = False):
         """``n_sub``: hash sub-buckets per time granule (1 = plain range
         layout, today's default).  ``hash_keys``: the co-location key
         hashed within a granule — defaults to ``keys`` minus
         ``part_col``; must be a non-empty subset of ``keys`` when
         ``n_sub > 1``.  Both are LAYOUT metadata (persisted, stored
-        wins on reopen)."""
+        wins on reopen).  ``auto_reshard``: let :meth:`maintain` run
+        :meth:`maybe_reshard_granules` — POLICY, not layout (each
+        maintainer opts in; the manifest never forces it)."""
         if part_col not in keys:
             raise ValueError(
                 f"part_col {part_col!r} must be one of keys {keys}: "
@@ -118,6 +121,7 @@ class RangePartitionedView(BucketedMaterializedView):
         self.part_col = part_col
         self.granularity: str | int | float = granularity
         self.n_sub = int(n_sub)
+        self.auto_reshard = bool(auto_reshard)
         if hash_keys is not None:
             if not hash_keys or not set(hash_keys) <= set(keys):
                 raise ValueError(f"hash_keys {hash_keys} must be a "
@@ -307,8 +311,10 @@ class RangePartitionedView(BucketedMaterializedView):
         has.  Re-sharding an already-split granule allocates a fresh
         block (the old one goes dead); lowering the fan-out is refused
         — merge-back is a rebuild, not a split."""
+        return self._reshard_pid(self.partition_id(value), n_sub_new)
+
+    def _reshard_pid(self, pid: int, n_sub_new: int) -> int:
         import uuid as _uuid
-        pid = self.partition_id(value)
         cur = self.granule_n_sub(pid)
         if n_sub_new <= cur:
             raise ValueError(
@@ -570,9 +576,63 @@ class RangePartitionedView(BucketedMaterializedView):
                 dropped += 1
         return dropped
 
+    def granule_bytes(self) -> dict[int, int]:
+        """On-disk bytes per LIVE granule, from file metadata only —
+        O(#files) driver-side stats, no Spark job.  The hot-granule
+        detection input (the range twin of ``total_bytes``)."""
+        sizes: dict[int, int] = {}
+        for b in self._existing_bucket_ids():
+            p = self._id_to_pid(b)
+            if p is None:
+                continue
+            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            try:
+                n = sum(os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d)
+                        if not f.startswith((".", "_")))
+            except OSError:
+                n = 0
+            sizes[p] = sizes.get(p, 0) + n
+        return sizes
+
+    def maybe_reshard_granules(self, target_bucket_bytes: int = 128 << 20,
+                               growth_factor: int = 4,
+                               max_per_pass: int = 4) -> list[int]:
+        """The hot-granule growth trigger — ``maybe_rebucket``'s analogue
+        for the composed layout, where the SAWTOOTH dimension is a
+        single granule's fan-out, not a global bucket count: when a
+        granule's MEAN sub-bucket size (file metadata only) exceeds
+        ``target_bucket_bytes × growth_factor``, re-shard it to
+        ``granule_bytes / target`` rounded up to a power of two.  Each
+        re-shard is an O(granule) rewrite (amortized over the growth
+        that triggered it, the maybe_rebucket argument); ``max_per_pass``
+        bounds one housekeeping pass.  Returns the re-sharded pids."""
+        out: list[int] = []
+        for pid, total in sorted(self.granule_bytes().items(),
+                                 key=lambda kv: -kv[1]):
+            if len(out) >= max_per_pass:
+                break
+            cur = self.granule_n_sub(pid)
+            if total / cur <= target_bucket_bytes * growth_factor:
+                continue
+            want = max(1, -(-total // target_bucket_bytes))  # ceil div
+            new_n = 1
+            while new_n < want:
+                new_n *= 2
+            if new_n <= cur:
+                continue
+            self._reshard_pid(pid, new_n)
+            out.append(pid)
+        return out
+
     def maintain(self, target_bucket_bytes: int = 128 << 20) -> None:
         """Between-batch housekeeping: sweep re-shard leftovers first
         (a crash between a re-shard's commit and its cleanup leaves
-        dead directories), then the inherited compaction sawtooth."""
+        dead directories), optionally the hot-granule re-shard trigger
+        (``auto_reshard=True``), then the inherited compaction
+        sawtooth."""
         self._sweep_dead()
+        if self.auto_reshard:
+            self.maybe_reshard_granules(
+                target_bucket_bytes=target_bucket_bytes)
         super().maintain(target_bucket_bytes=target_bucket_bytes)
