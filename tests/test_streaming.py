@@ -795,6 +795,10 @@ def test_status_lists_derived_views(spark, sf_dir, tmp_path):
     assert kinds == {"ChecksumView", "SecondaryIndex"}
     assert all(v["path"] for v in d["derivedViews"])
     assert "integrity" in d
+    # round-12: bucketed-store rows surface their maintenance epoch
+    # (fence-rotation state for multi-shard ops) — still metadata-only
+    by_type = {v["type"]: v for v in d["derivedViews"]}
+    assert by_type["SecondaryIndex"].get("maintenanceEpoch") == 0
 
 
 def test_stream_maintains_derived_stores(spark, sf_dir, tmp_path):

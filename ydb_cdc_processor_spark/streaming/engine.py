@@ -268,7 +268,35 @@ class CdcStreamEngine:
             owner = getattr(v, "owner", None) or v
             path = next((getattr(owner, a) for a in ("path", "out_dir")
                          if getattr(owner, a, None) is not None), None)
-            derived.append({"type": type(owner).__name__, "path": path})
+            row = {"type": type(owner).__name__, "path": path}
+            # maintenance-epoch + store stats are manifest/sidecar JSON
+            # reads — the round-12 fence/forfeit state an operator of a
+            # multi-shard deployment needs on the status page (still no
+            # Spark job on this path)
+            store = getattr(owner, "view", None)
+            if store is None:
+                # rollup-backed stores nest an AggregateView (TopKView's
+                # .agg, CmsView's .counts); plain AggregateViews expose
+                # store() directly
+                inner = (getattr(owner, "agg", None)
+                         or getattr(owner, "counts", None) or owner)
+                if callable(getattr(inner, "store", None)):
+                    try:
+                        store = inner.store()
+                    except Exception:  # lazy store may need a schema
+                        store = None
+            ep = getattr(store, "maintenance_epoch", None)
+            if callable(ep):
+                try:
+                    row["maintenanceEpoch"] = ep()
+                except OSError:
+                    pass
+            if callable(getattr(owner, "stats", None)):
+                try:
+                    row["stats"] = owner.stats()
+                except (OSError, ValueError):
+                    pass
+            derived.append(row)
         if derived:
             out["derivedViews"] = derived
         return out
