@@ -50,6 +50,24 @@ logger = logging.getLogger(__name__)
 _DEC = "decimal(38,6)"
 
 
+def _obs_metric(obs, key: str) -> int:
+    """Read one observed metric, tolerating the Spark 4.1 AQE edge
+    where a query whose FINAL output is empty (e.g. a delete batch
+    that retracts every surviving group in its touched buckets)
+    propagates an empty relation through the CollectMetrics stage and
+    ``Observation.get`` raises on a schemaless metrics row
+    (PythonSQLUtils.toPyRow assertion).  Metrics are observability,
+    never correctness — an unreadable row reads as 0 (logged), making
+    counters like ``pruned_forfeits`` an honest LOWER bound."""
+    try:
+        v = obs.get.get(key)
+        return int(v) if v is not None else 0
+    except Exception as e:  # Py4JJavaError on the AQE empty-output edge
+        logger.info("observation %r unreadable (empty-output AQE edge): %s",
+                    key, e)
+        return 0
+
+
 class AggregateView:
     """A persisted ``GROUP BY group_cols`` rollup with COUNT + SUMs,
     maintained incrementally from CDC deltas.
@@ -246,8 +264,8 @@ class AggregateView:
         else:
             meta = prev_meta or None
         store.overwrite(merged, meta=meta)
-        self.last_negative_drops = int(obs.get["neg"] or 0)
-        n_groups = int(obs.get["n_groups"] or 0)
+        self.last_negative_drops = _obs_metric(obs, "neg")
+        n_groups = _obs_metric(obs, "n_groups")
         if n_groups > self.max_groups_warn and not self._size_warned:
             self._size_warned = True
             logger.warning(
@@ -292,7 +310,7 @@ class AggregateView:
         applied = store.merge_touched(
             delta, _merge,
             batch_token=batch_token, out_of_band=out_of_band)
-        self.last_negative_drops = int(obs.get["neg"]) if applied else 0
+        self.last_negative_drops = _obs_metric(obs, "neg") if applied else 0
         if not applied and batch_token is not None:
             logger.info("agg view %s: batch token %r already applied; "
                         "skipping replay", self.path, batch_token)

@@ -153,7 +153,10 @@ class TopKView:
         contributions dropped because their pair was already pruned —
         the bounded mode's silent-drift counter), ``prune_sweeps`` and
         ``rows_pruned`` (lossy-sweep history; the ``s`` in the
-        s·(prune_floor−1) under-count bound)."""
+        s·(prune_floor−1) under-count bound).  Counters are honest
+        LOWER bounds: a batch whose touched-bucket output is entirely
+        empty hits a Spark AQE edge where the observed metrics row is
+        unreadable and counts as 0 (agg_view._obs_metric)."""
         try:
             with open(self._stats_path()) as fh:
                 doc = json.load(fh)
@@ -283,9 +286,10 @@ class TopKView:
 
         if not store.rewrite_rows(_keep):
             return 0
-        pruned = int((obs_in.get["n"] or 0) - (obs_out.get["n"] or 0))
-        self._bump_stats(prune_sweeps=1, rows_pruned=pruned)
-        return pruned
+        from ydb_cdc_processor_spark.operators.agg_view import _obs_metric
+        pruned = _obs_metric(obs_in, "n") - _obs_metric(obs_out, "n")
+        self._bump_stats(prune_sweeps=1, rows_pruned=max(0, pruned))
+        return max(0, pruned)
 
     def maintain(self) -> None:
         """Between-batch housekeeping on the backing rollup store —
