@@ -30,14 +30,14 @@ from ydb_cdc_processor_spark.plans.yql_compat import translate_yql
 from ydb_cdc_processor_spark.engine import CdcBatchEngine, run_transform
 from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 from ydb_cdc_processor_spark.operators.bucketed_view import (
-    BucketedMaterializedView)
+    BucketedMaterializedView, MaintenanceFenceError)
 from ydb_cdc_processor_spark.streaming import CdcStreamEngine
 from ydb_cdc_processor_spark.app import CdcApp
 
 __all__ = [
     "get_spark", "ActionMode", "CdcPipeline", "PipelineValidationError",
     "load_config_xml", "translate_yql", "CdcBatchEngine", "run_transform",
-    "ParquetMaterializedView", "BucketedMaterializedView", "CdcStreamEngine",
-    "CdcApp",
+    "ParquetMaterializedView", "BucketedMaterializedView",
+    "MaintenanceFenceError", "CdcStreamEngine", "CdcApp",
 ]
 __version__ = "0.1.0"
