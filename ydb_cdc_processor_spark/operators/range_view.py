@@ -70,10 +70,16 @@ _EPOCH = _dt.date(1970, 1, 1)
 _CALENDAR = ("day", "week", "month", "year")
 
 #: directory-id floor for granule-local re-shard allocations.  Composed
-#: ids are ``pid * n_sub + sub``: day pids run ~2·10⁴ and n_sub ≤ 1024,
-#: so normal ids stay ≪ 2²⁸ while re-shard blocks allocate upward from
-#: here — the two id spaces can never collide, and int32 still leaves
-#: ~1.8·10⁹ ids of re-shard headroom.
+#: NATURAL ids are ``pid * n_sub + sub``; re-shard blocks allocate
+#: upward from here, contiguously, with the next free id recorded in
+#: the manifest (``next_alloc``).  Deadness of a directory id is ONLY
+#: ever inferred inside the allocated range ``[ALLOC_BASE,
+#: next_alloc)`` — a natural id at or above the floor (numeric-width
+#: granularities have an unbounded pid domain) is LIVE, never swept
+#: (round-12 advisor, high).  The two id spaces stay disjoint because
+#: :meth:`RangePartitionedView.reshard_granule` refuses stores whose
+#: natural ids could reach the floor (calendar granularities are
+#: bounded through year 9999; numeric widths are refused outright).
 ALLOC_BASE = 1 << 28
 
 
@@ -231,19 +237,31 @@ class RangePartitionedView(BucketedMaterializedView):
     def _range_doc(self) -> dict:
         return self._read_manifest_dict().get("range_layout") or {}
 
+    def _layout(self) -> dict:
+        """ONE manifest read snapshotting the re-shard bookkeeping —
+        every per-directory classification in an operation shares this
+        snapshot instead of re-parsing the manifest JSON per id
+        (round-12 advisor: O(#directories) file reads per read/sweep on
+        a layout whose selling point is cheap planning)."""
+        doc = self._range_doc()
+        return {
+            "splits": {int(p): ent
+                       for p, ent in (doc.get("splits") or {}).items()},
+            "pending": {int(p): ent
+                        for p, ent in (doc.get("pending_splits")
+                                       or {}).items()},
+            "next_alloc": int(doc.get("next_alloc", ALLOC_BASE)),
+        }
+
     def _splits(self) -> dict[int, dict]:
         """COMMITTED granule splits: ``{pid: {"alloc", "n_sub"}}``.
         Pending (staged, uncommitted) splits live under a SEPARATE
         manifest key so a re-split granule keeps serving its committed
         block until the flip."""
-        return {int(p): ent
-                for p, ent in (self._range_doc().get("splits")
-                               or {}).items()}
+        return self._layout()["splits"]
 
     def _pending_splits(self) -> dict[int, dict]:
-        return {int(p): ent
-                for p, ent in (self._range_doc().get("pending_splits")
-                               or {}).items()}
+        return self._layout()["pending"]
 
     def granule_n_sub(self, pid: int) -> int:
         """The hash fan-out serving granule ``pid`` (its committed split
@@ -251,34 +269,53 @@ class RangePartitionedView(BucketedMaterializedView):
         ent = self._splits().get(int(pid))
         return int(ent["n_sub"]) if ent else self.n_sub
 
-    def _id_to_pid(self, b: int) -> int | None:
-        """Granule pid owning directory id ``b`` — None for DEAD ids
-        (the pre-split range of a committed split, an uncommitted
-        pending block, or an orphaned allocation): reads must skip
-        them.  Pruning stays performance-only (read_range re-applies
-        the bounds as a residual filter), and deadness is exact — a
-        committed split's old range holds only superseded copies."""
-        splits = self._splits()
-        if b >= ALLOC_BASE:
-            for p, ent in splits.items():
-                a, m = int(ent["alloc"]), int(ent["n_sub"])
-                if a <= b < a + m:
-                    return p
-            return None   # pending or orphaned block
+    def _id_to_pid(self, b: int, lay: dict | None = None) -> int | None:
+        """Granule pid owning directory id ``b`` — None for DEAD ids:
+        reads must skip them.  Pruning stays performance-only
+        (read_range re-applies the bounds as a residual filter), and
+        deadness is exact and EXPLICIT — it is inferred only for
+
+        * the natural-id range of a granule with a COMMITTED split
+          (those directories hold only superseded copies), and
+        * allocated ids ``ALLOC_BASE <= b < next_alloc`` owned by no
+          committed split (an uncommitted pending block, or a block a
+          later re-split retired) — every id in that range was handed
+          out by a reserve, so "allocated but unowned" is exact.
+
+        A natural id at or above ``ALLOC_BASE`` on a store that never
+        allocated (``next_alloc`` absent ⇒ the range is empty) is LIVE:
+        numeric-width granularities legitimately compose ids past the
+        floor, and classifying them dead silently dropped — then swept
+        — real data (round-12 advisor, high).  Disjointness of the two
+        id spaces on stores that DID allocate is enforced up front by
+        :meth:`_check_reshard_supported`.
+
+        ``lay``: optional :meth:`_layout` snapshot — pass it when
+        classifying many ids in one operation."""
+        lay = lay if lay is not None else self._layout()
+        splits = lay["splits"]
+        for p, ent in splits.items():
+            a, m = int(ent["alloc"]), int(ent["n_sub"])
+            if a <= b < a + m:
+                return p
+        if ALLOC_BASE <= b < lay["next_alloc"]:
+            return None   # allocated but unowned: pending or retired block
         p = b // self.n_sub
         return None if p in splits else p
 
     def _live_bucket_ids(self) -> list[int]:
+        lay = self._layout()
         return [b for b in self._existing_bucket_ids()
-                if self._id_to_pid(b) is not None]
+                if self._id_to_pid(b, lay) is not None]
 
     def _sweep_dead(self) -> int:
         """Remove directories whose id is DEAD (see :meth:`_id_to_pid`)
         — the post-commit cleanup of :meth:`reshard_granule`, re-run
         here so a crash between its commit and its cleanup leaves no
         permanent garbage.  O(dead) directory removals, no Spark job."""
+        lay = self._layout()
         dead = [b for b in self._existing_bucket_ids()
-                if self._id_to_pid(b) is None]
+                if self._id_to_pid(b, lay) is None]
         for b in dead:
             shutil.rmtree(os.path.join(self.path, f"{BUCKET_COL}={b}"),
                           ignore_errors=True)
@@ -286,6 +323,48 @@ class RangePartitionedView(BucketedMaterializedView):
             logger.info("range view %s: swept %d dead director(ies) "
                         "left by a granule re-shard", self.path, len(dead))
         return len(dead)
+
+    def reshard_supported(self) -> bool:
+        """True iff this store's layout admits granule re-sharding —
+        see :meth:`_check_reshard_supported` for the id-space rule."""
+        try:
+            self._check_reshard_supported()
+            return True
+        except ValueError:
+            return False
+
+    def _check_reshard_supported(self) -> None:
+        """Refuse re-shard support when the store's NATURAL directory
+        ids could reach :data:`ALLOC_BASE` — once a store allocates
+        re-shard blocks, every id in ``[ALLOC_BASE, next_alloc)`` is
+        classified by block membership, so a natural id landing there
+        would be misread (served under the wrong granule, or swept as
+        dead).  Calendar granularities are bounded: the largest pid is
+        year 9999's, so ``(max_pid + 1) * n_sub <= ALLOC_BASE`` proves
+        every future natural id stays below the floor.  Numeric widths
+        have an unbounded pid domain and are refused outright — evolve
+        those stores by rebuilding at a higher store-wide ``n_sub``
+        and :meth:`replace_with` (round-12 advisor, high)."""
+        g = self.granularity
+        if not isinstance(g, str):
+            raise ValueError(
+                f"store {self.path}: granule re-shard is unsupported on "
+                f"numeric-width granularities (width={g!r}): "
+                "floor(part_col/width) has an unbounded granule-id "
+                "domain, so composed natural directory ids could collide "
+                f"with the re-shard allocation space (ids >= 2^28 = "
+                f"{ALLOC_BASE}); rebuild at a higher store-wide n_sub "
+                "and replace_with() instead")
+        max_pid = self.partition_id(_dt.date(9999, 12, 31))
+        if (max_pid + 1) * self.n_sub > ALLOC_BASE:
+            raise ValueError(
+                f"store {self.path}: granule re-shard is unsupported at "
+                f"granularity={g!r} with n_sub={self.n_sub}: natural "
+                f"directory ids can compose up to "
+                f"{(max_pid + 1) * self.n_sub - 1}, colliding with the "
+                f"re-shard allocation space (ids >= 2^28 = {ALLOC_BASE}); "
+                "rebuild at a higher store-wide n_sub and replace_with() "
+                "instead")
 
     def reshard_granule(self, value, n_sub_new: int) -> int:
         """Raise the hash fan-out of ONE granule to ``n_sub_new`` —
@@ -302,10 +381,20 @@ class RangePartitionedView(BucketedMaterializedView):
         its alloc block and the old directories are dead (swept here,
         and by :meth:`maintain` after a crash).  A re-shard rotates the
         granule's replay fences, so it bumps the maintenance epoch —
-        a replay of a torn feed batch refuses via
+        a REPLAY of a torn feed batch refuses via
         :class:`~ydb_cdc_processor_spark.operators.bucketed_view.
         MaintenanceFenceError` instead of double-applying (the same
-        single-maintainer mechanics as federated merges).
+        single-maintainer mechanics as federated merges).  The fence
+        protects replays ONLY: a concurrent LIVE feed committing a
+        fresh batch into the old directories between the snapshot and
+        the manifest flip is swept with them — quiesce live writers
+        for the duration, exactly the :meth:`rebucket` contract
+        (single maintainer per store).
+
+        Refused (``ValueError``) on stores whose natural id domain
+        could collide with the allocation space — numeric-width
+        granularities, or calendar ones at an n_sub large enough to
+        compose ids past 2^28 (see :meth:`_check_reshard_supported`).
 
         Returns the number of sub-bucket directories the granule now
         has.  Re-sharding an already-split granule allocates a fresh
@@ -315,6 +404,7 @@ class RangePartitionedView(BucketedMaterializedView):
 
     def _reshard_pid(self, pid: int, n_sub_new: int) -> int:
         import uuid as _uuid
+        self._check_reshard_supported()
         cur = self.granule_n_sub(pid)
         if n_sub_new <= cur:
             raise ValueError(
@@ -335,8 +425,9 @@ class RangePartitionedView(BucketedMaterializedView):
                 rl.setdefault("pending_splits", {})[str(pid)] = {
                     "alloc": alloc, "n_sub": n_sub_new}
             self._mutate_manifest(reserve)
+        lay = self._layout()
         old_ids = [b for b in self._existing_bucket_ids()
-                   if self._id_to_pid(b) == pid]
+                   if self._id_to_pid(b, lay) == pid]
         new_epoch = self.maintenance_epoch() + 1
         if old_ids:
             rows = self._read_touched(old_ids, None).drop(BUCKET_COL)
@@ -380,8 +471,9 @@ class RangePartitionedView(BucketedMaterializedView):
             "range view %s: granule %d re-sharded to n_sub=%d "
             "(alloc block %d..%d, %d old director(ies) retired)",
             self.path, pid, n_sub_new, alloc, alloc + n_sub_new - 1, swept)
+        lay = self._layout()
         return sum(1 for b in self._existing_bucket_ids()
-                   if self._id_to_pid(b) == pid)
+                   if self._id_to_pid(b, lay) == pid)
 
     def partition_id(self, value) -> int:
         """Driver-side twin of :meth:`bucket_expr` for range pruning.
@@ -412,7 +504,8 @@ class RangePartitionedView(BucketedMaterializedView):
         through the LIVE directory ids instead (O(#dirs) listing, same
         as the inherited planner's).  Split-free stores keep the
         inherited wholesale read."""
-        if not self._splits() and not self._pending_splits():
+        lay = self._layout()
+        if not lay["splits"] and not lay["pending"]:
             return super()._read_raw()
         self._recover()
         ids = self._live_bucket_ids()
@@ -515,7 +608,8 @@ class RangePartitionedView(BucketedMaterializedView):
         """Granule partition ids present on disk (composed sub-buckets
         and re-shard blocks collapse to their pid; dead directories are
         excluded) — the observability surface."""
-        return sorted({p for p in (self._id_to_pid(b)
+        lay = self._layout()
+        return sorted({p for p in (self._id_to_pid(b, lay)
                                    for b in self._existing_bucket_ids())
                        if p is not None})
 
@@ -532,7 +626,9 @@ class RangePartitionedView(BucketedMaterializedView):
         empty-frame fallthrough hit an opaque TypeError)."""
         lo_id = self.partition_id(lo) if lo is not None else None
         hi_id = self.partition_id(hi) if hi is not None else None
-        pids = {b: self._id_to_pid(b) for b in self._existing_bucket_ids()}
+        lay = self._layout()
+        pids = {b: self._id_to_pid(b, lay)
+                for b in self._existing_bucket_ids()}
         ids = [b for b, p in pids.items()
                if p is not None
                and (lo_id is None or p >= lo_id)
@@ -567,8 +663,9 @@ class RangePartitionedView(BucketedMaterializedView):
         self._record_retention_cut(cut)
         self._sweep_dead()   # re-shard leftovers expire with everything else
         dropped = 0
+        lay = self._layout()
         for b in self._existing_bucket_ids():
-            p = self._id_to_pid(b)
+            p = self._id_to_pid(b, lay)
             if p is not None and p < cut:
                 shutil.rmtree(
                     os.path.join(self.path, f"{BUCKET_COL}={b}"),
@@ -581,8 +678,9 @@ class RangePartitionedView(BucketedMaterializedView):
         O(#files) driver-side stats, no Spark job.  The hot-granule
         detection input (the range twin of ``total_bytes``)."""
         sizes: dict[int, int] = {}
+        lay = self._layout()
         for b in self._existing_bucket_ids():
-            p = self._id_to_pid(b)
+            p = self._id_to_pid(b, lay)
             if p is None:
                 continue
             d = os.path.join(self.path, f"{BUCKET_COL}={b}")
@@ -606,7 +704,19 @@ class RangePartitionedView(BucketedMaterializedView):
         ``granule_bytes / target`` rounded up to a power of two.  Each
         re-shard is an O(granule) rewrite (amortized over the growth
         that triggered it, the maybe_rebucket argument); ``max_per_pass``
-        bounds one housekeeping pass.  Returns the re-sharded pids."""
+        bounds one housekeeping pass.  Returns the re-sharded pids.
+        Stores whose layout refuses re-shard support (numeric widths,
+        oversized n_sub — see :meth:`_check_reshard_supported`) skip
+        the pass with one info log instead of raising mid-maintain."""
+        if not self.reshard_supported():
+            if not getattr(self, "_reshard_skip_logged", False):
+                self._reshard_skip_logged = True
+                logger.info(
+                    "range view %s: granule re-shard unsupported for this "
+                    "layout (numeric width or oversized n_sub); the growth "
+                    "path is a rebuild at a higher store-wide n_sub + "
+                    "replace_with()", self.path)
+            return []
         out: list[int] = []
         for pid, total in sorted(self.granule_bytes().items(),
                                  key=lambda kv: -kv[1]):
