@@ -91,3 +91,85 @@ def test_calendar_oversized_n_sub_refuses_reshard(spark, tmp_path):
                               keys=["day", "id"], part_col="day",
                               granularity="day", n_sub=4)
     assert ok.reshard_supported()
+
+
+# -- aged-out token history (round-12 advisor: the 16-entry bound) -------------
+
+from ydb_cdc_processor_spark.operators.distinct_view import (  # noqa: E402
+    DistinctCountView)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "g string, v string")
+
+
+def _suppress_commit(view):
+    orig = view._write_manifest
+
+    def torn(last_token=None):
+        if last_token is None:
+            return orig()
+
+    view._write_manifest = torn
+    return lambda: setattr(view, "_write_manifest", orig)
+
+
+def _age_out_token(view, token):
+    """Simulate the bounded token_epochs history evicting ``token``
+    (16+ later tokenized merges before the replay arrives)."""
+    def mutate(doc):
+        (doc.get("token_epochs") or {}).pop(token, None)
+    view._mutate_manifest(mutate)
+
+
+def test_aged_out_torn_token_refuses_after_merge(spark, tmp_path):
+    """A torn batch whose token_epochs record aged out leaves only the
+    physical signature (buckets promoted under its token, no manifest
+    record); when the out-of-band merge did NOT re-promote all of them,
+    that evidence must make the replay REFUSE — the old code
+    re-recorded the token under the CURRENT epoch, the epoch-gap test
+    then passed, and the delta double-applied.  (When the merge
+    re-promotes EVERY torn bucket no evidence remains — the documented
+    TOKEN_HISTORY limit of the guarantee.)"""
+    a = DistinctCountView(spark, str(tmp_path / "a"), ["g"], "v",
+                          n_buckets=8)
+    b = DistinctCountView(spark, str(tmp_path / "b"), ["g"], "v",
+                          n_buckets=8)
+    a.apply_delta(_rows(spark, [("x", "1")]), None, batch_token="t0")
+    b.apply_delta(_rows(spark, [("x", "2")]), None, batch_token="s0")
+    restore = _suppress_commit(a.view)
+    try:
+        # torn batch spans groups so at least one of its buckets is NOT
+        # re-promoted by the x-only merge below (evidence survives)
+        torn = [(g, v) for g in
+                ("x", "z0", "z1", "z2", "z3", "z4", "z5", "z6", "z7")
+                for v in ("1", "9")]
+        a.apply_delta(_rows(spark, torn), None, batch_token="t1")
+    finally:
+        restore()
+    _age_out_token(a.view, "t1")             # 16+ merges later...
+    a.merge_from(b, batch_token="m0")        # fence rotation
+    with pytest.raises(MaintenanceFenceError, match="aged out"):
+        a.apply_delta(_rows(spark, torn), None,
+                      batch_token="t1")      # the ancient replay
+
+
+def test_aged_out_torn_token_without_epoch_history_converges(spark,
+                                                             tmp_path):
+    """Guard: with NO out-of-band history (epoch 0) an aged-out torn
+    replay is the normal convergent crash replay — it must re-apply
+    the pending buckets, not refuse."""
+    a = DistinctCountView(spark, str(tmp_path / "a"), ["g"], "v",
+                          n_buckets=4)
+    a.apply_delta(_rows(spark, [("x", "1")]), None, batch_token="t0")
+    restore = _suppress_commit(a.view)
+    try:
+        a.apply_delta(_rows(spark, [("x", "2"), ("y", "7")]), None,
+                      batch_token="t1")
+    finally:
+        restore()
+    _age_out_token(a.view, "t1")
+    a.apply_delta(_rows(spark, [("x", "2"), ("y", "7")]), None,
+                  batch_token="t1")          # replay: pending-only
+    got = {r.g: r.n_distinct for r in a.read().collect()}
+    assert got == {"x": 2, "y": 1}

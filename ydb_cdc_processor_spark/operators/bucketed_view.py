@@ -64,7 +64,21 @@ TOKEN_FILE = "_token"             # underscore-prefixed → ignored by Spark
 
 #: bounded manifest history of batch tokens (started + applied) — only
 #: the streaming checkpoint's LAST uncommitted batch can ever replay, so
-#: a short window is ample; older entries age out harmlessly.
+#: a short window is ample.  LIMIT OF THE GUARANTEE (round-12 advisor):
+#: a torn batch whose token ages out of ``token_epochs`` (16 LATER
+#: tokenized merges before its replay arrives) loses its first-seen
+#: epoch; the epoch-gap fence then cannot fire on the record alone.
+#: ``merge_touched`` closes the remaining window conservatively — a
+#: token with NO manifest record but WITH buckets already promoted
+#: under it (the only physical signature a torn batch leaves) refuses
+#: whenever the store has a maintenance-epoch history, instead of
+#: re-recording under the current epoch and double-applying.  Residual
+#: (documented, undecidable): when the out-of-band op re-promoted
+#: EVERY bucket of the aged-out torn batch, no evidence distinguishes
+#: its replay from a brand-new batch and the delta re-applies — the
+#: scenario needs 16+ tokenized maintenance merges between one torn
+#: micro-batch and its checkpoint replay, far outside any real
+#: redelivery window.
 TOKEN_HISTORY = 16
 
 
@@ -770,17 +784,20 @@ class BucketedMaterializedView:
         epoch = self._bump_epoch() if out_of_band else self.maintenance_epoch()
         tok_epoch = epoch
         fence_token = batch_token
+        first_seen_recorded = False
         if batch_token is not None:
             seen = self._token_epoch_of(batch_token)
+            first_seen_recorded = seen is not None
             if seen is not None:
                 tok_epoch = seen   # replay: stamp under the ORIGINAL epoch
-            else:
-                # recorded BEFORE any promotion: a crash right after this
-                # point replays with tok_epoch == epoch (no maintenance op
-                # ran) and proceeds normally; if a maintenance op DID run
-                # in between, the epoch gap below refuses — conservative,
-                # exactly the ambiguity the fence guards
-                self._record_token_epoch(batch_token, epoch)
+            # a first sighting is recorded BELOW, after the pending
+            # checks but before any promotion: a crash right after the
+            # record replays with tok_epoch == epoch (no maintenance op
+            # ran) and proceeds normally; if a maintenance op DID run in
+            # between, the epoch gap below refuses — and recording only
+            # on the non-refusing path keeps a REFUSED aged-out token
+            # from acquiring a fresh current-epoch record that would let
+            # its retry slip past the fence
         elif out_of_band:
             # an UN-tokenized out-of-band merge still rotates fences (its
             # promotion replaces the bucket dirs, token files included) —
@@ -799,6 +816,30 @@ class BucketedMaterializedView:
                 # only the manifest write crashed; heal it
                 self._write_manifest(last_token=batch_token)
                 return False
+            if (batch_token is not None and not first_seen_recorded
+                    and len(pending) < len(touched)
+                    and self.maintenance_epoch() > 0):
+                # buckets promoted under this token, yet the manifest
+                # holds NO record of it (not applied, and its token_epochs
+                # entry aged out of the bounded history): an ancient torn
+                # batch replaying past 16 later tokenized merges.  Its
+                # first-seen epoch is unknowable, so on a store with any
+                # out-of-band maintenance history the epoch-gap test
+                # cannot run — refuse instead of re-recording under the
+                # CURRENT epoch and double-applying over merged-in state
+                # (round-12 advisor: the enforcement claim must not be
+                # stronger than the mechanism)
+                raise MaintenanceFenceError(
+                    f"bucketed view {self.path}: batch token "
+                    f"{batch_token!r} has promoted buckets on disk but no "
+                    f"manifest record (token history aged out after "
+                    f"{TOKEN_HISTORY}+ later tokenized merges) and the "
+                    "store has out-of-band maintenance history — whether "
+                    "a fence rotation postdates this batch is unknowable; "
+                    "re-applying could double-count.  Converge via "
+                    "recompute.")
+            if batch_token is not None and not first_seen_recorded:
+                self._record_token_epoch(batch_token, epoch)
             if batch_token is not None:
                 for b in pending:
                     t, e = self.bucket_token_epoch(b)
