@@ -1,11 +1,14 @@
 """Compare two bench detail records key-by-key.
 
-Usage: python tools/bench_compare.py [old.json] [new.json] [threshold]
+Usage: python tools/bench_compare.py [old.json|git-rev] [new.json] [thresh]
 
-Defaults: the r11 driver record (BENCH_r11.json) vs the working-tree
-bench_details.json, threshold 1.5.  Prints totals on common keys, the
-median per-query ratio, and the flagged set the round's SCALING.md
-adjudication must name causes for.
+Defaults: ``git show HEAD:bench_details.json`` (the last committed
+record — the BENCH_r*.json driver files are stdout wrappers without the
+per-key map) vs the working-tree bench_details.json, threshold 1.5.
+``old`` may be a file path or any git revision holding a committed
+bench_details.json.  Prints totals on common keys, the median per-query
+ratio, and the flagged set the round's SCALING.md adjudication must
+name causes for.
 
 Drift protocol (round-11 judge item #6): when the NEW record carries raw
 per-run ``samples`` (bench.py records them since round 12), a key is
@@ -26,22 +29,39 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load(path: str) -> tuple[dict[str, float], dict[str, list[float]]]:
-    with open(path) as fh:
-        doc = json.load(fh)
+def _load(path: str) -> tuple[dict[str, float], dict[str, list[float]],
+                              dict[str, int]]:
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = json.load(fh)
+    else:  # a git revision: read its committed bench_details.json
+        import subprocess
+        out = subprocess.run(
+            ["git", "-C", ROOT, "show", f"{path}:bench_details.json"],
+            capture_output=True, text=True)
+        if out.returncode != 0:
+            raise SystemExit(f"{path}: not a file and not a git revision "
+                             f"with a committed bench_details.json")
+        doc = json.loads(out.stdout)
+    if "tail" in doc and "queries" not in doc:
+        raise SystemExit(
+            f"{path} is a driver BENCH_r*.json wrapper (stdout tail only, "
+            "no per-key map) — pass a committed bench_details.json "
+            "generation instead, e.g. a git rev like HEAD or the round's "
+            "closing commit")
     if "queries" not in doc:
-        return doc, {}
-    return doc.get("queries", {}), doc.get("samples", {}) or {}
+        return doc, {}, {}
+    return (doc.get("queries", {}), doc.get("samples", {}) or {},
+            doc.get("order", {}) or {})
 
 
 def main() -> None:
-    old_p = sys.argv[1] if len(sys.argv) > 1 else \
-        os.path.join(ROOT, "BENCH_r11.json")
+    old_p = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
     new_p = sys.argv[2] if len(sys.argv) > 2 else \
         os.path.join(ROOT, "bench_details.json")
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old, _ = _load(old_p)
-    new, new_samples = _load(new_p)
+    old, _, _ = _load(old_p)
+    new, new_samples, new_order = _load(new_p)
     common = sorted(set(old) & set(new))
     if not common:
         print("no common keys")
@@ -60,6 +80,20 @@ def main() -> None:
           f"sum-ratio={sn / so:.3f}  "
           f"median-ratio={statistics.median(ratios.values()):.3f}  "
           f"flag-mode={mode}")
+    # session-position weighting (round-12 judge item #5): the measured
+    # end-of-session JVM-pressure pattern inflates TAIL entries — a
+    # flagged key sitting in the last quarter of the run order carries
+    # that documented alternative cause, checkable from the artifact
+    n_order = (max(new_order.values()) + 1) if new_order else 0
+    tail_cut = n_order * 3 // 4
+
+    def pos(k: str) -> str:
+        if k not in new_order:
+            return ""
+        o = new_order[k]
+        tag = " TAIL" if o >= tail_cut else ""
+        return f"  order={o}/{n_order}{tag}"
+
     flagged = {k: r for k, r in best_ratios.items()
                if r > thresh and best[k] - old[k] > 0.5}
     print(f"\nflagged — {mode} >{thresh}x and >0.5s absolute "
@@ -68,7 +102,13 @@ def main() -> None:
         s = new_samples.get(k)
         extra = f"  samples={s}" if s else ""
         print(f"  {k:30s} {old[k]:8.2f} -> best {best[k]:8.2f} "
-              f"(median {new[k]:.2f})  ({best_ratios[k]:.2f}x){extra}")
+              f"(median {new[k]:.2f})  ({best_ratios[k]:.2f}x)"
+              f"{extra}{pos(k)}")
+    if flagged and n_order:
+        tail_flagged = [k for k in flagged if new_order.get(k, 0) >= tail_cut]
+        print(f"  ({len(tail_flagged)}/{len(flagged)} flagged keys sit in "
+              f"the tail quarter of the session — the position-correlated "
+              f"JVM-pressure pattern)")
     # drift-only keys: median flagged but fastest sample inside the bar —
     # the morning/afternoon pattern, named so SCALING.md can cite them
     drift = {k: r for k, r in ratios.items()
@@ -78,7 +118,8 @@ def main() -> None:
               f"the bar — box noise, not code) ({len(drift)}):")
         for k in sorted(drift, key=lambda k: -ratios[k]):
             print(f"  {k:30s} {old[k]:8.2f} -> median {new[k]:8.2f} "
-                  f"best {best[k]:8.2f}  samples={new_samples.get(k)}")
+                  f"best {best[k]:8.2f}  samples={new_samples.get(k)}"
+                  f"{pos(k)}")
     improved = {k: r for k, r in ratios.items()
                 if r < 1 / thresh and old[k] - new[k] > 0.5}
     print(f"\n<{1/thresh:.2f}x and >0.5s absolute ({len(improved)}):")
