@@ -7304,6 +7304,95 @@ def q_distinct_two_engine_federated(spark, sf_dir):
         shards[s] = dcv
     shards["a"].merge_from(shards["b"], batch_token="twofed:union")
     return shards["a"].read().select("o_orderpriority", "n_distinct")
+
+
+@register("q_text_index_federated", None)
+def q_text_index_federated(spark, sf_dir):
+    """Federated BM25 (text_index.TextIndex.merge_from — the round-13
+    epoch-fenced index merge under the oracle gate): two shards each
+    index a DISJOINT slice of the corpus; shard A additionally runs a
+    rewrite-then-restore cycle (its own posting retraction + corpus-
+    scalar ±history) before ``merge_from`` unions B's postings into A's
+    term buckets and SUMS the corpus scalars under the stats epoch
+    fence (a torn ingest batch's replay after this merge refuses —
+    tests/test_round13_ops.py::test_text_index_merge_after_torn_batch_
+    refuses).  The merged index must serve exactly what the one-shot
+    full-corpus index serves, so it shares q_text_index's batch-SQL
+    BM25 oracle (rational idf, sorted fold, sum/count avgdl)."""
+    from ydb_cdc_processor_spark.operators.text_index import TextIndex
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    base = _scratch_dir("tixfed_")
+    a = TextIndex(spark, base + "/a", n_buckets=8)
+    b = TextIndex(spark, base + "/b", n_buckets=8)
+    half_a = docs.where(F.col("doc_id") % 3 != 2)
+    slice_a = half_a.where(F.col("doc_id") % 6 == 0) \
+        .localCheckpoint(eager=True)
+    a.apply_delta(half_a, None, batch_token="tixfed:a0")
+    a.apply_delta(slice_a.withColumn(
+        "text", F.lit("interim placeholder body")), slice_a,
+        batch_token="tixfed:a1")
+    a.apply_delta(slice_a, slice_a.withColumn(
+        "text", F.lit("interim placeholder body")),
+        batch_token="tixfed:a2")
+    b.apply_delta(docs.where(F.col("doc_id") % 3 == 2), None,
+                  batch_token="tixfed:b0")
+    a.merge_from(b, batch_token="tixfed:union")
+    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
+    return a.topk(q, k=5)
+
+
+ORACLES["q_text_index_federated"] = ORACLES["q_text_index"]
+
+
+@register("q_range_numeric_width", """
+SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type <> 'error'
+  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY 1
+""")
+def q_range_numeric_width(spark, sf_dir):
+    """NUMERIC-width range layout (range_view.RangePartitionedView,
+    granularity=3600 s over an epoch-seconds part_col, composed with
+    n_sub=1024 key-hash sub-buckets) — the hourly fact layout whose
+    natural directory ids exceed 2^28, i.e. exactly the id domain the
+    round-13 fix made safe (the old dead-id floor inference would have
+    silently dropped every partition here and maintain() would have
+    deleted them; pinned by tests/test_round13_ops.py).  Lifecycle:
+    bulk backfill, two event-parity micro-batches for the probed day,
+    a delete batch, maintain() (dead-dir sweep + compaction on the
+    huge-id layout), then a 24-hour read_range serve grouped per hour
+    granule.  The oracle replays the final state as a plain filtered
+    hourly aggregate."""
+    from ydb_cdc_processor_spark.operators.range_view import (
+        RangePartitionedView)
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", F.unix_timestamp("ts").alias("sec"),
+                  "event_type", "value"))
+    rv = RangePartitionedView(spark, _scratch_dir("rangenw_") + "/rv",
+                              keys=["sec", "event_id"], part_col="sec",
+                              granularity=3600, n_sub=1024,
+                              hash_keys=["event_id"])
+    import datetime as _dt
+    lo = int(_dt.datetime(2024, 1, 10,
+                          tzinfo=_dt.timezone.utc).timestamp())
+    hi = lo + 86_400
+    day = (F.col("sec") >= lo) & (F.col("sec") < hi)
+    rv.apply(ev.where(~day), action="upsertInto")
+    for par in (0, 1):   # per-arrival micro-batches into the hot day
+        rv.apply(ev.where(day & (F.col("event_id") % 2 == par)),
+                 action="upsertInto")
+    rv.apply(ev.where(F.col("event_type") == "error")
+             .select("sec", "event_id"), action="deleteFrom")
+    rv.maintain()        # sweep + compaction over ids >= 2^28
+    return (rv.read_range(lo, hi - 1)
+            .groupBy(F.floor(F.col("sec") / 3600).cast("bigint")
+                     .alias("hour_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 dec_sum("value", "sum_value")))
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
 # the order; that let the code under evaluation curate the grader's sample.
