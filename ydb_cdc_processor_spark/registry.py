@@ -7356,40 +7356,44 @@ GROUP BY 1
 """)
 def q_range_numeric_width(spark, sf_dir):
     """NUMERIC-width range layout (range_view.RangePartitionedView,
-    granularity=3600 s over an epoch-seconds part_col, composed with
-    n_sub=1024 key-hash sub-buckets) — the hourly fact layout whose
-    natural directory ids exceed 2^28, i.e. exactly the id domain the
-    round-13 fix made safe (the old dead-id floor inference would have
-    silently dropped every partition here and maintain() would have
-    deleted them; pinned by tests/test_round13_ops.py).  Lifecycle:
-    bulk backfill, two event-parity micro-batches for the probed day,
-    a delete batch, maintain() (dead-dir sweep + compaction on the
-    huge-id layout), then a 24-hour read_range serve grouped per hour
-    granule.  The oracle replays the final state as a plain filtered
-    hourly aggregate."""
+    width 1 over an hour-start epoch-seconds part_col — one granule
+    per hour, the hourly fact layout).  The granule IDS are epoch
+    seconds (~1.7e9), far past 2^28: exactly the id domain the
+    round-13 fix made safe (the old dead-id floor inference classified
+    every partition here DEAD — reads silently dropped them and
+    maintain() deleted them; pinned by tests/test_round13_ops.py).
+    Granule ids are value-huge but count-bounded (~one directory per
+    hour of data), so the layout is also the sane deployment shape.
+    Lifecycle: bulk backfill, two event-parity micro-batches for the
+    probed day, a delete batch, maintain() (the dead-dir sweep + small-
+    file compaction that would have destroyed this store before the
+    fix), then a 24-hour read_range serve grouped per hour granule.
+    The oracle replays the final state as a plain filtered hourly
+    aggregate."""
     from ydb_cdc_processor_spark.operators.range_view import (
         RangePartitionedView)
     ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", F.unix_timestamp("ts").alias("sec"),
+          .select("event_id",
+                  F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                  .alias("hour_sec"),
                   "event_type", "value"))
     rv = RangePartitionedView(spark, _scratch_dir("rangenw_") + "/rv",
-                              keys=["sec", "event_id"], part_col="sec",
-                              granularity=3600, n_sub=1024,
-                              hash_keys=["event_id"])
+                              keys=["hour_sec", "event_id"],
+                              part_col="hour_sec", granularity=1)
     import datetime as _dt
     lo = int(_dt.datetime(2024, 1, 10,
                           tzinfo=_dt.timezone.utc).timestamp())
     hi = lo + 86_400
-    day = (F.col("sec") >= lo) & (F.col("sec") < hi)
+    day = (F.col("hour_sec") >= lo) & (F.col("hour_sec") < hi)
     rv.apply(ev.where(~day), action="upsertInto")
     for par in (0, 1):   # per-arrival micro-batches into the hot day
         rv.apply(ev.where(day & (F.col("event_id") % 2 == par)),
                  action="upsertInto")
     rv.apply(ev.where(F.col("event_type") == "error")
-             .select("sec", "event_id"), action="deleteFrom")
-    rv.maintain()        # sweep + compaction over ids >= 2^28
+             .select("hour_sec", "event_id"), action="deleteFrom")
+    rv.maintain()        # sweep + compaction over granule ids >= 2^28
     return (rv.read_range(lo, hi - 1)
-            .groupBy(F.floor(F.col("sec") / 3600).cast("bigint")
+            .groupBy((F.col("hour_sec") / 3600).cast("bigint")
                      .alias("hour_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  dec_sum("value", "sum_value")))
