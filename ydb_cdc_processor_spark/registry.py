@@ -7350,7 +7350,7 @@ SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_id,
        CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_type <> 'error'
-  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
   AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
 GROUP BY 1
 """)
@@ -7364,26 +7364,30 @@ def q_range_numeric_width(spark, sf_dir):
     maintain() deleted them; pinned by tests/test_round13_ops.py).
     Granule ids are value-huge but count-bounded (~one directory per
     hour of data), so the layout is also the sane deployment shape.
-    Lifecycle: bulk backfill, two event-parity micro-batches for the
-    probed day, a delete batch, maintain() (the dead-dir sweep + small-
-    file compaction that would have destroyed this store before the
-    fix), then a 24-hour read_range serve grouped per hour granule.
-    The oracle replays the final state as a plain filtered hourly
-    aggregate."""
+    Lifecycle over the retained week (older history dropped by
+    retention, the hourly-store steady state): bulk backfill, two
+    event-parity micro-batches for the probed day, a delete batch,
+    maintain() (the dead-dir sweep + small-file compaction that would
+    have destroyed this store before the fix), then a 3-day read_range
+    serve grouped per hour granule.  The oracle replays the final
+    state as a plain filtered hourly aggregate."""
     from ydb_cdc_processor_spark.operators.range_view import (
         RangePartitionedView)
+    import datetime as _dt
+    week_lo = int(_dt.datetime(2024, 1, 8,
+                               tzinfo=_dt.timezone.utc).timestamp())
+    lo = week_lo + 2 * 86_400            # probed day: 2024-01-10
+    hi = lo + 86_400
     ev = (load_table(spark, sf_dir, "events")
           .select("event_id",
                   F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
                   .alias("hour_sec"),
-                  "event_type", "value"))
+                  "event_type", "value")
+          .where((F.col("hour_sec") >= week_lo)
+                 & (F.col("hour_sec") < week_lo + 7 * 86_400)))
     rv = RangePartitionedView(spark, _scratch_dir("rangenw_") + "/rv",
                               keys=["hour_sec", "event_id"],
                               part_col="hour_sec", granularity=1)
-    import datetime as _dt
-    lo = int(_dt.datetime(2024, 1, 10,
-                          tzinfo=_dt.timezone.utc).timestamp())
-    hi = lo + 86_400
     day = (F.col("hour_sec") >= lo) & (F.col("hour_sec") < hi)
     rv.apply(ev.where(~day), action="upsertInto")
     for par in (0, 1):   # per-arrival micro-batches into the hot day
@@ -7392,7 +7396,7 @@ def q_range_numeric_width(spark, sf_dir):
     rv.apply(ev.where(F.col("event_type") == "error")
              .select("hour_sec", "event_id"), action="deleteFrom")
     rv.maintain()        # sweep + compaction over granule ids >= 2^28
-    return (rv.read_range(lo, hi - 1)
+    return (rv.read_range(week_lo, hi - 1)
             .groupBy((F.col("hour_sec") / 3600).cast("bigint")
                      .alias("hour_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
