@@ -417,3 +417,43 @@ def test_two_engine_federation_epoch_refusal(spark, sf_dir, tmp_path):
     # so recovery is recompute; here we assert the SHAPE of the refusal
     # (no silent double-apply), which is the fence's whole contract
     assert a.view.maintenance_epoch() >= 1
+
+
+# -- status surfaces both fence domains (observability completion) -------------
+
+def test_status_surfaces_stats_epoch(spark, sf_dir, tmp_path):
+    """A TextIndex riding an engine's agg_views surfaces BOTH epochs on
+    the status inventory — the postings store's maintenanceEpoch and
+    the corpus-scalar statsEpoch (round-13 fence domain)."""
+    from ydb_cdc_processor_spark.engine import CdcBatchEngine
+    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
+    from ydb_cdc_processor_spark.sources import cdc_json
+    from ydb_cdc_processor_spark.sources.catalog import describe_table
+    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
+
+    schema, pk = describe_table(spark, sf_dir, "events")
+    p = CdcPipeline(
+        name="sepoch", source_schema=schema, pk=pk,
+        members=cdc_json.EVENTS_MEMBERS,
+        update_sql="SELECT event_id, ts, user_id, event_type, value"
+                   " FROM rows",
+        delete_sql="SELECT event_id FROM rows").validate(spark)
+    ix = TextIndex(spark, str(tmp_path / "tix"), id_col="event_id",
+                   text_col="event_type", n_buckets=2)
+    eng = CdcStreamEngine(spark, p, str(tmp_path / "view"),
+                          str(tmp_path / "ckpt"), agg_views=[ix.feed()])
+    fixture = str(tmp_path / "cdc")
+    cdc_json.write_events_cdc_fixture(spark, sf_dir, fixture)
+    eng.run_available(fixture)
+    other = TextIndex(spark, str(tmp_path / "tix2"), id_col="event_id",
+                      text_col="event_type", n_buckets=2)
+    other.apply_delta(
+        spark.createDataFrame([(10**9, "zz-shard-term")],
+                              "event_id long, event_type string"),
+        None, batch_token="shard:0")
+    ix.merge_from(other, batch_token="sep:union")
+    rows = {r["path"]: r for r in eng.status_dict()["derivedViews"]}
+    row = rows[str(tmp_path / "tix")]
+    assert row["type"] == "TextIndex"
+    assert row["maintenanceEpoch"] >= 1     # postings fence rotated
+    assert row["statsEpoch"] >= 1           # corpus-scalar fence rotated

@@ -147,7 +147,16 @@ class TextIndex:
         flight, and re-applying its n_docs/sum_dl/sum_nz delta over the
         merged-in scalars would silently corrupt BM25 idf.  A first
         sighting is recorded (atomically, before any work) so a torn
-        batch's replay can make exactly this determination."""
+        batch's replay can make exactly this determination.
+
+        LIMIT OF THE GUARANTEE (the bucketed TOKEN_HISTORY rule): a
+        torn batch whose token_epochs record is evicted by 16+ later
+        tokenized commits before its replay arrives re-records at the
+        CURRENT epoch and applies — unlike the bucketed store there is
+        no physical bucket signature to detect it from.  The scenario
+        needs 16+ tokenized maintenance commits between one torn
+        micro-batch and its checkpoint replay, far outside any real
+        redelivery window."""
         if token is None:
             return False
         doc = self._read_stats_doc()
