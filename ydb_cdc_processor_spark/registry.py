@@ -7401,6 +7401,70 @@ def q_range_numeric_width(spark, sf_dir):
                      .alias("hour_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  dec_sum("value", "sum_value")))
+
+
+@register("q_topk_federated", None)
+def q_topk_federated(spark, sf_dir):
+    """Federated exact top-k (TopKView.merge_from — the last counting
+    store without a federation lifecycle under the oracle gate): two
+    shards each maintain per-language term counts over their own half
+    of the corpus; shard A additionally runs a delete-then-restore
+    cycle (its own ±retraction history) before ``merge_from`` SUMS the
+    rollups through the epoch-fenced out-of-band merge.  Counts are
+    linear, so the merged state equals the one-shot rollup of the
+    union — shares q_topk_view's count-DESC/term-ASC oracle."""
+    from ydb_cdc_processor_spark.operators.topk_view import TopKView
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select("doc_id", "lang", F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    base = _scratch_dir("topkfed_")
+    a = TopKView(spark, base + "/a", ["lang"], "term", k=10)
+    b = TopKView(spark, base + "/b", ["lang"], "term", k=10)
+    half_a = words.where(F.col("doc_id") % 2 == 0)
+    slice_a = half_a.where(F.col("doc_id") % 6 == 0)
+    a.apply_delta(half_a, None, batch_token="tkfed:a0")
+    a.apply_delta(None, slice_a, batch_token="tkfed:a1")    # delete
+    a.apply_delta(slice_a, None, batch_token="tkfed:a2")    # restore
+    b.apply_delta(words.where(F.col("doc_id") % 2 == 1), None,
+                  batch_token="tkfed:b0")
+    a.merge_from(b, batch_token="tkfed:union")
+    return a.read().select("lang", "term", "n", "rk")
+
+
+ORACLES["q_topk_federated"] = ORACLES["q_topk_view"]
+
+
+@register("q_cms_federated", None)
+def q_cms_federated(spark, sf_dir):
+    """Federated count-min sketch (CmsView.merge_from): per-shard
+    depth×width counter tables are LINEAR, so cell-wise sums equal the
+    one-shot sketch of the union (Cormode–Muthukrishnan mergeability)
+    — only the FIXED-size counter state crosses, never the token
+    stream.  Shard A runs a delete-then-restore cycle first (linear
+    counters retract, the property HllView lacks); the merged sketch's
+    top-20 must land exactly on the shared q_heavy_hitters oracle."""
+    from ydb_cdc_processor_spark.operators.cms_view import CmsView
+    docs = load_docs(spark, sf_dir)
+    words = (docs.select("doc_id", F.explode_outer(
+                 text.normalize_words(F.col("text"))).alias("term"))
+             .where(F.col("term").isNotNull() & (F.col("term") != "")))
+    base = _scratch_dir("cmsfed_")
+    a = CmsView(spark, base + "/a", "term", depth=4, width_hex=2)
+    b = CmsView(spark, base + "/b", "term", depth=4, width_hex=2)
+    half_a = words.where(F.col("doc_id") % 2 == 0)
+    slice_a = half_a.where(F.col("doc_id") % 10 == 0)
+    a.apply_delta(half_a, batch_token="cmsfed:a0")
+    a.apply_delta(None, slice_a, batch_token="cmsfed:a1")   # delete
+    a.apply_delta(slice_a, None, batch_token="cmsfed:a2")   # restore
+    b.apply_delta(words.where(F.col("doc_id") % 2 == 1),
+                  batch_token="cmsfed:b0")
+    a.merge_from(b, batch_token="cmsfed:union")
+    vocab = words.select("term").distinct()
+    return a.top_terms(vocab, k=20)
+
+
+ORACLES["q_cms_federated"] = ORACLES["q_heavy_hitters"]
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
 # the order; that let the code under evaluation curate the grader's sample.
