@@ -7465,6 +7465,77 @@ def q_cms_federated(spark, sf_dir):
 
 
 ORACLES["q_cms_federated"] = ORACLES["q_heavy_hitters"]
+
+
+@register("q_hll_federated", None)
+def q_hll_federated(spark, sf_dir):
+    """Federated per-group HLL (HllView.merge_from): register MAX-merge
+    is an idempotent, commutative semilattice join, so two shards'
+    register tables union into exactly the one-shot sketch of the full
+    corpus — NO token fence needed (re-merging is harmless), the
+    contrast with the linear counting stores.  Only the fixed
+    m-registers-per-group state crosses.  Shares q_hll_lang's
+    estimate-formula oracle via the same serving read as q_hll_view."""
+    from ydb_cdc_processor_spark.operators.hll_view import HllView
+    docs = load_docs(spark, sf_dir)
+    grams = (docs.select("lang", "doc_id", F.explode_outer(
+                 dedup.shingles(F.col("text"), 3)).alias("gram"))
+             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
+    base = _scratch_dir("hllfed_")
+    a = HllView(spark, base + "/a", ["lang"], "gram", p=8)
+    b = HllView(spark, base + "/b", ["lang"], "gram", p=8)
+    a.apply_delta(grams.where(F.col("doc_id") % 2 == 0))
+    b.apply_delta(grams.where(F.col("doc_id") % 2 == 1))
+    # overlap is fine for a semilattice: re-offer one slice to BOTH
+    # shards — max-merge must still equal the one-shot sketch
+    both = grams.where(F.col("doc_id") % 10 == 0)
+    a.apply_delta(both)
+    b.apply_delta(both)
+    a.merge_from(b)
+    exact = grams.groupBy("lang").agg(
+        F.count_distinct("gram").alias("n_exact"))
+    return a.read().join(exact, "lang")
+
+
+ORACLES["q_hll_federated"] = ORACLES["q_hll_lang"]
+
+
+@register("q_sample_federated", """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 15
+""")
+def q_sample_federated(spark, sf_dir):
+    """Federated maintained reservoir (SampleView.merge_from):
+    "top-n per group by a deterministic md5 priority" is a bounded-join
+    semilattice — merging two shards' n-row-per-group states and
+    re-truncating equals the one-shot reservoir of the union, with NO
+    fence (idempotent; overlapping ownership is even tolerated, pinned
+    here by re-offering one slice to both shards).  Completes the
+    federation family: every maintained store now has an oracle-gated
+    merge lifecycle under its named algebra."""
+    from ydb_cdc_processor_spark.operators.sample_view import SampleView
+    docs = load_docs(spark, sf_dir)
+    base = _scratch_dir("samplefed_")
+    a = SampleView(spark, base + "/a", ["lang"], "doc_id", n=15)
+    b = SampleView(spark, base + "/b", ["lang"], "doc_id", n=15)
+    a.apply_delta(docs.where(F.col("doc_id") % 2 == 0)
+                  .select("lang", "doc_id"))
+    b.apply_delta(docs.where(F.col("doc_id") % 2 == 1)
+                  .select("lang", "doc_id"))
+    both = docs.where(F.col("doc_id") % 10 == 0).select("lang", "doc_id")
+    a.apply_delta(both)
+    b.apply_delta(both)
+    a.merge_from(b)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").asc())
+    return (a.read()
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .select("lang", "doc_id", "rk"))
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
 # the order; that let the code under evaluation curate the grader's sample.
