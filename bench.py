@@ -130,7 +130,11 @@ def _median_of(fn, name: str | None = None) -> float:
         samples.append(round(time.perf_counter() - t0, 3))
     if name is not None:
         SAMPLES[name] = samples
-        ORDER[name] = len(ORDER)
+        # setdefault: if a key is ever timed twice, keep its FIRST
+        # session position — overwriting with the current dict size
+        # would record an out-of-range position (== len(ORDER)) that
+        # tools/bench_compare.py would always tag TAIL (r13 advisor).
+        ORDER.setdefault(name, len(ORDER))
     return round(statistics.median(samples), 3)
 
 

@@ -70,9 +70,19 @@ def _obs_metric(obs, key: str) -> int:
     except ImportError:  # pragma: no cover - py4j ships with pyspark
         Py4JError = Exception
     try:
+        from pyspark.errors import PySparkException
+    except ImportError:  # pragma: no cover - pyspark.errors since 3.4
+        PySparkException = Exception
+    try:
         v = obs.get.get(key)
         return int(v) if v is not None else 0
-    except (KeyError, Py4JError) as e:
+    except (KeyError, Py4JError, PySparkException) as e:
+        # PySparkException included because PySpark's installed error
+        # handler may CONVERT a Py4J failure into a PySparkException
+        # subclass that does not inherit Py4JError; letting it escape
+        # here would fail the batch AFTER its buckets were promoted
+        # (the replay is then fenced to a no-op), turning an
+        # observability failure into a stream restart (r13 advisor).
         logger.warning("observation %r unreadable: %s", key, e)
         return 0
 
