@@ -104,6 +104,46 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: per-entry cost-floor taxonomy (round-13 judge item #6): the headline
+#: total mixes three structurally different floors, and attributing its
+#: round-over-round growth needs the class visible in the artifact.
+#:   one_shot    — a single query plan, forced once; floor ≈ job latency
+#:   lifecycle   — builds AND maintains ONE persistent store across
+#:                 multiple batches (ingest → mutate → serve → verify);
+#:                 floor = several engine/store jobs by construction
+#:   multi_store — two or more stores/engines/pipelines plus a
+#:                 federation merge or cross-store serve; the highest
+#:                 floor in the set, again by construction
+_MULTI_STORE = {
+    "q_distinct_two_engine_federated", "q_text_index_federated",
+    "q_vector_federated", "q_distinct_federated", "q_quantile_federated",
+    "q_topk_federated", "q_cms_federated", "q_hll_federated",
+    "q_sample_federated", "q_chained_views", "q_hybrid_index_search",
+}
+_LIFECYCLE = {
+    "cdc_apply", "cdc_incremental_4b", "cdc_incremental_bucketed_4b",
+    "q_agg_view", "q_agg_view_bucketed", "q_time_travel",
+    "q_rank_sketch_view", "q_cms_view", "q_scd2_incremental",
+    "q_vector_index", "q_vector_index_stream", "q_vector_index_pq",
+    "q_neardup_index", "q_neardup_index_stream", "q_checksum_incremental",
+    "q_join_view", "q_join_view_stream", "q_secondary_index",
+    "q_distinct_view", "q_quantile_view", "q_span_index",
+    "q_text_index", "q_text_index_stream", "q_filtered_ann",
+    "q_hll_view", "q_topk_view", "q_topk_view_bounded",
+    "q_topk_bounded_retract", "q_sample_view", "q_sample_view_weighted",
+    "q_range_partitioned", "q_range_bucketed", "q_range_resharded",
+    "q_range_numeric_width",
+}
+
+
+def _floor_class(name: str) -> str:
+    if name in _MULTI_STORE:
+        return "multi_store"
+    if name in _LIFECYCLE:
+        return "lifecycle"
+    return "one_shot"
+
+
 #: raw per-run samples per key, recorded alongside the medians so spike
 #: adjudication (the SCALING.md box-drift protocol: scattered fat-tail
 #: spikes with zero code change) is automatic — the comparator flags a
@@ -281,6 +321,10 @@ def _emit(timings: dict[str, float]) -> None:
         # position-correlated, so the adjudicator can check the pattern
         # from the artifact instead of by narrative
         "order": ORDER,
+        # cost-floor class per key (one_shot / lifecycle / multi_store):
+        # headline growth is attributable from the artifact alone —
+        # sum the classes before comparing totals across rounds
+        "class": {k: _floor_class(k) for k in timings},
         # the headline set GROWS as operators land (round 1: 36 entries,
         # round 2: 44) — compare rounds on the per-query timings / the
         # common subset, not the raw total

@@ -339,10 +339,10 @@ class CdcBatchEngine:
         appends happen only on batches that actually contain malformed
         envelopes) reads as an EMPTY frame with the default schema, so
         monitoring can always ask "how many?" and get 0."""
-        import os
+        from ydb_cdc_processor_spark import storage
         if self.dlq_path is None:
             raise ValueError("engine has no dlq_path configured")
-        if not os.path.isdir(self.dlq_path):
+        if not storage.is_dir(self.dlq_path):
             from pyspark.sql import types as T
             return self.spark.createDataFrame([], T.StructType([
                 T.StructField("_offset", T.LongType()),
@@ -656,20 +656,21 @@ class CdcBatchEngine:
         judge item #4): a flat target with attached derived views pays
         an O(|view|) read per micro-batch to feed them old images —
         fine for compact targets, a per-batch full-table scan at scale.
-        The check is file-metadata-only (os.walk + getsize, no Spark
-        job) and runs until it first fires, then never again."""
+        The check is file-metadata-only (storage walk + size, no
+        Spark job) and runs until it first fires, then never again."""
+        from ydb_cdc_processor_spark import storage
         if self._flat_old_image_warned:
             return
         path = getattr(tgt, "path", None)
-        if path is None or not os.path.isdir(path):
+        if path is None or not storage.is_dir(path):
             return
         total = 0
         limit = self.flat_old_image_warn_bytes
-        for root, dirs, files in os.walk(path):
+        for root, dirs, files in storage.walk(path):
             dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for f in files:
                 if not f.startswith((".", "_")):
-                    total += os.path.getsize(os.path.join(root, f))
+                    total += storage.file_size(os.path.join(root, f))
             if total > limit:
                 break
         if total > limit:

@@ -40,6 +40,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
+
 logger = logging.getLogger(__name__)
 
 #: 32-char NULL block — 'N' is outside md5's hex output alphabet, so no
@@ -141,8 +143,7 @@ class ChecksumView:
         :meth:`apply_delta` (a replayed token must not silently keep an
         incomparable old-format digest alive)."""
         try:
-            with open(self._state_path()) as fh:
-                s = json.load(fh)
+            s = json.loads(storage.read_text(self._state_path()))
         except (OSError, ValueError):
             return {"n_rows": 0, "digest": "0", "fmt": DIGEST_FORMAT,
                     "batch_token": None}
@@ -156,13 +157,12 @@ class ChecksumView:
 
     def _write(self, n_rows: int, digest: int,
                batch_token: str | None) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"n_rows": n_rows, "digest": str(digest),
-                       "fmt": DIGEST_FORMAT, "batch_token": batch_token},
-                      fh)
-        os.replace(tmp, self._state_path())  # atomic on POSIX
+        storage.makedirs(self.path)
+        storage.replace_text(
+            self._state_path(),
+            json.dumps({"n_rows": n_rows, "digest": str(digest),
+                        "fmt": DIGEST_FORMAT,
+                        "batch_token": batch_token}))
 
     # -- maintenance ---------------------------------------------------------
 

@@ -21,13 +21,15 @@ from __future__ import annotations
 
 import os
 
+from ydb_cdc_processor_spark import storage
+
 
 def disk_usage(path: str | None, suffix: str | None = None) -> tuple[int, int]:
     """``(n_files, total_bytes)`` under ``path`` (0, 0 if None/absent)."""
     n = b = 0
     if not path:
         return 0, 0
-    for root, dirs, files in os.walk(path):
+    for root, dirs, files in storage.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(".")]
         for f in files:
             if f.startswith("."):
@@ -35,7 +37,7 @@ def disk_usage(path: str | None, suffix: str | None = None) -> tuple[int, int]:
             if suffix is not None and not f.endswith(suffix):
                 continue
             try:
-                b += os.path.getsize(os.path.join(root, f))
+                b += storage.file_size(os.path.join(root, f))
                 n += 1
             except OSError:
                 pass   # file raced away mid-walk (concurrent swap)

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.agg_view import AggregateView
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
 
@@ -88,18 +89,15 @@ class CmsView:
 
     def _read_meta(self) -> dict:
         try:
-            with open(self._meta_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._meta_path()))
         except FileNotFoundError:
             return {}
 
     def _write_meta(self) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"depth": self.depth,
-                       "width_hex": self.width_hex}, fh)
-        os.replace(tmp, self._meta_path())
+        storage.makedirs(self.path)
+        storage.replace_text(self._meta_path(),
+                             json.dumps({"depth": self.depth,
+                                         "width_hex": self.width_hex}))
 
     # -- hashing (the cms_top_terms rule, verbatim) ----------------------------
 

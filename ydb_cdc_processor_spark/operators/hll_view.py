@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.functions.sketches import (
     hll_estimate, hll_registers)
 from ydb_cdc_processor_spark.operators.bucketed_view import (
@@ -138,17 +139,15 @@ class HllView:
 
     def _read_meta(self) -> dict:
         try:
-            with open(self._meta_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._meta_path()))
         except FileNotFoundError:
             return {}
 
     def _write_meta(self) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"p": self.p, "group_types": self.group_types}, fh)
-        os.replace(tmp, self._meta_path())
+        storage.makedirs(self.path)
+        storage.replace_text(self._meta_path(),
+                             json.dumps({"p": self.p,
+                                         "group_types": self.group_types}))
 
     # -- maintenance -------------------------------------------------------------
 

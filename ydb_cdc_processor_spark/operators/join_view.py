@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import (
@@ -250,7 +251,7 @@ class JoinView:
         # displaced bucket is restored before we probe for it.
         self.view.recover()
         present = [b for b in buckets
-                   if os.path.isdir(os.path.join(
+                   if storage.is_dir(os.path.join(
                        self.view.path, f"{BUCKET_COL}={b}"))]
         if not present:
             return

@@ -35,11 +35,12 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ydb_cdc_processor_spark import storage
 
 
 class StrictInsertError(Exception):
@@ -237,12 +238,12 @@ class ParquetMaterializedView:
         streaming-checkpoint replay would silently rebuild the view from
         just the replayed delta — the accumulated state would be lost.)"""
         old = self._old_dir()
-        if os.path.isdir(old) and not os.path.exists(self.path):
-            os.rename(old, self.path)
+        if storage.is_dir(old) and not storage.exists(self.path):
+            storage.rename(old, self.path)
 
     def exists(self) -> bool:
         self._recover()
-        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        return storage.exists(os.path.join(self.path, "_SUCCESS"))
 
     def read(self) -> DataFrame:
         if not self.exists():
@@ -273,28 +274,29 @@ class ParquetMaterializedView:
         materialization (the single-pass strict-insert collision
         Observation).  If it raises, the temp directory is discarded and
         the live view stays untouched."""
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        tmp = os.path.join(parent, f".{os.path.basename(self.path)}.tmp-{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(self.path, "tmp")
         df.write.mode("overwrite").parquet(tmp)
         if pre_swap is not None:
             try:
                 pre_swap()
             except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
+                storage.remove_tree(tmp)
                 raise
         if meta is not None:
             import json
-            with open(os.path.join(tmp, self.META_FILE), "w") as fh:
-                json.dump(meta, fh)
+            # plain write: the meta file is INSIDE the staged dir and
+            # becomes visible atomically WITH the data at the swap
+            storage.write_text(os.path.join(tmp, self.META_FILE),
+                               json.dumps(meta))
         old = self._old_dir()
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
+        storage.remove_tree(old)  # stale leftover post-crash
         displaced = False
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
+        if storage.exists(self.path):
+            storage.rename(self.path, old)
             displaced = True
-        os.rename(tmp, self.path)
+        storage.rename(tmp, self.path)
         if displaced:
-            shutil.rmtree(old, ignore_errors=True)
+            storage.remove_tree(old)
 
     def read_meta(self) -> dict:
         """The JSON dict last written via ``overwrite(meta=...)`` (empty if
@@ -302,11 +304,11 @@ class ParquetMaterializedView:
         if not self.exists():
             return {}
         p = os.path.join(self.path, self.META_FILE)
-        if not os.path.exists(p):
-            return {}
         import json
-        with open(p) as fh:
-            return json.load(fh)
+        try:
+            return json.loads(storage.read_text(p))
+        except FileNotFoundError:
+            return {}
 
     def _insert_obs(self, action: str, ups) -> "Observation | None":
         """Single-pass strict insert: the collision count rides the view

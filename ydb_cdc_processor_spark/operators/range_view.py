@@ -53,11 +53,11 @@ from __future__ import annotations
 import datetime as _dt
 import logging
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, TOKEN_FILE, BucketedMaterializedView)
 
@@ -179,15 +179,11 @@ class RangePartitionedView(BucketedMaterializedView):
         doc = self._read_manifest_dict()
         if doc.get("range_layout") is None:
             import json
-            import uuid
             doc["range_layout"] = {"part_col": self.part_col,
                                    "granularity": self.granularity,
                                    "n_sub": self.n_sub,
                                    "hash_keys": self.hash_keys}
-            tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(doc, fh)
-            os.replace(tmp, self._manifest_path())
+            storage.replace_text(self._manifest_path(), json.dumps(doc))
 
     def _pid_expr(self) -> F.Column:
         """Time-granule partition id from the range column."""
@@ -317,8 +313,8 @@ class RangePartitionedView(BucketedMaterializedView):
         dead = [b for b in self._existing_bucket_ids()
                 if self._id_to_pid(b, lay) is None]
         for b in dead:
-            shutil.rmtree(os.path.join(self.path, f"{BUCKET_COL}={b}"),
-                          ignore_errors=True)
+            storage.remove_tree(os.path.join(self.path,
+                                             f"{BUCKET_COL}={b}"))
         if dead:
             logger.info("range view %s: swept %d dead director(ies) "
                         "left by a granule re-shard", self.path, len(dead))
@@ -437,10 +433,7 @@ class RangePartitionedView(BucketedMaterializedView):
             out = (rows.withColumn(BUCKET_COL,
                                    (F.lit(alloc) + sub).cast("int"))
                    .repartition(BUCKET_COL))
-            parent = os.path.dirname(os.path.abspath(self.path)) or "."
-            tmp = os.path.join(
-                parent, f".{os.path.basename(self.path)}.reshard-"
-                        f"{_uuid.uuid4().hex[:8]}")
+            tmp = storage.tmp_sibling(self.path, "reshard")
             (out.write.mode("overwrite")
              .partitionBy(BUCKET_COL).parquet(tmp))
             # synthetic fence at the bumped epoch: the rewrite mixes rows
@@ -449,15 +442,14 @@ class RangePartitionedView(BucketedMaterializedView):
             seed = f"reshard-{_uuid.uuid4().hex[:8]}\n{new_epoch}"
             for j in range(n_sub_new):
                 d = os.path.join(tmp, f"{BUCKET_COL}={alloc + j}")
-                if os.path.isdir(d):
-                    with open(os.path.join(d, TOKEN_FILE), "w") as fh:
-                        fh.write(seed)
+                if storage.is_dir(d):
+                    storage.write_text(os.path.join(d, TOKEN_FILE), seed)
             for j in range(n_sub_new):
                 # staged block is invisible until the manifest flip
                 # (_id_to_pid maps pending allocs to None), so promoting
                 # into the live path is read-safe
                 self._promote_bucket(tmp, alloc + j, drop_if_absent=False)
-            shutil.rmtree(tmp, ignore_errors=True)
+            storage.remove_tree(tmp)
 
         def commit(doc):
             rl = doc.setdefault("range_layout", {})
@@ -542,16 +534,12 @@ class RangePartitionedView(BucketedMaterializedView):
 
     def _record_retention_cut(self, cut: int) -> None:
         import json
-        import uuid
         doc = self._read_manifest_dict()
         prev = doc.get("retention_cut")
         doc["retention_cut"] = max(int(cut),
                                    int(prev) if prev is not None else cut)
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self._manifest_path())
+        storage.makedirs(self.path)
+        storage.replace_text(self._manifest_path(), json.dumps(doc))
 
     def _filter_retained(self, delta: DataFrame | None) -> DataFrame | None:
         """Drop delta rows whose granule pid is below the recorded
@@ -593,10 +581,10 @@ class RangePartitionedView(BucketedMaterializedView):
         """Raw directory ids present on disk (pid when ``n_sub == 1``,
         composed pid×sub otherwise) — one listing, no Spark job."""
         self._recover()
-        if not os.path.isdir(self.path):
+        if not storage.is_dir(self.path):
             return []
         out = []
-        for e in os.listdir(self.path):
+        for e in storage.listdir(self.path):
             if e.startswith(f"{BUCKET_COL}="):
                 try:
                     out.append(int(e.split("=", 1)[1]))
@@ -667,9 +655,8 @@ class RangePartitionedView(BucketedMaterializedView):
         for b in self._existing_bucket_ids():
             p = self._id_to_pid(b, lay)
             if p is not None and p < cut:
-                shutil.rmtree(
-                    os.path.join(self.path, f"{BUCKET_COL}={b}"),
-                    ignore_errors=True)
+                storage.remove_tree(
+                    os.path.join(self.path, f"{BUCKET_COL}={b}"))
                 dropped += 1
         return dropped
 
@@ -685,8 +672,8 @@ class RangePartitionedView(BucketedMaterializedView):
                 continue
             d = os.path.join(self.path, f"{BUCKET_COL}={b}")
             try:
-                n = sum(os.path.getsize(os.path.join(d, f))
-                        for f in os.listdir(d)
+                n = sum(storage.file_size(os.path.join(d, f))
+                        for f in storage.listdir(d)
                         if not f.startswith((".", "_")))
             except OSError:
                 n = 0

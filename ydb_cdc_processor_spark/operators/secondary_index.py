@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import (
@@ -81,18 +82,17 @@ class SecondaryIndex:
         return os.path.join(self.path, "_entry_schema.json")
 
     def _save_schema(self, entries: DataFrame) -> None:
-        if os.path.exists(self._schema_path()):
+        if storage.exists(self._schema_path()):
             return
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._schema_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(entries.drop(IXV).schema.jsonValue(), fh)
-        os.replace(tmp, self._schema_path())
+        storage.makedirs(self.path)
+        storage.replace_text(
+            self._schema_path(),
+            json.dumps(entries.drop(IXV).schema.jsonValue()))
 
     def _load_schema(self) -> T.StructType | None:
         try:
-            with open(self._schema_path()) as fh:
-                return T.StructType.fromJson(json.load(fh))
+            return T.StructType.fromJson(
+                json.loads(storage.read_text(self._schema_path())))
         except (OSError, ValueError, KeyError):
             return None
 
@@ -166,7 +166,7 @@ class SecondaryIndex:
             self.view.bucket_expr().alias("_b")).distinct().collect()})
         self.view.recover()
         return [b for b in buckets
-                if os.path.isdir(os.path.join(
+                if storage.is_dir(os.path.join(
                     self.view.path, f"{BUCKET_COL}={b}"))]
 
     def lookup(self, values: list) -> DataFrame:

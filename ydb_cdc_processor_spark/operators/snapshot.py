@@ -33,11 +33,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.merge import ParquetMaterializedView
 
 _SNAP_META = "_snap.json"
@@ -87,7 +87,7 @@ class SnapshotView:
         if not self.view.exists():
             raise FileNotFoundError(
                 f"view at {self.view.path} has no state to snapshot")
-        os.makedirs(self.snap_dir, exist_ok=True)
+        storage.makedirs(self.snap_dir)
         version = 1 + max((v["version"] for v in self.versions()),
                           default=0)
         tmp = os.path.join(self.snap_dir,
@@ -96,31 +96,34 @@ class SnapshotView:
         # along too, and buckets the next batches never touch keep
         # pointing at the SAME inodes across versions — snapshot storage
         # grows with churn, not with view size (the manifest-sharing
-        # property Delta/Iceberg get from immutable object keys)
+        # property Delta/Iceberg get from immutable object keys).
+        # link_or_copy is the seam primitive: hardlink on POSIX, byte
+        # copy on backends without links (HDFS/object stores — where
+        # the manifest-pointer snapshot design replaces this wholesale)
         n_files = 0
-        for root, _dirs, files in os.walk(self.view.path):
+        for root, _dirs, files in storage.walk(self.view.path):
             rel = os.path.relpath(root, self.view.path)
             dst = tmp if rel == "." else os.path.join(tmp, rel)
-            os.makedirs(dst, exist_ok=True)
+            storage.makedirs(dst)
             for name in files:
-                os.link(os.path.join(root, name),
-                        os.path.join(dst, name))
+                storage.link_or_copy(os.path.join(root, name),
+                                     os.path.join(dst, name))
                 n_files += 1
         view_meta = (self.view.read_meta()
                      if hasattr(self.view, "read_meta") else {})
-        with open(os.path.join(tmp, _SNAP_META), "w") as fh:
-            json.dump({"version": version, "label": label,
-                       "n_files": n_files, "view_meta": view_meta}, fh)
-        os.rename(tmp, os.path.join(self.snap_dir, f"v{version}"))
+        storage.write_text(
+            os.path.join(tmp, _SNAP_META),
+            json.dumps({"version": version, "label": label,
+                        "n_files": n_files, "view_meta": view_meta}))
+        storage.rename(tmp, os.path.join(self.snap_dir, f"v{version}"))
         self._prune()
         return version
 
     def _prune(self) -> None:
         vs = sorted(self.versions(), key=lambda v: v["version"])
         for v in vs[:-self.keep_last]:
-            shutil.rmtree(os.path.join(self.snap_dir,
-                                       f"v{v['version']}"),
-                          ignore_errors=True)
+            storage.remove_tree(os.path.join(self.snap_dir,
+                                             f"v{v['version']}"))
 
     # -- read side -------------------------------------------------------------
 
@@ -128,13 +131,12 @@ class SnapshotView:
         """Metadata of every retained version, ascending — bounded
         (≤ keep_last rows), driver-side."""
         out = []
-        if not os.path.isdir(self.snap_dir):
+        if not storage.is_dir(self.snap_dir):
             return out
-        for name in os.listdir(self.snap_dir):
+        for name in storage.listdir(self.snap_dir):
             meta = os.path.join(self.snap_dir, name, _SNAP_META)
-            if name.startswith("v") and os.path.isfile(meta):
-                with open(meta) as fh:
-                    out.append(json.load(fh))
+            if name.startswith("v") and storage.is_file(meta):
+                out.append(json.loads(storage.read_text(meta)))
         return sorted(out, key=lambda v: v["version"])
 
     def read_as_of(self, version: int) -> DataFrame:
@@ -143,7 +145,7 @@ class SnapshotView:
         snapshot root as basePath; the internal bucket column is
         dropped, matching the live view's public ``read()``."""
         path = os.path.join(self.snap_dir, f"v{version}")
-        if not os.path.isdir(path):
+        if not storage.is_dir(path):
             have = [v["version"] for v in self.versions()]
             raise FileNotFoundError(
                 f"no snapshot v{version} at {self.snap_dir} "

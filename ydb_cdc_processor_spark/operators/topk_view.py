@@ -46,6 +46,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.agg_view import AggregateView
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
 
@@ -159,8 +160,7 @@ class TopKView:
         edge — a batch retracting everything in its touched buckets —
         can no longer make the observed metrics row unreadable."""
         try:
-            with open(self._stats_path()) as fh:
-                doc = json.load(fh)
+            doc = json.loads(storage.read_text(self._stats_path()))
         except (OSError, ValueError):
             doc = {}
         return {"pruned_forfeits": int(doc.get("pruned_forfeits", 0)),
@@ -171,11 +171,8 @@ class TopKView:
         doc = self.stats()
         for k, v in inc.items():
             doc[k] = doc.get(k, 0) + int(v)
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self._stats_path())
+        storage.makedirs(self.path)
+        storage.replace_text(self._stats_path(), json.dumps(doc))
 
     # -- serving -----------------------------------------------------------------
 

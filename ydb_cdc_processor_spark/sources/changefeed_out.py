@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ydb_cdc_processor_spark import storage
+
 logger = logging.getLogger(__name__)
 
 _ISO_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -64,17 +66,13 @@ class ChangefeedEmitter:
 
     def _read_state(self) -> dict:
         try:
-            with open(self._state_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._state_path()))
         except (OSError, ValueError):
             return {"bases": {}, "last_token": None}
 
     def _write_state(self, st: dict) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(st, fh)
-        os.replace(tmp, self._state_path())
+        storage.makedirs(self.out_dir)
+        storage.replace_text(self._state_path(), json.dumps(st))
 
     # -- serialization -------------------------------------------------------
 
