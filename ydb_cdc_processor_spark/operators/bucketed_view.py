@@ -45,12 +45,13 @@ from __future__ import annotations
 import json
 import logging
 import os
-import shutil
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.merge import (
     MERGE_FNS, compose_merge, merge_delete, merge_insert,
     raise_on_collisions, widen_to_union)
@@ -68,18 +69,67 @@ TOKEN_FILE = "_token"             # underscore-prefixed → ignored by Spark
 #: a torn batch whose token ages out of ``token_epochs`` (16 LATER
 #: tokenized merges before its replay arrives) loses its first-seen
 #: epoch; the epoch-gap fence then cannot fire on the record alone.
-#: ``merge_touched`` closes the remaining window conservatively — a
-#: token with NO manifest record but WITH buckets already promoted
-#: under it (the only physical signature a torn batch leaves) refuses
-#: whenever the store has a maintenance-epoch history, instead of
-#: re-recording under the current epoch and double-applying.  Residual
-#: (documented, undecidable): when the out-of-band op re-promoted
-#: EVERY bucket of the aged-out torn batch, no evidence distinguishes
-#: its replay from a brand-new batch and the delta re-applies — the
-#: scenario needs 16+ tokenized maintenance merges between one torn
-#: micro-batch and its checkpoint replay, far outside any real
-#: redelivery window.
+#: ``merge_touched`` closes the window with two further mechanisms:
+#: (a) a token with NO manifest record but WITH buckets already
+#: promoted under it (the physical signature a torn batch leaves)
+#: refuses whenever the store has a maintenance-epoch history; and
+#: (b) the per-feed SEQUENCE high-water mark (round-13 advisor):
+#: monotonic feed tokens (``stream-{batch_id}``, ``{pipe}:{batch_id}``)
+#: record their max COMMITTED sequence in the manifest, so a replayed
+#: token whose sequence is ≤ that mark yet has no manifest record is
+#: mechanically refused — on a serialized feed a later commit PROVES
+#: the earlier batch completed, so the missing record can only mean
+#: "committed then evicted", and re-applying would double-count.  The
+#: old "merge re-promoted every torn bucket" residual is thereby
+#: closed for every sequenced feed; only never-sequenced ad-hoc tokens
+#: retain the documented 16-commit contractual window.
 TOKEN_HISTORY = 16
+
+_SEQ_TAIL = re.compile(r"^(?P<p>.*?)(?P<n>\d+)(?P<s>\D*)$")
+
+
+def token_sequence(token: str) -> tuple[str, int] | None:
+    """``(feed, sequence)`` for tokens carrying a trailing numeric run
+    (the streaming shapes: ``stream-7`` → ``('stream-#', 7)``,
+    ``tixs:5:tix`` → ``('tixs:#:tix', 5)``); None for unsequenced
+    tokens.  The feed id is the token with the sequence digits replaced
+    by ``#``, so independent feeds never share a high-water mark."""
+    m = _SEQ_TAIL.match(token)
+    if not m:
+        return None
+    return f"{m.group('p')}#{m.group('s')}", int(m.group("n"))
+
+
+def bump_seq_hwm(doc: dict, token: str) -> None:
+    """Advance ``doc['seq_hwm'][feed]`` for a COMMITTED token (no-op
+    for unsequenced tokens); bounded like the token histories."""
+    sq = token_sequence(token)
+    if sq is None:
+        return
+    feed, n = sq
+    hw = dict(doc.get("seq_hwm") or {})
+    if n > int(hw.get(feed, -1)):
+        hw.pop(feed, None)      # re-insert: freshest feeds age out last
+        hw[feed] = n
+    if len(hw) > TOKEN_HISTORY:
+        for k in list(hw)[:len(hw) - TOKEN_HISTORY]:
+            del hw[k]
+    doc["seq_hwm"] = hw
+
+
+def seq_hwm_violation(doc: dict, token: str) -> int | None:
+    """The recorded high-water mark that proves ``token`` already
+    committed (its feed's max committed sequence ≥ its own), or None
+    when the mark says nothing.  Callers raise only when the token
+    ALSO has no applied/first-sighting record — together: a replay of
+    a committed-then-evicted batch, which must never re-apply."""
+    sq = token_sequence(token)
+    if sq is None:
+        return None
+    feed, n = sq
+    hw = doc.get("seq_hwm") or {}
+    mark = hw.get(feed)
+    return int(mark) if mark is not None and int(mark) >= n else None
 
 
 def with_empty_output_sentinel(spark: SparkSession,
@@ -176,8 +226,7 @@ class BucketedMaterializedView:
 
     def _read_manifest_dict(self) -> dict:
         try:
-            with open(self._manifest_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._manifest_path()))
         except (OSError, ValueError):
             return {}
 
@@ -197,7 +246,7 @@ class BucketedMaterializedView:
         replay arriving AFTER a later maintenance op rotated
         ``last_token`` away still short-circuits (converges) instead of
         hitting the epoch fence."""
-        os.makedirs(self.path, exist_ok=True)
+        storage.makedirs(self.path)
         doc = self._read_manifest_dict()
         doc["n_buckets"] = self.n_buckets
         doc["bucket_keys"] = self.bucket_keys
@@ -206,23 +255,22 @@ class BucketedMaterializedView:
             hist = [t for t in (doc.get("applied_tokens") or [])
                     if t != last_token]
             doc["applied_tokens"] = (hist + [last_token])[-TOKEN_HISTORY:]
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+            # sequenced feeds advance their committed high-water mark in
+            # the SAME atomic write that records the applied token, so
+            # hwm ≥ seq ⟺ this sequence (or a later one) fully committed
+            bump_seq_hwm(doc, last_token)
+        # the storage seam's atomic-commit primitive (POSIX: tmp+replace)
+        storage.replace_text(self._manifest_path(), json.dumps(doc))
 
     def _mutate_manifest(self, mutate) -> None:
         """Read-modify-replace the manifest dict atomically (layout
         identity fields preserved via setdefault — never clobbered)."""
-        os.makedirs(self.path, exist_ok=True)
+        storage.makedirs(self.path)
         doc = self._read_manifest_dict()
         doc.setdefault("n_buckets", self.n_buckets)
         doc.setdefault("bucket_keys", self.bucket_keys)
         mutate(doc)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self._manifest_path())
+        storage.replace_text(self._manifest_path(), json.dumps(doc))
 
     # -- maintenance epochs (mechanical single-maintainer enforcement) --------
 
@@ -293,15 +341,12 @@ class BucketedMaterializedView:
                if f.name != BUCKET_COL and f.name not in names]
         if stored is not None and not new:
             return
-        os.makedirs(self.path, exist_ok=True)
+        storage.makedirs(self.path)
         doc = self._read_manifest_dict()
         doc["schema"] = T.StructType(fields + new).jsonValue()
         doc.setdefault("n_buckets", self.n_buckets)
         doc.setdefault("bucket_keys", self.bucket_keys)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self._manifest_path())
+        storage.replace_text(self._manifest_path(), json.dumps(doc))
 
     def _with_bucket_schema(self, schema):
         """``schema`` + the bucket partition column (reads must name it
@@ -336,19 +381,19 @@ class BucketedMaterializedView:
            new bucket is live, drop the leftover copy.
         """
         old = self._old_dir()
-        if os.path.isdir(old) and not os.path.exists(self.path):
-            os.rename(old, self.path)
-        if not os.path.isdir(self.path):
+        if storage.is_dir(old) and not storage.exists(self.path):
+            storage.rename(old, self.path)
+        if not storage.is_dir(self.path):
             return
-        for e in os.listdir(self.path):
+        for e in storage.listdir(self.path):
             if not e.startswith(DISPLACED_PREFIX):
                 continue
             disp = os.path.join(self.path, e)
             live = os.path.join(self.path, e[len(DISPLACED_PREFIX):])
-            if os.path.isdir(live):
-                shutil.rmtree(disp, ignore_errors=True)
+            if storage.is_dir(live):
+                storage.remove_tree(disp)
             else:
-                os.rename(disp, live)
+                storage.rename(disp, live)
 
     def recover(self) -> None:
         """Public crash-repair entry point: restore any state torn by a
@@ -388,21 +433,21 @@ class BucketedMaterializedView:
         Concurrent WRITERS are out of contract (single maintainer per
         store, the reference's own one-writer-loop model)."""
         old = self._old_dir()
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover post-crash
+        storage.remove_tree(old)  # stale leftover post-crash
         last_err = None
         for _ in range(8):
-            if os.path.isdir(self.path):
-                shutil.rmtree(old, ignore_errors=True)
-                os.rename(self.path, old)
+            if storage.is_dir(self.path):
+                storage.remove_tree(old)
+                storage.rename(self.path, old)
             try:
-                os.rename(staged_path, self.path)
+                storage.rename(staged_path, self.path)
                 last_err = None
                 break
             except OSError as e:  # a reader restored .old → live; retry
                 last_err = e
         if last_err is not None:
             raise last_err
-        shutil.rmtree(old, ignore_errors=True)
+        storage.remove_tree(old)
 
     # -- IO ------------------------------------------------------------------
 
@@ -410,12 +455,12 @@ class BucketedMaterializedView:
         self._recover()
         # the per-bucket-promotion committer does not emit _SUCCESS;
         # presence of any bucket partition directory is the marker
-        if not os.path.isdir(self.path):
+        if not storage.is_dir(self.path):
             return False
-        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
+        if storage.exists(os.path.join(self.path, "_SUCCESS")):
             return True
         return any(e.startswith(f"{BUCKET_COL}=")
-                   for e in os.listdir(self.path))
+                   for e in storage.listdir(self.path))
 
     def read(self) -> DataFrame:
         """Public read — bucket column hidden."""
@@ -456,7 +501,7 @@ class BucketedMaterializedView:
         never written) is simply absent."""
         dirs = [os.path.join(self.path, f"{BUCKET_COL}={b}")
                 for b in touched]
-        dirs = [d for d in dirs if os.path.isdir(d)]
+        dirs = [d for d in dirs if storage.is_dir(d)]
         stored = self._stored_schema()
         if not dirs:
             base_schema = (stored if stored is not None
@@ -486,9 +531,8 @@ class BucketedMaterializedView:
         epoch line) — preserved VERBATIM by physical rewrites
         (:meth:`compact` / :meth:`rewrite_rows`)."""
         try:
-            with open(os.path.join(self.path, f"{BUCKET_COL}={b}",
-                                   TOKEN_FILE)) as fh:
-                return fh.read()
+            return storage.read_text(
+                os.path.join(self.path, f"{BUCKET_COL}={b}", TOKEN_FILE))
         except OSError:
             return None
 
@@ -573,10 +617,7 @@ class BucketedMaterializedView:
         same rename, giving per-bucket exactly-once for callers whose
         merge is NOT idempotent (the aggregate view's ±deltas; see
         :meth:`bucket_token` / :meth:`pending_buckets`)."""
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        tmp = os.path.join(
-            parent,
-            f".{os.path.basename(self.path)}.batch-{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(self.path, "batch")
         (merged.repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
         if pre_promote is not None:
@@ -586,22 +627,24 @@ class BucketedMaterializedView:
             try:
                 pre_promote()
             except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
+                storage.remove_tree(tmp)
                 raise
         if token is not None:
             for b in touched:
                 d = os.path.join(tmp, f"{BUCKET_COL}={b}")
-                if os.path.isdir(d):
-                    with open(os.path.join(d, TOKEN_FILE), "w") as fh:
-                        fh.write(f"{token}\n{token_epoch}")
+                if storage.is_dir(d):
+                    # plain write: the token is INSIDE the staged bucket
+                    # dir, promoted atomically with it by the rename
+                    storage.write_text(os.path.join(d, TOKEN_FILE),
+                                       f"{token}\n{token_epoch}")
         # schema BEFORE promotion: a crash in between shows one extra
         # all-NULL column (benign); the opposite order would hide
         # promoted data behind a stale narrower stored schema
         self._record_schema(merged.schema)
-        os.makedirs(self.path, exist_ok=True)  # first batch: no root yet
+        storage.makedirs(self.path)  # first batch: no root yet
         for b in touched:
             self._promote_bucket(tmp, b, drop_if_absent=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        storage.remove_tree(tmp)
 
     def _promote_bucket(self, tmp: str, b: int,
                         drop_if_absent: bool) -> None:
@@ -619,18 +662,18 @@ class BucketedMaterializedView:
         old_d = os.path.join(self.path, f"{BUCKET_COL}={b}")
         disp = os.path.join(self.path,
                             f"{DISPLACED_PREFIX}{BUCKET_COL}={b}")
-        if not os.path.isdir(new_d):
+        if not storage.is_dir(new_d):
             if drop_if_absent:
-                shutil.rmtree(old_d, ignore_errors=True)
+                storage.remove_tree(old_d)
             return
-        shutil.rmtree(disp, ignore_errors=True)  # stale leftover
+        storage.remove_tree(disp)  # stale leftover
         displaced = False
-        if os.path.isdir(old_d):
-            os.rename(old_d, disp)
+        if storage.is_dir(old_d):
+            storage.rename(old_d, disp)
             displaced = True
-        os.rename(new_d, old_d)
+        storage.rename(new_d, old_d)
         if displaced:
-            shutil.rmtree(disp, ignore_errors=True)
+            storage.remove_tree(disp)
 
     # -- the incremental merge ------------------------------------------------
 
@@ -806,6 +849,27 @@ class BucketedMaterializedView:
         if batch_token is not None:
             seen = self._token_epoch_of(batch_token)
             first_seen_recorded = seen is not None
+            if seen is None:
+                # sequence high-water fence (round-13 advisor): a LATER
+                # sequence on this feed is recorded committed, yet this
+                # token has no applied record and no first-sighting —
+                # on a serialized feed that later commit PROVES this
+                # batch completed, so the only consistent history is
+                # "committed, then evicted from the bounded histories";
+                # re-applying would double-count.  Refuse mechanically.
+                mark = seq_hwm_violation(self._read_manifest_dict(),
+                                         batch_token)
+                if mark is not None:
+                    raise MaintenanceFenceError(
+                        f"bucketed view {self.path}: token "
+                        f"{batch_token!r} carries a feed sequence at or "
+                        f"below the committed high-water mark ({mark}) "
+                        "but has no applied/first-sighting record — a "
+                        "replay of a batch that committed and was "
+                        "evicted from the bounded token histories (or "
+                        "an out-of-order feed, a contract violation).  "
+                        "Re-applying could double-count; converge via "
+                        "recompute.")
             if seen is not None:
                 tok_epoch = seen   # replay: stamp under the ORIGINAL epoch
             # a first sighting is recorded BELOW, after the pending
@@ -892,7 +956,7 @@ class BucketedMaterializedView:
         """On-disk data size from file METADATA only — no Spark scan, no
         count job.  O(#files) driver-side stat calls."""
         total = 0
-        for root, dirs, files in os.walk(self.path):
+        for root, dirs, files in storage.walk(self.path):
             # skip hidden/underscore SIDECAR subdirs (e.g. _centroids) —
             # but the _bucket=N partition dirs themselves are of course
             # data (Spark's scan is pointed at them explicitly; the
@@ -902,13 +966,13 @@ class BucketedMaterializedView:
                        or not d.startswith((".", "_"))]
             for f in files:
                 if not f.startswith((".", "_")):
-                    total += os.path.getsize(os.path.join(root, f))
+                    total += storage.file_size(os.path.join(root, f))
         return total
 
     def n_nonempty_buckets(self) -> int:
-        if not os.path.isdir(self.path):
+        if not storage.is_dir(self.path):
             return 0
-        return sum(1 for e in os.listdir(self.path)
+        return sum(1 for e in storage.listdir(self.path)
                    if e.startswith(f"{BUCKET_COL}="))
 
     def rebucket(self, n_buckets: int) -> None:
@@ -920,10 +984,7 @@ class BucketedMaterializedView:
         if n_buckets == self.n_buckets:
             return
         df = self.read()
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        tmp = os.path.join(
-            parent, f".{os.path.basename(self.path)}.rebucket-"
-                    f"{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(self.path, "rebucket")
         (self._with_bucket(df, n_buckets)
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
@@ -950,6 +1011,11 @@ class BucketedMaterializedView:
             manifest["token_epochs"] = old_doc["token_epochs"]
         if old_doc.get("applied_tokens"):
             manifest["applied_tokens"] = old_doc["applied_tokens"]
+        if old_doc.get("seq_hwm"):
+            # the committed-sequence mark is fence state like the token
+            # histories: dropping it across a rebucket would let an
+            # ancient committed replay re-enter under the new layout
+            manifest["seq_hwm"] = old_doc["seq_hwm"]
         last = self.last_token()
         if last is not None:
             # the rewrite was built from state that already INCLUDES the
@@ -961,12 +1027,12 @@ class BucketedMaterializedView:
         # the bumped epoch, so a replay of a TORN never-committed batch
         # hits the epoch fence instead of double-applying onto a layout
         # rewritten from its partial promotions
-        for e in os.listdir(tmp):
+        for e in storage.listdir(tmp):
             if e.startswith(f"{BUCKET_COL}="):
-                with open(os.path.join(tmp, e, TOKEN_FILE), "w") as fh:
-                    fh.write(f"{seed}\n{new_epoch}")
-        with open(os.path.join(tmp, MANIFEST), "w") as fh:
-            json.dump(manifest, fh)
+                storage.write_text(os.path.join(tmp, e, TOKEN_FILE),
+                                   f"{seed}\n{new_epoch}")
+        storage.write_text(os.path.join(tmp, MANIFEST),
+                           json.dumps(manifest))
         # the in-memory count mutates only AFTER the swap succeeds, so an
         # exception here leaves self.n_buckets agreeing with the on-disk
         # layout
@@ -994,15 +1060,15 @@ class BucketedMaterializedView:
 
         Returns the number of buckets compacted."""
         self._recover()
-        if not os.path.isdir(self.path):
+        if not storage.is_dir(self.path):
             return 0
         fragmented: list[int] = []
         tokens: dict[int, str | None] = {}
-        for e in os.listdir(self.path):
+        for e in storage.listdir(self.path):
             if not e.startswith(f"{BUCKET_COL}="):
                 continue
             d = os.path.join(self.path, e)
-            n_files = sum(1 for f in os.listdir(d)
+            n_files = sum(1 for f in storage.listdir(d)
                           if not f.startswith((".", "_")))
             if n_files > max_files_per_bucket:
                 b = int(e.split("=", 1)[1])
@@ -1012,25 +1078,21 @@ class BucketedMaterializedView:
             return 0
         rows = (self._read_touched(fragmented, None)
                 .repartition(BUCKET_COL))
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        tmp = os.path.join(
-            parent,
-            f".{os.path.basename(self.path)}.compact-{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(self.path, "compact")
         # coalesce(1) per bucket via partitionBy + one-task-per-bucket
         # repartition: each bucket's rows land in one output file
         rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         for b in fragmented:
             d = os.path.join(tmp, f"{BUCKET_COL}={b}")
             tok = tokens.get(b)
-            if tok is not None and os.path.isdir(d):
-                with open(os.path.join(d, TOKEN_FILE), "w") as fh:
-                    fh.write(tok)
+            if tok is not None and storage.is_dir(d):
+                storage.write_text(os.path.join(d, TOKEN_FILE), tok)
         for b in fragmented:
             # a bucket absent from the temp output vanished mid-listing:
             # leave it alone (drop_if_absent=False — compaction is a
             # physical rewrite, never a deletion)
             self._promote_bucket(tmp, b, drop_if_absent=False)
-        shutil.rmtree(tmp, ignore_errors=True)
+        storage.remove_tree(tmp)
         logger.info("bucketed view %s: compacted %d fragmented bucket(s)",
                     self.path, len(fragmented))
         return len(fragmented)
@@ -1055,37 +1117,33 @@ class BucketedMaterializedView:
         is repaired by :meth:`_recover`.  Returns the number of buckets
         rewritten."""
         self._recover()
-        if not os.path.isdir(self.path):
+        if not storage.is_dir(self.path):
             return 0
         if buckets is None:
             buckets = [int(e.split("=", 1)[1])
-                       for e in os.listdir(self.path)
+                       for e in storage.listdir(self.path)
                        if e.startswith(f"{BUCKET_COL}=")]
-        buckets = [b for b in buckets if os.path.isdir(
+        buckets = [b for b in buckets if storage.is_dir(
             os.path.join(self.path, f"{BUCKET_COL}={b}"))]
         if not buckets:
             return 0
         tokens = {b: self._token_payload(b) for b in buckets}  # verbatim
         out = (transform_fn(self._read_touched(buckets, None))
                .repartition(BUCKET_COL))
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        tmp = os.path.join(
-            parent,
-            f".{os.path.basename(self.path)}.rewrite-{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(self.path, "rewrite")
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         for b in buckets:
             d = os.path.join(tmp, f"{BUCKET_COL}={b}")
             # a fully-pruned bucket is absent from the temp output:
             # materialize it EMPTY so the promotion replaces the live
             # data while the token file below keeps the replay fence
-            os.makedirs(d, exist_ok=True)
+            storage.makedirs(d)
             tok = tokens.get(b)
             if tok is not None:
-                with open(os.path.join(d, TOKEN_FILE), "w") as fh:
-                    fh.write(tok)
+                storage.write_text(os.path.join(d, TOKEN_FILE), tok)
         for b in buckets:
             self._promote_bucket(tmp, b, drop_if_absent=False)
-        shutil.rmtree(tmp, ignore_errors=True)
+        storage.remove_tree(tmp)
         logger.info("bucketed view %s: rewrote %d bucket(s) in place",
                     self.path, len(buckets))
         return len(buckets)

@@ -50,9 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, TOKEN_HISTORY, BucketedMaterializedView,
-    MaintenanceFenceError)
+    MaintenanceFenceError, bump_seq_hwm, seq_hwm_violation)
 from ydb_cdc_processor_spark.operators.ivm_feed import Feed
 from ydb_cdc_processor_spark.operators.text import normalize_words
 
@@ -99,11 +100,11 @@ class TextIndex:
         # A permission error or transient IO failure must propagate:
         # swallowing it would silently reset n_docs/sum_dl/sum_nz to
         # zero (corrupting BM25) AND drop the batch_token replay fence.
-        # A torn write can't produce ValueError — _write_stats swaps via
-        # atomic os.replace — so any JSON error is real corruption.
+        # A torn write can't produce ValueError — _write_stats commits
+        # via the storage seam's atomic replace_text — so any JSON
+        # error is real corruption.
         try:
-            with open(self._stats_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._stats_path()))
         except FileNotFoundError:
             return {}
 
@@ -116,12 +117,9 @@ class TextIndex:
 
     def _write_stats(self, st: dict) -> None:
         import json
-        import os
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._stats_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(st, fh)
-        os.replace(tmp, self._stats_path())  # atomic on POSIX
+        storage.makedirs(self.path)
+        # the seam's atomic-commit primitive (POSIX: tmp + os.replace)
+        storage.replace_text(self._stats_path(), json.dumps(st))
 
     def stats_epoch(self) -> int:
         """The corpus-scalar maintenance epoch — bumped by every
@@ -149,14 +147,16 @@ class TextIndex:
         sighting is recorded (atomically, before any work) so a torn
         batch's replay can make exactly this determination.
 
-        LIMIT OF THE GUARANTEE (the bucketed TOKEN_HISTORY rule): a
-        torn batch whose token_epochs record is evicted by 16+ later
-        tokenized commits before its replay arrives re-records at the
-        CURRENT epoch and applies — unlike the bucketed store there is
-        no physical bucket signature to detect it from.  The scenario
-        needs 16+ tokenized maintenance commits between one torn
-        micro-batch and its checkpoint replay, far outside any real
-        redelivery window."""
+        The aged-out window is closed for SEQUENCED feeds (round-13
+        advisor): streaming tokens are monotonic per feed
+        (``tixs:{batch_id}``), and every committed token advances a
+        per-feed high-water mark in the same atomic stats write — so a
+        replayed token whose sequence is ≤ the mark yet has no
+        applied/first-sighting record refuses mechanically (a later
+        commit on a serialized feed proves this batch completed; the
+        missing record can only mean committed-then-evicted, and
+        re-applying the ±delta would double-count).  Only unsequenced
+        ad-hoc tokens retain the contractual TOKEN_HISTORY window."""
         if token is None:
             return False
         doc = self._read_stats_doc()
@@ -166,6 +166,18 @@ class TextIndex:
         epoch = int(doc.get("epoch", 0))
         te = dict(doc.get("token_epochs") or {})
         seen = te.get(token)
+        if seen is None:
+            mark = seq_hwm_violation(doc, token)
+            if mark is not None:
+                raise MaintenanceFenceError(
+                    f"text index {self.path}: stats token {token!r} "
+                    f"carries a feed sequence at or below the committed "
+                    f"high-water mark ({mark}) but has no applied/"
+                    "first-sighting record — a replay of a batch that "
+                    "committed and was evicted from the bounded token "
+                    "histories (or an out-of-order feed).  Re-applying "
+                    "its n_docs/sum_dl/sum_nz ±delta would double-count "
+                    "and corrupt BM25 idf; converge via recompute.")
         if seen is not None and epoch > int(seen):
             raise MaintenanceFenceError(
                 f"text index {self.path}: replay of stats token {token!r} "
@@ -242,6 +254,10 @@ class TextIndex:
             hist = [t for t in (doc.get("applied_tokens") or [])
                     if t != batch_token]
             doc["applied_tokens"] = (hist + [batch_token])[-TOKEN_HISTORY:]
+            # committed-sequence mark advances in the SAME atomic swap
+            # that lands the values + applied token (see
+            # _check_stats_fence: hwm ≥ seq ⟺ committed)
+            bump_seq_hwm(doc, batch_token)
         self._write_stats(doc)
 
     def feed(self) -> Feed:

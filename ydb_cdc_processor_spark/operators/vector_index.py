@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.functions.partitioning import (
     ensure_min_partitions)
 from ydb_cdc_processor_spark.functions.vector import (
@@ -121,8 +122,7 @@ class VectorIndex:
 
     def _read_index_meta(self) -> dict:
         try:
-            with open(self._meta_path()) as fh:
-                return json.load(fh)
+            return json.loads(storage.read_text(self._meta_path()))
         except (OSError, ValueError):
             return {}
 
@@ -242,9 +242,7 @@ class VectorIndex:
                                  id_col=id_col, vec_col=vec_col)
 
         live = self.view.path
-        parent = os.path.dirname(os.path.abspath(live)) or "."
-        tmp = os.path.join(parent, f".{os.path.basename(live)}.rebuild-"
-                                   f"{uuid.uuid4().hex[:8]}")
+        tmp = storage.tmp_sibling(live, "rebuild")
         tmp_view = BucketedMaterializedView(
             self.spark, tmp, keys=["cell", "vec_id"],
             bucket_keys=["cell"], n_buckets=self.view.n_buckets)
@@ -280,8 +278,9 @@ class VectorIndex:
         vid_schema = T.StructType(
             [T.StructField("vec_id", rows.schema["vec_id"].dataType)])
         meta["vec_id_schema"] = vid_schema.jsonValue()
-        with open(os.path.join(tmp, "_index.json"), "w") as fh:
-            json.dump(meta, fh)
+        # plain write: staged inside tmp, promoted atomically by the swap
+        storage.write_text(os.path.join(tmp, "_index.json"),
+                           json.dumps(meta))
         if self._pre_swap_hook is not None:
             # test seam: everything is staged, nothing swapped — a
             # concurrent reader must still see the complete OLD index
@@ -369,7 +368,6 @@ class VectorIndex:
         union later with :meth:`merge_from`).  Copies only layout
         metadata (centroids, codebook/meta, bucket manifest) — never
         list data."""
-        import shutil as _sh
         # repair crash-torn donor state FIRST: a '.displaced-_bucket=N'
         # left by a mid-promotion crash would not match the skip filter,
         # and the clone's own first _recover() would then promote the
@@ -379,23 +377,25 @@ class VectorIndex:
         # clone must not report exists()==True while holding no lists.
         self.view.recover()
         src, dst = self.view.path, os.path.join(path, "lists")
-        os.makedirs(dst, exist_ok=True)
-        for e in os.listdir(src):
+        storage.makedirs(dst)
+        for e in storage.listdir(src):
             if (e.startswith(("_bucket=", ".")) or e == "_SUCCESS"):
                 continue   # list data / torn leftovers / marker stay behind
             s = os.path.join(src, e)
             d = os.path.join(dst, e)
-            if os.path.isdir(s):
-                _sh.copytree(s, d, dirs_exist_ok=True)
+            if storage.is_dir(s):
+                storage.copy_tree(s, d)
             else:
-                _sh.copy2(s, d)
+                storage.copy_file(s, d)
         # the copied bucket manifest carries the SOURCE's last_token —
         # a clone starting life fenced against the donor's last batch
         # would silently skip a same-named first batch; strip it
         man = os.path.join(dst, "_buckets.json")
-        if os.path.exists(man):
-            with open(man) as fh:
-                doc = json.load(fh)
+        try:
+            doc = json.loads(storage.read_text(man))
+        except FileNotFoundError:
+            doc = None
+        if doc is not None:
             doc.pop("last_token", None)
             # the donor's epoch/token bookkeeping is its own maintenance
             # history — a clone carrying applied_tokens would silently
@@ -404,8 +404,11 @@ class VectorIndex:
             doc.pop("epoch", None)
             doc.pop("token_epochs", None)
             doc.pop("applied_tokens", None)
-            with open(man, "w") as fh:
-                json.dump(doc, fh)
+            # the donor's committed-sequence marks too: shard engines
+            # reuse the same deterministic sequences (stream-0, …) and
+            # an inherited mark would refuse the clone's first batch
+            doc.pop("seq_hwm", None)
+            storage.replace_text(man, json.dumps(doc))
         return VectorIndex(self.spark, path)
 
     def merge_from(self, other: "VectorIndex",
@@ -553,8 +556,8 @@ class VectorIndex:
         touched = sorted({r[1] for r in cell_rows})
         from ydb_cdc_processor_spark.operators.bucketed_view import (
             BUCKET_COL)
-        if not any(os.path.isdir(os.path.join(self.view.path,
-                                              f"{BUCKET_COL}={b}"))
+        if not any(storage.is_dir(os.path.join(self.view.path,
+                                               f"{BUCKET_COL}={b}"))
                    for b in touched):
             # every probed cell's bucket is absent (tiny or heavily-
             # deleted store): the correct answer is zero candidates, not
