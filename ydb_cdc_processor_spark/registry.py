@@ -69,7473 +69,24 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# ---------------------------------------------------------------------------
-# Core CDC surface (SURVEY.md §2 operators over the synthetic tables)
-# ---------------------------------------------------------------------------
-
-@register("q_project_retype", """
-SELECT event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec,
-       user_id, event_type, value
-FROM events
-""")
-def q_project_retype(spark, sf_dir):
-    """T4/P2 — projection + retype (≙ README v1 view, README.md:93-100):
-    select a column subset and re-type the timestamp to second precision
-    (the reference's Datetime semantics, YqlQuery.java:148-150)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
-        "user_id", "event_type", "value")
-
-
-@register("q_select_star", """
-SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-FROM events
-""")
-def q_select_star(spark, sf_dir):
-    """K5/T1 — SELECT * passthrough (≙ README v2 view, README.md:114)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
-
-
-@register("q_filter_route", """
-SELECT event_type,
-       CASE WHEN value < 50 THEN 'skip' ELSE 'apply' END AS route,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY event_type, CASE WHEN value < 50 THEN 'skip' ELSE 'apply' END
-""")
-def q_filter_route(spark, sf_dir):
-    """P1/T3 — routing split with per-branch counters (the decode router +
-    skip-counting shape, CdcMsgParser.java:59-83 / YqlQuery.java:168-183)."""
-    ev = load_table(spark, sf_dir, "events")
-    route = F.when(F.col("value") < 50, F.lit("skip")).otherwise(F.lit("apply"))
-    return (ev.withColumn("route", route)
-              .groupBy("event_type", "route")
-              .agg(F.count(F.lit(1)).alias("n_events"),
-                   dec_sum("value", "sum_value")))
-
-
-@register("q_key_merge", """
-SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-FROM events
-""")
-def q_key_merge(spark, sf_dir):
-    """P2/P3 — FULL decode round-trip: rows → CDC JSON envelopes (key
-    positional, payload by name) → decode_cdc → typed rows.  The oracle is
-    the original table: proves envelope build + parse + typed decode are
-    lossless (YqlQuery.java:55-166)."""
-    from ydb_cdc_processor_spark.operators.decode import decode_cdc
-    from ydb_cdc_processor_spark.sources.cdc_json import EVENTS_MEMBERS
-    # CPU-bound to_json/from_json round-trip → spread the single-file scan
-    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
-    raw = ev.select(F.to_json(F.struct(
-        F.array(F.col("event_id").cast("string")).alias("key"),
-        F.struct(
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
-            F.col("user_id"), F.col("event_type"), F.col("value"),
-            F.col("props")).alias("update"),
-    )).alias("value"))
-    typed = decode_cdc(raw, EVENTS_MEMBERS, pk=["event_id"])
-    return typed.select("event_id", "ts", "user_id", "event_type",
-                        "value", "props")
-
-
-@register("q_last_wins", """
-SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-      FROM events) t
-WHERE rn = 1
-""")
-def q_last_wins(spark, sf_dir):
-    """B2/B4 — per-key last-wins collapse: the reference's flush-on-kind-
-    switch + per-partition ordering net effect (YqlWriter.java:184-207),
-    as the engine's actual collapse_last_wins operator keyed by user."""
-    ev = load_table(spark, sf_dir, "events") \
-        .select("user_id", "event_id", "ts", "event_type", "value") \
-        .withColumn("_ord", F.struct(F.col("ts"), F.col("event_id")))
-    out = collapse_last_wins(ev, ["user_id"], order_col="_ord")
-    return out.drop("_ord")
-
-
-_ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
-
-
-@register("q_upsert_semantics", f"""
-WITH delta AS (
-  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
-  FROM orders WHERE o_orderkey % 10 = 0)
-SELECT {_ORDERS_COLS} FROM orders
-WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
-UNION ALL
-SELECT {_ORDERS_COLS} FROM delta
-""")
-def q_upsert_semantics(spark, sf_dir):
-    """K1 — upsertInto as the engine's merge_upsert (matched→replace,
-    not-matched→insert; CdcMsgParser.java:228-231)."""
-    orders = load_table(spark, sf_dir, "orders")
-    delta = (orders.where(F.col("o_orderkey") % 10 == 0)
-             .withColumn("o_orderstatus", F.lit("U"))
-             .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
-    return merge.merge_upsert(orders, delta, ["o_orderkey"])
-
-
-@register("q_delete_anti", f"""
-SELECT {_ORDERS_COLS} FROM orders WHERE o_orderkey % 7 <> 0
-""")
-def q_delete_anti(spark, sf_dir):
-    """K2 — deleteFrom as merge_delete (anti-join on the key set,
-    CdcMsgParser.java:232-235)."""
-    orders = load_table(spark, sf_dir, "orders")
-    delete_keys = orders.where(F.col("o_orderkey") % 7 == 0) \
-                        .select("o_orderkey")
-    return merge.merge_delete(orders, delete_keys, ["o_orderkey"])
-
-
-@register("q_update_on", f"""
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-       CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED' ELSE o_orderpriority END
-         AS o_orderpriority
-FROM orders
-""")
-def q_update_on(spark, sf_dir):
-    """K3 — updateOn as merge_update: existing keys replaced, delta rows
-    with unknown keys IGNORED (CdcMsgParser.java:236-239).  The delta
-    deliberately contains never-seen keys (shifted by 1e9) to prove the
-    not-matched rows are dropped."""
-    orders = load_table(spark, sf_dir, "orders")
-    changed = (orders.where(F.col("o_orderkey") % 10 == 0)
-               .withColumn("o_orderpriority", F.lit("UPDATED")))
-    ghosts = changed.withColumn("o_orderkey",
-                                F.col("o_orderkey") + F.lit(1000000000))
-    return merge.merge_update(orders, changed.unionByName(ghosts),
-                              ["o_orderkey"])
-
-
-@register("q_insert_strict", f"""
-SELECT {_ORDERS_COLS} FROM orders
-UNION ALL
-SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
-       o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 13 = 0
-""")
-def q_insert_strict(spark, sf_dir):
-    """K4 — insertInto strict append with collision detection
-    (CdcMsgParser.java:240-243): fresh keys appended; a colliding batch
-    raises StrictInsertError (unit-tested)."""
-    orders = load_table(spark, sf_dir, "orders")
-    fresh = (orders.where(F.col("o_orderkey") % 13 == 0)
-             .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
-             .withColumn("o_orderstatus", F.lit("N")))
-    return merge.merge_insert(orders, fresh, ["o_orderkey"], strict=True)
-
-
-@register("q_two_phase", """
-SELECT l_orderkey, l_linenumber, p_name, s_name,
-       l_extendedprice * (1 - l_discount) AS revenue
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE l_orderkey % 50 = 0
-""")
-def q_two_phase(spark, sf_dir):
-    """T2 — two-phase read-then-act (YqlQuery.java:198-247): phase 1 runs
-    a user SELECT over the micro-batch (the ``rows`` temp view ≙
-    AS_TABLE($rows)) joined against catalog tables; phase 2's schema
-    inference is ``result.schema`` (free).  Dimension joins broadcast."""
-    from ydb_cdc_processor_spark.engine import run_transform
-    li = load_table(spark, sf_dir, "lineitem")
-    batch = li.where(F.col("l_orderkey") % 50 == 0)
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    return run_transform(spark, batch, """
-        SELECT l_orderkey, l_linenumber, p_name, s_name,
-               l_extendedprice * (1 - l_discount) AS revenue
-        FROM rows
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-    """)
-
-
-@register("q_batch_agg", """
-SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
-  CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-""")
-def q_batch_agg(spark, sf_dir):
-    """T1 + inherited SQL surface — TPC-H Q1 shape: the canonical
-    "arbitrary YQL over the batch" aggregation.  Decimal-routed sums keep
-    the result bit-identical at any parallelism (functions/aggregates.py).
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(dec_sum("l_quantity", "sum_qty"),
-                 dec_sum("l_extendedprice", "sum_base_price"),
-                 dec_sum(disc_price, "sum_disc_price", scale=6),
-                 dec_sum(charge, "sum_charge", scale=6),
-                 dec_avg("l_quantity", "avg_qty"),
-                 dec_avg("l_extendedprice", "avg_price"),
-                 dec_avg("l_discount", "avg_disc", scale=6),
-                 F.count(F.lit(1)).alias("count_order")))
-
-
-@register("q_join_enrich", """
-SELECT r_name, n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-  CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name IN ('ASIA', 'EUROPE')
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-GROUP BY r_name, n_name
-""")
-def q_join_enrich(spark, sf_dir):
-    """Inherited SQL surface — multi-way dimensional join (TPC-H Q5 shape).
-    customer/nation/region broadcast (small dims); the only shuffle is
-    lineitem⋈orders on orderkey + the final partial-agg exchange."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders") \
-        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region") \
-        .where(F.col("r_name").isin("ASIA", "EUROPE"))
-    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (joined.groupBy("r_name", "n_name")
-            .agg(dec_sum(disc_price, "revenue", scale=6),
-                 F.count(F.lit(1)).alias("n_items")))
-
-
-@register("q_skip_count", """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_skipped
-FROM events WHERE value < 10 GROUP BY event_type
-""")
-def q_skip_count(spark, sf_dir):
-    """T3/O1 — counted-and-dropped subset (YqlQuery.java:168-183 +
-    the throughput counter YqlWriter.java:217-231)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.where(F.col("value") < 10)
-              .groupBy("event_type")
-              .agg(F.count(F.lit(1)).alias("n_skipped")))
-
 
 # ---------------------------------------------------------------------------
-# Inherited SQL surface — the reference's users can run ANY SELECT over the
-# batch plus server tables (SURVEY.md §2 note after the operator table); our
-# engine inherits the same breadth from Spark SQL.  These queries pin the
-# breadth with oracles: windows, rollup, set ops, anti-join subqueries,
-# global top-N, JSON access, scalar functions.
+# Query implementations — split by family into registry_queries/ (round 14).
+# SEQUENTIAL imports preserve registration order EXACTLY (the driver
+# contract: key order of QUERIES/ORACLES is observable in bench order and
+# the correctness-window rotation).  These imports are at the bottom of
+# the module on purpose: the submodules import QUERIES/ORACLES/register
+# back from here, which is safe only after they are defined above.
 # ---------------------------------------------------------------------------
+import ydb_cdc_processor_spark.registry_queries.m01_core_cdc  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m02_sql_surface  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m03_llm_pipeline  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m04_temporal_sampling  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m05_curation  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m06_scd_checksum  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m07_tpch_stores  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m08_federation  # noqa: E402,F401
 
-
-@register("q_window_topn", """
-SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
-  FROM orders) t
-WHERE rnk <= 3
-""")
-def q_window_topn(spark, sf_dir):
-    """Per-key top-N via row_number window — no global sort; each key's
-    partition ranks locally after one hash exchange."""
-    from pyspark.sql import Window
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (orders.select("o_custkey", "o_orderkey", "o_totalprice")
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 3))
-
-
-@register("q_rollup", """
-SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-""")
-def q_rollup(spark, sf_dir):
-    """Grouping-sets rollup: per-group + subtotal + grand-total rows in one
-    aggregation pass (Expand + partial agg, single shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 dec_sum("l_quantity", "sum_qty")))
-
-
-@register("q_setops", """
-(SELECT event_type FROM events WHERE value > 90
- INTERSECT
- SELECT event_type FROM events WHERE value < 10)
-UNION
-SELECT event_type FROM events WHERE user_id % 997 = 0
-""")
-def q_setops(spark, sf_dir):
-    """Set operations (distinct semantics on both engines)."""
-    ev = load_table(spark, sf_dir, "events")
-    hi = ev.where(F.col("value") > 90).select("event_type")
-    lo = ev.where(F.col("value") < 10).select("event_type")
-    some = ev.where(F.col("user_id") % 997 == 0).select("event_type")
-    return hi.intersect(lo).union(some).distinct()
-
-
-@register("q_no_orders", """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
-""")
-def q_no_orders(spark, sf_dir):
-    """NOT EXISTS subquery as a left-anti join (no correlated per-row
-    subquery execution; one broadcast/shuffle anti-join)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = (load_table(spark, sf_dir, "orders")
-              .where(F.col("o_orderdate") >=
-                     F.lit("1998-01-01").cast("timestamp"))
-              .select("o_custkey"))
-    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
-                      "left_anti")
-            .select("c_custkey", "c_name"))
-
-
-@register("q_topn_global", """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
-""")
-def q_topn_global(spark, sf_dir):
-    """Global top-N: orderBy+limit compiles to TakeOrderedAndProject —
-    per-partition heaps + driver merge of N, never a full sort at scale."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (orders.select("o_orderkey", "o_totalprice")
-            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-            .limit(100))
-
-
-@register("q_json_extract", """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-FROM events
-""")
-def q_json_extract(spark, sf_dir):
-    """Json member access (the reference's Json/JsonDocument columns stay
-    raw text, SURVEY.md §1.3; extraction on demand)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"))
-
-
-@register("q_scalar_funcs", """
-SELECT o_orderkey,
-       upper(substr(o_orderpriority, 1, 1)) AS pri,
-       CAST(year(o_orderdate) AS INT) AS yr,
-       CAST(month(o_orderdate) AS INT) AS mo,
-       concat(o_orderstatus, '-', o_orderpriority) AS tag
-FROM orders
-""")
-def q_scalar_funcs(spark, sf_dir):
-    """Scalar-function breadth (T4): string slicing/case, date part
-    extraction, concatenation — all whole-stage-codegen expressions."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri"),
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.month("o_orderdate").cast("int").alias("mo"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"))
-
-
-@register("q_tumbling_agg", """
-SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
-""")
-def q_tumbling_agg(spark, sf_dir):
-    """Tumbling-window aggregation — the batch shape of the streaming
-    windowed agg (``F.window`` aligns to the epoch, so 1-hour windows ≡
-    date_trunc('hour')).  In streaming mode the same expression runs under
-    a watermark for late data."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 dec_sum("value", "sum_value"))
-            .select(F.col("w.start").alias("ws"), "event_type",
-                    "n", "sum_value"))
-
-
-@register("q_sessionize", """
-WITH t AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(CAST(ts AS TIMESTAMP))
-                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
-                   > 1800000000
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-s AS (
-  SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_no
-  FROM t)
-SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       min(ts) AS sess_start, max(ts) AS sess_end
-FROM s GROUP BY user_id, sess_no
-""")
-def q_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity): lag → new-session
-    flag → running sum = session number → per-session rollup.  The classic
-    scalable formulation — two window passes over one hash partitioning by
-    user, no self-joins.  (Streaming equivalent: session_window /
-    applyInPandasWithState.)  Gap compared in exact microseconds so both
-    engines make identical boundary decisions."""
-    from pyspark.sql import Window
-    ev = load_table(spark, sf_dir, "events") \
-        .select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    new_sess = F.when(
-        F.lag("ts").over(w).isNull() |
-        ((us - F.unix_micros(F.lag("ts").over(w))) > 1800000000),
-        F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = (ev.withColumn("new_sess", new_sess)
-         .withColumn("sess_no", F.sum("new_sess").over(cum).cast("long")))
-    return (s.groupBy("user_id", "sess_no")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.min("ts").alias("sess_start"),
-                 F.max("ts").alias("sess_end")))
-
-
-# ---------------------------------------------------------------------------
-# M4 — LLM-data-pipeline operators (beyond-reference scope)
-# ---------------------------------------------------------------------------
-
-@register("q_dedup_exact", """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
-       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
-       CAST(COUNT(*) AS BIGINT) AS dup_count
-FROM documents
-GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-""")
-def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on normalized content digest — one
-    shuffle, map-side partial agg (operators/dedup.py)."""
-    docs = load_docs(spark, sf_dir)
-    return dedup.exact_dedup_groups(docs)
-
-
-@register("q_text_stats", """
-SELECT lang,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
-  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)
-       AS BIGINT) AS sum_tokens,
-  CAST(SUM(length(text)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_len
-FROM documents GROUP BY lang
-""")
-def q_text_stats(spark, sf_dir):
-    """Text analysis aggregate: token/length stats per language
-    (operators/text.py). Integer sums are exact; avg is the deterministic
-    exact-sum/count."""
-    docs = load_docs(spark, sf_dir)
-    return (docs.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 long_sum("n_chars", "sum_chars"),
-                 long_sum(F.length("text"), "sum_len"),
-                 long_sum(text.token_count(F.col("text")), "sum_tokens"),
-                 (F.sum(F.length("text")).cast("long") /
-                  F.count(F.lit(1)).cast("double")).alias("avg_len")))
-
-
-@register("q_token_count", """
-SELECT doc_id,
-  CAST(length(text) AS BIGINT) AS n_len,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
-       AS BIGINT) AS n_tokens
-FROM documents
-""")
-def q_token_count(spark, sf_dir):
-    """Per-document token counting (whitespace tokenizer as pure column
-    arithmetic — runs in codegen, no regex in the hot path)."""
-    docs = load_docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_len"),
-        text.token_count(F.col("text")).alias("n_tokens"))
-
-
-@register("q_fingerprint", """
-SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-FROM documents
-""")
-def q_fingerprint(spark, sf_dir):
-    """Document fingerprinting: stable content hash of normalized text."""
-    docs = load_docs(spark, sf_dir)
-    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
-
-
-# One regex scan per language (alternation of literal ' word ' patterns)
-# over space-doubled padded text — mirrors operators/text.py marker_hits.
-# Plain literals: Java regex (Spark) and RE2 (DuckDB) count identical
-# non-overlapping matches.
-_MARKER_PADDED_SQL = "' ' || replace(lower(text), ' ', '  ') || ' '"
-_LANG_HITS_SQL = {
-    code: ("CAST(len(regexp_extract_all(" + _MARKER_PADDED_SQL + ", '"
-           + "|".join(f" {w} " for w in words) + "')) AS BIGINT)")
-    for code, words in text.LANG_MARKERS.items()
-}
-
-_LANG_ID_SQL = f"""
-WITH h AS (
-  SELECT doc_id, lang,
-         {_LANG_HITS_SQL['en']} AS h_en,
-         {_LANG_HITS_SQL['de']} AS h_de,
-         {_LANG_HITS_SQL['es']} AS h_es,
-         {_LANG_HITS_SQL['fr']} AS h_fr,
-         {_LANG_HITS_SQL['zh']} AS h_zh
-  FROM documents),
-p AS (
-  SELECT lang,
-    CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) <= 0 THEN 'und'
-         WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
-         WHEN h_de = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'de'
-         WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
-         WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
-         ELSE 'zh' END AS lang_pred
-  FROM h)
-SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
-FROM p GROUP BY lang, lang_pred
-"""
-
-
-@register("q_lang_id", _LANG_ID_SQL)
-def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (stopword-marker argmax) evaluated as a
-    confusion summary against the labeled ``lang`` column."""
-    docs = load_docs(spark, sf_dir)
-    return (docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
-            .groupBy("lang", "lang_pred")
-            .agg(F.count(F.lit(1)).alias("n")))
-
-
-# the quality heuristic as ANSI SQL over a `text` column — shared by the
-# quality query and every composite that gates or ranks on q_score
-_QSCORE_SQL = """CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
-             WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END
-      + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
-                  / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END
-      + CASE WHEN """ + _LANG_HITS_SQL["en"] + """ > 0 THEN 1.0 ELSE 0.5 END
-       ) / 3.0 AS DOUBLE)"""
-
-
-@register("q_quality_score", f"""
-SELECT doc_id, {_QSCORE_SQL} AS q_score
-FROM documents
-""")
-def q_quality_score(spark, sf_dir):
-    """Quality scoring: length band + punctuation ratio + stopword
-    presence (C4/Gopher-style public heuristics), [0,1]."""
-    docs = load_docs(spark, sf_dir)
-    return docs.select("doc_id",
-                       text.quality_score(F.col("text")).alias("q_score"))
-
-
-_AGG_VIEW_ORACLE = """
-WITH delta AS (
-  SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 30 = 0 THEN NULL
-              ELSE o_totalprice * 1.1 END AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 = 0
-  UNION ALL
-  SELECT 900000001 + 7 * g.i AS o_orderkey,
-         990000 + g.i AS o_custkey,
-         CAST(NULL AS DOUBLE) AS o_totalprice
-  FROM generate_series(0, 4) AS g(i)
-  UNION ALL
-  SELECT 910000000 + 7 * g.i AS o_orderkey,   -- ≡0 (mod 7): deleted →
-         995000 + g.i AS o_custkey,           -- group empties, must vanish
-         50.0 + g.i AS o_totalprice
-  FROM generate_series(0, 2) AS g(i)
-  UNION ALL
-  SELECT 910000021 + 7 * g.i AS o_orderkey,   -- the group's only non-NULL
-         997000 + g.i AS o_custkey,           -- row, deleted below →
-         60.0 + g.i AS o_totalprice           -- sum must TRANSITION to NULL
-  FROM generate_series(0, 2) AS g(i)
-  UNION ALL
-  SELECT 930000002 + 7 * g.i AS o_orderkey,   -- ≡1 (mod 7): survives with
-         997000 + g.i AS o_custkey,           -- a NULL measure
-         CAST(NULL AS DOUBLE) AS o_totalprice
-  FROM generate_series(0, 2) AS g(i)),
-state AS (
-  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
-  UNION ALL
-  SELECT o_orderkey, o_custkey, o_totalprice FROM delta)
-SELECT o_custkey,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
-         AS sum_price
-FROM state WHERE o_orderkey % 7 <> 0
-GROUP BY o_custkey
-"""
-
-
-def _agg_view_scenario(spark, sf_dir, backend: str):
-    """Shared IVM scenario (initial load → NULLing update + all-NULL
-    ghost inserts → delete batch) run against either store backend —
-    both must produce the identical rollup, checked against the same
-    DuckDB recompute oracle."""
-    from ydb_cdc_processor_spark.operators.agg_view import AggregateView
-
-    key = ["o_orderkey"]
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice")
-    av = AggregateView(
-        spark, _scratch_dir("aggview_") + "/agg",
-        ["o_custkey"], {"sum_price": "o_totalprice"}, count_col="n_orders",
-        backend=backend, n_buckets=16)
-
-    av.apply_delta(new_rows=orders, old_rows=None)          # initial load
-    upd = (orders.where(F.col("o_orderkey") % 10 == 0)
-           .withColumn("o_totalprice",
-                       F.when(F.col("o_orderkey") % 30 == 0, F.lit(None))
-                        .otherwise(F.col("o_totalprice") * 1.1)))
-    # adversarial ghost families (the batches a weak IVM silently
-    # corrupts — the driver gate must be able to catch each class):
-    #   990000+: only-NULL measures, keys ≡5 (mod 7) → survive deletes;
-    #            group must surface sum_price = NULL (never 0.0)
-    #   995000+: keys ≡0 (mod 7) → fully deleted; group count reaches 0
-    #            and the group must VANISH from the view
-    #   997000+: two rows each — the only NON-NULL one is ≡0 (mod 7) and
-    #            gets deleted → the sum must TRANSITION non-NULL → NULL
-    #            (the per-measure counter, not the running sum, decides)
-    ghosts = spark.createDataFrame(
-        [(900000001 + 7 * i, 990000 + i, None) for i in range(5)]
-        + [(910000000 + 7 * i, 995000 + i, 50.0 + i) for i in range(3)]
-        + [(910000021 + 7 * i, 997000 + i, 60.0 + i) for i in range(3)]
-        + [(930000002 + 7 * i, 997000 + i, None) for i in range(3)],
-        schema=upd.schema)
-    ups = upd.unionByName(ghosts)
-    av.apply_delta(new_rows=ups,                            # update batch
-                   old_rows=orders.join(ups.select(*key), on=key,
-                                        how="left_semi"))
-    state = merge.merge_upsert(orders, ups, key)
-    dels = state.where(F.col("o_orderkey") % 7 == 0)
-    av.apply_delta(new_rows=None, old_rows=dels)            # delete batch
-    return av.read().select(
-        "o_custkey", "n_orders",
-        F.round("sum_price", 4).alias("sum_price"))
-
-
-@register("q_agg_view", _AGG_VIEW_ORACLE)
-def q_agg_view(spark, sf_dir):
-    """Incremental aggregate-view maintenance (operators/agg_view.py):
-    a per-customer rollup kept current through an initial load, an
-    update batch that NULLs some prices and inserts all-NULL ghost
-    groups, and a delete batch — by ±contribution deltas (old images
-    from the row view, key-pruned), never a recompute.  The oracle
-    computes the same rollup from the post-merge row state; NULL
-    measures pin SQL SUM semantics (all-NULL group → NULL, not 0 — the
-    per-measure non-null counters), and sums match exactly because they
-    are decimal-routed."""
-    return _agg_view_scenario(spark, sf_dir, backend="flat")
-
-
-@register("q_agg_view_bucketed", _AGG_VIEW_ORACLE)
-def q_agg_view_bucketed(spark, sf_dir):
-    """Same IVM scenario on the BUCKETED store (agg_view.py
-    backend="bucketed" → bucketed_view.merge_touched): maintenance cost
-    is O(delta + touched buckets) instead of an O(|rollup|) rewrite per
-    batch, with a per-bucket replay fence instead of the flat swap's
-    meta file.  Identical oracle — storage must never change results."""
-    return _agg_view_scenario(spark, sf_dir, backend="bucketed")
-
-
-@register("q_skew_join", """
-SELECT s.s_nationkey AS nationkey,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
-         AS sum_price
-FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-GROUP BY s.s_nationkey
-""")
-def q_skew_join(spark, sf_dir):
-    """Skew-tolerant salted join (functions/partitioning.salted_join):
-    the fact side salted into 16 sub-keys, the dimension side replicated
-    per salt — a hot join key spreads over 16 reducers instead of one.
-    Results are exactly the plain join's (oracle is the unsalted SQL);
-    the salting changes only the physical key distribution."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice")
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
-    joined = salted_join(li, supp, ["l_suppkey"], n_salts=16)
-    return (joined.groupBy(F.col("s_nationkey").alias("nationkey"))
-            .agg(F.count(F.lit(1)).alias("n_items"),
-                 dec_sum("l_extendedprice", "sum_price")))
-
-
-@register("q_doc_percentiles", """
-SELECT lang,
-  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 6) AS p50,
-  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.9), 6) AS p90,
-  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.99), 6) AS p99,
-  CAST(MAX(n_tok) AS BIGINT) AS max_tok
-FROM (
-  SELECT lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(trim(text)) - length(replace(trim(text), ' ', ''))
-                   + 1 END AS n_tok
-  FROM documents) t
-GROUP BY lang
-""")
-def q_doc_percentiles(spark, sf_dir):
-    """Per-language token-count distribution: EXACT interpolated
-    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both
-    linear interpolation — deliberately not approx_percentile, whose
-    sketch is engine-specific and un-oracle-able).  The length-filtering
-    stats a C4-style corpus curation pass cuts on."""
-    docs = load_docs(spark, sf_dir)
-    toks = docs.select("lang",
-                       text.token_count(F.col("text")).alias("n_tok"))
-    return (toks.groupBy("lang").agg(
-        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.5)), 6)
-         .alias("p50"),
-        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.9)), 6)
-         .alias("p90"),
-        F.round(F.percentile(F.col("n_tok").cast("double"), F.lit(0.99)), 6)
-         .alias("p99"),
-        F.max("n_tok").cast("long").alias("max_tok")))
-
-
-@register("q_similarity_topk", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
-s AS (SELECT probe_id, vec_id,
-             round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
-      FROM e CROSS JOIN p WHERE vec_id <> probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-k (similarity-search baseline): probes
-    broadcast, corpus scanned once, per-partition local top-k via window —
-    no full sort, no shuffle of the corpus (operators/similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk(emb, probes, k=5)
-
-
-@register("q_similarity_quantized", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-m AS (SELECT vec_id, emb,
-             greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30) AS mx
-      FROM e),
-q AS (SELECT vec_id,
-             list_transform(emb, x -> CAST(round(x * 127.0 / mx) AS BIGINT))
-               AS qv
-      FROM m),
-n AS (SELECT vec_id, qv,
-             sqrt(list_inner_product(qv, qv)) AS nq FROM q),
-p AS (SELECT vec_id AS probe_id, qv AS pv, nq AS np FROM n
-      WHERE vec_id % 100 = 0),
-s AS (SELECT probe_id, vec_id,
-             round(list_inner_product(qv, pv) / (nq * np), 6) AS cos_sim
-      FROM n CROSS JOIN p WHERE vec_id <> probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_similarity_quantized(spark, sf_dir):
-    """Int8-quantized cosine top-k (similarity.cosine_topk_quantized):
-    4× smaller vectors, integer dot products — the memory-bandwidth
-    scale lever before ANN indexing.  Per-vector scales cancel in the
-    cosine, so the oracle replays the exact integer arithmetic."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_quantized(emb, probes, k=5)
-
-
-@register("q_token_bpe", """
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
-            AS BIGINT) AS n_bpe_tokens
-FROM documents
-""")
-def q_token_bpe(spark, sf_dir):
-    """BPE-ish sub-word token counting — same RE2 pattern on both engines
-    (operators/text.py BPE_ISH_PATTERN)."""
-    docs = load_docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
-
-
-@register("q_dedup_embed", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
-""")
-def q_dedup_embed(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, exact all-pairs baseline
-    (operators/similarity.py embedding_neardup_pairs; the LSH-bucketed
-    variant q_dedup_embed_lsh is the 100 TB path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
-
-
-# --- SRP / IVF oracle plumbing -------------------------------------------
-# The approximate embedding queries ARE deterministic: SRP plane weights
-# are md5-derived literals (similarity.srp_planes) and the IVF centroid
-# sample orders by md5(id:seed) — so DuckDB can replay bucket assignment
-# and candidate generation exactly.  Weight literals are emitted into the
-# oracle SQL below; ``e0`` suffix forces DOUBLE (not DECIMAL) parsing so
-# both engines hold bit-identical plane values.
-
-_EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
-
-
-def _dlit(x: float) -> str:
-    r = repr(x)
-    return r if ("e" in r or "E" in r) else r + "e0"
-
-
-def _srp_bucket_sql(n_planes: int, vec: str, seed: int = 42) -> str:
-    """DuckDB expression: SRP bucket id of DOUBLE[] column ``vec``."""
-    planes = similarity.srp_planes(n_planes, _EMB_DIM, seed)
-    terms = [
-        f"(CASE WHEN list_dot_product({vec}, "
-        f"[{', '.join(_dlit(w) for w in row)}]) >= 0 "
-        f"THEN {2 ** p} ELSE 0 END)"
-        for p, row in enumerate(planes)]
-    return "(" + "\n       + ".join(terms) + ")"
-
-
-@register("q_dedup_embed_lsh", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cb AS (SELECT vec_id, emb, {_srp_bucket_sql(6, "emb")} AS bucket FROM e)
-SELECT * FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
-  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-WHERE cos_sim >= 0.4
-""")
-def q_dedup_embed_lsh(spark, sf_dir):
-    """Embedding near-dup via SRP bucket equi-join (never all-pairs).
-    Fixed n_planes=6 (what the adaptive default picks for this corpus via
-    ``n_hint``) + literal md5-derived planes → fully oracle-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=6,
-                                            dim=_EMB_DIM)
-
-
-@register("q_dedup_embed_lsh_multi", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cb AS (SELECT vec_id, emb,
-              {_srp_bucket_sql(8, "emb", seed=42)} AS b0,
-              {_srp_bucket_sql(8, "emb", seed=43)} AS b1
-       FROM e),
-pairs AS (
-  SELECT DISTINCT vec_a, vec_b FROM (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM cb a JOIN cb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
-    UNION ALL
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM cb a JOIN cb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id))
-SELECT * FROM (
-  SELECT p.vec_a, p.vec_b,
-         round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
-  FROM pairs p
-  JOIN e a ON a.vec_id = p.vec_a
-  JOIN e b ON b.vec_id = p.vec_b) t
-WHERE cos_sim >= 0.4
-""")
-def q_dedup_embed_lsh_multi(spark, sf_dir):
-    """OR-amplified SRP near-dup: 2 independent 8-plane tables (seeds
-    42/43), candidates = union of both bucket equi-joins, pair-deduped.
-    Tighter buckets per table (8 planes vs 6) with the second table
-    recovering recall — the standard LSH recall/cost dial, each table
-    still an equi-join, never all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=8,
-                                            dim=_EMB_DIM, n_tables=2)
-
-
-@register("q_similarity_ivf", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, pemb, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
-s AS (SELECT pc.probe_id, cc.vec_id,
-             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
-      FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_similarity_ivf(spark, sf_dir):
-    """IVF-flat ANN: seeded-sample coarse quantizer (md5 order key →
-    engine-replayable), n_probe cells per probe
-    (operators/similarity.py cosine_topk_ivf)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=16, n_probe=4)
-
-
-def _lloyd_iter_sql(cent_in: str, tag: str) -> str:
-    """One Lloyd iteration in DuckDB: assign every corpus vector to its
-    nearest centroid (same rounded-cosine + cell-asc tiebreak as
-    similarity.kmeans_refine), then component-wise mean per cell via
-    generate_series(1, dim) + list(c ORDER BY i).  Components round to 6
-    digits exactly like the Spark side, keeping both engines bit-stable."""
-    return f"""
-a{tag} AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN {cent_in}),
-m{tag} AS (SELECT cell, i, round(avg(emb[i]), 6) AS c
-       FROM (SELECT cell, emb FROM a{tag} WHERE cr = 1) t
-       CROSS JOIN generate_series(1, {_EMB_DIM}) AS g(i)
-       GROUP BY cell, i),
-cent{tag} AS (SELECT cell, list(c ORDER BY i) AS cemb FROM m{tag} GROUP BY cell)"""
-
-
-@register("q_similarity_ivf_kmeans", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent0 AS (SELECT vec_id AS cell, emb AS cemb FROM e
-          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-{_lloyd_iter_sql("cent0", "1")},
-{_lloyd_iter_sql("cent1", "2")},
-ca AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent2),
-cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, pemb, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent2),
-pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
-s AS (SELECT pc.probe_id, cc.vec_id,
-             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
-      FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_similarity_ivf_kmeans(spark, sf_dir):
-    """IVF-flat ANN with a 2-iteration Lloyd-refined coarse quantizer
-    (similarity.kmeans_refine): recall@5 0.32 → 0.52 vs the sampled
-    quantizer on this fixture, and the ENTIRE iterative training loop is
-    replayed by the DuckDB oracle (rounded component means, rounded
-    cosine assignment, cell-asc tiebreaks)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_ivf(emb, probes, k=5, n_cells=16,
-                                      n_probe=4, kmeans_iters=2,
-                                      dim=_EMB_DIM)
-
-
-@register("q_media_meta", """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-            ELSE 'wav' END AS format,
-       CAST(doc_id % 640 + 16 AS INT) AS width,
-       CAST(doc_id % 480 + 16 AS INT) AS height
-FROM documents
-""")
-def q_media_meta(spark, sf_dir):
-    """Multimodal ingest projection: binary content column + typed metadata
-    struct (operators/multimodal.py media_from_documents)."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return media.select(
-        "doc_id",
-        F.length("content").cast("long").alias("n_bytes"),
-        F.col("meta.format").alias("format"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"))
-
-
-# The media feature/decode outputs carry array<double> columns, which the
-# driver's pandas canonicalization cannot hash — the gate wrappers explode
-# them to one scalar row per (doc, bin/pixel).  Everything is deterministic
-# byte arithmetic over the UTF-8 blob, so a full DuckDB oracle exists: the
-# blob's bytes are recovered in SQL from hex(encode(text)) two hex digits at
-# a time.  Floats rounded to 6 digits on both sides (SURVEY.md §6 rule).
-
-_HEX_BYTE = ("(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16"
-             " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
-
-@register("q_media_features", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE octet_length(encode(text)) > 0),
-byt AS (
-  SELECT doc_id, n, {_HEX_BYTE} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)),
-binc AS (
-  SELECT doc_id, byte // 16 AS bin, CAST(COUNT(*) AS DOUBLE) AS c
-  FROM byt GROUP BY doc_id, byte // 16),
-doc AS (
-  SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
-         round(SUM(byte) / any_value(n), 6) AS mean_byte
-  FROM byt GROUP BY doc_id),
-ent AS (
-  SELECT bc.doc_id,
-         round(-SUM((bc.c / d.n_bytes) * log2(bc.c / d.n_bytes)), 6)
-           AS byte_entropy
-  FROM binc bc JOIN doc d USING (doc_id) GROUP BY bc.doc_id),
-hist AS (
-  SELECT d.doc_id, g.bin, round(COALESCE(bc.c, 0) / d.n_bytes, 6) AS p
-  FROM doc d
-  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) g
-  LEFT JOIN binc bc ON bc.doc_id = d.doc_id AND bc.bin = g.bin)
-SELECT d.doc_id, d.n_bytes, d.mean_byte, e.byte_entropy,
-       CAST(h.bin AS INT) AS bin, h.p
-FROM doc d JOIN ent e USING (doc_id) JOIN hist h USING (doc_id)
-""")
-def q_media_features(spark, sf_dir):
-    """Arrow-batched byte-level feature extraction over the binary media
-    column (n_bytes, mean byte, entropy, 16-bin histogram), exploded to
-    one row per (doc, bin) so every output column is scalar/hashable."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    feats = multimodal.extract_byte_features(media)
-    return (feats.where(F.col("n_bytes") > 0)
-            .select("doc_id", "n_bytes",
-                    F.round("mean_byte", 6).alias("mean_byte"),
-                    F.round("byte_entropy", 6).alias("byte_entropy"),
-                    F.posexplode("histogram16").alias("bin", "p"))
-            .select("doc_id", "n_bytes", "mean_byte", "byte_entropy",
-                    F.col("bin").cast("int").alias("bin"),
-                    F.round("p", 6).alias("p")))
-
-
-@register("q_media_decode", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
-         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
-           AS side
-  FROM documents WHERE octet_length(encode(text)) > 0),
-byt AS (
-  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= side * side),
-pooled AS (
-  SELECT doc_id, side,
-         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
-         round(SUM(byte) / COUNT(*), 6) AS lum
-  FROM byt
-  GROUP BY doc_id, side,
-           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side))
-SELECT b.doc_id, CAST(b.side AS INT) AS width, CAST(b.side AS INT) AS height,
-       CAST(c.px_idx AS INT) AS px_idx, COALESCE(p.lum, 0.0) AS lum
-FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
-LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx
-""")
-def q_media_decode(spark, sf_dir):
-    """Stub-codec decode to 4×4 luminance thumbnails — exercises the real
-    mapInPandas plumbing; pixels exploded to one row per (doc, px_idx) for
-    the gate.  The fake codec is pure byte arithmetic (truncate to side²,
-    average-pool), so the oracle recomputes it in SQL."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    dec = multimodal.decode_image(media, codec="fake", thumb=4)
-    return (dec.where(F.col("pixels").isNotNull())
-            .select("doc_id", "width", "height",
-                    F.posexplode("pixels").alias("px_idx", "lum"))
-            .select("doc_id", "width", "height",
-                    F.col("px_idx").cast("int").alias("px_idx"), "lum"))
-
-
-@register("q_media_frames", """
-SELECT doc_id, CAST(k AS INT) AS frame_idx,
-       CAST(doc_id % 24 + 1 AS INT) AS n_frames
-FROM documents
-CROSS JOIN generate_series(0, 23) AS g(k)
-WHERE k <= doc_id % 24 AND k % 4 = 0
-""")
-def q_media_frames(spark, sf_dir):
-    """Video frame sampling (multimodal.frame_sample): frames fan out as
-    rows via explode(sequence(...)), every-4th kept — pure Catalyst, the
-    codec work stays out of the sampling plan."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return (multimodal.frame_sample(media, every_n=4)
-            .select("doc_id",
-                    F.col("frame_idx").cast("int").alias("frame_idx"),
-                    F.col("meta.n_frames").alias("n_frames")))
-
-
-_RESIZE_W, _RESIZE_H = 3, 2  # non-square output catches transposed maps
-
-
-@register("q_media_resize", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
-         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
-           AS side
-  FROM documents WHERE octet_length(encode(text)) > 0),
-byt AS (
-  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= side * side),
-pooled AS (
-  SELECT doc_id, side,
-         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
-         round(SUM(byte) / COUNT(*), 6) AS lum
-  FROM byt
-  GROUP BY doc_id, side,
-           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side)),
-px AS (
-  SELECT b.doc_id, c.px_idx, COALESCE(p.lum, 0.0) AS lum
-  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
-  LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx)
-SELECT px.doc_id, CAST(o.k AS INT) AS px_idx, px.lum
-FROM (SELECT unnest(generate_series(0, {_RESIZE_W * _RESIZE_H - 1})) AS k) o
-JOIN px ON px.px_idx =
-    ((o.k // {_RESIZE_W}) * 4 // {_RESIZE_H}) * 4
-    + ((o.k % {_RESIZE_W}) * 4 // {_RESIZE_W})
-""")
-def q_media_resize(spark, sf_dir):
-    """Nearest-neighbor resize of the decoded 4×4 luminance thumbnails to
-    {h}×{w} (multimodal.resize_nearest — real numpy resize, driver-built
-    index map, one fancy-index per row per Arrow batch).  The oracle
-    replays decode + the index map in SQL.""".format(h=_RESIZE_H,
-                                                     w=_RESIZE_W)
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    dec = multimodal.decode_image(media, codec="fake", thumb=4)
-    rez = multimodal.resize_nearest(dec, out_w=_RESIZE_W, out_h=_RESIZE_H)
-    return (rez.where(F.col("pixels").isNotNull())
-            .select("doc_id", F.posexplode("pixels").alias("px_idx", "lum"))
-            .select("doc_id", F.col("px_idx").cast("int").alias("px_idx"),
-                    "lum"))
-
-
-@register("q_ngram_jaccard", r"""
-WITH n AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
-         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS pre
-  FROM documents),
-s AS (
-  SELECT doc_id, pre,
-         list_distinct(list_transform(
-           range(1, greatest(len(w) - 3, 0) + 2),
-           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-  FROM n),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
-  UNION
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM s a JOIN s b ON a.pre = b.pre AND a.doc_id < b.doc_id)
-SELECT p.doc_a, p.doc_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
-         AS jaccard
-FROM pairs p
-JOIN s a ON a.doc_id = p.doc_a
-JOIN s b ON b.doc_id = p.doc_b
-""")
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard over a deterministic pair set
-    (consecutive ids ∪ shared-normalized-prefix pairs) — the verify metric of
-    the near-dup family, oracle-matched shingle-by-shingle."""
-    docs = load_docs(spark, sf_dir)
-    ids = docs.select("doc_id")
-    consec = (ids.select(F.col("doc_id").alias("doc_a"))
-              .join(ids.select((F.col("doc_id")).alias("doc_b")),
-                    F.col("doc_b") == F.col("doc_a") + 1))
-    pre = docs.select("doc_id", F.substring(
-        dedup.normalize_text(F.col("text")), 1, 40).alias("pre"))
-    dup = (pre.alias("a").join(pre.alias("b"), "pre")
-           .where(F.col("a.doc_id") < F.col("b.doc_id"))
-           .select(F.col("a.doc_id").alias("doc_a"),
-                   F.col("b.doc_id").alias("doc_b")))
-    pairs = consec.union(dup).distinct()
-    return dedup.ngram_jaccard(docs, pairs)
-
-
-# MinHash/SimHash oracles: with hash_fn="md5" the whole signature → band →
-# bucket pipeline is salted/truncated md5, which DuckDB computes verbatim —
-# the "take-our-word-for-it" gap the round-1 verdict flagged is closed by
-# replaying the exact hashes, not by weakening the check.
-
-_SHINGLE3 = ("list_transform(range(1, greatest(len(w) - 3, 0) + 2), "
-             "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
-_SHINGLE2 = ("list_transform(range(1, greatest(len(w) - 2, 0) + 2), "
-             "i -> concat_ws(' ', w[i], w[i+1]))")
-_NORM_WORDS = (r"SELECT doc_id, string_split(regexp_replace(lower(trim(text)),"
-               r" '\s+', ' ', 'g'), ' ') AS w FROM documents")
-
-_MINHASH_SIG_COLS = ", ".join(
-    f"min(md5(s || ':{i}')) AS mh{i}" for i in range(16))
-_MINHASH_BANDS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5(mh{4 * b} || ',' || mh{4 * b + 1} || ',' || mh{4 * b + 2}"
-    f" || ',' || mh{4 * b + 3}) AS bucket FROM sig"
-    for b in range(4))
-
-@register("q_dedup_minhash", f"""
-WITH nrm AS ({_NORM_WORDS}),
-sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
-sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_MINHASH_BANDS}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id),
-shd AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh3 FROM nrm)
-SELECT * FROM (
-  SELECT p.doc_a, p.doc_b,
-         round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE) /
-               greatest(len(list_distinct(list_concat(a.sh3, b.sh3))), 1), 6)
-           AS jaccard
-  FROM pairs p
-  JOIN shd a ON a.doc_id = p.doc_a
-  JOIN shd b ON b.doc_id = p.doc_b) t
-WHERE jaccard >= 0.5
-""")
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs, verified with exact n-gram
-    Jaccard ≥ 0.5 (shingle → minhash → band buckets → bucket equi-join →
-    Jaccard re-rank; operators/dedup.py).  hash_fn="md5" → the oracle
-    replays the identical signature/band pipeline in SQL."""
-    docs = load_docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
-    return dedup.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
-
-
-@register("q_top_terms", r"""
-WITH w AS (
-  SELECT lang, unnest(string_split(
-    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
-  FROM documents),
-c AS (
-  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
-  FROM w WHERE length(word) >= 4
-  GROUP BY lang, word),
-r AS (
-  SELECT lang, word, n,
-         row_number() OVER (PARTITION BY lang
-                            ORDER BY n DESC, word ASC) AS rnk
-  FROM c)
-SELECT lang, word, n, rnk FROM r WHERE rnk <= 5
-""")
-def q_top_terms(spark, sf_dir):
-    """Top-5 terms (≥4 chars) per language: explode → hash-agg (map-side
-    partials carry (lang, word) partial counts) → per-lang top-N window.
-    The corpus-vocabulary profile a curation pipeline reports; at scale
-    the only full-width shuffle carries one row per distinct (lang, word).
-    """
-    docs = load_docs(spark, sf_dir)
-    words = docs.select(
-        "lang",
-        F.explode(F.split(dedup.normalize_text(F.col("text")), " "))
-         .alias("word")).where(F.length("word") >= 4)
-    counts = words.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(),
-                                           F.col("word").asc())
-    return (counts.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 5))
-
-
-_MINHASH_EST = " + ".join(
-    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16))
-
-@register("q_minhash_estimate", f"""
-WITH nrm AS ({_NORM_WORDS}),
-sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
-sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_MINHASH_BANDS}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id),
-shd AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh3 FROM nrm)
-SELECT p.doc_a, p.doc_b,
-       round(({_MINHASH_EST}) / 16.0, 6) AS est_jaccard,
-       round(CAST(len(list_intersect(sa.sh3, sb.sh3)) AS DOUBLE) /
-             greatest(len(list_distinct(list_concat(sa.sh3, sb.sh3))), 1), 6)
-         AS jaccard
-FROM pairs p
-JOIN sig a ON a.doc_id = p.doc_a
-JOIN sig b ON b.doc_id = p.doc_b
-JOIN shd sa ON sa.doc_id = p.doc_a
-JOIN shd sb ON sb.doc_id = p.doc_b
-""")
-def q_minhash_estimate(spark, sf_dir):
-    """Signature-level Jaccard estimate next to the exact value for every
-    LSH candidate pair (dedup.minhash_jaccard_estimate): the estimate
-    joins 16-component signatures only — at 100 TB the corpus is never
-    re-shingled per pair; exact verification runs on estimate survivors.
-    Oracle replays signatures, bands, estimate, and exact Jaccard."""
-    docs = load_docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
-    est = dedup.minhash_jaccard_estimate(docs, pairs, hash_fn="md5")
-    exact = dedup.ngram_jaccard(docs, pairs)
-    return est.join(exact, on=["doc_a", "doc_b"])
-
-
-@register("q_dedup_clusters", f"""
-WITH RECURSIVE nrm AS ({_NORM_WORDS}),
-sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
-sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_MINHASH_BANDS}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id),
-shd AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh3 FROM nrm),
-vp AS (
-  SELECT * FROM (
-    SELECT p.doc_a, p.doc_b,
-           round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE) /
-                 greatest(len(list_distinct(list_concat(a.sh3, b.sh3))), 1), 6)
-             AS jaccard
-    FROM cand p
-    JOIN shd a ON a.doc_id = p.doc_a
-    JOIN shd b ON b.doc_id = p.doc_b) t
-  WHERE jaccard >= 0.5),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM vp
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM vp),
-reach AS (
-  SELECT src AS doc, src AS r FROM edges
-  UNION
-  SELECT e.dst AS doc, reach.r AS r FROM reach JOIN edges e ON e.src = reach.doc)
-SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-FROM reach GROUP BY doc
-""")
-def q_dedup_clusters(spark, sf_dir):
-    """Duplicate-cluster resolution: the verified MinHash near-dup pairs
-    (jaccard ≥ 0.5) resolved into connected components, each labeled by
-    its min doc id — the canonical-survivor step after pair generation
-    (dedup.duplicate_clusters, iterative min-label propagation).  The
-    oracle computes the same components with a recursive CTE."""
-    docs = load_docs(spark, sf_dir)
-    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
-    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
-    return dedup.duplicate_clusters(verified.select("doc_a", "doc_b"))
-
-
-@register("q_dedup_clusters_star", None)
-def q_dedup_clusters_star(spark, sf_dir):
-    """Same components as q_dedup_clusters, via the O(log n)-round
-    large-star/small-star algorithm (dedup._clusters_star) — the
-    adversarial-diameter scale path.  Shares q_dedup_clusters' recursive-
-    CTE oracle: identical labels regardless of algorithm."""
-    docs = load_docs(spark, sf_dir)
-    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
-    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
-    return dedup.duplicate_clusters(verified.select("doc_a", "doc_b"),
-                                    algorithm="star")
-
-
-ORACLES["q_dedup_clusters_star"] = ORACLES["q_dedup_clusters"]
-
-
-def _simhash_votes_sql() -> tuple[str, str]:
-    """(vote column SQL, bucket assembly SQL) for the top-16 SimHash bits
-    — bit b of the low-64 md5 half lives in hex digit 16 - b//4 (1-based,
-    digits 17-32 of the full md5), sub-bit b % 4."""
-    votes, bits = [], []
-    for b in range(48, 64):
-        d, j = 16 - b // 4, b % 4
-        votes.append(
-            f"SUM(CASE WHEN (d{d} // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END)"
-            f" AS v{b}")
-        bits.append(f"(CASE WHEN v{b} >= 0 THEN {2 ** (b - 48)} ELSE 0 END)")
-    return ", ".join(votes), " + ".join(bits)
-
-_SIMHASH_VOTES, _SIMHASH_BUCKET = _simhash_votes_sql()
-
-@register("q_dedup_simhash", f"""
-WITH nrm AS ({_NORM_WORDS}),
-sh AS (SELECT doc_id, unnest({_SHINGLE2}) AS s FROM nrm),
-hd AS (SELECT doc_id,
-        strpos('0123456789abcdef', substr(md5(s), 17, 1)) - 1 AS d1,
-        strpos('0123456789abcdef', substr(md5(s), 18, 1)) - 1 AS d2,
-        strpos('0123456789abcdef', substr(md5(s), 19, 1)) - 1 AS d3,
-        strpos('0123456789abcdef', substr(md5(s), 20, 1)) - 1 AS d4
-       FROM sh),
-v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM hd GROUP BY doc_id)
-SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(doc_id) AS BIGINT) AS min_doc
-FROM (SELECT doc_id, CAST({_SIMHASH_BUCKET} AS BIGINT) AS bucket FROM v) b
-GROUP BY bucket
-""")
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures + bucket sizes (near-dup candidate generation).
-    hash_fn="md5" → the per-bit majority vote is replayed in SQL from the
-    low 64 bits of each shingle's md5."""
-    docs = load_docs(spark, sf_dir)
-    sig = dedup.simhash_candidates(docs, hash_fn="md5")
-    return (sig.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("doc").alias("min_doc"))
-            .where(F.col("n_docs") >= 1))
-
-
-@register("q_similarity_lsh", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cb AS (SELECT vec_id, emb, {_srp_bucket_sql(8, "emb")} AS bucket FROM e),
-pb AS (SELECT vec_id AS probe_id, emb AS pemb, bucket FROM cb
-       WHERE vec_id % 100 = 0),
-s AS (SELECT pb.probe_id, cb.vec_id,
-             round(list_cosine_similarity(cb.emb, pb.pemb), 6) AS cos_sim
-      FROM cb JOIN pb USING (bucket) WHERE cb.vec_id <> pb.probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_similarity_lsh(spark, sf_dir):
-    """SRP-LSH approximate cosine top-k — the 100 TB scale path (bucket
-    equi-join instead of cross join); literal md5-derived planes → the
-    bucket assignment is oracle-replayable."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_lsh(emb, probes, k=5, n_planes=8,
-                                      dim=_EMB_DIM)
-
-
-# ---------------------------------------------------------------------------
-# Temporal joins, deterministic sampling, tf-idf, chunking (round 5)
-# ---------------------------------------------------------------------------
-
-@register("q_asof_join", """
-WITH probe AS (
-  SELECT event_id, user_id, ts, value FROM events
-  WHERE event_type = 'purchase'),
-build AS (
-  SELECT user_id, ts, max(value) AS signup_value FROM events
-  WHERE event_type = 'signup' GROUP BY user_id, ts)
-SELECT p.event_id, p.user_id,
-       round(p.value, 6) AS value,
-       round(b.signup_value, 6) AS signup_value
-FROM probe p ASOF LEFT JOIN build b
-  ON p.user_id = b.user_id AND p.ts >= b.ts
-""")
-def q_asof_join(spark, sf_dir):
-    """AS-OF JOIN (operators/temporal.py): each purchase enriched with
-    the user's most recent at-or-before signup value.  Spark lacks the
-    operator; the implementation is the union-sort-window lowering (ONE
-    shuffle on the key, no range join).  DuckDB's native ASOF JOIN is
-    the oracle.  Build side pre-deduped per (user, ts) so the at-tie
-    pick is well-defined in both engines."""
-    from ydb_cdc_processor_spark.operators.temporal import as_of_join
-    events = load_table(spark, sf_dir, "events")
-    probe = events.where(F.col("event_type") == "purchase") \
-        .select("event_id", "user_id", "ts", "value")
-    build = (events.where(F.col("event_type") == "signup")
-             .groupBy("user_id", "ts")
-             .agg(F.max("value").alias("signup_value")))
-    out = as_of_join(probe, build, keys=["user_id"],
-                     probe_ts="ts", build_ts="ts",
-                     payload=["signup_value"], suffix="")
-    return out.select("event_id", "user_id",
-                      F.round("value", 6).alias("value"),
-                      F.round("signup_value", 6).alias("signup_value"))
-
-
-@register("q_range_join", """
-WITH bands AS (
-  SELECT CAST(i AS BIGINT) AS band_id,
-         CAST(890 + i * 20 AS DOUBLE) AS lo,
-         CAST(890 + i * 20 + 45 AS DOUBLE) AS hi
-  FROM range(0, 60) t(i))
-SELECT p.p_partkey, b.band_id, b.lo, b.hi,
-       round(p.p_retailprice, 6) AS price
-FROM read_parquet('{SF}/part.parquet') p JOIN bands b
-  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
-""".replace("read_parquet('{SF}/part.parquet')", "part"))
-def q_range_join(spark, sf_dir):
-    """Range join (operators/temporal.py): parts matched to overlapping
-    price bands.  The plain BETWEEN theta-join is a cross product at
-    scale; range_join_binned replicates each interval to the hash bins
-    it overlaps and equi-joins on the bin (+ codegen refine).  The
-    oracle runs the plain BETWEEN join."""
-    from ydb_cdc_processor_spark.operators.temporal import range_join_binned
-    part = load_table(spark, sf_dir, "part")
-    bands = spark.range(0, 60).select(
-        F.col("id").alias("band_id"),
-        (890 + F.col("id") * 20).cast("double").alias("lo"),
-        (890 + F.col("id") * 20 + 45).cast("double").alias("hi"))
-    out = range_join_binned(part, bands, value_col="p_retailprice",
-                            lo_col="lo", hi_col="hi", bin_width=20.0)
-    return out.select("p_partkey", "band_id", "lo", "hi",
-                      F.round("p_retailprice", 6).alias("price"))
-
-
-_HEX8 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) * {16 ** (8 - i)}"
-    for i in range(1, 9))
-
-@register("q_stratified_sample", f"""
-WITH d AS (
-  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-  FROM documents),
-f AS (
-  SELECT doc_id, lang,
-         CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
-  FROM d)
-SELECT doc_id, lang, round(frac, 6) AS frac
-FROM f
-WHERE frac < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0
-                       WHEN 'de' THEN 0.8 ELSE 0.5 END
-""")
-def q_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling (functions/sampling.py):
-    per-language keep rates decided by an md5 id-hash fraction — stable
-    across runs/partitionings/engines (df.sample() is neither).  The
-    oracle reconstructs the identical hash fraction digit-by-digit."""
-    from ydb_cdc_processor_spark.functions.sampling import (
-        hash_fraction, stratified_sample)
-    docs = load_docs(spark, sf_dir)
-    out = stratified_sample(docs, id_col="doc_id", group_col="lang",
-                            rates={"en": 0.3, "zh": 1.0, "de": 0.8},
-                            default_rate=0.5)
-    return out.select("doc_id", "lang",
-                      F.round(hash_fraction(F.col("doc_id")), 6)
-                       .alias("frac"))
-
-
-@register("q_sample_per_group", """
-WITH r AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-  FROM documents)
-SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20
-""")
-def q_sample_per_group(spark, sf_dir):
-    """Deterministic k-per-group sampling (functions/sampling.py):
-    exactly min(k, |group|) docs per language, ranked by md5(id) — a
-    hash-ranked reservoir that is stable across runs, partitionings, and
-    engines (the oracle replays the identical ranking)."""
-    from pyspark.sql import Window
-    from ydb_cdc_processor_spark.functions.sampling import sample_per_group
-    docs = load_docs(spark, sf_dir)
-    out = sample_per_group(docs, id_col="doc_id", group_col="lang", k=20)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
-    return out.select("doc_id", "lang",
-                      F.row_number().over(w).cast("int").alias("rk"))
-
-
-@register("q_tfidf_top_terms", f"""
-WITH nrm AS ({_NORM_WORDS}),
-terms AS (SELECT doc_id, unnest(w) AS term FROM nrm),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM terms WHERE term <> '' GROUP BY doc_id, term),
-df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-      FROM documents),
-s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
-      FROM tf, df, n WHERE tf.term = df.term),
-r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-          ORDER BY score DESC, term ASC) AS rnk FROM s)
-SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rank
-FROM r WHERE rnk <= 3
-""")
-def q_tfidf_top_terms(spark, sf_dir):
-    """Top-3 characteristic terms per document by the rational tf-idf
-    score tf×N/df (exact integer product + one IEEE division — ln is not
-    correctly-rounded across engines, so the log variant cannot be
-    hash-gated; see text.tfidf_top_terms)."""
-    return text.tfidf_top_terms(load_docs(spark, sf_dir), k=3)
-
-
-@register("q_curation_pipeline", f"""
-WITH keep AS (
-  SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
-  FROM documents
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-quality AS (
-  SELECT d.doc_id, d.lang, d.text,
-    CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
-               WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END
-        + CASE WHEN (length(text) -
-                     length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]',
-                                           '', 'g')))
-                    / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END
-        + CASE WHEN {_LANG_HITS_SQL["en"]} > 0 THEN 1.0 ELSE 0.5 END
-         ) / 3.0 AS DOUBLE) AS q_score
-  FROM documents d JOIN keep USING (doc_id)),
-sampled AS (
-  SELECT doc_id, lang, text FROM (
-    SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-    FROM quality WHERE q_score >= 0.5) t
-  WHERE CAST({_HEX8} AS BIGINT) / 4294967296.0 <
-        CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END),
-nrm AS (
-  SELECT doc_id, lang,
-         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                      ' ') AS w
-  FROM sampled
-  WHERE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) > 0),
-st AS (
-  SELECT doc_id, lang, w, unnest(range(0, greatest(len(w), 1), 48)) AS cs
-  FROM nrm)
-SELECT doc_id, lang,
-       CAST(cs // 48 AS INT) AS chunk_idx,
-       CAST(len(list_slice(w, cs + 1, cs + 64)) AS INT) AS n_words,
-       md5(array_to_string(list_slice(w, cs + 1, cs + 64), ' '))
-         AS chunk_fp
-FROM st WHERE cs < len(w)
-""")
-def q_curation_pipeline(spark, sf_dir):
-    """The composite training-data pass, operators chained end-to-end:
-    exact dedup (keep min-id per content digest) → quality gate
-    (q_score ≥ 0.5) → deterministic stratified sample (en at 0.5, the
-    rest kept) → 64/48 word-window chunking, each chunk fingerprinted.
-    One declarative plan — Catalyst fuses the gates into the scan; the
-    only data shuffle is the dedup group-by (the keep-set then
-    BROADCASTS into the semi-join, and `lang` rides the chunk explode
-    via carry_cols instead of a chunk-set re-join — pinned by
-    test_curation_pipeline_no_rejoin).  The oracle composes the same
-    stages in SQL."""
-    from ydb_cdc_processor_spark.functions.sampling import stratified_sample
-    docs = load_docs(spark, sf_dir)
-    keep = (dedup.exact_dedup_groups(docs)
-            .select(F.col("keep_doc_id").alias("doc_id")))
-    deduped = docs.join(keep, on="doc_id", how="left_semi")
-    gated = deduped.where(
-        text.quality_score(F.col("text")) >= 0.5)
-    sampled = stratified_sample(gated, id_col="doc_id", group_col="lang",
-                                rates={"en": 0.5}, default_rate=1.0)
-    # lang rides the chunk explode via carry_cols — re-joining it back on
-    # doc_id would shuffle the (larger) chunk set a third time
-    chunks = text.chunk_documents(sampled.select("doc_id", "lang", "text"),
-                                  chunk_words=64, stride=48,
-                                  carry_cols=["lang"])
-    return chunks.select("doc_id", "lang", "chunk_idx", "n_words",
-                         F.md5("chunk_text").alias("chunk_fp"))
-
-
-@register("q_doc_chunks", r"""
-WITH nrm AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                      ' ') AS w
-  FROM documents
-  WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) > 0),
-st AS (
-  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS cs
-  FROM nrm)
-SELECT doc_id,
-       CAST(cs // 48 AS INT) AS chunk_idx,
-       CAST(cs AS INT) AS chunk_start,
-       CAST(len(list_slice(w, cs + 1, cs + 64)) AS INT) AS n_words,
-       array_to_string(list_slice(w, cs + 1, cs + 64), ' ') AS chunk_text
-FROM st WHERE cs < len(w)
-""")
-def q_doc_chunks(spark, sf_dir):
-    """Fixed-size overlapping word-window chunking (64-word chunks every
-    48 words — the standard pre-embedding segmentation).  Pure Catalyst
-    sequence/explode/slice; chunks fan out as rows so downstream
-    embedding parallelism scales with chunks."""
-    return text.chunk_documents(load_docs(spark, sf_dir),
-                                chunk_words=64, stride=48)
-
-
-# ---------------------------------------------------------------------------
-# Round-6 curation operators (operators/curation.py): decontamination,
-# repetition signals, PII redaction, sequence packing, temperature
-# resampling, keep-best dedup, embedding centroids
-# ---------------------------------------------------------------------------
-
-@register("q_decontaminate", f"""
-WITH nrm AS ({_NORM_WORDS}),
-g AS (SELECT doc_id, unnest({_SHINGLE3}) AS gram FROM nrm),
-bench AS (SELECT DISTINCT gram FROM g
-          WHERE doc_id % 97 = 0 AND gram <> ''),
-hits AS (SELECT g.doc_id, g.gram FROM g JOIN bench USING (gram)
-         WHERE g.doc_id % 97 <> 0)
-SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits,
-       min(gram) AS first_hit
-FROM hits GROUP BY doc_id
-""")
-def q_decontaminate(spark, sf_dir):
-    """Test-set decontamination (curation.contamination): docs sharing
-    any word 3-gram with the benchmark slice (doc_id % 97 = 0) are
-    flagged with their distinct-hit count and a stable audit gram.
-    The benchmark n-gram set BROADCASTS, so the corpus is scanned once
-    with no shuffle before the per-doc hit count."""
-    docs = load_docs(spark, sf_dir)
-    bench = docs.where(F.col("doc_id") % 97 == 0)
-    corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return curation.contamination(corpus, bench, n=3)
-
-
-@register("q_repetition_stats", f"""
-WITH nrm AS ({_NORM_WORDS}),
-pr AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS nd
-       FROM nrm),
-bg AS (SELECT doc_id, unnest({_SHINGLE2}) AS bigram FROM nrm),
-bgc AS (SELECT doc_id, bigram, count(*) AS bg_n FROM bg
-        WHERE bigram <> '' GROUP BY doc_id, bigram),
-top AS (SELECT doc_id, bigram, bg_n,
-               sum(bg_n) OVER (PARTITION BY doc_id) AS n_bigrams,
-               row_number() OVER (PARTITION BY doc_id
-                   ORDER BY bg_n DESC, bigram ASC) AS rk
-        FROM bgc)
-SELECT p.doc_id, CAST(p.n_words AS INT) AS n_words,
-       CASE WHEN p.n_words = 0 THEN 0.0
-            ELSE round(1.0 - CAST(p.nd AS DOUBLE) / p.n_words, 6)
-       END AS dup_word_frac,
-       t.bigram AS top_bigram,
-       round(CAST(t.bg_n AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac
-FROM pr p LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
-""")
-def q_repetition_stats(spark, sf_dir):
-    """Gopher-style repetition signals (curation.repetition_stats):
-    duplicate-word fraction (pure per-row array expression, zero
-    shuffle) + most-frequent-bigram share (map-side-combined bigram
-    counts, explicit (count desc, bigram asc) tie order so every engine
-    picks the same mode)."""
-    return curation.repetition_stats(load_docs(spark, sf_dir))
-
-
-@register("q_pii_redact", f"""
-WITH t AS (
-  SELECT doc_id, text
-    || CASE WHEN doc_id % 13 = 0 THEN ' contact user'
-         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
-    || CASE WHEN doc_id % 17 = 0
-         THEN ' call 555-010-4242 or ping 10.0.0.1 ok' ELSE '' END AS t2
-  FROM documents)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(t2, '{PII_EMAIL}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phone,
-  CAST(len(regexp_extract_all(t2, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
-  md5(regexp_replace(regexp_replace(regexp_replace(t2,
-      '{PII_EMAIL}', '<EMAIL>', 'g'),
-      '{PII_PHONE}', '<PHONE>', 'g'),
-      '{PII_IPV4}', '<IP>', 'g')) AS redacted_md5
-FROM t
-""")
-def q_pii_redact(spark, sf_dir):
-    """PII detection + redaction (curation.pii_counts / redact_pii) over
-    text with deterministically injected emails/phones/IPs (doc_id-mod
-    families), so the regex paths are exercised on true positives.  The
-    RE2-safe patterns match identically under Java regex (Spark) and
-    RE2 (DuckDB); redaction equality is proven by md5 of the redacted
-    text."""
-    from ydb_cdc_processor_spark.operators.curation import (
-        pii_counts, redact_pii)
-    docs = load_docs(spark, sf_dir)
-    t2 = F.concat(
-        F.col("text"),
-        F.when(F.col("doc_id") % 13 == 0,
-               F.concat(F.lit(" contact user"),
-                        F.col("doc_id").cast("string"),
-                        F.lit("@example.com now"))).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 17 == 0,
-               F.lit(" call 555-010-4242 or ping 10.0.0.1 ok"))
-         .otherwise(F.lit("")))
-    return docs.select(
-        "doc_id", *pii_counts(t2),
-        F.md5(redact_pii(t2)).alias("redacted_md5"))
-
-
-@register("q_pack_sequences", """
-WITH t AS (
-  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(trim(text))
-                   - length(replace(trim(text), ' ', '')) + 1 END
-           AS n_tokens
-  FROM documents),
-c AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_before
-  FROM t)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
-       CAST(cum_before % 512 AS BIGINT) AS seq_pos
-FROM c
-""")
-def q_pack_sequences(spark, sf_dir):
-    """Deterministic sequence packing (curation.pack_sequences): docs
-    ordered by (md5(id), id) fill 512-token training sequences greedily.
-    The engine computes the running total as a two-level DISTRIBUTED
-    prefix sum (256 md5-prefix shards + a broadcast offset table — no
-    single-reducer global window); the oracle replays it as one flat
-    window, proving the decomposition exact."""
-    return curation.pack_sequences(load_docs(spark, sf_dir), budget=512)
-
-
-_TEMP_HEX8 = _HEX8  # id-hash fraction digits, as in q_stratified_sample
-
-@register("q_temperature_sample", f"""
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-m AS (SELECT min(n) AS n_min FROM c),
-r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM c, m),
-d AS (SELECT doc_id, lang,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-      FROM documents)
-SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
-FROM d JOIN r USING (lang)
-WHERE CAST({_TEMP_HEX8} AS BIGINT) / 4294967296.0 < r.rate
-""")
-def q_temperature_sample(spark, sf_dir):
-    """Temperature resampling (curation.temperature_sample, alpha=0.5):
-    language l keeps sqrt(n_min/n_l) of its docs — the multilingual
-    share^alpha mixture flattening.  Rates come from one tiny
-    broadcast agg; keep decisions are engine-replayable id-hash
-    fractions; sqrt is IEEE correctly-rounded on every engine."""
-    out = curation.temperature_sample(load_docs(spark, sf_dir),
-                                      group_col="lang", alpha=0.5)
-    return out.select("doc_id", "lang", "keep_rate")
-
-
-@register("q_dedup_keep_best", f"""
-WITH cl AS ({{clusters}}),
-q AS (SELECT doc_id, {_QSCORE_SQL} AS q_score FROM documents),
-s AS (SELECT cl.cluster_id, cl.doc_id, q.q_score
-      FROM cl JOIN q USING (doc_id)),
-rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-           ORDER BY q_score DESC, doc_id ASC) AS rn
-       FROM s)
-SELECT r.cluster_id, CAST(r.doc_id AS BIGINT) AS keep,
-       n.n_members, round(n.best_score, 6) AS best_score
-FROM (SELECT * FROM rk WHERE rn = 1) r
-JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-             max(q_score) AS best_score
-      FROM s GROUP BY cluster_id) n USING (cluster_id)
-""")
-def q_dedup_keep_best(spark, sf_dir):
-    """Keep-BEST duplicate-cluster survivors
-    (curation.keep_best_in_clusters): the MinHash near-dup clusters
-    (same pipeline as q_dedup_clusters) each keep their highest-quality
-    member (ties → smallest id) instead of keep-first — one hash join +
-    one max_by hash agg, no per-cluster sort."""
-    docs = load_docs(spark, sf_dir)
-    cand = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
-    verified = dedup.ngram_jaccard(docs, cand).where(F.col("jaccard") >= 0.5)
-    clusters = dedup.duplicate_clusters(verified.select("doc_a", "doc_b"))
-    scores = docs.select(
-        "doc_id", text.quality_score(F.col("text")).alias("q_score"))
-    return curation.keep_best_in_clusters(clusters, scores)
-
-# splice the full recursive-CTE cluster oracle in as a nested CTE (the
-# {clusters} placeholder keeps the f-string readable above)
-ORACLES["q_dedup_keep_best"] = ORACLES["q_dedup_keep_best"].replace(
-    "{clusters}", ORACLES["q_dedup_clusters"])
-
-
-@register("q_embed_centroids", """
-SELECT label, CAST(i AS INT) AS dim,
-       CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,10)))
-            AS DOUBLE) / COUNT(*) AS centroid,
-       CAST(COUNT(*) AS BIGINT) AS n_vecs
-FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i)
-GROUP BY label, i
-""")
-def q_embed_centroids(spark, sf_dir):
-    """Per-label embedding centroids (the class-prototype/statistics
-    pass over a vector column): posexplode → per-(label, dim)
-    decimal-exact mean — order-independent, so Spark's partitioned agg
-    and the single-threaded oracle agree bit-for-bit.  One shuffle of
-    (label, dim) partial sums; vectors never collect to the driver."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("dim", "_x"))
-    return (ex.groupBy("label", F.col("dim").cast("int").alias("dim"))
-            .agg(dec_avg(F.col("_x").cast("double"), "centroid", scale=10),
-                 F.count(F.lit(1)).alias("n_vecs")))
-
-
-@register("q_distinct_kmv", f"""
-WITH nrm AS ({_NORM_WORDS}),
-g AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm),
-g2 AS (SELECT gram FROM g WHERE gram <> ''),
-f AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
-      FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM g2)),
-km AS (SELECT frac FROM f ORDER BY frac ASC LIMIT 256),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n_minima, max(frac) AS kth
-      FROM km),
-e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM g2)
-SELECT 256 AS k, s.n_minima, round(s.kth, 6) AS kth_frac,
-       round(CASE WHEN s.n_minima < 256 THEN CAST(s.n_minima AS DOUBLE)
-                  ELSE 255 / s.kth END, 3) AS est_distinct,
-       e.n_exact
-FROM s, e
-""")
-def q_distinct_kmv(spark, sf_dir):
-    """KMV distinct-count sketch (functions/sketches.kmv_distinct) over
-    the corpus 3-gram universe, with the exact count alongside so the
-    estimate's error is visible in the gated result.  Every intermediate
-    is an md5 fraction — the estimate is bit-replayable by the oracle,
-    unlike approx_count_distinct's engine-internal HLL hash.  Plan:
-    partial-distinct combine → vocab-sized exchange → per-partition
-    bottom-k (TakeOrderedAndProject) → driver merge of 32×k fractions."""
-    from ydb_cdc_processor_spark.functions.sketches import kmv_distinct
-    docs = load_docs(spark, sf_dir)
-    grams = (docs.select(F.explode_outer(
-                 dedup.shingles(F.col("text"), 3)).alias("gram"))
-             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
-    est = kmv_distinct(grams, "gram", k=256)
-    exact = grams.select("gram").distinct().agg(
-        F.count(F.lit(1)).alias("n_exact"))
-    return est.crossJoin(F.broadcast(exact))
-
-
-@register("q_heavy_hitters", f"""
-WITH nrm AS ({_NORM_WORDS}),
-wrd AS (SELECT unnest(w) AS term FROM nrm),
-w2 AS (SELECT term FROM wrd WHERE term <> ''),
-hb AS (SELECT term, d,
-              substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 2) AS b
-       FROM w2 CROSS JOIN range(0, 4) t(d)),
-cnt AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY d, b),
-v AS (SELECT DISTINCT term FROM w2),
-vb AS (SELECT term, d,
-              substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 2) AS b
-       FROM v CROSS JOIN range(0, 4) t(d)),
-est AS (SELECT term, MIN(c) AS est_count
-        FROM vb JOIN cnt USING (d, b) GROUP BY term)
-SELECT term, est_count, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT term, est_count,
-         row_number() OVER (ORDER BY est_count DESC, term ASC) AS rnk
-  FROM est) t
-WHERE rnk <= 20
-""")
-def q_heavy_hitters(spark, sf_dir):
-    """Count-min-sketch heavy hitters (functions/sketches.cms_top_terms,
-    Cormode & Muthukrishnan 2005) over the corpus word stream: top-20
-    terms by CMS estimate from a 4×256 counter table.  The corpus
-    touches ONE map-side-combined aggregation (the exchange carries
-    ~partitions·depth·width counter partials, never words); estimates
-    join the vocabulary against the BROADCAST 1024-row counter table;
-    buckets stay 2-hex-char strings so DuckDB replays the sketch
-    bit-for-bit.  The counter table is cell-wise-sum MERGEABLE — the
-    property that lets per-shard/per-day sketches combine at 100 TB
-    without re-scanning."""
-    from ydb_cdc_processor_spark.functions.sketches import cms_top_terms
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select(F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    return cms_top_terms(words, "term", depth=4, width_hex=2, k=20)
-
-
-@register("q_time_travel", """
-SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
-FROM events WHERE event_id % 2 = 0
-""")
-def q_time_travel(spark, sf_dir):
-    """Snapshot reads over a maintained view (operators/snapshot.
-    SnapshotView): a keyed view ingests two upsert batches with a
-    hardlink snapshot taken between them — O(#files) inode links, zero
-    bytes copied, the local-filesystem spelling of Delta/Iceberg's
-    immutable-snapshot design — and the query reads AS-OF version 1:
-    exactly the batch-1 state, bit-stable across the later batch that
-    rewrote every row (it doubles value) and a delete.  The reference's
-    mutable target loses pre-batch states by design
-    (YqlWriter.java:118-147); this is the warehouse answer."""
-    from ydb_cdc_processor_spark.operators.merge import (
-        ParquetMaterializedView)
-    from ydb_cdc_processor_spark.operators.snapshot import SnapshotView
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("value").cast("double"))
-    mv = ParquetMaterializedView(
-        spark, _scratch_dir("timetravel_") + "/mv", ["event_id"],
-        schema=ev.schema)
-    snap = SnapshotView(mv, keep_last=3)
-    mv.apply(ev.where(F.col("event_id") % 2 == 0))
-    v1 = snap.snapshot(label="b1")
-    mv.apply(ev.withColumn("value", F.col("value") * 2))  # rewrite all
-    snap.snapshot(label="b2")
-    mv.apply(ev.select("event_id").limit(10), action="deleteFrom")
-    return snap.read_as_of(v1)
-
-
-@register("q_bpe_encode", text.bpe_oracle_sql())
-def q_bpe_encode(spark, sf_dir):
-    """Apply a FIXED trained BPE merge table to every document
-    (text.bpe_apply) — the "tokenize the corpus with the model's
-    tokenizer" stage: delimiter-separated characters (U+001F, outside
-    the corpus alphabet so merges can't cross token boundaries), then
-    one codegen'd replace pass per merge rule in priority order.  No
-    shuffle, no Python — a per-row expression chain that scales
-    embarrassingly; the oracle SQL is GENERATED from the same merge
-    table (text.bpe_oracle_sql) so the engines cannot drift.  Output:
-    per-doc char count, BPE token count, chars-per-token compression."""
-    return text.bpe_apply(load_docs(spark, sf_dir))
-
-
-@register("q_rank_sketch", """
-WITH vals AS (
-  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
-         END AS BIGINT) AS n
-  FROM documents),
-clip AS (SELECT least(greatest(n, 0), 65535) AS v FROM vals),
-nodes AS (SELECT l, CAST(floor(v / power(2, l)) AS BIGINT) AS node
-          FROM clip CROSS JOIN range(0, 17) t(l)),
-cells AS (SELECT d, substr(md5(CAST(d AS VARCHAR) || ':' ||
-                 CAST(l AS VARCHAR) || ':' || CAST(node AS VARCHAR)),
-                 1, 2) AS b
-          FROM nodes CROSS JOIN range(0, 4) t2(d)),
-cnt AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c
-        FROM cells GROUP BY d, b),
-px AS (SELECT CAST(x AS BIGINT) AS x FROM (VALUES (8), (16), (32), (64),
-              (128), (256), (512), (1024)) t(x)),
-pdec AS (SELECT x, l,
-                CAST(floor(least(x, 65536) / power(2, l + 1)) AS BIGINT)
-                  * 2 AS node
-         FROM px CROSS JOIN range(0, 17) t(l)
-         WHERE CAST(floor(least(x, 65536) / power(2, l)) AS BIGINT)
-               % 2 = 1),
-pe AS (SELECT x, l, node,
-              MIN(COALESCE(cnt.c, 0)) AS est
-       FROM (SELECT x, l, node, d,
-                    substr(md5(CAST(d AS VARCHAR) || ':' ||
-                           CAST(l AS VARCHAR) || ':' ||
-                           CAST(node AS VARCHAR)), 1, 2) AS b
-             FROM pdec CROSS JOIN range(0, 4) t2(d)) pb
-       LEFT JOIN cnt USING (d, b)
-       GROUP BY x, l, node),
-rk AS (SELECT px.x,
-              CAST(COALESCE(SUM(pe.est), 0) AS BIGINT) AS est_rank
-       FROM px LEFT JOIN pe USING (x) GROUP BY px.x),
-ex AS (SELECT px.x, CAST(COUNT(vals.n) AS BIGINT) AS n_exact_lt
-       FROM px LEFT JOIN vals ON vals.n < px.x GROUP BY px.x)
-SELECT x, est_rank, n_exact_lt FROM rk JOIN ex USING (x)
-""")
-def q_rank_sketch(spark, sf_dir):
-    """Rank/quantile estimation from a MERGEABLE fixed-size sketch
-    (functions/sketches.dyadic_rank_estimates — the Cormode–Muthukrishnan
-    dyadic count-min construction): each doc's token count writes one
-    node per dyadic level into a 4×256 counter table, and
-    rank(x) = |{v < x}| is the sum of ≤17 point estimates over the
-    canonical dyadic cover of [0, x).  est ≥ true always (CMS only
-    overestimates); exact ranks ride alongside so the error is visible
-    in the gated result.  State is FIXED (depth·width cells) regardless
-    of cardinality, cell-wise-sum mergeable across shards/days, and
-    retractable when maintained via CmsView (linear counters) — the
-    approximate complement of the exact QuantileView.  Plan: one
-    map-side-combined pass over values×levels; probes decompose and
-    join the broadcast counter table."""
-    from ydb_cdc_processor_spark.functions.sketches import (
-        dyadic_rank_estimates)
-    docs = load_docs(spark, sf_dir)
-    vals = docs.select(text.token_count(F.col("text")).alias("n"))
-    xs = [8, 16, 32, 64, 128, 256, 512, 1024]
-    probes = spark.createDataFrame([(x,) for x in xs], "x long")
-    est = dyadic_rank_estimates(vals, "n", probes, "x",
-                                levels=16, depth=4, width_hex=2)
-    exact = (probes.join(vals, vals.n < probes.x, "left")
-             .groupBy("x").agg(F.count(vals.n).alias("n_exact_lt")))
-    return est.join(exact, "x")
-
-
-@register("q_rank_sketch_view")
-def q_rank_sketch_view(spark, sf_dir):
-    """The dyadic rank sketch MAINTAINED under CDC: token-count node
-    streams ingest through a CmsView in two micro-batches, a third
-    batch DELETES one doc-slice's nodes and a fourth restores them
-    (linear counters retract exactly), leaving the live counter table
-    equal to the one-shot sketch — so rank estimates for the same
-    probes replay q_rank_sketch's oracle.  The retractable maintained
-    form of the quantile sketch: fixed depth·width state, per-batch
-    cost one ±agg + touched-bucket merge."""
-    from ydb_cdc_processor_spark.functions.sketches import (
-        dyadic_node_stream, dyadic_probe_nodes)
-    from ydb_cdc_processor_spark.operators.cms_view import CmsView
-    docs = load_docs(spark, sf_dir)
-    vals = docs.select("doc_id",
-                       text.token_count(F.col("text")).alias("n"))
-    nodes = lambda df: dyadic_node_stream(df, "n", levels=16)
-    cv = CmsView(spark, _scratch_dir("rksview_") + "/cms", "node",
-                 depth=4, width_hex=2)
-    cv.apply_delta(nodes(vals.where(F.col("doc_id") % 2 == 0)),
-                   batch_token="rk:b1")
-    cv.apply_delta(nodes(vals.where(F.col("doc_id") % 2 == 1)),
-                   batch_token="rk:b2")
-    slice5 = nodes(vals.where(F.col("doc_id") % 5 == 0))
-    cv.apply_delta(None, slice5, batch_token="rk:b3")   # delete
-    cv.apply_delta(slice5, None, batch_token="rk:b4")   # restore
-    xs = [8, 16, 32, 64, 128, 256, 512, 1024]
-    probes = spark.createDataFrame([(x,) for x in xs], "x long")
-    pn = dyadic_probe_nodes(probes, "x", levels=16)
-    per_node = pn.join(cv.estimate(pn.select("node"), "node"),
-                       pn.node == F.col("term"))
-    est = (probes.join(per_node.groupBy("x")
-                       .agg(F.sum("est_count").alias("_s")),
-                       on="x", how="left")
-           .select("x", F.coalesce(F.col("_s"), F.lit(0)).cast("long")
-                   .alias("est_rank")))
-    exact = (probes.join(vals, vals.n < probes.x, "left")
-             .groupBy("x").agg(F.count(vals.n).alias("n_exact_lt")))
-    return est.join(exact, "x")
-
-
-ORACLES["q_rank_sketch_view"] = ORACLES["q_rank_sketch"]
-
-
-@register("q_cms_view")
-def q_cms_view(spark, sf_dir):
-    """The count-min sketch as a MAINTAINED store under CDC
-    (operators/cms_view.CmsView): corpus words ingest in two
-    micro-batches, a third batch DELETES one doc-slice's words and a
-    fourth re-inserts them (old-image retraction — counters are a
-    LINEAR sketch, the property HllView lacks), leaving the live state
-    equal to the one-shot sketch, which the shared q_heavy_hitters
-    oracle replays.  State is a FIXED depth·width counter table
-    (vocabulary-independent); per-batch cost one map-side-combined
-    ±agg + touched-bucket merge; the top-k read prunes to the probed
-    cells' buckets."""
-    from ydb_cdc_processor_spark.operators.cms_view import CmsView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    cv = CmsView(spark, _scratch_dir("cmsview_") + "/cms", "term",
-                 depth=4, width_hex=2)
-    cv.apply_delta(words.where(F.col("doc_id") % 2 == 0),
-                   batch_token="cms:b1")
-    cv.apply_delta(words.where(F.col("doc_id") % 2 == 1),
-                   batch_token="cms:b2")
-    slice5 = words.where(F.col("doc_id") % 5 == 0)
-    cv.apply_delta(None, slice5, batch_token="cms:b3")   # delete
-    cv.apply_delta(slice5, None, batch_token="cms:b4")   # restore
-    vocab = words.select("term").distinct()
-    return cv.top_terms(vocab, k=20)
-
-
-ORACLES["q_cms_view"] = ORACLES["q_heavy_hitters"]
-
-
-@register("q_bucketed_join", """
-SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-         AS sum_price
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY o.o_custkey
-""")
-def q_bucketed_join(spark, sf_dir):
-    """Exchange-free co-located join via BUCKETED tables — the layout
-    strategy for a join repeated at 100 TB: pay one bucketed write
-    (``bucketBy(8, key).sortBy(key)``), then every subsequent join AND
-    aggregation on that key runs with ZERO shuffle — the bucketed scan
-    reports hash partitioning on the key, which satisfies both the
-    sort-merge join and the groupBy (pinned by
-    test_bucketed_join_no_exchange).  The merge hint keeps AQE from
-    demoting the demo to a broadcast join at toy scale; results are
-    identical to the plain join (the oracle)."""
-    base = _scratch_dir("bkt_")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name")
-    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", base + "/orders").mode("overwrite")
-        .saveAsTable("bkt_orders"))
-    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", base + "/customer").mode("overwrite")
-        .saveAsTable("bkt_customer"))
-    o = spark.table("bkt_orders")
-    c = spark.table("bkt_customer")
-    return (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
-            .groupBy(F.col("o_custkey").alias("custkey"))
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 dec_sum("o_totalprice", "sum_price")))
-
-
-@register("q_dedup_paragraphs", """
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-  WHERE text IS NOT NULL AND text <> ''),
-docs2 AS (
-  SELECT doc_id, words,
-         CAST(ceil(len(words) / 8.0) AS BIGINT) AS n_units
-  FROM base),
-units AS (
-  SELECT doc_id, n_units, ui,
-         array_to_string(words[ui*8+1 : ui*8+8], ' ') AS unit
-  FROM docs2, unnest(generate_series(0, n_units - 1)) AS t(ui)),
-counts AS (
-  SELECT unit, COUNT(DISTINCT doc_id) AS nd FROM units GROUP BY unit),
-kept AS (
-  SELECT u.doc_id, u.ui, u.unit
-  FROM units u JOIN counts c USING (unit) WHERE c.nd <= 1),
-rebuilt AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         string_agg(unit, ' ' ORDER BY ui) AS text_dedup
-  FROM kept GROUP BY doc_id)
-SELECT d.doc_id, d.n_units,
-       COALESCE(r.n_kept, 0) AS n_kept,
-       COALESCE(r.text_dedup, '') AS text_dedup
-FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
-""")
-def q_dedup_paragraphs(spark, sf_dir):
-    """Cross-document unit dedup (curation.dedup_paragraphs) — the
-    CCNet/RefinedWeb paragraph-dedup step: 8-word units whose content
-    appears in ≥2 distinct documents are deleted from every document;
-    each document's surviving units re-assemble in original order.
-    Digest-keyed count + join (text never shuffles), one re-assembly
-    agg; emptied docs keep an n_kept=0 row."""
-    return curation.dedup_paragraphs(
-        load_docs(spark, sf_dir), unit_words=8, max_docs=1)
-
-
-@register("q_simjoin_prefix", """
-WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
-toks AS (
-  SELECT DISTINCT doc_id, w
-  FROM sub, unnest(string_split(text, ' ')) AS t(w)
-  WHERE w <> ''),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM toks GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
-       round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.95
-""")
-def q_simjoin_prefix(spark, sf_dir):
-    """EXACT set-similarity join at Jaccard ≥ 0.95 via prefix filtering
-    (dedup.jaccard_similarity_join, the SSJoin/PPJoin lowering): the
-    oracle verifies EXACTNESS by brute force — the prefix filter must
-    find every qualifying pair, not a sample.  At scale the Spark side
-    joins only on each set's rarest tokens; the oracle's all-pairs
-    token join is the O(n²) spec it must equal.
-
-    Runs on a deterministic quarter of the corpus: the synthetic data
-    is near-duplicated by construction (~1.5% of ALL pairs exceed 0.95
-    — a 40-word vocabulary), so the full self-join's OUTPUT is
-    quadratic (191k true pairs at sf0.1) and benches the result
-    materialization, not the algorithm.  The subset keeps the gated
-    run exercising every stage with a bounded answer; real Zipf-vocab
-    corpora don't have this density, and the operator itself takes the
-    whole DataFrame."""
-    docs = load_docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
-    return dedup.jaccard_similarity_join(docs, threshold=0.95)
-
-
-@register("q_event_anomaly", """
-WITH t AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-         COUNT(value) OVER w AS c,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))
-                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
-  FROM events
-  WINDOW w AS (PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
-               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-z AS (
-  SELECT user_id, event_id, ts, value, c,
-         s / c AS mean,
-         greatest((s2 - s * s / c) / (c - 1), 0.0) AS var,
-         (value - s / c) / sqrt(greatest((s2 - s * s / c) / (c - 1), 0.0))
-           AS zv
-  FROM t)
-SELECT user_id, event_id, ts, value,
-       CAST(c AS BIGINT) AS baseline_n,
-       mean AS baseline_mean,
-       zv AS zscore
-FROM z WHERE c >= 10 AND var > 0 AND abs(zv) >= 2.0
-""")
-def q_event_anomaly(spark, sf_dir):
-    """Trailing-window anomaly detection (temporal.rolling_anomalies):
-    per-user z-score of each event against the previous ≤20 events'
-    mean/stddev — one Window operator, one shuffle, decimal-exact sums
-    so the z-scores hash-match the oracle bit-for-bit."""
-    from ydb_cdc_processor_spark.operators.temporal import rolling_anomalies
-    return rolling_anomalies(load_table(spark, sf_dir, "events"),
-                             window_rows=20, min_points=10,
-                             z_threshold=2.0)
-
-
-@register("q_pivot_status", """
-SELECT n.n_name AS nation,
-       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_open,
-       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_filled,
-       CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_partial,
-       CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
-                THEN CAST(o.o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE)
-         AS filled_price
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-""")
-def q_pivot_status(spark, sf_dir):
-    """Pivot (long→wide reshape) — order counts per nation spread
-    across order-status columns, plus a pivoted decimal-exact measure.
-    Explicit pivot values skip Spark's extra distinct-values job and
-    keep the plan a single hash aggregate; nation/customer dims are
-    broadcast so the fact table never shuffles before the agg."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderstatus", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name")
-    joined = (orders
-              .join(F.broadcast(cust),
-                    orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(nation),
-                    cust.c_nationkey == nation.n_nationkey))
-    wide = (joined.groupBy(F.col("n_name").alias("nation"))
-            .pivot("o_orderstatus", ["O", "F", "P"])
-            .agg(F.count(F.lit(1)).alias("n"),
-                 dec_sum("o_totalprice", "price")))
-    return wide.select(
-        "nation",
-        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_open"),
-        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_filled"),
-        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_partial"),
-        F.col("F_price").alias("filled_price"))
-
-
-@register("q_sliding_agg", """
-WITH ev AS (
-  SELECT event_type, value,
-         to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300
-                      AS BIGINT)) AS w0
-  FROM events),
-arms AS (
-  SELECT event_type, value, w0 AS ws FROM ev
-  UNION ALL
-  SELECT event_type, value, w0 - INTERVAL 5 MINUTE FROM ev)
-SELECT CAST(ws AS TIMESTAMP) AS ws, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM arms GROUP BY ws, event_type
-""")
-def q_sliding_agg(spark, sf_dir):
-    """Sliding (hopping) window aggregation — 10-minute windows every 5
-    minutes via ``F.window(slideDuration)``; each event lands in two
-    windows.  The streaming twin is the same expression under a
-    watermark.  The oracle expands the two arms explicitly (window
-    starts are epoch-aligned, matching Spark's alignment rule)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes")
-                       .alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 dec_sum("value", "sum_value"))
-            .select(F.col("w.start").alias("ws"), "event_type",
-                    "n", "sum_value"))
-
-
-@register("q_histogram", """
-WITH b AS (
-  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1)
-SELECT bin, CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
-       CAST((bin + 1) * 25.0 AS DOUBLE) AS bin_hi, n,
-       n * 1.0 / SUM(n) OVER () AS frac
-FROM b
-""")
-def q_histogram(spark, sf_dir):
-    """Fixed-width histogram — the profiling primitive run before any
-    quality-filter threshold is chosen.  One map-side-combined hash agg
-    to ≤~20 bin rows; the share denominator is an unpartitioned window
-    over those BIN rows only (cardinality = n_bins, never data rows —
-    the single-reducer stage a naive global-total join would create on
-    the raw table is avoided by aggregating first)."""
-    ev = load_table(spark, sf_dir, "events")
-    b = (ev.groupBy(F.floor(F.col("value") / 25.0).cast("long")
-                    .alias("bin"))
-         .agg(F.count(F.lit(1)).alias("n")))
-    from pyspark.sql import Window
-    return b.select(
-        "bin", (F.col("bin") * 25.0).alias("bin_lo"),
-        ((F.col("bin") + 1) * 25.0).alias("bin_hi"), "n",
-        (F.col("n") * 1.0 / F.sum("n").over(
-            Window.partitionBy())).alias("frac"))
-
-
-@register("q_cube", """
-SELECT COALESCE(o.o_orderstatus, 'ALL') AS status,
-       COALESCE(n.n_name, 'ALL') AS nation,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-         AS sum_price
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY CUBE(o.o_orderstatus, n.n_name)
-""")
-def q_cube(spark, sf_dir):
-    """CUBE (all 2^k grouping sets in one pass) — Spark expands the
-    sets inside a single Expand+HashAggregate (rows replicate 4×
-    pre-combine, no extra shuffle per set).  Dims broadcast; 'ALL'
-    labels the rolled-up levels (the dims are non-null, so COALESCE is
-    unambiguous)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderstatus", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name")
-    joined = (orders
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(nation),
-                    cust.c_nationkey == nation.n_nationkey))
-    return (joined.cube("o_orderstatus", "n_name")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 dec_sum("o_totalprice", "sum_price"))
-            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
-                    .alias("status"),
-                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-                    "n_orders", "sum_price"))
-
-
-@register("q_length_deciles", """
-WITH t AS (
-  SELECT lang, n_chars,
-         ntile(10) OVER (PARTITION BY lang
-                         ORDER BY n_chars ASC, doc_id ASC) AS decile
-  FROM documents)
-SELECT lang, CAST(decile AS INT) AS decile,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(min(n_chars) AS BIGINT) AS min_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars
-FROM t GROUP BY lang, decile
-""")
-def q_length_deciles(spark, sf_dir):
-    """Per-language document-length deciles (equi-depth bins) — the
-    bucketing behind length-balanced corpus sampling.  ntile is an
-    exact per-KEY window (deterministic tiebreak on doc_id so both
-    engines cut ties identically); partitioning by language keeps the
-    sort distributed per key.  A GLOBAL equi-depth cut at 100 TB would
-    instead use approx quantile boundaries + a broadcast bin join —
-    this entry is the exact per-group form."""
-    from pyspark.sql import Window
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc())
-    return (docs.select("lang", "n_chars",
-                        F.ntile(10).over(w).alias("decile"))
-            .groupBy("lang", "decile")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("n_chars").alias("min_chars"),
-                 F.max("n_chars").alias("max_chars"))
-            .select("lang", F.col("decile").cast("int").alias("decile"),
-                    "n_docs", "min_chars", "max_chars"))
-
-
-@register("q_group_regression", """
-WITH m AS (
-  SELECT l_returnflag,
-         CAST(COUNT(*) AS BIGINT) AS c,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                  * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
-  FROM lineitem GROUP BY l_returnflag)
-SELECT l_returnflag, c,
-       (c * sxy - sx * sy) / (c * sxx - sx * sx) AS slope,
-       (sy - (c * sxy - sx * sy) / (c * sxx - sx * sx) * sx) / c
-         AS intercept,
-       (c * sxy - sx * sy)
-         / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)) AS corr
-FROM m
-""")
-def q_group_regression(spark, sf_dir):
-    """Per-group least-squares fit + Pearson correlation computed from
-    decimal-EXACT moment sums (Σx, Σy, Σx², Σy², Σxy) in one hash agg —
-    the single-pass distributed form of corr()/regr_slope() whose
-    result is bit-reproducible at any parallelism (the builtin corr
-    accumulates doubles in partition order).  The closed-form slope /
-    intercept / r are plain IEEE on identical inputs, so they
-    hash-match unrounded.  (Type note: Spark squares DECIMAL(18,4) →
-    exact (37,8); the oracle uses (19,4) because DuckDB has no int128
-    promotion at width 36 and overflows — both are exact, which is all
-    value equality needs.)"""
-    li = load_table(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    d18 = lambda c: c.cast("decimal(18,4)")
-    m = (li.groupBy("l_returnflag")
-         .agg(F.count(F.lit(1)).alias("c"),
-              dec_sum(x, "sx"), dec_sum(y, "sy"),
-              F.sum(d18(x) * d18(x)).cast("double").alias("sxx"),
-              F.sum(d18(y) * d18(y)).cast("double").alias("syy"),
-              F.sum(d18(x) * d18(y)).cast("double").alias("sxy")))
-    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
-    return m.select(
-        "l_returnflag", "c",
-        slope.alias("slope"),
-        ((sy - slope * sx) / c).alias("intercept"),
-        ((c * sxy - sx * sy)
-         / (F.sqrt(c * sxx - sx * sx) * F.sqrt(c * syy - sy * sy)))
-        .alias("corr"))
-
-
-@register("q_bpe_merges", r"""
-WITH words AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-    SELECT unnest(string_split(
-      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t
-  WHERE w <> '' GROUP BY w),
-pairs AS (
-  SELECT substr(w, i, 2) AS pair, freq
-  FROM words, unnest(generate_series(1, greatest(length(w) - 1, 1)))
-       AS t(i))
-SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-FROM pairs WHERE length(pair) = 2
-GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
-""")
-def q_bpe_merges(spark, sf_dir):
-    """One BPE merge iteration (text.bpe_merge_counts): top-20 adjacent
-    character pairs by corpus frequency — computed over the DISTINCT
-    word × frequency table, so the pair explode scales with |vocab|,
-    not corpus tokens (the tokenizer-training trick that makes BPE
-    feasible at 100 TB).  Top-k via TakeOrdered, ties on the pair."""
-    return text.bpe_merge_counts(load_docs(spark, sf_dir), k=20)
-
-
-@register("q_bigram_familiarity", r"""
-WITH norm AS (
-  SELECT doc_id, string_split(
-    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
-  FROM documents WHERE trim(text) <> ''),
-bg AS (
-  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram, words[i] AS w1
-  FROM norm, unnest(generate_series(1, len(words) - 1)) AS t(i)
-  WHERE len(words) >= 2),
-bigram_counts AS (
-  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY bigram),
-unigram_counts AS (
-  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM (
-    SELECT unnest(words) AS w1 FROM norm) t
-  WHERE w1 <> '' GROUP BY w1),
-scored AS (
-  SELECT bg.doc_id, (bc.c_bg * 1000000000) // uc.c_w1 AS r
-  FROM bg JOIN bigram_counts bc USING (bigram)
-          JOIN unigram_counts uc USING (w1))
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(r) AS BIGINT) / (COUNT(*) * 1000000000.0) AS familiarity
-FROM scored GROUP BY doc_id
-""")
-def q_bigram_familiarity(spark, sf_dir):
-    """Corpus-as-model LM quality score (text.bigram_familiarity): mean
-    conditional bigram frequency per document — the CCNet/perplexity
-    filter shape with rational arithmetic only (no ln; ratios scaled
-    to exact integers before the per-doc sum, so the score
-    hash-matches unrounded)."""
-    return text.bigram_familiarity(load_docs(spark, sf_dir))
-
-
-@register("q_inverted_index", r"""
-SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df,
-       array_to_string((list(doc_id ORDER BY doc_id))[1:20], ' ')
-         AS postings
-FROM (
-  SELECT DISTINCT doc_id, unnest(string_split(
-    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-  FROM documents) t
-WHERE w <> ''
-GROUP BY w
-""")
-def q_inverted_index(spark, sf_dir):
-    """Term → capped posting-list build (text.inverted_index): df + the
-    first 20 doc ids per term in ONE hash agg; per-row array_distinct
-    avoids a pre-distinct shuffle and the cap bounds stopword rows.
-    The posting list is emitted as a space-joined STRING, not an array:
-    the driver's pandas canonicalizer sorts raw column values and dies
-    on unhashable lists (the COVERAGE.md array-output rule — every
-    registry entry must be scalar-columns-only, pinned by the schema
-    audit in tests/test_queries.py)."""
-    idx = text.inverted_index(load_docs(spark, sf_dir), max_postings=20)
-    return idx.withColumn(
-        "postings",
-        F.array_join(F.col("postings").cast("array<string>"), " "))
-
-
-@register("q_regional_revenue", """
-SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_items
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-             AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY n.n_name
-""")
-def q_regional_revenue(spark, sf_dir):
-    """TPC-H Q5-shaped six-table star join: revenue per nation for one
-    region and year, including the cycle-closing c_nationkey =
-    s_nationkey condition.  The OLAP flagship for join planning: the
-    date filter pushes into the orders scan, region/nation/supplier
-    broadcast (customer too at these SFs via AQE), lineitem — the only
-    big table — is never shuffled before its orders join; revenue is
-    the decimal-exact Σ price·(1−discount)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    orders = (load_table(spark, sf_dir, "orders")
-              .where((F.col("o_orderdate") >= "1996-01-01")
-                     & (F.col("o_orderdate") < "1997-01-01"))
-              .select("o_orderkey", "o_custkey"))
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey")
-    region = load_table(spark, sf_dir, "region").where(
-        F.col("r_name") == "ASIA").select("r_regionkey")
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    return (li
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(supp),
-                  (li.l_suppkey == supp.s_suppkey)
-                  & (cust.c_nationkey == supp.s_nationkey))
-            .join(F.broadcast(nation),
-                  supp.s_nationkey == nation.n_nationkey)
-            .join(F.broadcast(region),
-                  nation.n_regionkey == region.r_regionkey)
-            .groupBy(F.col("n_name").alias("nation"))
-            .agg(F.sum(d2("l_extendedprice")
-                       * (F.lit(1) - d2("l_discount")))
-                 .cast("double").alias("revenue"),
-                 F.count(F.lit(1)).alias("n_items")))
-
-
-@register("q_gap_fill", """
-WITH ev AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events),
-ded AS (
-  SELECT user_id, ts, arg_max(value, event_id) AS value
-  FROM ev GROUP BY user_id, ts),
-spans AS (
-  SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
-  FROM ev GROUP BY user_id),
-grid AS (
-  SELECT user_id, g AS grid_ts
-  FROM spans, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t(g))
-SELECT g.user_id, g.grid_ts, d.value
-FROM grid g ASOF LEFT JOIN ded d
-  ON g.user_id = d.user_id AND g.grid_ts >= d.ts
-""")
-def q_gap_fill(spark, sf_dir):
-    """Time-series resampling with forward fill
-    (temporal.resample_ffill): each user's irregular events projected
-    onto an hourly grid carrying the latest observation at or before
-    each grid point — grid explode is linear in per-key span, the fill
-    is the union-sort-window as-of join (one key shuffle), and
-    duplicate timestamps collapse deterministically (arg_max by
-    event_id) so both engines fill identically."""
-    from ydb_cdc_processor_spark.operators.temporal import resample_ffill
-    return resample_ffill(load_table(spark, sf_dir, "events"),
-                          step="1 hour", tiebreak_col="event_id")
-
-
-_AHASH_SQL = f"""
-b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
-         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1)
-           AS side
-  FROM documents WHERE octet_length(encode(text)) > 0),
-byt AS (
-  SELECT doc_id, side, i - 1 AS j, {_HEX_BYTE} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= side * side),
-pooled AS (
-  SELECT doc_id,
-         ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side) AS px_idx,
-         round(SUM(byte) / COUNT(*), 6) AS lum
-  FROM byt GROUP BY doc_id,
-           ((j // side) * 4 // side) * 4 + ((j % side) * 4 // side)),
-px AS (
-  SELECT b.doc_id, c.px_idx, COALESCE(p.lum, 0.0) AS lum
-  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS px_idx) c
-  LEFT JOIN pooled p ON p.doc_id = b.doc_id AND p.px_idx = c.px_idx),
-m AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(lum AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean
-  FROM px GROUP BY doc_id),
-sig AS (
-  SELECT px.doc_id,
-         CAST(SUM(CASE WHEN px.lum > m.mean
-                  THEN 1::BIGINT << px.px_idx ELSE 0 END) AS BIGINT)
-           AS ahash
-  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
-"""
-
-
-@register("q_image_ahash", f"WITH {_AHASH_SQL}\nSELECT doc_id, ahash FROM sig")
-def q_image_ahash(spark, sf_dir):
-    """Perceptual aHash signatures over fake-codec thumbnails
-    (multimodal.image_ahash): the oracle replays the byte→thumbnail
-    pooling in SQL (hex-byte recovery, the q_media_decode CTE) and the
-    bit aggregation — the signature is engine-replayable because the
-    pixel mean routes through an exact decimal fold."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return multimodal.image_ahash(multimodal.decode_image(media))
-
-
-@register("q_image_neardup", f"""
-WITH {_AHASH_SQL}
-SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
-FROM sig a JOIN sig c
-  ON (a.ahash >> 8) = (c.ahash >> 8) AND a.doc_id < c.doc_id
-WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
-""")
-def q_image_neardup(spark, sf_dir):
-    """Image near-dup pairs by aHash (multimodal.image_neardup):
-    prefix-bucket equi-join + exact Hamming verify — the SimHash
-    shape applied to the multimodal column.  Bucket-scoped pair
-    semantics; the oracle computes the identical rule over its
-    SQL-decoded signatures."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    return multimodal.image_neardup(multimodal.decode_image(media))
-
-
-@register("q_curation_pipeline_v2", r"""
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-  WHERE text IS NOT NULL AND text <> ''),
-docs2 AS (
-  SELECT doc_id, words,
-         CAST(ceil(len(words) / 8.0) AS BIGINT) AS n_units
-  FROM base),
-units AS (
-  SELECT doc_id, ui, array_to_string(words[ui*8+1 : ui*8+8], ' ') AS unit
-  FROM docs2, unnest(generate_series(0, n_units - 1)) AS t(ui)),
-ucounts AS (
-  SELECT unit, COUNT(DISTINCT doc_id) AS nd FROM units GROUP BY unit),
-kept_units AS (
-  SELECT u.doc_id, u.ui, u.unit
-  FROM units u JOIN ucounts c USING (unit) WHERE c.nd <= 1),
-rebuilt AS (
-  SELECT doc_id, string_agg(unit, ' ' ORDER BY ui) AS td
-  FROM kept_units GROUP BY doc_id),
-norm AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(td)), '\s+', ' ', 'g'),
-                      ' ') AS w, td
-  FROM rebuilt),
-bg AS (
-  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram, w[i] AS w1
-  FROM norm, unnest(generate_series(1, len(w) - 1)) AS t(i)
-  WHERE len(w) >= 2),
-bigram_counts AS (
-  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY bigram),
-unigram_counts AS (
-  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM (
-    SELECT unnest(w) AS w1 FROM norm) t
-  WHERE w1 <> '' GROUP BY w1),
-fam AS (
-  SELECT bg.doc_id,
-         CAST(SUM((bc.c_bg * 1000000000) // uc.c_w1) AS BIGINT)
-           / (COUNT(*) * 1000000000.0) AS familiarity
-  FROM bg JOIN bigram_counts bc USING (bigram)
-          JOIN unigram_counts uc USING (w1)
-  GROUP BY bg.doc_id),
-gated AS (
-  SELECT r.doc_id, r.td FROM rebuilt r
-  JOIN fam f USING (doc_id) WHERE f.familiarity >= 0.0335),
-t AS (
-  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-         CASE WHEN length(trim(td)) = 0 THEN 0
-              ELSE length(trim(td))
-                   - length(replace(trim(td), ' ', '')) + 1 END
-           AS n_tokens
-  FROM gated),
-c AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_before
-  FROM t)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
-       CAST(cum_before % 512 AS BIGINT) AS seq_pos
-FROM c
-""")
-def q_curation_pipeline_v2(spark, sf_dir):
-    """Composite training-data pass v2, chaining this round's operators
-    in ONE declarative plan: cross-document paragraph dedup (shared
-    8-word units deleted) → corpus-as-model bigram-familiarity gate
-    (score over the DEDUPED text, ≥ 0.0335) → deterministic sequence
-    packing of the survivors into 512-token sequences.  Corpus
-    statistics (unit counts, bigram/unigram counts) are computed inside
-    the same plan — the familiarity model is fit on exactly the text
-    that survived dedup, the ordering a real pipeline needs and a
-    per-stage-materializing pipeline gets wrong."""
-    from ydb_cdc_processor_spark.operators.text import bigram_familiarity
-    docs = load_docs(spark, sf_dir)
-    dd = curation.dedup_paragraphs(docs, unit_words=8, max_docs=1)
-    # persist the deduped survivors: three downstream branches (bigram
-    # stream, unigram counts, the packing input) would otherwise each
-    # re-execute the whole dedup sub-DAG — measured 14.4 s → 6.9 s at
-    # sf0.1.  At 100 TB this is the standard cache-the-stage-boundary
-    # call; linear storage, saves two full recomputes.
-    kept = (dd.where(F.col("n_kept") > 0)
-            .select("doc_id", F.col("text_dedup").alias("text"))
-            .persist())
-    fam = bigram_familiarity(kept)
-    gated = kept.join(
-        fam.where(F.col("familiarity") >= 0.0335).select("doc_id"),
-        on="doc_id", how="left_semi")
-    return curation.pack_sequences(gated, budget=512)
-
-
-def _PR_ITER_SQL(prev: str, out: str) -> str:
-    return f"""{out} AS (
-  SELECT n.node, nn.n,
-         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
-         + 0.85::DOUBLE * COALESCE(s.inr, 0.0::DOUBLE) AS rank
-  FROM nodes n CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.d AS node,
-           CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(38,18))) AS DOUBLE)
-             AS inr
-    FROM {prev} r JOIN e ON r.node = e.s JOIN deg dg ON dg.s = e.s
-    GROUP BY e.d) s USING (node))"""
-
-
-_PR_CTES = f"""
-WITH e AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
-                  's' || CAST(l.l_suppkey AS VARCHAR) AS d
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  UNION
-  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR),
-                  'c' || CAST(o.o_custkey AS VARCHAR)
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-nodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT s AS node FROM e UNION ALL SELECT d FROM e) t),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
-r0 AS (SELECT node, nn.n, 1.0::DOUBLE / nn.n AS rank
-       FROM nodes CROSS JOIN nn),
-{_PR_ITER_SQL('r0', 'r1')},
-{_PR_ITER_SQL('r1', 'r2')},
-{_PR_ITER_SQL('r2', 'r3')}"""
-
-ORACLES_PAGERANK = _PR_CTES + """
-SELECT node, rank FROM r3
-"""
-
-# Derived TOLERANT oracle for the double-precision fast mode: ranks are
-# scaled to integers at 4 decimal digits (round(rank*1e4) — fast-vs-exact
-# drift is ~1e-12 absolute while the closest rank to a rounding boundary
-# across all SFs is >=1e-7 away, a 5-order safety margin, measured), and
-# the head is selected TIE-INCLUSIVELY: every node whose scaled rank >=
-# the 20th-largest scaled rank.  Ties at the cut (they exist at sf0.001)
-# therefore widen the set deterministically instead of making membership
-# depend on sub-ulp ordering.
-ORACLES_PAGERANK_TOP = _PR_CTES + """,
-s AS (SELECT node, CAST(ROUND(rank * 10000) AS BIGINT) AS rank_1e4 FROM r3),
-c AS (SELECT MIN(rank_1e4) AS cut
-      FROM (SELECT rank_1e4 FROM s ORDER BY rank_1e4 DESC LIMIT 20) t)
-SELECT s.node, s.rank_1e4 FROM s, c WHERE s.rank_1e4 >= c.cut
-"""
-
-
-@register("q_pagerank", ORACLES_PAGERANK)
-def q_pagerank(spark, sf_dir):
-    """PageRank (operators/graph.pagerank), 3 synchronous power-
-    iteration rounds over the undirected customer–supplier trade graph
-    (distinct lineitem edges, both directions).  Each round is one
-    rank⋈edges equi-join + one map-side-combined destination aggregate
-    — the Pregel lowering; per-edge contributions round to DECIMAL
-    before the exact sum, so the oracle's sequential 3-round unroll
-    reproduces the ranks to well past the gates' 6-significant-digit
-    canonicalization (measured: ~3% of nodes differ in the LAST ULP
-    only — Spark and DuckDB round the double→DECIMAL(38,18) cast of
-    rank/degree differently in rare mantissa patterns; everything else
-    is bit-identical)."""
-    from ydb_cdc_processor_spark.operators.graph import pagerank
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    pairs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                     .alias("c"),
-                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                     .alias("s"))
-             .distinct())
-    # no persist here: graph.pagerank eagerly localCheckpoints the edge
-    # list itself, which cuts the whole join+distinct derivation out of
-    # every unrolled iteration (measured 10.3 s → ~6 s at sf0.1; an
-    # explicit .persist() was measured SLOWER still, 19.7 s — it forces
-    # InMemoryTableScan branches and defeats exchange reuse).
-    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-             .unionByName(
-                 pairs.select(F.col("s").alias("src"),
-                              F.col("c").alias("dst"))))
-    return pagerank(edges, n_iter=3, damping=0.85)
-
-
-@register("q_pagerank_fast", ORACLES_PAGERANK_TOP)
-def q_pagerank_fast(spark, sf_dir):
-    """The double-precision fast mode of q_pagerank (graph.pagerank
-    exact=False): identical Pregel plan minus the per-edge
-    DECIMAL(38,18) round-trip in every iteration.  Double sums are
-    parallelism-dependent in the last ulps, so raw ranks have no
-    cross-engine oracle — instead the query emits a DERIVED gateable
-    result: ranks scaled to 4-decimal integers and the tie-inclusive
-    head (every node whose scaled rank >= the 20th-largest), which the
-    exact-decimal SQL unroll reproduces bit-for-bit because the
-    fast-vs-exact drift (~1e-12, pinned at 1e-9 relative by
-    test_pagerank_fast_close_to_exact) is 5 orders of magnitude below
-    the measured distance of any rank to a rounding boundary.  The cut
-    is computed distributed (TakeOrdered 20 -> min, broadcast), never a
-    global window."""
-    from ydb_cdc_processor_spark.operators.graph import pagerank
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    pairs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                     .alias("c"),
-                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                     .alias("s"))
-             .distinct())
-    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-             .unionByName(
-                 pairs.select(F.col("s").alias("src"),
-                              F.col("c").alias("dst"))))
-    pr = pagerank(edges, n_iter=3, damping=0.85, exact=False)
-    # eager checkpoint: the scaled frame is referenced twice (cut
-    # derivation + final filter) — without it the whole 3-iteration
-    # chain can execute twice.  Bounded: one row per node.
-    scaled = pr.select(
-        "node",
-        F.round(F.col("rank") * 10000, 0).cast("bigint").alias("rank_1e4")) \
-        .localCheckpoint(eager=True)
-    cut = (scaled.orderBy(F.col("rank_1e4").desc()).limit(20)
-           .agg(F.min("rank_1e4").alias("_cut")))
-    return (scaled.crossJoin(F.broadcast(cut))
-            .where(F.col("rank_1e4") >= F.col("_cut"))
-            .select("node", "rank_1e4"))
-
-
-@register("q_funnel", """
-WITH ev AS (
-  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-t1 AS (
-  SELECT user_id, min(ts) AS view_ts FROM ev
-  WHERE event_type = 'view' GROUP BY user_id),
-t2 AS (
-  SELECT e.user_id, min(e.ts) AS click_ts
-  FROM ev e JOIN t1 USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts >= t1.view_ts
-  GROUP BY e.user_id),
-t3 AS (
-  SELECT e.user_id, min(e.ts) AS purchase_ts
-  FROM ev e JOIN t2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts >= t2.click_ts
-  GROUP BY e.user_id)
-SELECT t1.user_id, t1.view_ts, t2.click_ts, t3.purchase_ts,
-       (t3.purchase_ts IS NOT NULL
-        AND epoch_us(t3.purchase_ts) - epoch_us(t1.view_ts) <= 3600000000)
-         AS completed_1h
-FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
-        LEFT JOIN t3 ON t1.user_id = t3.user_id
-""")
-def q_funnel(spark, sf_dir):
-    """Funnel analysis (view → click → purchase): per user, the first
-    view, the first click at-or-after it, the first purchase at-or-after
-    that, and whether the whole funnel closed within one hour — the
-    product-analytics staple.  Three stage aggregates, each a hash agg
-    over a semi-filtered join on the user key (every join rides ONE hash
-    partitioning by user_id; the stage tables are per-user aggregates,
-    far smaller than the event stream).  Completion compared in exact
-    microseconds so both engines agree at the boundary."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts")
-    t1 = (ev.where(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
-    t2 = (ev.where(F.col("event_type") == "click")
-          .join(t1, on="user_id")
-          .where(F.col("ts") >= F.col("view_ts"))
-          .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
-    t3 = (ev.where(F.col("event_type") == "purchase")
-          .join(t2, on="user_id")
-          .where(F.col("ts") >= F.col("click_ts"))
-          .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
-    return (t1.join(t2, on="user_id", how="left")
-            .join(t3, on="user_id", how="left")
-            .select("user_id", "view_ts", "click_ts", "purchase_ts",
-                    (F.col("purchase_ts").isNotNull()
-                     & ((F.unix_micros("purchase_ts")
-                         - F.unix_micros("view_ts")) <= 3600000000))
-                    .alias("completed_1h")))
-
-
-@register("q_windowed_distinct", """
-SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1, 2
-""")
-def q_windowed_distinct(spark, sf_dir):
-    """Exact distinct users per (hour, event type) — the
-    audience-measurement aggregate.  COUNT(DISTINCT) expands to Spark's
-    two-phase expand+agg (partial distinct before the exchange); the
-    approximate scale path for very wide windows is the KMV sketch
-    (`q_distinct_kmv`), registered alongside."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"),
-                       "event_type")
-            .agg(F.countDistinct("user_id").alias("n_users"),
-                 F.count(F.lit(1)).alias("n_events")))
-
-
-@register("q_dataset_split", f"""
-WITH t AS (
-  SELECT doc_id, lang,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-  FROM documents),
-s AS (
-  SELECT doc_id, lang,
-         CASE WHEN CAST({{hex8}} AS BIGINT) / 4294967296.0 < 0.8
-              THEN 'train'
-              WHEN CAST({{hex8}} AS BIGINT) / 4294967296.0 < 0.9
-              THEN 'val' ELSE 'test' END AS split
-  FROM t)
-SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(doc_id) AS BIGINT) AS min_id
-FROM s GROUP BY split, lang
-""".replace("{hex8}", _HEX8))
-def q_dataset_split(spark, sf_dir):
-    """Deterministic train/val/test split (functions/sampling.
-    dataset_split, 80/10/10 by id hash): assignment is a scan
-    expression — zero shuffles, stable under re-runs/repartitioning,
-    and incremental (new docs join their split without moving old
-    ones).  Gated as per-(split, lang) counts + min id so the oracle
-    pins actual membership, not just totals."""
-    from ydb_cdc_processor_spark.functions.sampling import dataset_split
-    docs = load_docs(spark, sf_dir)
-    out = dataset_split(docs, "doc_id",
-                        {"train": 0.8, "val": 0.1, "test": 0.1})
-    return (out.groupBy("split", "lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("doc_id").alias("min_id")))
-
-
-@register("q_exact_median", """
-WITH v AS (
-  SELECT l_extendedprice AS x FROM lineitem
-  WHERE l_extendedprice IS NOT NULL),
-n AS (SELECT COUNT(*) AS n FROM v),
-k AS (SELECT CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k FROM n)
-SELECT (SELECT x FROM v ORDER BY x
-        LIMIT 1 OFFSET (SELECT k - 1 FROM k)) AS median,
-       (SELECT CAST(n AS BIGINT) FROM n) AS n_rows
-""")
-def q_exact_median(spark, sf_dir):
-    """EXACT global median without a global sort
-    (functions/aggregates.exact_quantile): pass 1 histograms into 1024
-    bins (bounded ≤1024-row collect — metadata, not data), pass 2
-    sorts only the target bin (~|data|/1024 rows).  The scale answer
-    to "approx_percentile isn't exact and ORDER BY is a single
-    reducer".  The oracle is the sorted-offset definition."""
-    from ydb_cdc_processor_spark.functions.aggregates import exact_quantile
-    li = load_table(spark, sf_dir, "lineitem")
-    val, n = exact_quantile(li, "l_extendedprice", q=0.5)
-    return spark.createDataFrame([(val, n)], "median double, n_rows long")
-
-
-@register("q_audio_profile", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE octet_length(encode(text)) >= 64),
-byt AS (
-  SELECT doc_id, i - 1 AS j, {_HEX_BYTE} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= (n // 64) * 64),
-win AS (
-  SELECT doc_id, j // 64 AS win_idx,
-         round(sqrt(SUM((byte - 128.0) * (byte - 128.0)) / 64.0), 6)
-           AS rms
-  FROM byt GROUP BY doc_id, j // 64)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(SUM(CASE WHEN rms < 25.0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_quiet,
-       CAST(SUM(CAST(rms AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-         AS mean_rms
-FROM win GROUP BY doc_id
-""")
-def q_audio_profile(spark, sf_dir):
-    """Audio loudness/silence profile (multimodal.audio_window_rms):
-    binary column as 8-bit PCM → per-64-sample-window RMS (vectorized
-    mapInPandas, one reshape per Arrow batch) → per-doc window count,
-    quiet-window count and decimal-exact mean RMS — the
-    voice-activity/silence-trim statistics of an audio curation pass.
-    The Σ(x−128)² inner sum is integer-exact, so the rounded RMS
-    doubles replay bit-for-bit from the oracle's hex-recovered bytes."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    win = multimodal.audio_window_rms(media, window=64)
-    return (win.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_windows"),
-                 F.sum(F.when(F.col("rms") < 25.0, 1).otherwise(0))
-                 .cast("long").alias("n_quiet"),
-                 dec_avg("rms", "mean_rms", scale=6)))
-
-
-@register("q_cohort_retention", """
-WITH ev AS (
-  SELECT user_id,
-         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
-  FROM events),
-cohort AS (
-  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
-active AS (
-  SELECT DISTINCT e.user_id, c.cohort_day,
-         CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset
-  FROM ev e JOIN cohort c USING (user_id))
-SELECT cohort_day, day_offset,
-       CAST(COUNT(*) AS BIGINT) AS n_active
-FROM active WHERE day_offset <= 7
-GROUP BY cohort_day, day_offset
-""")
-def q_cohort_retention(spark, sf_dir):
-    """Cohort retention (the product-analytics staple): users grouped
-    by first-seen day, activity counted per day offset for the first
-    week.  First-touch agg + one join back on the user key + a distinct
-    over (user, offset) — the distinct rides the same hash partitioning
-    as the final count's map-side combine."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("d"))
-    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    active = (ev.join(cohort, on="user_id")
-              .select("user_id", "cohort_day",
-                      F.datediff(F.col("d"), F.col("cohort_day"))
-                      .cast("long").alias("day_offset"))
-              .where(F.col("day_offset") <= 7)
-              .distinct())
-    return (active.groupBy("cohort_day", "day_offset")
-            .agg(F.count(F.lit(1)).alias("n_active")))
-
-
-@register("q_term_pmi", r"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, w
-  FROM (
-    SELECT doc_id, unnest(string_split(
-      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t
-  WHERE w <> ''),
-n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
-df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfw FROM toks GROUP BY w),
-pairs AS (
-  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n_both
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
-  GROUP BY a.w, b.w),
-scored AS (
-  SELECT p.w1, p.w2, p.n_both,
-         p.n_both * 1.0 * nn.n / (d1.dfw * d2.dfw) AS lift
-  FROM pairs p
-  JOIN df d1 ON d1.w = p.w1 JOIN df d2 ON d2.w = p.w2
-  CROSS JOIN n nn)
-SELECT w1, w2, n_both, lift FROM scored
-ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 25
-""")
-def q_term_pmi(spark, sf_dir):
-    """Term co-occurrence lift (rational PMI — no log, so scores are
-    IEEE-identical cross-engine): ``P(a,b)/(P(a)P(b))`` over document
-    co-occurrence, top-25.  Per-doc pairing is the per-row
-    O(tokens²/2) self-join on the doc key — bounded by per-document
-    distinct tokens, never corpus-quadratic; df table and N broadcast.
-    Collocation mining = the feature the tokenizer/phrase-merge step
-    consumes."""
-    toks = (load_docs(spark, sf_dir)
-            .select("doc_id",
-                    F.explode_outer(F.array_distinct(
-                        text.normalize_words(F.col("text")))).alias("w"))
-            .where(F.col("w").isNotNull() & (F.col("w") != "")))
-    n = toks.select(F.countDistinct("doc_id").alias("n"))
-    dfw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
-    ta = toks.select("doc_id", F.col("w").alias("w1"))
-    tb = toks.select("doc_id", F.col("w").alias("w2"))
-    pairs = (ta.join(tb, on="doc_id")
-             .where(F.col("w1") < F.col("w2"))
-             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_both")))
-    scored = (pairs
-              .join(F.broadcast(dfw.select(F.col("w").alias("w1"),
-                                           F.col("dfw").alias("_d1"))),
-                    on="w1")
-              .join(F.broadcast(dfw.select(F.col("w").alias("w2"),
-                                           F.col("dfw").alias("_d2"))),
-                    on="w2")
-              .crossJoin(F.broadcast(n))
-              .select("w1", "w2", "n_both",
-                      (F.col("n_both") * 1.0 * F.col("n")
-                       / (F.col("_d1") * F.col("_d2"))).alias("lift")))
-    return (scored.orderBy(F.col("lift").desc(), F.col("w1").asc(),
-                           F.col("w2").asc()).limit(25))
-
-
-# ---------------------------------------------------------------------------
-# Round 6 additions: SCD2 history, sink checksum, fuzzy match, BM25,
-# duplicate-n-gram coverage
-# ---------------------------------------------------------------------------
-
-from ydb_cdc_processor_spark.functions.checksum import table_checksum  # noqa: E402
-from ydb_cdc_processor_spark.operators import fuzzy, scd  # noqa: E402
-
-
-@register("q_scd2_history", """
-WITH w0 AS (
-  SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER w AS prev,
-         lag(1) OVER w AS has_prev
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-chg AS (
-  SELECT user_id, ts, event_id, event_type FROM w0
-  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
-hist AS (
-  SELECT user_id, event_type, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS valid_to
-  FROM chg)
-SELECT user_id, event_type, valid_from, valid_to,
-       valid_to IS NULL AS is_current
-FROM hist
-""")
-def q_scd2_history(spark, sf_dir):
-    """SCD Type-2 history build from the event stream (operators/scd.py):
-    every distinct consecutive ``event_type`` a user held, with its
-    validity interval — the standard CDC history-sink companion to the
-    reference's last-wins merge (CdcMsgParser.java:96-120 keeps only
-    the latest row; this keeps them all, queryably).  One key shuffle,
-    two windows over the same sort."""
-    ev = load_table(spark, sf_dir, "events")
-    return scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
-                            tiebreak_col="event_id")
-
-
-@register("q_table_checksum", """
-WITH rows_h AS (
-  SELECT substr(md5(
-           COALESCE(md5(CAST(o_orderkey AS VARCHAR)), repeat('N', 32)) ||
-           COALESCE(md5(CAST(o_custkey AS VARCHAR)), repeat('N', 32)) ||
-           COALESCE(md5(o_orderstatus), repeat('N', 32)) ||
-           COALESCE(md5(o_orderpriority), repeat('N', 32))), 1, 15) AS h15
-  FROM orders)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM({hex15}) AS VARCHAR) AS digest,
-       'cksum-v2' AS fmt
-FROM rows_h
-""".replace("{hex15}", " + ".join(
-    f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) "
-    f"* {16 ** (15 - i)}" for i in range(1, 16))))
-def q_table_checksum(spark, sf_dir):
-    """Order-independent sink-verification digest
-    (functions/checksum.py): SUM of per-row 60-bit md5 integers +
-    row count — "does the sink equal the source" as two scans and an
-    equality check, the direct form of the health question the
-    reference's status page answers with counts alone
-    (WebController.java:25-84).  Commutative sum ⇒ partition- and
-    engine-independent; digests of disjoint shards add."""
-    orders = load_table(spark, sf_dir, "orders")
-    return table_checksum(orders, ["o_orderkey", "o_custkey",
-                                   "o_orderstatus", "o_orderpriority"])
-
-
-@register("q_fuzzy_match", """
-WITH v AS (SELECT DISTINCT c_name AS t FROM customer
-           WHERE c_name IS NOT NULL)
-SELECT a.t AS term_a, b.t AS term_b,
-       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
-FROM v a JOIN v b ON a.t < b.t
-WHERE abs(length(a.t) - length(b.t)) <= 1
-  AND levenshtein(a.t, b.t) <= 1
-""")
-def q_fuzzy_match(spark, sf_dir):
-    """Fuzzy entity matching (operators/fuzzy.py): all customer-name
-    pairs within Levenshtein distance 1, via SymSpell
-    deletion-neighborhood blocking — a lossless equi-join reduction
-    verified by the exact distance.  The oracle is the brute-force
-    all-pairs join: a hash match pins that the blocking loses NO pair
-    (same losslessness contract as q_simjoin_prefix)."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_name").alias("term"))
-    return fuzzy.fuzzy_pairs_edit1(cust, "term")
-
-
-_BM25_QUERY_TERMS = [("q1", "join"), ("q1", "hash"),
-                     ("q2", "window"), ("q2", "stream"), ("q2", "spark"),
-                     ("q3", "vector"), ("q3", "dup")]
-
-@register("q_bm25", """
-WITH words AS (
-  SELECT doc_id AS doc, w AS term FROM (
-    SELECT doc_id, unnest(string_split(
-      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t WHERE w <> ''),
-tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM words GROUP BY doc, term),
-dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
-       FROM words GROUP BY doc),
-dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
-           AS n_docs,
-         (SELECT AVG(dl) FROM dl) AS avgdl),
-q(qid, term) AS (VALUES {qvals}),
-cand AS (
-  SELECT q.qid, tf.doc, tf.term,
-         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
-            / (d.df + CAST(0.5 AS DOUBLE)))
-         * ((tf.tf * CAST({k1p1} AS DOUBLE))
-            / (tf.tf + CAST({k1} AS DOUBLE)
-               * (CAST({omb} AS DOUBLE)
-                  + CAST({b} AS DOUBLE) * dl.dl / s.avgdl))) AS s
-  FROM tf JOIN q ON q.term = tf.term
-  JOIN dft d ON d.term = tf.term
-  JOIN dl ON dl.doc = tf.doc
-  CROSS JOIN stats s),
-tot AS (
-  SELECT qid, doc, SUM(s ORDER BY term) AS score
-  FROM cand GROUP BY qid, doc),
-rk AS (
-  SELECT qid, doc, score,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc ASC) AS rank
-  FROM tot)
-SELECT qid, doc AS doc_id, CAST(rank AS INT) AS rank,
-       round(score, 6) AS score
-FROM rk WHERE rank <= 5
-""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
-                                 for q, t in _BM25_QUERY_TERMS))
-   .replace("{k1p1}", repr(1.2 + 1.0)).replace("{k1}", repr(1.2))
-   .replace("{omb}", repr(1.0 - 0.75)).replace("{b}", repr(0.75)))
-def q_bm25(spark, sf_dir):
-    """BM25 ranked retrieval (text.bm25_topk): top-5 documents for three
-    multi-term queries.  Rational idf (no ln — cross-engine exact);
-    the per-(query, doc) float sum folds in sorted term order on BOTH
-    engines (Spark: array_sort + aggregate fold; oracle: ordered-
-    aggregate SUM), because float addition is order-dependent."""
-    q = spark.createDataFrame(_BM25_QUERY_TERMS, "qid string, term string")
-    return text.bm25_topk(load_docs(spark, sf_dir), q, k=5)
-
-
-@register("q_dup_ngram_coverage", """
-WITH ws AS (
-  SELECT doc_id, string_split(
-    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
-  FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
-  FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
-dfg AS (SELECT g, COUNT(*) AS nd FROM grams GROUP BY g),
-tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
-        FROM grams GROUP BY doc_id),
-sh AS (SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-       FROM grams JOIN dfg ON dfg.g = grams.g
-       WHERE dfg.nd >= 2 GROUP BY grams.doc_id)
-SELECT d.doc_id,
-       COALESCE(tot.n_grams, 0) AS n_grams,
-       COALESCE(sh.n_shared, 0) AS n_shared,
-       CASE WHEN COALESCE(tot.n_grams, 0) > 0
-            THEN round(COALESCE(sh.n_shared, 0) / tot.n_grams, 6)
-       END AS dup_frac
-FROM documents d
-LEFT JOIN tot ON tot.doc_id = d.doc_id
-LEFT JOIN sh ON sh.doc_id = d.doc_id
-""")
-def q_dup_ngram_coverage(spark, sf_dir):
-    """Duplicate-8-gram coverage per document (dedup.dup_ngram_coverage,
-    Lee et al. 2021): the fraction of a document's distinct word
-    8-grams that also occur in another document — the
-    flag-don't-delete dedup signal.  Grams md5-hashed before any
-    shuffle; text never shuffles."""
-    return dedup.dup_ngram_coverage(load_docs(spark, sf_dir), n=8)
-
-
-_SNAPSHOT_TIMES = ["2024-01-08 00:00:00", "2024-01-15 00:00:00",
-                   "2024-01-25 00:00:00"]
-
-@register("q_scd2_snapshot", """
-WITH w0 AS (
-  SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER w AS prev,
-         lag(1) OVER w AS has_prev
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-chg AS (
-  SELECT user_id, ts, event_id, event_type FROM w0
-  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
-hist AS (
-  SELECT user_id, event_type, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS valid_to
-  FROM chg),
-probes(snap_ts) AS (VALUES {probes})
-SELECT CAST(p.snap_ts AS TIMESTAMP) AS snap_ts, h.event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM hist h JOIN probes p
-  ON h.valid_from <= CAST(p.snap_ts AS TIMESTAMP)
- AND (h.valid_to IS NULL OR h.valid_to > CAST(p.snap_ts AS TIMESTAMP))
-GROUP BY 1, 2
-""".replace("{probes}", ", ".join(f"('{t}')" for t in _SNAPSHOT_TIMES)))
-def q_scd2_snapshot(spark, sf_dir):
-    """Time travel over the SCD2 history (scd.snapshot_at): the state of
-    the world — how many users held each event_type — at three probe
-    instants.  History built ONCE, snapshots are interval filters; at
-    scale this is the audit/backfill query a history sink exists for."""
-    ev = load_table(spark, sf_dir, "events")
-    hist = scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
-                            tiebreak_col="event_id")
-    # one broadcast interval join against the probe instants — NOT a
-    # per-probe snapshot_at union, which would rebuild the history
-    # window once per probe (3x the event shuffle for 3 probes)
-    probes = spark.createDataFrame(
-        [(t,) for t in _SNAPSHOT_TIMES], "snap_ts string").select(
-        F.col("snap_ts").cast("timestamp").alias("snap_ts"))
-    joined = hist.join(
-        F.broadcast(probes),
-        (F.col("valid_from") <= F.col("snap_ts"))
-        & (F.col("valid_to").isNull()
-           | (F.col("valid_to") > F.col("snap_ts"))))
-    return joined.groupBy("snap_ts", "event_type").agg(
-        F.count(F.lit(1)).alias("n_users"))
-
-
-@register("q_top_customers", """
-SELECT c_custkey, c_name, n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-       AS DOUBLE) AS revenue,
-  CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
-""")
-def q_top_customers(spark, sf_dir):
-    """TPC-H Q10 shape — returned-item revenue per customer, top 20.
-    Plan: both filters pushed to the scans (returnflag on lineitem,
-    date window on orders), customer/nation BROADCAST, one hash agg on
-    the customer key, TakeOrderedAndProject for the top-20 (never a
-    global sort).  Decimal-routed revenue sum = bit-identical at any
-    parallelism."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_returnflag") == "R"))
-    orders = (load_table(spark, sf_dir, "orders")
-              .where((F.col("o_orderdate")
-                      >= F.lit("1996-01-01").cast("timestamp"))
-                     & (F.col("o_orderdate")
-                        < F.lit("1997-01-01").cast("timestamp"))))
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(nation),
-                    cust.c_nationkey == nation.n_nationkey))
-    return (joined.groupBy("c_custkey", "c_name", "n_name")
-            .agg(dec_sum(rev, "revenue", scale=6),
-                 F.count(F.lit(1)).alias("n_items"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-            .limit(20))
-
-
-@register("q_data_card", """
-WITH per_source AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-         CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
-           AS avg_chars,
-         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en
-  FROM documents GROUP BY source)
-SELECT source, n_docs, n_langs, total_chars, avg_chars,
-       n_en / n_docs AS en_share
-FROM per_source
-""")
-def q_data_card(spark, sf_dir):
-    """Per-source data card — the summary block a dataset release ships
-    (counts, language mix, size stats).  ONE hash agg over the corpus;
-    the only distinct is per-group lang cardinality (partial-distinct
-    expanded).  en_share is an exact bigint ratio → one IEEE division."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (docs.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.countDistinct("lang").cast("long").alias("n_langs"),
-                 long_sum("n_chars", "total_chars"),
-                 dec_avg("n_chars", "avg_chars"),
-                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                  .cast("long").alias("n_en"))
-            .select("source", "n_docs", "n_langs", "total_chars",
-                    "avg_chars",
-                    (F.col("n_en") / F.col("n_docs")).alias("en_share")))
-
-
-@register("q_source_drift", """
-WITH tagged AS (
-  SELECT lang, doc_id % 2 AS half FROM documents),
-cnt AS (
-  SELECT lang,
-         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c0,
-         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
-  FROM tagged GROUP BY lang),
-tot AS (
-  SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1
-  FROM cnt)
-SELECT t.t0 AS n_a, t.t1 AS n_b,
-       CAST(SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT) AS l1_num,
-       CAST(SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT)
-         / CAST(t.t0 * t.t1 AS DOUBLE) AS l1_drift
-FROM cnt c CROSS JOIN tot t
-GROUP BY t.t0, t.t1
-""")
-def q_source_drift(spark, sf_dir):
-    """Distribution drift between two corpus snapshots (here: doc_id
-    parity halves): L1 distance between their language distributions,
-    computed EXACTLY in integers — Σ|c0·t1 − c1·t0| / (t0·t1) — so the
-    order-dependent float-sum trap never appears.  The shape of a
-    train/serve or week-over-week drift monitor: one hash agg on the
-    category, a broadcast of the two totals, one division at the end."""
-    docs = load_table(spark, sf_dir, "documents")
-    tagged = docs.select("lang", (F.col("doc_id") % 2).alias("half"))
-    cnt = tagged.groupBy("lang").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
-         .alias("c0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
-         .alias("c1"))
-    tot = cnt.agg(F.sum("c0").cast("long").alias("t0"),
-                  F.sum("c1").cast("long").alias("t1"))
-    diff = F.abs(F.col("c0") * F.col("t1") - F.col("c1") * F.col("t0"))
-    return (cnt.crossJoin(F.broadcast(tot))
-            .groupBy("t0", "t1")
-            .agg(F.sum(diff).cast("long").alias("l1_num"))
-            .select(F.col("t0").alias("n_a"), F.col("t1").alias("n_b"),
-                    "l1_num",
-                    (F.col("l1_num")
-                     / (F.col("t0") * F.col("t1")).cast("double"))
-                    .alias("l1_drift")))
-
-
-ORACLES_SCD2 = ORACLES["q_scd2_history"]
-
-@register("q_scd2_incremental", ORACLES_SCD2)
-def q_scd2_incremental(spark, sf_dir):
-    """Incrementally-maintained SCD2 history SINK (scd.Scd2View): the
-    event stream applied as three micro-batches split by event_id
-    parity classes — i.e. OUT OF ORDER in event time across batches —
-    must produce the identical history a single batch build produces
-    (same oracle as q_scd2_history).  Key-pruned reconstruct-and-
-    rebuild: idempotent under replay, order-tolerant by construction."""
-    ev = load_table(spark, sf_dir, "events")
-    view = scd.Scd2View(
-        spark, _scratch_dir("scd2_") + "/hist",
-        ["user_id"], "ts", ["event_type"], tiebreak_col="event_id")
-    for part in range(3):
-        batch = ev.where(F.col("event_id") % 3 == part)
-        view.apply_batch(batch, batch_token=f"b{part}")
-    return view.read()
-
-
-@register("q_containment", r"""
-WITH n AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
-         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS pre
-  FROM documents),
-s AS (
-  SELECT doc_id, pre,
-         list_distinct(list_transform(
-           range(1, greatest(len(w) - 3, 0) + 2),
-           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-  FROM n),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
-  UNION
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM s a JOIN s b ON a.pre = b.pre AND a.doc_id < b.doc_id)
-SELECT p.doc_a, p.doc_b,
-       CAST(len(a.sh) AS BIGINT) AS n_a,
-       CAST(len(b.sh) AS BIGINT) AS n_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / greatest(len(a.sh), 1), 6) AS contain_ab,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / greatest(len(b.sh), 1), 6) AS contain_ba
-FROM pairs p
-JOIN s a ON a.doc_id = p.doc_a
-JOIN s b ON b.doc_id = p.doc_b
-""")
-def q_containment(spark, sf_dir):
-    """Exact 3-gram CONTAINMENT (dedup.ngram_containment) over the same
-    deterministic pair set as q_ngram_jaccard — the asymmetric signal
-    for quote/boilerplate detection: a short doc embedded in a long one
-    scores ~1 one way while its Jaccard stays tiny."""
-    docs = load_docs(spark, sf_dir)
-    ids = docs.select("doc_id")
-    consec = (ids.select(F.col("doc_id").alias("doc_a"))
-              .join(ids.select((F.col("doc_id")).alias("doc_b")),
-                    F.col("doc_b") == F.col("doc_a") + 1))
-    pre = docs.select("doc_id", F.substring(
-        dedup.normalize_text(F.col("text")), 1, 40).alias("pre"))
-    dup = (pre.alias("a").join(pre.alias("b"), "pre")
-           .where(F.col("a.doc_id") < F.col("b.doc_id"))
-           .select(F.col("a.doc_id").alias("doc_a"),
-                   F.col("b.doc_id").alias("doc_b")))
-    pairs = consec.union(dup).distinct()
-    return dedup.ngram_containment(docs, pairs)
-
-
-@register("q_pit_enrich", """
-WITH w0 AS (
-  SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER w AS prev,
-         lag(1) OVER w AS has_prev
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-chg AS (
-  SELECT user_id, ts, event_id, event_type FROM w0
-  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
-hist AS (
-  SELECT user_id, event_type, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS valid_to
-  FROM chg),
-probes AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-SELECT p.event_id, p.user_id, p.ts, h.event_type AS state_before
-FROM probes p
-LEFT JOIN hist h
-  ON h.user_id = p.user_id
- AND h.valid_from < p.ts
- AND (h.valid_to IS NULL OR h.valid_to >= p.ts)
-""")
-def q_pit_enrich(spark, sf_dir):
-    """Point-in-time enrichment — leakage-free feature backfill: each
-    purchase event joined to the SCD2 state the user held STRICTLY
-    BEFORE the event (half-open intervals make the covering row unique;
-    a user's first event gets NULL).  Plan: history and probes both
-    hash-partition on the user key, one SortMergeJoin with the interval
-    refine as its residual condition — the standard "as-of the label's
-    timestamp, never after" join every feature store needs."""
-    ev = load_table(spark, sf_dir, "events")
-    hist = scd.scd2_history(ev, ["user_id"], "ts", ["event_type"],
-                            tiebreak_col="event_id")
-    probes = (ev.where(F.col("event_type") == "purchase")
-              .select("event_id", "user_id", "ts"))
-    h = hist.select(F.col("user_id").alias("h_user"),
-                    F.col("event_type").alias("state_before"),
-                    "valid_from", "valid_to")
-    return (probes.join(
-                h, (F.col("h_user") == F.col("user_id"))
-                   & (F.col("valid_from") < F.col("ts"))
-                   & (F.col("valid_to").isNull()
-                      | (F.col("valid_to") >= F.col("ts"))),
-                how="left")
-            .select("event_id", "user_id", "ts", "state_before"))
-
-
-# ---------------------------------------------------------------------------
-# Round 7 additions: canonical TPC-H shapes (Q1/Q3/Q4) + curation sampling
-# and tokenizer-coverage operators
-# ---------------------------------------------------------------------------
-
-_Q1_CUT = "1998-07-01 00:00:00"
-
-
-@register("q_pricing_summary", f"""
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-         AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
-                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-         AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-         AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-         AS avg_disc,
-       CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT}'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-""")
-def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 pricing summary shape — the canonical scan-heavy
-    wide-aggregate report: one filtered scan, one map-side-combined
-    hash agg into a handful of groups, every double routed through the
-    exact decimal fold (functions/aggregates.py) so the report is
-    bit-identical at any parallelism.  Per-row products evaluate in the
-    same association order as the oracle SQL."""
-    li = load_table(spark, sf_dir, "lineitem") \
-        .where(F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(dec_sum("l_quantity", "sum_qty", 6),
-                 dec_sum("l_extendedprice", "sum_base_price", 6),
-                 dec_sum(disc_price, "sum_disc_price", 6),
-                 dec_sum(charge, "sum_charge", 6),
-                 dec_avg("l_quantity", "avg_qty", 6),
-                 dec_avg("l_extendedprice", "avg_price", 6),
-                 dec_avg("l_discount", "avg_disc", 6),
-                 F.count(F.lit(1)).cast("long").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
-
-
-@register("q_shipping_priority", f"""
-SELECT l.l_orderkey,
-       o.o_orderdate,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '{_Q1_CUT}'
-  AND l.l_shipdate > TIMESTAMP '{_Q1_CUT}'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
-LIMIT 10
-""")
-def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shipping-priority shape: segment-filtered customers
-    BROADCAST into the orders⋈lineitem join (the dimension side is
-    config-scale after the filter — never shuffle the fact table for
-    it), decimal-exact revenue agg, then ONE global top-10
-    (TakeOrderedAndProject, no full sort).  Deterministic tiebreaks on
-    (o_orderdate, l_orderkey) keep the boundary engine-stable."""
-    cut = F.lit(_Q1_CUT).cast("timestamp")
-    cust = (load_table(spark, sf_dir, "customer")
-            .where(F.col("c_mktsegment") == "BUILDING")
-            .select("c_custkey"))
-    orders = (load_table(spark, sf_dir, "orders")
-              .where(F.col("o_orderdate") < cut)
-              .select("o_orderkey", "o_custkey", "o_orderdate"))
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_shipdate") > cut)
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey")))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (j.groupBy("l_orderkey", "o_orderdate")
-            .agg(dec_sum(rev, "revenue", 6))
-            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
-                     F.col("l_orderkey").asc())
-            .limit(10))
-
-
-@register("q_order_priority_exists", """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-""")
-def q_order_priority_exists(spark, sf_dir):
-    """TPC-H Q4 shape — the canonical EXISTS decorrelation: the
-    subquery lowers to a LEFT SEMI hash join on the order key (each
-    order emitted at most once regardless of matching line count — a
-    plain inner join + distinct would shuffle the duplicates first),
-    then a tiny hash agg on priority."""
-    orders = (load_table(spark, sf_dir, "orders")
-              .where((F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")
-                      .cast("timestamp"))
-                     & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
-                        .cast("timestamp"))))
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_discount") > 0.05).select("l_orderkey"))
-    return (orders.join(li, orders.o_orderkey == li.l_orderkey,
-                        how="left_semi")
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-            .orderBy("o_orderpriority"))
-
-
-@register("q_weighted_sample", """
-WITH h AS (
-  SELECT doc_id, n_chars,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-  FROM documents WHERE n_chars > 0),
-s AS (
-  SELECT doc_id, n_chars,
-         round(ln((CAST({hex8} AS DOUBLE) + 1) / 4294967296.0)
-               / n_chars, 9) AS aes_key
-  FROM h)
-SELECT doc_id, n_chars, aes_key
-FROM s ORDER BY aes_key DESC, doc_id ASC LIMIT 100
-""".replace("{hex8}", " + ".join(
-    f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) "
-    f"* {16 ** (8 - i)}" for i in range(1, 9))))
-def q_weighted_sample(spark, sf_dir):
-    """Deterministic weighted sampling without replacement
-    (functions/sampling.weighted_sample): Efraimidis–Spirakis A-ES over
-    the documents table with n_chars as the weight — longer docs
-    proportionally likelier, no replacement, and the selected set is a
-    pure function of the ids (stable across runs/partitionings/engines,
-    unlike df.sample).  One codegen projection + one global top-k."""
-    from ydb_cdc_processor_spark.functions.sampling import weighted_sample
-    docs = load_docs(spark, sf_dir).select("doc_id", "n_chars")
-    return (weighted_sample(docs, "doc_id", "n_chars", 100,
-                             keep_key=True)
-            .select("doc_id", "n_chars",
-                    F.col("_aes_key").alias("aes_key")))
-
-
-@register("q_vocab_coverage", r"""
-WITH w AS (
-  SELECT doc_id, unnest(string_split(
-    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
-  FROM documents),
-wn AS (SELECT doc_id, word FROM w WHERE word <> ''),
-v AS (
-  SELECT word FROM (
-    SELECT word, row_number() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rnk
-    FROM wn GROUP BY word) WHERE rnk <= 512),
-cov AS (
-  SELECT wn.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_oov
-  FROM wn LEFT JOIN v ON wn.word = v.word
-  GROUP BY wn.doc_id)
-SELECT d.doc_id,
-       COALESCE(cov.n_tokens, 0) AS n_tokens,
-       COALESCE(cov.n_oov, 0) AS n_oov,
-       CAST(floor(cov.n_oov * 1000000.0 / cov.n_tokens) AS BIGINT) AS oov_ppm
-FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
-""")
-def q_vocab_coverage(spark, sf_dir):
-    """Per-document tokenizer-vocabulary coverage (text.vocab_coverage):
-    corpus top-512 term vocab (frequency-ranked, term-asc tiebreak)
-    broadcast back over the token stream; each doc reports its token
-    count and out-of-vocabulary share in exact integer ppm (FLOOR of an
-    IEEE division — no cross-engine rounding half-cases)."""
-    return text.vocab_coverage(load_docs(spark, sf_dir), vocab_size=512)
-
-
-@register("q_priority_shipping_mix", """
-SELECT l.l_linestatus,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders o
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l.l_linestatus
-ORDER BY l.l_linestatus
-""")
-def q_priority_shipping_mix(spark, sf_dir):
-    """TPC-H Q12 shape — conditional-aggregate mix report: one fact⋈fact
-    equi-join (both sides shuffle on the order key; nothing to
-    broadcast) and CASE-guarded counts per group — the
-    filter-inside-the-aggregate pattern every reporting workload uses."""
-    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-          .select("l_orderkey", "l_linestatus"))
-    orders = load_table(spark, sf_dir, "orders") \
-        .select("o_orderkey", "o_orderpriority")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("l_linestatus")
-            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
-                 .alias("high_line_count"),
-                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
-                 .alias("low_line_count"))
-            .orderBy("l_linestatus"))
-
-
-@register("q_promo_revenue", """
-SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
-       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                       AS DECIMAL(38,6))) AS DOUBLE) AS promo_share
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
-""")
-def q_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape — promo revenue share: the part dimension
-    BROADCASTs into the date-pruned lineitem scan, both the guarded and
-    total revenue ride ONE exact decimal fold each, and the share is a
-    single deterministic IEEE division of the two (no rounding needed —
-    both operands are bit-identical on any engine)."""
-    lo = F.lit("1997-06-01 00:00:00").cast("timestamp")
-    hi = F.lit("1997-09-01 00:00:00").cast("timestamp")
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-          .select("l_partkey", "l_extendedprice", "l_discount"))
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(38,6)")
-    promo = F.when(F.col("p_type") == "PROMO", rev) \
-        .otherwise(F.lit(0).cast("decimal(38,6)"))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .agg((F.lit(100.0) * F.sum(promo).cast("double")
-                  / F.sum(rev).cast("double")).alias("promo_share")))
-
-
-@register("q_discount_revenue_disjunct", """
-SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity >= 10)
-   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
-       AND l.l_quantity >= 20)
-   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
-       AND l.l_quantity >= 5)
-""")
-def q_discount_revenue_disjunct(spark, sf_dir):
-    """TPC-H Q19 shape — disjunctive mixed-table predicates: three OR'd
-    (brand, size, quantity) clauses spanning both join sides.  The part
-    side BROADCASTs with its derivable disjunct (brand ∈ {…}) pushed
-    into its scan; the quantity conjuncts evaluate as the join residual.
-    Catalyst's OR-factoring is what keeps the fact scan from reading
-    rows no disjunct can accept."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    c1 = ((F.col("p_brand") == "Brand#1")
-          & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
-    c2 = ((F.col("p_brand") == "Brand#2")
-          & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
-    c3 = ((F.col("p_brand") == "Brand#3")
-          & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 5))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (j.where(c1 | c2 | c3)
-            .agg(dec_sum(rev, "revenue", 6),
-                 F.count(F.lit(1)).cast("long").alias("n_lines")))
-
-
-@register("q_small_quantity_revenue", """
-WITH lim AS (
-  SELECT l_partkey,
-         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-                / COUNT(*)) AS qty_lim
-  FROM lineitem GROUP BY l_partkey)
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
-         AS avg_yearly,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN lim t ON t.l_partkey = l.l_partkey
-WHERE l.l_quantity < t.qty_lim
-""")
-def q_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape — the correlated scalar subquery ("below 20% of
-    this part's average quantity") decorrelated into a per-part
-    aggregate joined back to the fact table: ONE extra hash agg +
-    equi-join on the part key instead of a per-row subquery.  The
-    average routes through the exact decimal fold so the 0.2× threshold
-    is the identical double on any engine — the comparison can't
-    straddle."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice")
-    lim = li.groupBy("l_partkey").agg(
-        (F.lit(0.2) * (F.sum(F.col("l_quantity").cast("decimal(38,6)"))
-                       .cast("double") / F.count(F.lit(1))))
-        .alias("qty_lim"))
-    return (li.join(lim, on="l_partkey")
-            .where(F.col("l_quantity") < F.col("qty_lim"))
-            .agg((F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
-                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
-                 F.count(F.lit(1)).cast("long").alias("n_lines")))
-
-
-@register("q_event_transitions", """
-WITH s AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
-  FROM events)
-SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
-FROM s WHERE next_type IS NOT NULL
-GROUP BY event_type, next_type
-ORDER BY event_type, next_type
-""")
-def q_event_transitions(spark, sf_dir):
-    """Event-transition (first-order Markov) counts over each user's
-    event sequence: ONE key shuffle for the per-user lead window, then a
-    tiny hash agg on the (from, to) pair — the behavioral-analytics
-    shape funnels and session models build on.  Deterministic tiebreak
-    on event_id inside equal timestamps."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc())
-    return (ev.withColumn("next_type", F.lead("event_type").over(w))
-            .where(F.col("next_type").isNotNull())
-            .groupBy("event_type", "next_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .orderBy("event_type", "next_type"))
-
-
-@register("q_ann_recall", f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
-bs AS (SELECT probe_id, vec_id,
-              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
-       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
-br AS (SELECT probe_id, vec_id,
-              row_number() OVER (PARTITION BY probe_id
-                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-       FROM bs),
-bt AS (SELECT probe_id, vec_id FROM br WHERE rnk <= 5),
-cb AS (SELECT vec_id, emb, {_srp_bucket_sql(8, "emb")} AS bucket FROM e),
-pb AS (SELECT vec_id AS probe_id, emb AS pemb, bucket FROM cb
-       WHERE vec_id % 100 = 0),
-ls AS (SELECT pb.probe_id, cb.vec_id,
-              round(list_cosine_similarity(cb.emb, pb.pemb), 6) AS cos_sim
-       FROM cb JOIN pb USING (bucket) WHERE cb.vec_id <> pb.probe_id),
-lr AS (SELECT probe_id, vec_id,
-              row_number() OVER (PARTITION BY probe_id
-                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-       FROM ls),
-lt AS (SELECT probe_id, vec_id FROM lr WHERE rnk <= 5)
-SELECT bt.probe_id,
-       CAST(COUNT(lt.vec_id) AS BIGINT) AS n_hits,
-       round(COUNT(lt.vec_id) / 5.0, 6) AS recall_at_5
-FROM bt LEFT JOIN lt ON lt.probe_id = bt.probe_id AND lt.vec_id = bt.vec_id
-GROUP BY bt.probe_id
-ORDER BY bt.probe_id
-""")
-def q_ann_recall(spark, sf_dir):
-    """ANN quality self-measurement — recall@5 of the SRP-LSH index
-    against the exact brute-force ranking, per probe ("measure, don't
-    guess" applied to the index itself: the number a 100 TB deployment
-    watches when tuning n_planes/occupancy).  Both rankings reuse the
-    oracle-replayable pipelines of q_similarity_topk / q_similarity_lsh;
-    the recall join is probe-keyed and broadcast-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    brute = similarity.cosine_topk(emb, probes, k=5) \
-        .select("probe_id", "vec_id")
-    lsh = (similarity.cosine_topk_lsh(emb, probes, k=5, n_planes=8,
-                                      dim=_EMB_DIM)
-           .select(F.col("probe_id").alias("l_probe"),
-                   F.col("vec_id").alias("l_vec")))
-    # both sides are |probes|×k rows — broadcast the LSH side so the
-    # recall join never shuffles (flagged by tools/audit_plans.py)
-    j = brute.join(F.broadcast(lsh),
-                   (F.col("probe_id") == F.col("l_probe"))
-                   & (F.col("vec_id") == F.col("l_vec")), how="left")
-    return (j.groupBy("probe_id")
-            .agg(F.count("l_vec").cast("long").alias("n_hits"),
-                 F.round(F.count("l_vec") / F.lit(5.0), 6)
-                  .alias("recall_at_5"))
-            .orderBy("probe_id"))
-
-
-@register("q_customer_order_distribution", """
-WITH per_cust AS (
-  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-  FROM customer c
-  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_custkey)
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM per_cust
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-""")
-def q_customer_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape — the histogram-of-group-sizes DOUBLE
-    aggregation: orders-per-customer via a LEFT join (zero-order
-    customers must appear in the 0 bin — an inner join silently drops
-    them), then the distribution over those counts.  Two hash aggs; the
-    second one's input is already customer-cardinality, so the heavy
-    shuffle happens exactly once."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders") \
-        .select("o_custkey", "o_orderkey")
-    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
-                          how="left")
-                .groupBy("c_custkey")
-                .agg(F.count("o_orderkey").cast("long").alias("c_count")))
-    return (per_cust.groupBy("c_count")
-            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
-
-
-@register("q_forecast_revenue", """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
-            AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-""")
-def q_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape — the canonical pushdown probe: a single scan
-    whose THREE conjuncts (date range, discount band, quantity cap) all
-    push into the parquet reader, one exact decimal fold, no join, no
-    shuffle beyond the final 1-row agg.  The query every engine uses to
-    demonstrate scan-filter efficiency."""
-    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-                 & F.col("l_discount").between(0.05, 0.07)
-                 & (F.col("l_quantity") < 24)))
-    return li.agg(
-        dec_sum(F.col("l_extendedprice") * F.col("l_discount"),
-                "revenue", 6),
-        F.count(F.lit(1)).cast("long").alias("n_lines"))
-
-
-@register("q_idle_customers", """
-WITH avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-           AS v
-  FROM customer WHERE c_acctbal > 0.0)
-SELECT c.c_mktsegment,
-       CAST(COUNT(*) AS BIGINT) AS n_custs,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
-FROM customer c, avg_bal
-WHERE c.c_acctbal > avg_bal.v
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
-""")
-def q_idle_customers(spark, sf_dir):
-    """TPC-H Q22 shape — positive-account customers above the global
-    average balance who have never ordered: a broadcast scalar subquery
-    (one tiny agg crossed in) + a LEFT ANTI join against the orders fact
-    + the segment rollup.  The average routes through the exact decimal
-    fold so the > threshold is engine-identical."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal")
-    avg_bal = (cust.where(F.col("c_acctbal") > 0.0)
-               .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
-                     .cast("double") / F.count(F.lit(1))).alias("v")))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return (cust.crossJoin(F.broadcast(avg_bal))
-            .where(F.col("c_acctbal") > F.col("v"))
-            .join(orders, cust.c_custkey == orders.o_custkey,
-                  how="left_anti")
-            .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
-                 F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
-                  .cast("double").alias("total_bal"))
-            .orderBy("c_mktsegment"))
-
-
-ORACLE_VECTOR_INDEX = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, pemb, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
-s AS (SELECT pc.probe_id, cc.vec_id,
-             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
-      FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-"""
-
-
-@register("q_vector_index", ORACLE_VECTOR_INDEX)
-def q_vector_index(spark, sf_dir):
-    """PERSISTENT IVF vector index (operators/vector_index.py): the
-    quantizer trains on two-thirds of the corpus, the remaining third
-    ingests through add_batch against the frozen centroids (the standard
-    IVF serving contract), and the query reads ONLY the probes' nearest
-    cells' store buckets.  The oracle replays the whole lifecycle in
-    SQL — subset-sampled centroids, full-corpus assignment, cell-pruned
-    candidate join, per-probe top-5."""
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = VectorIndex(spark, _scratch_dir("vecidx_") + "/idx", n_cells=16)
-    idx.build(emb.where(F.col("vec_id") % 3 != 2))
-    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return idx.query(probes, k=5, n_probe=4)
-
-
-@register("q_vector_index_stream", ORACLE_VECTOR_INDEX)
-def q_vector_index_stream(spark, sf_dir):
-    """The IVF index maintained from a STREAM
-    (VectorIndex.start_stream): the quantizer trains on two-thirds of
-    the corpus, the remaining third arrives as a checkpointed file
-    stream (one file per trigger) whose micro-batches ingest via
-    foreachBatch → add_batch.  Frozen-quantizer assignment is
-    per-vector, so arrival batching cannot change the served results —
-    the streaming lifecycle must land on exactly the batch lifecycle's
-    answers, which is what the (shared) SQL oracle replays."""
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = _scratch_dir("vecidxs_")
-    idx = VectorIndex(spark, base + "/idx", n_cells=16)
-    idx.build(emb.where(F.col("vec_id") % 3 != 2))
-    late = emb.where(F.col("vec_id") % 3 == 2)
-    late.repartition(3).write.parquet(base + "/src")
-    stream = (spark.readStream.schema(late.schema)
-              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
-    idx.start_stream(stream, base + "/ckpt").awaitTermination()
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return idx.query(probes, k=5, n_probe=4)
-
-
-@register("q_vector_index_pq", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-u AS (SELECT vec_id,
-             list_transform(emb,
-                            x -> x / sqrt(list_inner_product(emb, emb)))
-               AS uv
-      FROM e),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, cell FROM pa WHERE cr <= 4),
-smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
-        FROM u WHERE vec_id % 3 <> 2 ORDER BY h LIMIT 64),
-cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
-              uv AS cw
-       FROM smp),
-cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
-        FROM cb CROSS JOIN range(0, 16) t(m)),
-ec AS (SELECT vec_id, m, j,
-              round(list_inner_product(
-                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
-       FROM u CROSS JOIN cbm),
-enc AS (SELECT vec_id, m, j FROM (
-          SELECT vec_id, m, j,
-                 row_number() OVER (PARTITION BY vec_id, m
-                                    ORDER BY s DESC, j ASC) AS rk
-          FROM ec) t WHERE rk = 1),
-tab AS (SELECT pu.vec_id AS probe_id, cbm.m, cbm.j,
-               round(list_inner_product(
-                   list_slice(pu.uv, cbm.m * 4 + 1, cbm.m * 4 + 4),
-                   cbm.cws), 6) AS t
-        FROM u pu CROSS JOIN cbm WHERE pu.vec_id % 100 = 0),
-pairs AS (SELECT pc.probe_id, cc.vec_id
-          FROM cc JOIN pc USING (cell)
-          WHERE cc.vec_id <> pc.probe_id),
-ip AS (SELECT pr.probe_id, pr.vec_id, SUM(t.t ORDER BY t.m) AS ips
-       FROM pairs pr
-       JOIN enc ON enc.vec_id = pr.vec_id
-       JOIN tab t ON t.probe_id = pr.probe_id
-               AND t.m = enc.m AND t.j = enc.j
-       GROUP BY pr.probe_id, pr.vec_id),
-r AS (SELECT probe_id, vec_id, round(ips, 6) AS pq_sim FROM ip)
-SELECT probe_id, vec_id, pq_sim, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT probe_id, vec_id, pq_sim,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY pq_sim DESC, vec_id ASC) AS rnk
-  FROM r) t
-WHERE rnk <= 5
-""")
-def q_vector_index_pq(spark, sf_dir):
-    """IVFADC as a MAINTAINED store (VectorIndex(m_sub=..., n_codes=...)
-    — the 100 TB serving shape of Jégou et al. 2011 §IV): the coarse
-    quantizer AND the PQ codebook train on two-thirds of the corpus,
-    the remaining third ingests through add_batch ENCODED against the
-    frozen codebook (codes live in the inverted lists at ingest — the
-    store never holds a raw vector, ~96 bits/vec instead of 64
-    doubles), and the query reads only the probed cells' buckets,
-    scoring candidates by ADC table lookups.  Unlike
-    q_similarity_ivf_pq (per-call re-train + re-encode of everything),
-    the per-batch cost here is O(|batch|) and query cost is
-    O(probed-cell occupancy) — the oracle replays the whole lifecycle
-    with subset-trained centroids + codebook but full-corpus codes."""
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = VectorIndex(spark, _scratch_dir("vecidxpq_") + "/idx",
-                      n_cells=16, m_sub=16, n_codes=64)
-    idx.build(emb.where(F.col("vec_id") % 3 != 2), dim=64)
-    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return idx.query(probes, k=5, n_probe=4)
-
-
-@register("q_media_scenes", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE octet_length(encode(text)) >= 64),
-byt AS (
-  SELECT doc_id, i - 1 AS j, {{hexbyte}} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= (n // 64) * 64),
-fr AS (
-  SELECT doc_id, j // 64 AS frame_idx,
-         round(SUM(byte) / 64.0, 6) AS lum
-  FROM byt GROUP BY doc_id, j // 64),
-sc AS (
-  SELECT doc_id, frame_idx, lum,
-         lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
-  FROM fr)
-SELECT doc_id, frame_idx, lum,
-       CASE WHEN prev IS NULL THEN TRUE
-            ELSE abs(lum - prev) > 2.0 END AS is_scene
-FROM sc
-""".replace("{hexbyte}", _HEX_BYTE))
-def q_media_scenes(spark, sf_dir):
-    """Video scene-boundary detection (multimodal.frame_mean_luminance +
-    scene_changes): per-frame luminance via ONE vectorized reshape+mean
-    per Arrow batch over the blob (fake-codec frame convention — a real
-    decoder slots into the same signature), then a pure-Catalyst per-doc
-    lag window flags |Δlum| > threshold.  Luminance is a dyadic-exact
-    sum/64, so the boundary comparison is engine-exact."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    lum = multimodal.frame_mean_luminance(media, frame_bytes=64)
-    return multimodal.scene_changes(lum, threshold=2.0)
-
-
-@register("q_audio_trim", f"""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE octet_length(encode(text)) >= 64),
-byt AS (
-  SELECT doc_id, i - 1 AS j, {{hexbyte}} AS byte
-  FROM b, LATERAL unnest(generate_series(1, n)) AS t(i)
-  WHERE i <= (n // 64) * 64),
-win AS (
-  SELECT doc_id, j // 64 AS win_idx,
-         round(sqrt(SUM((byte - 128.0) * (byte - 128.0)) / 64.0), 6) AS rms
-  FROM byt GROUP BY doc_id, j // 64)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(MIN(CASE WHEN rms >= 25.0 THEN win_idx END) * 64 AS BIGINT)
-         AS trim_start,
-       CAST((MAX(CASE WHEN rms >= 25.0 THEN win_idx END) + 1) * 64
-            AS BIGINT) AS trim_end
-FROM win GROUP BY doc_id
-""".replace("{hexbyte}", _HEX_BYTE))
-def q_audio_trim(spark, sf_dir):
-    """Silence-trim offsets — the back half of voice-activity
-    segmentation: over the windowed RMS profile (audio_window_rms, the
-    voiced threshold shared with q_audio_profile), each clip reports the
-    sample offsets of its first and last voiced window (NULL when the
-    whole clip is quiet).  One hash agg over the profile; no second pass
-    over the PCM."""
-    from ydb_cdc_processor_spark.operators import multimodal
-    media = multimodal.media_from_documents(load_docs(spark, sf_dir))
-    rms = multimodal.audio_window_rms(media, window=64)
-    voiced = F.when(F.col("rms") >= 25.0, F.col("win_idx"))
-    return (rms.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
-                 (F.min(voiced) * 64).cast("long").alias("trim_start"),
-                 ((F.max(voiced) + 1) * 64).cast("long").alias("trim_end")))
-
-
-@register("q_neardup_index", f"""
-WITH nrm AS ({_NORM_WORDS}),
-sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM nrm),
-sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_MINHASH_BANDS}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id)
-SELECT p.doc_a, p.doc_b,
-       round(({_MINHASH_EST}) / 16.0, 6) AS est_jaccard
-FROM pairs p
-JOIN sig a ON a.doc_id = p.doc_a
-JOIN sig b ON b.doc_id = p.doc_b
-""")
-def q_neardup_index(spark, sf_dir):
-    """Near-dup detection AT INGEST (operators/neardup_index.py): the
-    corpus arrives as three micro-batches into a persistent banded-
-    MinHash signature store (bucketed view co-located on (band,bucket));
-    each batch reads only its touched store buckets and emits candidate
-    pairs scored by signature agreement.  The UNION of the per-batch
-    pair sets must equal the one-shot LSH pair set with the identical
-    estimate — which is exactly what the oracle recomputes in SQL.
-    (apply_batch returns eagerly-materialized pairs, so holding them
-    across subsequent batches is safe.)"""
-    from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
-    docs = load_docs(spark, sf_dir)
-    idx = NearDupIndex(spark, _scratch_dir("ndidx_") + "/idx")
-    parts = []
-    for part in range(3):
-        batch = docs.where(F.col("doc_id") % 3 == part)
-        parts.append(idx.apply_batch(batch))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
-
-
-@register("q_range_cluster", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-  AND l_shipdate < TIMESTAMP '1997-04-01'
-""")
-def q_range_cluster(spark, sf_dir):
-    """Range-clustered layout (functions/layout.cluster_write): lineitem
-    is rewritten range-partitioned + sorted on l_shipdate, then a
-    one-month revenue query runs over the CLUSTERED copy — the files
-    outside the month are skipped via parquet min/max stats (layout
-    disjointness pinned structurally by
-    test_cluster_write_files_own_disjoint_ranges; result equality with
-    the unclustered table is this oracle).  The rewrite is one sampled
-    range shuffle — pay once at write, prune on every range scan."""
-    from ydb_cdc_processor_spark.functions.layout import cluster_write
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_extendedprice", "l_discount")
-    path = _scratch_dir("rcluster_") + "/li"
-    cluster_write(li, path, ["l_shipdate"], n_files=16)
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    return (spark.read.parquet(path)
-            .where((F.col("l_shipdate") >= "1997-03-01")
-                   & (F.col("l_shipdate") < "1997-04-01"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
-                 F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-                 .cast("double").alias("revenue")))
-
-
-@register("q_checksum_incremental", """
-WITH rows_h AS (
-  SELECT substr(md5(
-           COALESCE(md5(CAST(o_orderkey AS VARCHAR)), repeat('N', 32)) ||
-           COALESCE(md5(CAST(o_custkey AS VARCHAR)), repeat('N', 32)) ||
-           COALESCE(md5(o_orderstatus), repeat('N', 32)) ||
-           COALESCE(md5(o_orderpriority), repeat('N', 32))), 1, 15) AS h15
-  FROM orders)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM({hex15}) AS VARCHAR) AS digest,
-       'cksum-v2' AS fmt
-FROM rows_h
-""".replace("{hex15}", " + ".join(
-    f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) "
-    f"* {16 ** (15 - i)}" for i in range(1, 16))))
-def q_checksum_incremental(spark, sf_dir):
-    """INCREMENTALLY-maintained table checksum
-    (functions/checksum.ChecksumView): the orders table arrives as three
-    upsert micro-batches into a keyed view — the middle batch WRITES
-    MODIFIED rows that the last batch updates back — and the digest is
-    maintained per batch as +new/−old-image deltas (shard additivity),
-    never recomputed over the view.  After the last batch the view
-    equals the full table, so the maintained (n_rows, digest, fmt) must
-    land bit-for-bit on the one-shot q_table_checksum oracle — O(batch)
-    maintenance provably converging to the O(table) recompute."""
-    from ydb_cdc_processor_spark.functions.checksum import ChecksumView
-    from ydb_cdc_processor_spark.operators.merge import (
-        ParquetMaterializedView)
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    orders = load_table(spark, sf_dir, "orders").select(*cols)
-    base = _scratch_dir("ckinc_")
-    mv = ParquetMaterializedView(spark, base + "/view", ["o_orderkey"],
-                                 schema=orders.schema)
-    cv = ChecksumView(spark, base + "/ck", cols)
-    batches = [
-        orders.where(F.col("o_orderkey") % 3 != 2),
-        orders.where(F.col("o_orderkey") % 3 == 2)
-              .withColumn("o_orderpriority", F.lit("X-TEMP")),
-        orders.where(F.col("o_orderkey") % 3 == 2),
-    ]
-    for i, b in enumerate(batches):
-        old = None
-        if mv.exists():
-            old = (mv.read().join(b.select("o_orderkey"), on="o_orderkey",
-                                  how="left_semi")
-                   .localCheckpoint(eager=True))
-        cv.apply_delta(b, old, batch_token=f"ck:{i}")
-        mv.apply(b, action="upsertInto")
-    s = cv.read()
-    return spark.createDataFrame(
-        [(s["n_rows"], s["digest"], s["fmt"])],
-        "n_rows long, digest string, fmt string")
-
-
-@register("q_neardup_index_stream", None)
-def q_neardup_index_stream(spark, sf_dir):
-    """Near-dup detection from a STREAM (NearDupIndex.start_stream):
-    the corpus arrives as a checkpointed file stream (one file per
-    trigger) into the persistent banded-MinHash store; per-batch
-    candidate pairs append to a parquet sink tagged by batch id and are
-    read back replay-collapsed (read_pairs).  The collapsed pair set
-    must equal the one-shot LSH pair set with identical estimates —
-    exactly what q_neardup_index's shared SQL oracle recomputes
-    (any-batching == one-shot is also property-tested,
-    test_neardup_index.py)."""
-    from ydb_cdc_processor_spark.operators.neardup_index import NearDupIndex
-    docs = load_docs(spark, sf_dir).select("doc_id", "text")
-    base = _scratch_dir("ndidxs_")
-    docs.repartition(3).write.parquet(base + "/src")
-    idx = NearDupIndex(spark, base + "/idx")
-    stream = (spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
-    idx.start_stream(stream, base + "/ckpt", base + "/pairs") \
-       .awaitTermination()
-    return (idx.read_pairs(base + "/pairs")
-            .select("doc_a", "doc_b", "est_jaccard").distinct())
-
-
-ORACLES["q_neardup_index_stream"] = ORACLES["q_neardup_index"]
-
-
-@register("q_nation_trade_volume", """
-WITH v AS (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-         CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
-  FROM supplier s
-  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l.l_shipdate < TIMESTAMP '1998-01-01')
-SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(volume) AS DOUBLE) AS revenue
-FROM v GROUP BY supp_nation, cust_nation, l_year
-""")
-def q_nation_trade_volume(spark, sf_dir):
-    """TPC-H Q7 volume-shipping shape: bilateral trade volume between
-    two nations by ship year.  The nation filters broadcast and
-    pre-prune supplier/customer BEFORE lineitem joins them, so the big
-    table's join fan-in carries only the two nations' rows; the ship-
-    date range pushes into the lineitem scan; revenue is the
-    decimal-exact Σ price·(1−discount)."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    nation = load_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2"))
-    supp = (load_table(spark, sf_dir, "supplier")
-            .join(F.broadcast(nation.select(
-                F.col("n_nationkey").alias("s_nationkey"),
-                F.col("n_name").alias("supp_nation"))), on="s_nationkey")
-            .select("s_suppkey", "supp_nation"))
-    cust = (load_table(spark, sf_dir, "customer")
-            .join(F.broadcast(nation.select(
-                F.col("n_nationkey").alias("c_nationkey"),
-                F.col("n_name").alias("cust_nation"))), on="c_nationkey")
-            .select("c_custkey", "cust_nation"))
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= "1996-01-01")
-                 & (F.col("l_shipdate") < "1998-01-01"))
-          .select("l_orderkey", "l_suppkey", "l_shipdate",
-                  "l_extendedprice", "l_discount"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    return (li
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .where(((F.col("supp_nation") == "NATION_1")
-                    & (F.col("cust_nation") == "NATION_2"))
-                   | ((F.col("supp_nation") == "NATION_2")
-                      & (F.col("cust_nation") == "NATION_1")))
-            .groupBy("supp_nation", "cust_nation",
-                     F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-                 .cast("double").alias("revenue")))
-
-
-@register("q_market_share", """
-WITH an AS (
-  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-         CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
-         n2.n_name AS supp_nation
-  FROM part p
-  JOIN lineitem l ON p.p_partkey = l.l_partkey
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-  JOIN region r ON n1.n_regionkey = r.r_regionkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
-    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-    AND o.o_orderdate < TIMESTAMP '1998-01-01')
-SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
-FROM an GROUP BY o_year
-""")
-def q_market_share(spark, sf_dir):
-    """TPC-H Q8 national-market-share shape: one nation's share of a
-    region's revenue for one part type, by order year — the
-    conditional-aggregate-over-star-join pattern.  Every dimension
-    (part-type filter, region→nation chain, supplier nation)
-    broadcasts; both the numerator's CASE sum and the denominator ride
-    ONE decimal-exact aggregate pass; the share divides the two exact
-    sums in IEEE doubles, identically on both engines.  The
-    lineitem⋈orders and orders⋈customer joins sort-merge BY DESIGN —
-    fact-fact joins at 100 TB must shuffle on their keys (AQE converts
-    them to broadcast at runtime when the filtered side turns out
-    small)."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    part = load_table(spark, sf_dir, "part").where(
-        F.col("p_type") == "ECONOMY").select("p_partkey")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").where(
-        F.col("r_name") == "AMERICA").select("r_regionkey")
-    cnation = (nation.join(F.broadcast(region),
-                           nation.n_regionkey == region.r_regionkey)
-               .select(F.col("n_nationkey").alias("c_nationkey")))
-    snation = nation.select(F.col("n_nationkey").alias("s_nationkey"),
-                            F.col("n_name").alias("supp_nation"))
-    cust = (load_table(spark, sf_dir, "customer")
-            .join(F.broadcast(cnation), on="c_nationkey")
-            .select("c_custkey"))
-    supp = (load_table(spark, sf_dir, "supplier")
-            .join(F.broadcast(snation), on="s_nationkey")
-            .select("s_suppkey", "supp_nation"))
-    orders = (load_table(spark, sf_dir, "orders")
-              .where((F.col("o_orderdate") >= "1996-01-01")
-                     & (F.col("o_orderdate") < "1998-01-01"))
-              .select("o_orderkey", "o_custkey", "o_orderdate"))
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_discount")
-    vol = d2("l_extendedprice") * (1 - d2("l_discount"))
-    an = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-          .join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(cust, orders.o_custkey == cust.c_custkey)
-          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-          .select(F.year("o_orderdate").cast("long").alias("o_year"),
-                  vol.alias("volume"), "supp_nation"))
-    zero = F.lit(0).cast("decimal(18,2)")
-    return (an.groupBy("o_year")
-            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_1",
-                               F.col("volume")).otherwise(zero))
-                  .cast("double")
-                  / F.sum("volume").cast("double")).alias("mkt_share")))
-
-
-@register("q_returned_items", """
-SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue,
-       c.c_acctbal, n.n_name AS nation
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1996-04-01'
-  AND l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-ORDER BY revenue DESC, c.c_custkey LIMIT 20
-""")
-def q_returned_items(spark, sf_dir):
-    """TPC-H Q10 returned-item-reporting shape: top-20 customers by
-    revenue lost to returns in one quarter.  The quarter filter pushes
-    into the orders scan and the returnflag filter into lineitem's;
-    nation broadcasts; the top-20 is a distributed TakeOrdered (never a
-    global sort) with the customer key as the deterministic
-    tie-breaker."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
-    orders = (load_table(spark, sf_dir, "orders")
-              .where((F.col("o_orderdate") >= "1996-01-01")
-                     & (F.col("o_orderdate") < "1996-04-01"))
-              .select("o_orderkey", "o_custkey"))
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_returnflag") == "R")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation"))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(nation),
-                  cust.c_nationkey == nation.n_nationkey)
-            .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
-            .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-                 .cast("double").alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-            .limit(20))
-
-
-@register("q_top_supplier", """
-WITH rev AS (
-  SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
-""")
-def q_top_supplier(spark, sf_dir):
-    """TPC-H Q15 top-supplier shape (the view-based variant flattened):
-    quarterly revenue per supplier, keep the maximum (ties included —
-    the spec's semantics).  The max is a 1-row broadcast against the
-    already-aggregated revenue frame, and the equality is float-safe
-    cross-engine because both sides derive the revenue from the SAME
-    decimal-exact sum."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= "1996-01-01")
-                 & (F.col("l_shipdate") < "1996-04-01")))
-    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-                .cast("double").alias("total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name")
-    return (rev.crossJoin(F.broadcast(mx))
-            .where(F.col("total_revenue") == F.col("_mx"))
-            .join(F.broadcast(supp),
-                  F.col("supplier_no") == F.col("s_suppkey"))
-            .select("s_suppkey", "s_name", "total_revenue"))
-
-
-@register("q_large_orders", """
-WITH big AS (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180)
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-""")
-def q_large_orders(spark, sf_dir):
-    """TPC-H Q18 large-volume-customer shape: orders whose total
-    quantity exceeds a threshold, with customer detail — the
-    aggregate-derived semi-join pattern.  The HAVING side is one
-    map-side-combined agg over (l_orderkey); its survivors semi-join
-    back into the detail pass; the threshold compares the EXACT decimal
-    sum, so membership is bit-stable cross-engine."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity")
-    qdec = F.col("l_quantity").cast("decimal(38,6)")
-    big = (li.groupBy("l_orderkey").agg(F.sum(qdec).alias("_q"))
-           .where(F.col("_q") > 180).select("l_orderkey"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name")
-    return (li.join(big, on="l_orderkey", how="left_semi")
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                     "o_totalprice")
-            .agg(F.sum(qdec).cast("double").alias("sum_qty")))
-
-
-@register("q_join_view", """
-SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
-       c.c_name,
-       CASE WHEN c.c_custkey % 4 = 1 THEN 'VIP'
-            ELSE c.c_mktsegment END AS c_mktsegment
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE o.o_orderkey % 7 <> 6
-""")
-def q_join_view(spark, sf_dir):
-    """INCREMENTALLY-maintained JOIN view (operators/join_view.JoinView):
-    orders LEFT JOIN customer kept current under CDC on BOTH sides —
-    the delta-join IVM the reference's single-table maintenance cannot
-    express.  Six micro-batches exercise every maintenance path: fact
-    arrival with temporarily-wrong rows, LATE dim arrival (null
-    enrichment filled in place via touched-bucket refresh), fact
-    correction via old-image routing, a dim UPDATE fanning out to its
-    fact rows, and a fact delete batch.  The end state must equal the
-    one-shot SQL join of the final table states — O(batch)/O(touched-
-    bucket) maintenance provably converging to the O(table) recompute."""
-    from pyspark.sql import types as T
-
-    from ydb_cdc_processor_spark.operators.join_view import JoinView
-    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice",
-                 "o_orderpriority"]
-    orders = load_table(spark, sf_dir, "orders").select(*fact_cols)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment")
-    base = _scratch_dir("jv_")
-    jv = JoinView(spark, base, fact_pk=["o_orderkey"], fk_col="o_custkey",
-                  dim_pk="c_custkey",
-                  dim_schema=T.StructType([f for f in cust.schema]),
-                  n_buckets=8)
-
-    def _old_images(pks):
-        return (jv.read().select(*fact_cols)
-                .join(pks, on="o_orderkey", how="left_semi")
-                .localCheckpoint(eager=True))
-
-    # 1. most of the dim arrives
-    jv.apply_dim_delta(cust.where(F.col("c_custkey") % 4 != 3), None)
-    # 2. most of the fact arrives; the %3==0 slice lands WRONG
-    f1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
-        "o_orderpriority",
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X-TMP"))
-        .otherwise(F.col("o_orderpriority")))
-    jv.apply_fact_delta(f1, None)
-    # 3. LATE dim slice — fills the null enrichments in place
-    jv.apply_dim_delta(cust.where(F.col("c_custkey") % 4 == 3), None)
-    # 4. the rest of the fact + correction of the wrong slice
-    f2 = orders.where((F.col("o_orderkey") % 3 == 2)
-                      | (F.col("o_orderkey") % 3 == 0))
-    jv.apply_fact_delta(f2, _old_images(f2.select("o_orderkey")))
-    # 5. dim UPDATE: the %4==1 customers move to the VIP segment
-    vip = cust.where(F.col("c_custkey") % 4 == 1).withColumn(
-        "c_mktsegment", F.lit("VIP"))
-    jv.apply_dim_delta(
-        vip, cust.where(F.col("c_custkey") % 4 == 1)
-        .localCheckpoint(eager=True))
-    # 6. fact DELETE batch, routed by old images
-    dead = orders.where(F.col("o_orderkey") % 7 == 6)
-    jv.apply_fact_delta(None, _old_images(dead.select("o_orderkey")))
-    return jv.read()
-
-
-@register("q_unpivot", """
-WITH m AS (
-  SELECT l_returnflag, 'quantity' AS measure,
-         CAST(l_quantity AS DECIMAL(38,4)) AS v FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'extendedprice',
-         CAST(l_extendedprice AS DECIMAL(38,4)) FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'discount',
-         CAST(l_discount AS DECIMAL(38,4)) FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'tax',
-         CAST(l_tax AS DECIMAL(38,4)) FROM lineitem)
-SELECT l_returnflag, measure,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(v) AS DOUBLE) AS total
-FROM m GROUP BY l_returnflag, measure
-""")
-def q_unpivot(spark, sf_dir):
-    """UNPIVOT (wide→long reshape): four lineitem measures melt into
-    (measure, value) rows, then aggregate per (returnflag, measure) —
-    the standard long-format feed for metric stores and plotting
-    layers.  Spark's native ``unpivot`` lowers to ONE Expand inside the
-    scan stage (rows replicate 4× map-side, no shuffle per measure, one
-    hash agg after) — same shape CUBE uses; the oracle replays it as
-    UNION ALL.  Values go through decimal so the four sums are exact
-    cross-engine."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_returnflag",
-                  *[F.col(f"l_{m}").cast("decimal(38,4)").alias(m)
-                    for m in ("quantity", "extendedprice",
-                              "discount", "tax")]))
-    long = li.unpivot(
-        ["l_returnflag"],
-        ["quantity", "extendedprice", "discount", "tax"],
-        "measure", "v")
-    return (long.groupBy("l_returnflag", "measure")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("v").cast("double").alias("total")))
-
-
-@register("q_grouping_sets", """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-         AS sum_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                        (o_orderstatus), (o_orderpriority))
-""")
-def q_grouping_sets(spark, sf_dir):
-    """Custom GROUPING SETS (the general form CUBE/ROLLUP specialize):
-    exactly the three requested set combinations in one Expand +
-    HashAggregate pass — never one scan per set.  Expressed through
-    Spark SQL over a temp view (the DataFrame API exposes only
-    cube/rollup; SQL is the native surface for arbitrary sets)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderstatus", "o_orderpriority", "o_totalprice")
-    orders.createOrReplaceTempView("orders")
-    # the registered oracle IS dialect-shared SQL — run the ONE string
-    # on both engines instead of keeping a second copy in sync
-    return spark.sql(ORACLES["q_grouping_sets"])
-
-
-@register("q_secondary_index", """
-SELECT o_custkey, o_orderkey FROM orders
-WHERE o_custkey IN (7, 21, 42) AND o_orderkey % 7 <> 6
-""")
-def q_secondary_index(spark, sf_dir):
-    """CDC-maintained secondary index (operators/secondary_index.
-    SecondaryIndex): a value→pk index over orders.o_custkey kept
-    current through three batches — an initial load whose %3==0 slice
-    carries the WRONG custkey (+1), a correction batch whose old images
-    route the stale entries' deletes, and a delete batch — then a
-    3-customer point LOOKUP that reads only the probed values' buckets.
-    The lookup must equal the SQL filter over the final table state:
-    O(touched-bucket) maintenance + serving converging to the
-    O(table) scan's answer."""
-    from ydb_cdc_processor_spark.operators.secondary_index import (
-        SecondaryIndex)
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    ix = SecondaryIndex(spark, _scratch_dir("ix_") + "/ix",
-                        pk=["o_orderkey"], col="o_custkey", n_buckets=8)
-    b1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
-        "o_custkey", F.when(F.col("o_orderkey") % 3 == 0,
-                            F.col("o_custkey") + 1)
-        .otherwise(F.col("o_custkey")))
-    ix.apply_delta(b1, None)
-    b2 = orders.where((F.col("o_orderkey") % 3 == 2)
-                      | (F.col("o_orderkey") % 3 == 0))
-    old2 = (b1.join(b2.select("o_orderkey"), on="o_orderkey",
-                    how="left_semi").localCheckpoint(eager=True))
-    ix.apply_delta(b2, old2)
-    dead = orders.where(F.col("o_orderkey") % 7 == 6) \
-        .localCheckpoint(eager=True)
-    ix.apply_delta(None, dead)
-    return ix.lookup([7, 21, 42])
-
-
-@register("q_chained_views", """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-FROM orders WHERE o_orderkey % 7 <> 6
-""")
-def q_chained_views(spark, sf_dir):
-    """CHAINED pipelines via the changefeed emitter (sources/
-    changefeed_out.ChangefeedEmitter): view A's maintenance deltas are
-    emitted as a wire-format JSON changefeed — key-routed partitions,
-    dense per-partition offsets, at-least-once with a batch-token
-    fence — and a SECOND CdcPipeline consumes that feed as its source,
-    exactly how the reference composes multi-hop flows (any table,
-    including a view target, can carry a changefeed — README.md:62-72).
-    Three emitted batches (wrong-then-corrected rows, then deletes) put
-    upserts AND erases for the same keys on the wire; the downstream
-    view must land on the final table state."""
-    from pyspark.sql import types as T
-
-    from ydb_cdc_processor_spark.engine import CdcBatchEngine
-    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
-    from ydb_cdc_processor_spark.sources import cdc_json
-    from ydb_cdc_processor_spark.sources.changefeed_out import (
-        ChangefeedEmitter)
-    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
-    orders = load_table(spark, sf_dir, "orders").select(*cols)
-    base = _scratch_dir("chain_")
-    em = ChangefeedEmitter(spark, base + "/feed", keys=["o_orderkey"],
-                           n_partitions=4)
-    b1 = orders.where(F.col("o_orderkey") % 3 != 2).withColumn(
-        "o_orderpriority",
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X-TMP"))
-        .otherwise(F.col("o_orderpriority")))
-    em.apply_delta(b1, None, batch_token="c1")
-    b2 = orders.where((F.col("o_orderkey") % 3 == 2)
-                      | (F.col("o_orderkey") % 3 == 0))
-    em.apply_delta(b2, None, batch_token="c2")
-    dead = orders.where(F.col("o_orderkey") % 7 == 6) \
-        .localCheckpoint(eager=True)
-    em.apply_delta(None, dead, batch_token="c3")
-
-    schema = T.StructType([
-        T.StructField("o_orderkey", T.LongType()),
-        T.StructField("o_custkey", T.LongType()),
-        T.StructField("o_totalprice", T.DoubleType()),
-        T.StructField("o_orderpriority", T.StringType())])
-    p = CdcPipeline(
-        name="chain_b", source_schema=schema, pk=["o_orderkey"],
-        members={"o_orderkey": "Int64", "o_custkey": "Int64",
-                 "o_totalprice": "Double", "o_orderpriority": "Text"},
-        update_sql="SELECT o_orderkey, o_custkey, o_totalprice, "
-                   "o_orderpriority FROM rows",
-        delete_sql="SELECT o_orderkey FROM rows").validate(spark)
-    b = CdcBatchEngine(spark, p, base + "/view_b")
-    b.apply_raw_batch(cdc_json.read_cdc_batch(spark, base + "/feed"))
-    return b.read_view()
-
-
-@register("q_join_view_stream", """
-SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority,
-       c.c_name, c.c_mktsegment
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-""")
-def q_join_view_stream(spark, sf_dir):
-    """The join view maintained from TWO live changefeeds
-    (JoinView.start_streams): orders and customer each arrive as a
-    checkpointed file stream (one file per trigger), staged so part of
-    the fact BEATS its dim rows — the late dim batches must fill the
-    null enrichments via touched-bucket refresh.  The end state must
-    equal the one-shot SQL join of the full tables (restart convergence
-    is separately pinned by test_join_view_streams_restart_converge)."""
-    from pyspark.sql import types as T
-
-    from ydb_cdc_processor_spark.operators.join_view import JoinView
-    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice",
-                 "o_orderpriority"]
-    orders = load_table(spark, sf_dir, "orders").select(*fact_cols)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment")
-    base = _scratch_dir("jvs_")
-    orders.repartition(2).write.parquet(base + "/fact_src")
-    # dim split so its second file arrives after fact rows referencing it
-    cust.where(F.col("c_custkey") % 2 == 0).coalesce(1) \
-        .write.parquet(base + "/dim_src")
-    cust.where(F.col("c_custkey") % 2 == 1).coalesce(1) \
-        .write.mode("append").parquet(base + "/dim_src")
-    jv = JoinView(spark, base + "/jv", fact_pk=["o_orderkey"],
-                  fk_col="o_custkey", dim_pk="c_custkey",
-                  dim_schema=T.StructType([f for f in cust.schema]),
-                  n_buckets=8)
-    for q in jv.start_streams(
-            spark.readStream.schema(orders.schema)
-            .option("maxFilesPerTrigger", 1).parquet(base + "/fact_src"),
-            spark.readStream.schema(cust.schema)
-            .option("maxFilesPerTrigger", 1).parquet(base + "/dim_src"),
-            base + "/ckpt"):
-        q.awaitTermination()
-    return jv.read()
-
-
-@register("q_waiting_suppliers", """
-WITH j AS (
-  SELECT l.l_orderkey, l.l_suppkey,
-         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-              THEN 1 ELSE 0 END AS late
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_orderstatus = 'F'),
-a AS (
-  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,
-         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl
-  FROM j GROUP BY l_orderkey)
-SELECT s.s_name, COUNT(*) AS numwait
-FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late = 1) lr
-JOIN a ON lr.l_orderkey = a.l_orderkey AND a.ns >= 2 AND a.nl = 1
-JOIN supplier s ON s.s_suppkey = lr.l_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE n.n_name = 'NATION_3'
-GROUP BY s.s_name
-""")
-def q_waiting_suppliers(spark, sf_dir):
-    """TPC-H Q21 suppliers-who-kept-orders-waiting shape, adapted: this
-    corpus has no l_receiptdate/l_commitdate, so "late" is l_shipdate
-    more than 60 days after o_orderdate.  The two correlated EXISTS /
-    NOT EXISTS subqueries lower to ONE per-order aggregate (distinct
-    suppliers, distinct LATE suppliers) — a supplier "kept the order
-    waiting" iff it shipped late on a multi-supplier order where it was
-    the only late one.  numwait counts distinct such orders (the
-    adapted spec; the oracle says DISTINCT too).  Plan shape: the
-    lineitem⋈orders join and the per-order aggregate share the orderkey
-    partitioning (one shuffle serves both), and the supplier/nation
-    dimension broadcasts onto the slim qualifying pairs."""
-    orders = (load_table(spark, sf_dir, "orders")
-              .where(F.col("o_orderstatus") == "F")
-              .select("o_orderkey", "o_orderdate"))
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .withColumn("late", (F.col("l_shipdate")
-                              > F.col("o_orderdate")
-                              + F.expr("INTERVAL 60 DAYS")).cast("int"))
-         .select("l_orderkey", "l_suppkey", "late"))
-    agg = (j.groupBy("l_orderkey")
-           .agg(F.countDistinct("l_suppkey").alias("ns"),
-                F.countDistinct(F.when(F.col("late") == 1,
-                                       F.col("l_suppkey"))).alias("nl"))
-           .where((F.col("ns") >= 2) & (F.col("nl") == 1))
-           .select("l_orderkey"))
-    late_pairs = (j.where(F.col("late") == 1)
-                  .select("l_orderkey", "l_suppkey").distinct()
-                  .join(agg, on="l_orderkey"))
-    supp = (load_table(spark, sf_dir, "supplier")
-            .join(F.broadcast(
-                load_table(spark, sf_dir, "nation")
-                .where(F.col("n_name") == "NATION_3")
-                .select(F.col("n_nationkey").alias("s_nationkey"))),
-                on="s_nationkey")
-            .select("s_suppkey", "s_name"))
-    return (late_pairs
-            .join(F.broadcast(supp),
-                  late_pairs.l_suppkey == supp.s_suppkey)
-            .groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait")))
-
-
-@register("q_min_cost_supplier", """
-WITH eu AS (
-  SELECT s.s_suppkey, s.s_name, s.s_acctbal
-  FROM supplier s
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey
-  WHERE r.r_name = 'EUROPE'),
-offers AS (
-  SELECT l.l_partkey, l.l_suppkey,
-         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS best
-  FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
-  GROUP BY l.l_partkey, l.l_suppkey),
-m AS (SELECT l_partkey, MIN(best) AS pmin FROM offers GROUP BY l_partkey)
-SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal,
-       CAST(o.best AS DOUBLE) AS best_price
-FROM offers o
-JOIN m ON o.l_partkey = m.l_partkey AND o.best = m.pmin
-JOIN part p ON p.p_partkey = o.l_partkey
-JOIN eu ON eu.s_suppkey = o.l_suppkey
-WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
-""")
-def q_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 minimum-cost-supplier shape, adapted: no partsupp table
-    in this corpus, so the observed lineitem prices stand in for supply
-    cost — for each STANDARD small part, the EUROPE supplier(s) whose
-    best (minimum) extended price hits the part's regional minimum.
-    The correlated MIN subquery lowers to an aggregate + self-join on
-    the same grouping key (the per-(part,supplier) agg and the per-part
-    min reuse one partkey shuffle); the min-equality compares EXACT
-    decimals, so cross-engine tie sets are identical.  Region→nation→
-    supplier all broadcast."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").where(
-        F.col("r_name") == "EUROPE").select("r_regionkey")
-    eu = (load_table(spark, sf_dir, "supplier")
-          .join(F.broadcast(
-              nation.join(F.broadcast(region),
-                          nation.n_regionkey == region.r_regionkey)
-              .select(F.col("n_nationkey").alias("s_nationkey"))),
-              on="s_nationkey")
-          .select("s_suppkey", "s_name", "s_acctbal"))
-    offers = (load_table(spark, sf_dir, "lineitem")
-              .select("l_partkey", "l_suppkey", "l_extendedprice")
-              .join(F.broadcast(eu.select("s_suppkey")),
-                    F.col("l_suppkey") == F.col("s_suppkey"))
-              .groupBy("l_partkey", "l_suppkey")
-              .agg(F.min(d2("l_extendedprice")).alias("best")))
-    pmin = offers.groupBy("l_partkey").agg(F.min("best").alias("pmin"))
-    part = (load_table(spark, sf_dir, "part")
-            .where((F.col("p_type") == "STANDARD")
-                   & (F.col("p_size") <= 10))
-            .select("p_partkey", "p_name"))
-    return (offers.join(pmin, on="l_partkey")
-            .where(F.col("best") == F.col("pmin"))
-            .join(F.broadcast(part),
-                  F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(eu),
-                  F.col("l_suppkey") == F.col("s_suppkey"))
-            .select("p_partkey", "p_name", "s_name", "s_acctbal",
-                    F.col("best").cast("double").alias("best_price")))
-
-
-@register("q_product_profit", """
-SELECT n.n_name AS nation,
-       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                - CAST(p.p_retailprice AS DECIMAL(18,2))
-                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-         AS profit
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-WHERE p.p_name LIKE '%gear%'
-GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
-""")
-def q_product_profit(spark, sf_dir):
-    """TPC-H Q9 product-type-profit shape, adapted: profit per supplier
-    nation per order year for parts matching a name pattern, with
-    p_retailprice·quantity standing in for the missing partsupp supply
-    cost.  The part-name filter broadcasts and prunes lineitem FIRST
-    (the classic Q9 win — the pattern keeps ~1/8 of parts, so the
-    orders join fan-in shrinks before the only fact-fact shuffle);
-    supplier→nation broadcasts; the profit sum is decimal-exact then
-    cast to double once."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    part = (load_table(spark, sf_dir, "part")
-            .where(F.col("p_name").like("%gear%"))
-            .select("p_partkey", "p_retailprice"))
-    snation = (load_table(spark, sf_dir, "supplier")
-               .join(F.broadcast(load_table(spark, sf_dir, "nation")
-                                 .select(F.col("n_nationkey")
-                                         .alias("s_nationkey"),
-                                         F.col("n_name").alias("nation"))),
-                     on="s_nationkey")
-               .select("s_suppkey", "nation"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount")
-    profit = (d2("l_extendedprice") * (1 - d2("l_discount"))
-              - d2("p_retailprice") * d2("l_quantity"))
-    return (li.join(F.broadcast(part),
-                    li.l_partkey == part.p_partkey)
-            .join(F.broadcast(snation),
-                  li.l_suppkey == snation.s_suppkey)
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("nation",
-                     F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.sum(profit).cast("double").alias("profit")))
-
-
-@register("q_important_parts", """
-WITH v AS (
-  SELECT l.l_partkey,
-         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS value
-  FROM lineitem l
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  WHERE n.n_name = 'NATION_5'
-  GROUP BY l.l_partkey)
-SELECT l_partkey, CAST(value AS DOUBLE) AS value
-FROM v WHERE value * 1000 > (SELECT SUM(value) FROM v)
-""")
-def q_important_parts(spark, sf_dir):
-    """TPC-H Q11 important-stock shape, adapted: parts whose revenue
-    through one nation's suppliers exceeds a fixed fraction of that
-    nation's total — the scalar-subquery-threshold pattern.  The global
-    total is a 1-row broadcast over the already-aggregated per-part
-    frame (the per-part agg is computed once and feeds both sides);
-    the comparison multiplies the part's EXACT decimal value by the
-    inverse fraction instead of dividing the total, so no float enters
-    the predicate on either engine."""
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    supp = (load_table(spark, sf_dir, "supplier")
-            .join(F.broadcast(load_table(spark, sf_dir, "nation")
-                              .where(F.col("n_name") == "NATION_5")
-                              .select(F.col("n_nationkey")
-                                      .alias("s_nationkey"))),
-                  on="s_nationkey")
-            .select("s_suppkey"))
-    v = (load_table(spark, sf_dir, "lineitem")
-         .select("l_partkey", "l_suppkey", "l_extendedprice",
-                 "l_discount")
-         .join(F.broadcast(supp),
-               F.col("l_suppkey") == F.col("s_suppkey"))
-         .groupBy("l_partkey")
-         .agg(F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-              .alias("value")))
-    total = v.agg(F.sum("value").alias("_total"))
-    return (v.crossJoin(F.broadcast(total))
-            .where(F.col("value") * 1000 > F.col("_total"))
-            .select("l_partkey",
-                    F.col("value").cast("double").alias("value")))
-
-
-@register("q_dominant_supplier", """
-WITH q AS (
-  SELECT l.l_partkey, l.l_suppkey,
-         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE p.p_name LIKE 'small%'
-    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l.l_shipdate < TIMESTAMP '1998-01-01'
-  GROUP BY l.l_partkey, l.l_suppkey),
-t AS (SELECT l_partkey, SUM(qty) AS total FROM q GROUP BY l_partkey)
-SELECT DISTINCT s.s_suppkey, s.s_name
-FROM q JOIN t ON q.l_partkey = t.l_partkey AND q.qty * 2 > t.total
-JOIN supplier s ON s.s_suppkey = q.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-WHERE n.n_name = 'NATION_7'
-""")
-def q_dominant_supplier(spark, sf_dir):
-    """TPC-H Q20 potential-part-promotion shape, adapted: suppliers from
-    one nation who shipped MORE THAN HALF of some small-part's 1997
-    volume (the correlated half-of-total threshold, with shipped
-    quantity standing in for the missing partsupp availqty).  The
-    per-(part,supplier) agg and the per-part total reuse one partkey
-    shuffle; the half-threshold compares 2·qty > total on EXACT
-    decimals; the surviving pairs collapse to distinct suppliers and
-    the supplier/nation dimensions broadcast."""
-    part = (load_table(spark, sf_dir, "part")
-            .where(F.col("p_name").like("small%"))
-            .select("p_partkey"))
-    q = (load_table(spark, sf_dir, "lineitem")
-         .where((F.col("l_shipdate") >= "1997-01-01")
-                & (F.col("l_shipdate") < "1998-01-01"))
-         .select("l_partkey", "l_suppkey", "l_quantity")
-         .join(F.broadcast(part),
-               F.col("l_partkey") == F.col("p_partkey"))
-         .groupBy("l_partkey", "l_suppkey")
-         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-              .alias("qty")))
-    t = q.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
-    supp = (load_table(spark, sf_dir, "supplier")
-            .join(F.broadcast(load_table(spark, sf_dir, "nation")
-                              .where(F.col("n_name") == "NATION_7")
-                              .select(F.col("n_nationkey")
-                                      .alias("s_nationkey"))),
-                  on="s_nationkey")
-            .select("s_suppkey", "s_name"))
-    dom = (q.join(t, on="l_partkey")
-           .where(F.col("qty") * 2 > F.col("total"))
-           .select("l_suppkey").distinct())
-    # dom is dimension-bounded (≤ |supplier| rows) at ANY corpus scale —
-    # broadcast it so the semi-join never shuffles the supplier table
-    return (supp.join(F.broadcast(dom),
-                      supp.s_suppkey == dom.l_suppkey, "left_semi")
-            .select("s_suppkey", "s_name"))
-
-
-@register("q_supplier_part_counts", """
-SELECT p.p_brand, p.p_type, p.p_size,
-       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
-  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-  AND l.l_suppkey NOT IN
-      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY p.p_brand, p.p_type, p.p_size
-""")
-def q_supplier_part_counts(spark, sf_dir):
-    """TPC-H Q16 parts/supplier-relationship shape, adapted: how many
-    distinct suppliers ship each surviving (brand, type, size) combo,
-    with lineitem as the part↔supplier bridge and negative-balance
-    suppliers standing in for the spec's complaint-filtered NOT IN
-    exclusion.  The part filters broadcast-prune lineitem; the NOT IN
-    is a broadcast anti-join (null-free key side, so the SQL NOT IN
-    three-valued trap is inert); the distinct-count shuffles once on
-    the grouping key."""
-    part = (load_table(spark, sf_dir, "part")
-            .where((F.col("p_brand") != "Brand#1")
-                   & ~F.col("p_type").like("PROMO%")
-                   & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
-            .select("p_partkey", "p_brand", "p_type", "p_size"))
-    bad = load_table(spark, sf_dir, "supplier").where(
-        F.col("s_acctbal") < 0).select("s_suppkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(part),
-                    li.l_partkey == part.p_partkey)
-            .join(F.broadcast(bad),
-                  F.col("l_suppkey") == F.col("s_suppkey"),
-                  "left_anti")
-            .groupBy("p_brand", "p_type", "p_size")
-            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
-
-
-@register("q_span_dedup", r"""
-WITH nrm AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
-  '\s+', ' ', 'g'), ' ') AS w FROM documents),
-g AS (
-  SELECT doc_id, i - 1 AS pos,
-         md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS h
-  FROM nrm, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
-  WHERE len(w) >= 5),
-dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
-isl AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
-  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-grp AS (
-  SELECT doc_id, pos,
-         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM isl)
-SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
-       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_tokens
-FROM grp GROUP BY doc_id, island
-""")
-def q_span_dedup(spark, sf_dir):
-    """Span-level duplicate detection (dedup.duplicate_spans — the
-    ExactSubstr idea of Lee et al. 2021 relationally): 5-token windows
-    repeated across ≥2 docs mark their positions; overlapping/adjacent
-    marked windows merge into maximal per-doc spans via one lag+cumsum
-    island window.  The boilerplate/license-header remover whole-doc
-    dedup can't express — a doc is kept, only its repeated SPAN is
-    flagged (strip_spans applies the removal)."""
-    return dedup.duplicate_spans(load_docs(spark, sf_dir), k=5, min_docs=2)
-
-
-@register("q_triangle_count", """
-WITH pr AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-edges AS (
-  SELECT pa, pb FROM pr GROUP BY pa, pb
-  HAVING COUNT(DISTINCT ok) >= 2),
-tri AS (
-  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-  FROM edges e1
-  JOIN edges e2 ON e2.pa = e1.pb
-  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
-mem AS (
-  SELECT a AS node FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri),
-nodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges) t),
-cnt AS (SELECT node, COUNT(*) AS n FROM mem GROUP BY node)
-SELECT nodes.node, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
-FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
-""")
-def q_triangle_count(spark, sf_dir):
-    """Per-node triangle counts (graph.triangle_count) over the
-    co-purchase graph: parts are connected when they co-occur in ≥2
-    orders (the support threshold prunes incidental pairs — the
-    market-basket edge rule).  Degree-ordered wedge join: each triangle
-    enumerated once as a<b<c, hubs charged to their smaller endpoints,
-    both joins hash equi-joins — never a neighborhood² blow-up on one
-    task."""
-    from ydb_cdc_processor_spark.operators.graph import triangle_count
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pb"))
-    edges = (a.join(b, on="ok")
-             .where(F.col("pa") < F.col("pb"))
-             .groupBy("pa", "pb")
-             .agg(F.countDistinct("ok").alias("_n"))
-             .where(F.col("_n") >= 2)
-             .select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
-    return triangle_count(edges)
-
-
-@register("q_hierarchy_paths", """
-WITH RECURSIVE e AS (
-  SELECT p_partkey AS node, p_partkey // 10 AS parent
-  FROM part WHERE p_partkey // 10 >= 1),
-nodes AS (
-  SELECT DISTINCT n FROM (
-    SELECT node AS n FROM e UNION ALL SELECT parent FROM e) t),
-walk AS (
-  SELECT n AS node, n AS anc, 0 AS depth FROM nodes
-  UNION ALL
-  SELECT w.node, p.parent, w.depth + 1
-  FROM walk w JOIN e p ON p.node = w.anc
-)
-SELECT w.node, CAST(w.anc AS BIGINT) AS root,
-       CAST(w.depth AS BIGINT) AS depth
-FROM walk w
-WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.node = w.anc)
-""")
-def q_hierarchy_paths(spark, sf_dir):
-    """Hierarchy flattening (graph.tree_paths): every node's root and
-    depth in a forest — the org-chart/BOM/category-tree traversal shape
-    SQL needs a recursive CTE for (the oracle literally runs one).  The
-    forest derives deterministically from part keys (parent = key/10).
-    Spark-first: POINTER DOUBLING — ⌈log₂ depth⌉ self-join rounds, not
-    depth-many chained joins; each round one hash equi-join."""
-    from ydb_cdc_processor_spark.operators.graph import tree_paths
-    parents = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("node"),
-        F.when(F.floor(F.col("p_partkey") / 10) >= 1,
-               F.floor(F.col("p_partkey") / 10)).alias("parent"))
-    return tree_paths(parents, max_depth=16)
-
-
-@register("q_mixture_weights", """
-WITH cnt AS (SELECT source AS grp, COUNT(*) AS n_docs
-             FROM documents GROUP BY source),
-tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
-               CAST(COUNT(*) AS BIGINT) AS n_groups FROM cnt)
-SELECT grp AS source, CAST(n_docs AS BIGINT) AS n_docs,
-       round(n_docs * 1.0 / total, 6) AS actual_share,
-       round((1.0 / n_groups) / (n_docs * 1.0 / total), 6) AS weight,
-       round(least((1.0 / n_groups) / (n_docs * 1.0 / total), 4.0), 6)
-         AS capped_weight
-FROM cnt, tot
-""")
-def q_mixture_weights(spark, sf_dir):
-    """Data-mixing weights (curation.mixture_weights): per-source
-    sampling weights reshaping the corpus toward the uniform mixture,
-    with the standard repeat-cap (≤4 epochs for over-sampled small
-    sources).  One map-side-combined hash agg + two broadcast scalars;
-    weights are single IEEE divisions over exact integer counts, so any
-    engine replays them bit-for-bit."""
-    return curation.mixture_weights(load_docs(spark, sf_dir),
-                                    group_col="source", max_repeat=4.0)
-
-
-@register("q_window_frames", """
-SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
-            OVER (PARTITION BY o_custkey
-                  ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_revenue,
-       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
-                  OVER w3 AS DOUBLE) / COUNT(*) OVER w3, 6) AS mov_avg3,
-       round(percent_rank() OVER wo, 6) AS pct_rank,
-       round(cume_dist() OVER wo, 6) AS cume,
-       CAST(ntile(4) OVER wo AS INT) AS spend_tile,
-       CAST(date_diff('day', lag(o_orderdate) OVER wo, o_orderdate)
-            AS BIGINT) AS gap_days
-FROM orders
-WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-""")
-def q_window_frames(spark, sf_dir):
-    """Window-frame suite over per-customer order history: running
-    total (ROWS UNBOUNDED PRECEDING), 3-row moving average, rank
-    fractions (percent_rank/cume_dist — rationals, no ties thanks to
-    the (date, key) order), quartile tiles, inter-order gaps.  One
-    shuffle on the partition key serves ALL six frames — Spark plans a
-    single Window exchange; sums fold through DECIMAL for cross-engine
-    exactness."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate",
-                                                 "o_orderkey")
-    run = wo.rowsBetween(Window.unboundedPreceding, 0)
-    w3 = wo.rowsBetween(-2, 0)
-    dec = F.col("o_totalprice").cast("decimal(38,4)")
-    return orders.select(
-        "o_custkey", "o_orderkey", "o_orderdate",
-        F.sum(dec).over(run).cast("double").alias("run_revenue"),
-        F.round(F.sum(dec).over(w3).cast("double")
-                / F.count(F.lit(1)).over(w3), 6).alias("mov_avg3"),
-        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(wo), 6).alias("cume"),
-        F.ntile(4).over(wo).cast("int").alias("spend_tile"),
-        F.datediff(F.col("o_orderdate"),
-                   F.lag("o_orderdate").over(wo)).cast("long")
-         .alias("gap_days"))
-
-
-@register("q_distinct_view", """
-SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
-FROM events GROUP BY user_id
-""")
-def q_distinct_view(spark, sf_dir):
-    """INCREMENTALLY-maintained COUNT(DISTINCT) — the classic
-    non-self-maintainable aggregate (operators/distinct_view.
-    DistinctCountView): events arrive as three upsert micro-batches
-    keyed by event_id — the middle batch REWRITES a third of the rows
-    to a synthetic event type (inflating several groups' distinct sets)
-    and the last batch restores them (deflating, the delete-side case a
-    plain distinct-merge cannot undo).  Per-(user, value) refcounts
-    maintained as ±deltas over touched buckets only; after the last
-    batch the view equals the full table, so the maintained counts must
-    land exactly on SQL COUNT(DISTINCT) — O(batch) maintenance
-    provably converging to the O(table) recompute."""
-    from ydb_cdc_processor_spark.operators.distinct_view import (
-        DistinctCountView)
-    from ydb_cdc_processor_spark.operators.merge import (
-        ParquetMaterializedView)
-    cols = ["event_id", "user_id", "event_type"]
-    ev = load_table(spark, sf_dir, "events").select(*cols)
-    base = _scratch_dir("dcv_")
-    mv = ParquetMaterializedView(spark, base + "/rows", ["event_id"],
-                                 schema=ev.schema)
-    dv = DistinctCountView(spark, base + "/dcv", ["user_id"],
-                           "event_type")
-    batches = [
-        ev.where(F.col("event_id") % 3 != 2),
-        ev.where(F.col("event_id") % 3 == 2)
-          .withColumn("event_type", F.lit("x-temp")),
-        ev.where(F.col("event_id") % 3 == 2),
-    ]
-    for i, b in enumerate(batches):
-        old = None
-        if mv.exists():
-            old = (mv.read().join(b.select("event_id"), on="event_id",
-                                  how="left_semi")
-                   .localCheckpoint(eager=True))
-        dv.apply_delta(b, old, batch_token=f"dcv:{i}")
-        mv.apply(b, action="upsertInto")
-    return dv.read()
-
-
-@register("q_quantile_view", """
-WITH s AS (SELECT o_orderpriority, o_totalprice AS v, COUNT(*) AS rc
-           FROM orders GROUP BY 1, 2),
-c AS (SELECT o_orderpriority, v,
-             SUM(rc) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
-             SUM(rc) OVER (PARTITION BY o_orderpriority) AS n
-      FROM s)
-SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_rows,
-       MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
-       MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
-       MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
-FROM c GROUP BY o_orderpriority
-""")
-def q_quantile_view(spark, sf_dir):
-    """INCREMENTALLY-maintained EXACT percentiles (operators/
-    quantile_view.QuantileView) — order statistics, like COUNT
-    (DISTINCT), are non-self-maintainable: a delete can move every
-    quantile of its group.  Orders arrive as three upsert micro-batches
-    keyed by o_orderkey — the middle batch REWRITES a third of the
-    prices to a constant (dragging quantiles down) and the last batch
-    restores them (the delete-side shift a scalar delta cannot undo).
-    Per-(priority, price) weights maintained as ±deltas over touched
-    buckets; after the last batch the view equals the full table, so
-    the read must land exactly on the SQL discrete quantiles.  The read
-    is integer-rational (cum·den ≥ n·num) — no float position math, so
-    both engines agree bit-for-bit at exact-multiple positions."""
-    from ydb_cdc_processor_spark.operators.merge import (
-        ParquetMaterializedView)
-    from ydb_cdc_processor_spark.operators.quantile_view import (
-        QuantileView)
-    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
-    ords = load_table(spark, sf_dir, "orders").select(*cols)
-    base = _scratch_dir("qtv_")
-    mv = ParquetMaterializedView(spark, base + "/rows", ["o_orderkey"],
-                                 schema=ords.schema)
-    qv = QuantileView(spark, base + "/qtv", ["o_orderpriority"],
-                      "o_totalprice")
-    batches = [
-        ords.where(F.col("o_orderkey") % 3 != 2),
-        ords.where(F.col("o_orderkey") % 3 == 2)
-            .withColumn("o_totalprice", F.lit(1.0)),
-        ords.where(F.col("o_orderkey") % 3 == 2),
-    ]
-    for i, b in enumerate(batches):
-        old = None
-        if mv.exists():
-            old = (mv.read().join(b.select("o_orderkey"), on="o_orderkey",
-                                  how="left_semi")
-                   .localCheckpoint(eager=True))
-        qv.apply_delta(b, old, batch_token=f"qtv:{i}")
-        mv.apply(b, action="upsertInto")
-    return qv.read()
-
-
-@register("q_span_index", r"""
-WITH nrm AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
-  '\s+', ' ', 'g'), ' ') AS w FROM documents),
-g AS (
-  SELECT doc_id, doc_id % 3 AS b, i - 1 AS pos,
-         md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS h
-  FROM nrm, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
-  WHERE len(w) >= 5),
-dd AS (SELECT DISTINCT h, doc_id, b FROM g),
-rk AS (SELECT h, b, row_number() OVER (PARTITION BY h
-                                       ORDER BY b, doc_id) AS rn
-       FROM dd),
-thr AS (SELECT h, MIN(CASE WHEN rn = 2 THEN b END) AS b2
-        FROM rk GROUP BY h),
-hits AS (
-  SELECT g.doc_id, g.pos FROM g JOIN thr USING (h)
-  WHERE thr.b2 IS NOT NULL AND g.b >= thr.b2),
-isl AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
-  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-grp AS (
-  SELECT doc_id, pos,
-         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM isl)
-SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
-       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_tokens
-FROM grp GROUP BY doc_id, island
-""")
-def q_span_index(spark, sf_dir):
-    """Span duplication AT INGEST (operators/span_index.SpanDupIndex):
-    the corpus arrives as three micro-batches into a persistent
-    gram-frequency store (count-only bucketed AggregateView — no
-    posting list); each batch updates counts first, then flags its own
-    spans against everything ingested so far (AS-OF-INGEST semantics —
-    earlier docs are not retro-flagged, which is exactly what the
-    oracle replays: a gram counts as duplicated for a doc iff a second
-    distinct doc holds it in the same or an earlier batch).  The union
-    of per-batch span sets is the result; each doc flags in exactly one
-    batch."""
-    from ydb_cdc_processor_spark.operators.span_index import SpanDupIndex
-    docs = load_docs(spark, sf_dir)
-    idx = SpanDupIndex(spark, _scratch_dir("spanidx_") + "/idx", k=5,
-                       min_docs=2)
-    parts = []
-    for part in range(3):
-        batch = docs.where(F.col("doc_id") % 3 == part)
-        parts.append(idx.apply_batch(batch, batch_token=f"b{part}"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-_TIX_QUERY_TERMS = [("r1", "hash"), ("r1", "vector"),
-                    ("r2", "stream"), ("r2", "join"), ("r3", "window")]
-
-@register("q_text_index", """
-WITH words AS (
-  SELECT doc_id AS doc, w AS term FROM (
-    SELECT doc_id, unnest(string_split(
-      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t WHERE w <> ''),
-tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM words GROUP BY doc, term),
-dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
-       FROM words GROUP BY doc),
-dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
-         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl),
-q(qid, term) AS (VALUES {qvals}),
-cand AS (
-  SELECT q.qid, tf.doc, tf.term,
-         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
-            / (d.df + CAST(0.5 AS DOUBLE)))
-         * ((tf.tf * CAST({k1p1} AS DOUBLE))
-            / (tf.tf + CAST({k1} AS DOUBLE)
-               * (CAST({omb} AS DOUBLE)
-                  + CAST({b} AS DOUBLE) * dl.dl / s.avgdl))) AS s
-  FROM tf JOIN q ON q.term = tf.term
-  JOIN dft d ON d.term = tf.term
-  JOIN dl ON dl.doc = tf.doc
-  CROSS JOIN stats s),
-tot AS (
-  SELECT qid, doc, SUM(s ORDER BY term) AS score
-  FROM cand GROUP BY qid, doc),
-rk AS (
-  SELECT qid, doc, score,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc ASC) AS rank
-  FROM tot)
-SELECT qid, doc AS doc_id, CAST(rank AS INT) AS rank,
-       round(score, 6) AS score
-FROM rk WHERE rank <= 5
-""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
-                                 for q, t in _TIX_QUERY_TERMS))
-   .replace("{k1p1}", repr(1.2 + 1.0)).replace("{k1}", repr(1.2))
-   .replace("{omb}", repr(1.0 - 0.75)).replace("{b}", repr(0.75)))
-def q_text_index(spark, sf_dir):
-    """INCREMENTALLY-maintained BM25 retrieval (operators/text_index.
-    TextIndex): documents arrive as three upsert micro-batches keyed by
-    doc_id — the middle batch REWRITES a third of the docs to a
-    placeholder body (postings and corpus stats must retract terms the
-    rewrite dropped) and the last batch restores them.  One live
-    (term, doc, tf, dl) row per posting in a term-co-located bucketed
-    store; the ranked read touches ONLY the probed terms' buckets, with
-    df exact from the touched read and n_docs/avgdl from a fenced 1-row
-    scalar rollup.  After the last batch the index equals the full
-    corpus, so top-5 per query must land exactly on the batch-SQL BM25
-    (rational idf, sorted score fold, sum/count avgdl — the
-    cross-engine-exact arithmetic q_bm25 established)."""
-    from ydb_cdc_processor_spark.operators.merge import (
-        ParquetMaterializedView)
-    from ydb_cdc_processor_spark.operators.text_index import TextIndex
-    docs = load_docs(spark, sf_dir).select("doc_id", "text")
-    base = _scratch_dir("tix_")
-    mv = ParquetMaterializedView(spark, base + "/rows", ["doc_id"],
-                                 schema=docs.schema)
-    ix = TextIndex(spark, base + "/tix", n_buckets=8)
-    batches = [
-        docs.where(F.col("doc_id") % 3 != 2),
-        docs.where(F.col("doc_id") % 3 == 2)
-            .withColumn("text", F.lit("interim placeholder body")),
-        docs.where(F.col("doc_id") % 3 == 2),
-    ]
-    for i, b in enumerate(batches):
-        old = None
-        if mv.exists():
-            old = (mv.read().join(b.select("doc_id"), on="doc_id",
-                                  how="left_semi")
-                   .localCheckpoint(eager=True))
-        ix.apply_delta(b, old, batch_token=f"tix:{i}")
-        mv.apply(b, action="upsertInto")
-    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
-    return ix.topk(q, k=5)
-
-
-@register("q_filtered_ann", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, pemb, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
-s AS (SELECT pc.probe_id, cc.vec_id,
-             round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
-      FROM cc JOIN pc USING (cell)
-      WHERE cc.vec_id <> pc.probe_id AND cc.vec_id % 2 = 0),
-r AS (SELECT probe_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM s)
-SELECT probe_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
-""")
-def q_filtered_ann(spark, sf_dir):
-    """FILTERED vector search (VectorIndex.query(allow=...)): top-5
-    neighbors restricted to an allow-set (any metadata predicate —
-    here the even ids).  Candidates pre-filter by a semi-join BEFORE
-    scoring, so the top-k fills with permitted vectors instead of
-    post-filter truncating below k (the classic post-filtering bug).
-    Oracle replays the q_vector_index IVF lifecycle with the same
-    predicate inside the candidate set."""
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = VectorIndex(spark, _scratch_dir("fann_") + "/idx", n_cells=16)
-    idx.build(emb.where(F.col("vec_id") % 3 != 2))
-    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    allow = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
-    return idx.query(probes, k=5, n_probe=4, allow=allow)
-
-
-@register("q_zorder", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-  AND l_shipdate < TIMESTAMP '1997-06-01'
-  AND l_quantity >= 45
-""")
-def q_zorder(spark, sf_dir):
-    """Z-ORDER layout (functions/layout.zorder_write): lineitem is
-    rewritten Morton-interleaved on (l_shipdate, l_quantity), then a
-    TWO-dimensional predicate (a quarter AND a quantity floor) runs
-    over the clustered copy — parquet min/max stats prune files on
-    BOTH dimensions, where q_range_cluster's single-key layout prunes
-    only its leading column (pruning pinned structurally by
-    test_zorder_write_prunes_both_dimensions; result equality with the
-    unclustered table is this oracle)."""
-    from ydb_cdc_processor_spark.functions.layout import zorder_write
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount")
-    path = _scratch_dir("zorder_") + "/li"
-    zorder_write(li, path, ["l_shipdate", "l_quantity"], n_files=16)
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    return (spark.read.parquet(path)
-            .where((F.col("l_shipdate") >= "1997-03-01")
-                   & (F.col("l_shipdate") < "1997-06-01")
-                   & (F.col("l_quantity") >= 45))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
-                 F.sum(d2("l_extendedprice") * (1 - d2("l_discount")))
-                 .cast("double").alias("revenue")))
-
-
-@register("q_text_index_stream")
-def q_text_index_stream(spark, sf_dir):
-    """BM25 index maintained from a STREAM (TextIndex.start_stream):
-    the corpus arrives as a checkpointed file stream (one file per
-    trigger) of NEW documents into the persistent postings store;
-    posting upserts are idempotent and the scalar stats delta is
-    fenced per batch id, so the converged index equals the one-shot
-    ingest — exactly what q_text_index's shared SQL oracle (full-corpus
-    BM25) recomputes."""
-    from ydb_cdc_processor_spark.operators.text_index import TextIndex
-    docs = load_docs(spark, sf_dir).select("doc_id", "text")
-    base = _scratch_dir("tixs_")
-    docs.repartition(3).write.parquet(base + "/src")
-    ix = TextIndex(spark, base + "/idx", n_buckets=8)
-    stream = (spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", 1).parquet(base + "/src"))
-    ix.start_stream(stream, base + "/ckpt").awaitTermination()
-    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
-    return ix.topk(q, k=5)
-
-
-ORACLES["q_text_index_stream"] = ORACLES["q_text_index"]
-
-
-_HYB_TERMS = [("h1", "join"), ("h1", "hash"),
-              ("h2", "stream"), ("h2", "window")]
-
-@register("q_hybrid_search", """
-WITH words AS (
-  SELECT doc_id AS doc, w AS term FROM (
-    SELECT doc_id, unnest(string_split(
-      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t WHERE w <> ''),
-tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM words GROUP BY doc, term),
-dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
-       FROM words GROUP BY doc),
-dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
-           AS n_docs,
-         (SELECT AVG(dl) FROM dl) AS avgdl),
-q(qid, term) AS (VALUES {qvals}),
-cand AS (
-  SELECT q.qid, tf.doc, tf.term,
-         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
-            / (d.df + CAST(0.5 AS DOUBLE)))
-         * ((tf.tf * CAST(2.2 AS DOUBLE))
-            / (tf.tf + CAST(1.2 AS DOUBLE)
-               * (CAST(0.25 AS DOUBLE)
-                  + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))) AS s
-  FROM tf JOIN q ON q.term = tf.term
-  JOIN dft d ON d.term = tf.term
-  JOIN dl ON dl.doc = tf.doc
-  CROSS JOIN stats s),
-ltot AS (
-  SELECT qid, doc, SUM(s ORDER BY term) AS score
-  FROM cand GROUP BY qid, doc),
-lex AS (
-  SELECT qid, doc AS doc_id,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc ASC) AS rank
-  FROM ltot),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e
-      WHERE vec_id IN (0, 300)),
-cs AS (SELECT probe_id, vec_id,
-              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
-       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
-vec AS (
-  SELECT CASE WHEN probe_id = 0 THEN 'h1' ELSE 'h2' END AS qid,
-         vec_id AS doc_id,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
-  FROM cs),
-lists AS (
-  SELECT qid, doc_id, rank, 0 AS li FROM lex WHERE rank <= 20
-  UNION ALL
-  SELECT qid, doc_id, rank, 1 AS li FROM vec WHERE rank <= 20),
-f AS (SELECT qid, doc_id,
-             SUM(CAST(1.0 AS DOUBLE) / (60 + rank) ORDER BY li) AS rrf,
-             CAST(COUNT(*) AS INT) AS n_lists
-      FROM lists GROUP BY qid, doc_id),
-rk AS (SELECT qid, doc_id, rrf, n_lists,
-              row_number() OVER (PARTITION BY qid
-                                 ORDER BY rrf DESC, doc_id ASC) AS rank
-       FROM f)
-SELECT qid, doc_id, CAST(rank AS INT) AS rank,
-       round(rrf, 6) AS rrf_score, n_lists
-FROM rk WHERE rank <= 10
-""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
-                                 for q, t in _HYB_TERMS)))
-def q_hybrid_search(spark, sf_dir):
-    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
-    top-20 fused by reciprocal rank (similarity.rrf_fuse, k=60) into a
-    top-10 per query — the standard lexical+dense composition.  RRF is
-    rank-only, so the two engines' incomparable score scales never mix;
-    the fused score folds its two 1/(60+rank) terms in LIST order
-    (fixed-order float fold, the q_bm25 discipline).  documents and
-    embeddings share the id space (TESTDATA), so vec_id IS doc_id."""
-    docs = load_docs(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(_HYB_TERMS, "qid string, term string")
-    lex = text.bm25_topk(docs, qterms, k=20) \
-        .select("qid", "doc_id", "rank")
-    probes = emb.where(F.col("vec_id").isin(0, 300)) \
-        .select(F.col("vec_id").alias("probe_id"), "embedding")
-    vec = (similarity.cosine_topk(emb, probes, k=20)
-           .select(F.when(F.col("probe_id") == 0, "h1").otherwise("h2")
-                   .alias("qid"),
-                   F.col("vec_id").alias("doc_id"),
-                   F.col("rnk").alias("rank")))
-    return similarity.rrf_fuse([lex, vec], k=60, topk=10)
-
-
-@register("q_hybrid_index_search", """
-WITH words AS (
-  SELECT doc_id AS doc, w AS term FROM (
-    SELECT doc_id, unnest(string_split(
-      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-    FROM documents) t WHERE w <> ''),
-tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM words GROUP BY doc, term),
-dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
-       FROM words GROUP BY doc),
-dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
-         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl),
-q(qid, term) AS (VALUES {qvals}),
-cand AS (
-  SELECT q.qid, tf.doc, tf.term,
-         (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
-            / (d.df + CAST(0.5 AS DOUBLE)))
-         * ((tf.tf * CAST(2.2 AS DOUBLE))
-            / (tf.tf + CAST(1.2 AS DOUBLE)
-               * (CAST(0.25 AS DOUBLE)
-                  + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))) AS s
-  FROM tf JOIN q ON q.term = tf.term
-  JOIN dft d ON d.term = tf.term
-  JOIN dl ON dl.doc = tf.doc
-  CROSS JOIN stats s),
-ltot AS (
-  SELECT qid, doc, SUM(s ORDER BY term) AS score
-  FROM cand GROUP BY qid, doc),
-lex AS (
-  SELECT qid, doc AS doc_id,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc ASC) AS rank
-  FROM ltot),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id % 3 <> 2
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, emb, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, emb, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e
-      WHERE vec_id IN (0, 300)),
-pa AS (SELECT probe_id, pemb, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, pemb, cell FROM pa WHERE cr <= 4),
-cs AS (SELECT pc.probe_id, cc.vec_id,
-              round(list_cosine_similarity(cc.emb, pc.pemb), 6) AS cos_sim
-       FROM cc JOIN pc USING (cell) WHERE cc.vec_id <> pc.probe_id),
-vec AS (
-  SELECT CASE WHEN probe_id = 0 THEN 'h1' ELSE 'h2' END AS qid,
-         vec_id AS doc_id,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
-  FROM cs),
-lists AS (
-  SELECT qid, doc_id, rank, 0 AS li FROM lex WHERE rank <= 20
-  UNION ALL
-  SELECT qid, doc_id, rank, 1 AS li FROM vec WHERE rank <= 20),
-f AS (SELECT qid, doc_id,
-             SUM(CAST(1.0 AS DOUBLE) / (60 + rank) ORDER BY li) AS rrf,
-             CAST(COUNT(*) AS INT) AS n_lists
-      FROM lists GROUP BY qid, doc_id),
-rk AS (SELECT qid, doc_id, rrf, n_lists,
-              row_number() OVER (PARTITION BY qid
-                                 ORDER BY rrf DESC, doc_id ASC) AS rank
-       FROM f)
-SELECT qid, doc_id, CAST(rank AS INT) AS rank,
-       round(rrf, 6) AS rrf_score, n_lists
-FROM rk WHERE rank <= 10
-""".replace("{qvals}", ", ".join(f"('{q}', '{t}')"
-                                 for q, t in _HYB_TERMS)))
-def q_hybrid_index_search(spark, sf_dir):
-    """Hybrid retrieval SERVED FROM THE PERSISTENT STORES: the
-    maintained BM25 postings index (TextIndex — bucket-pruned lexical
-    top-20) and the maintained IVF vector index (VectorIndex —
-    cell-pruned dense top-20, frozen-quantizer lifecycle) fused by
-    reciprocal rank into a top-10 per query.  This is the serving shape
-    a 100 TB deployment runs: both indexes ingest continuously under
-    CDC (their *_stream entries), and a query touches only probed
-    terms' and probed cells' buckets — never a corpus scan.  The oracle
-    replays both index lifecycles in SQL (q_text_index's converged-
-    corpus BM25, q_vector_index's subset-sampled-centroid IVF) plus the
-    list-order RRF fold."""
-    from ydb_cdc_processor_spark.operators.text_index import TextIndex
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    docs = load_docs(spark, sf_dir).select("doc_id", "text")
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = _scratch_dir("hyix_")
-
-    tix = TextIndex(spark, base + "/tix", n_buckets=8)
-    tix.apply_delta(docs, None, batch_token="h0")
-    vix = VectorIndex(spark, base + "/vix", n_cells=16)
-    vix.build(emb.where(F.col("vec_id") % 3 != 2))
-    vix.add_batch(emb.where(F.col("vec_id") % 3 == 2))
-
-    qterms = spark.createDataFrame(_HYB_TERMS, "qid string, term string")
-    lex = tix.topk(qterms, k=20).select("qid", "doc_id", "rank")
-    probes = emb.where(F.col("vec_id").isin(0, 300)) \
-        .select(F.col("vec_id").alias("probe_id"), "embedding")
-    vec = (vix.query(probes, k=20, n_probe=4)
-           .select(F.when(F.col("probe_id") == 0, "h1").otherwise("h2")
-                   .alias("qid"),
-                   F.col("vec_id").alias("doc_id"),
-                   F.col("rnk").alias("rank")))
-    return similarity.rrf_fuse([lex, vec], k=60, topk=10)
-
-
-def _hexn(col: str, n: int) -> str:
-    """DuckDB integer value of an ``n``-char hex column (no conv())."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
-        f" * {16 ** (n - i)}" for i in range(1, n + 1))
-
-
-def _hll_num_sql() -> str:
-    from ydb_cdc_processor_spark.functions.sketches import hll_alpha_num
-    return repr(hll_alpha_num(8))
-
-
-@register("q_hll_lang", f"""
-WITH nrm AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),
-                                       '\\s+', ' ', 'g'), ' ') AS w
-             FROM documents),
-g AS (SELECT lang, unnest({_SHINGLE3}) AS gram FROM nrm),
-g2 AS (SELECT lang, gram FROM g WHERE gram <> ''),
-hx AS (SELECT lang, substr(md5(gram), 1, 2) AS hj,
-             substr(md5(gram), 3, 12) AS hw
-       FROM g2),
-jr AS (SELECT lang, CAST({_hexn('hj', 2)} AS INTEGER) AS j,
-             CAST({_hexn('hw', 12)} AS BIGINT) AS wv
-       FROM hx),
-rr AS (SELECT lang, j,
-              CASE WHEN wv = 0 THEN 49
-                   ELSE 49 - length(bin(wv)) END AS rho
-       FROM jr),
-regs AS (SELECT lang, j, max(rho) AS M FROM rr GROUP BY lang, j),
-a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
-             CAST(sum(CAST(1 AS BIGINT) << CAST(49 - M AS INTEGER))
-                  AS BIGINT) AS s_present
-      FROM regs GROUP BY lang),
-e AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS n_exact
-      FROM g2 GROUP BY lang)
-SELECT a.lang, CAST(256 AS INTEGER) AS m,
-       CAST(256 - a.n_regs AS INTEGER) AS v_zero,
-       CAST(a.s_present + (256 - a.n_regs) * {1 << 49} AS BIGINT)
-         AS s_scaled,
-       round({{num}} / CAST(a.s_present + (256 - a.n_regs) * {1 << 49}
-                            AS DOUBLE), 3) AS est_hll,
-       e.n_exact
-FROM a JOIN e USING (lang)
-""".replace("{num}", _hll_num_sql()))
-def q_hll_lang(spark, sf_dir):
-    """Per-GROUP HyperLogLog distinct sketch (functions/sketches.
-    hll_grouped): distinct 3-grams per language as 256 max-merged md5
-    registers per group — fixed O(m) state per group where the global
-    bottom-k sketch (`q_distinct_kmv`) cannot group at all, and the
-    insert-only approximate complement of the exact retractable
-    DistinctCountView.  Every field — including the register-sum digest
-    `s_scaled` (exact BIGINT) and the estimate (ONE correctly-rounded
-    IEEE division by a shared constant) — is bit-replayable by the
-    oracle; exact counts ride alongside so the ~6.5% (m=256) error is
-    visible in the gated result.  Plan: two map-side-combined hash aggs,
-    exchanges carry ≤ |groups|·m register rows then |groups| rows."""
-    from ydb_cdc_processor_spark.functions.sketches import hll_grouped
-    docs = load_docs(spark, sf_dir)
-    grams = (docs.select("lang", F.explode_outer(
-                 dedup.shingles(F.col("text"), 3)).alias("gram"))
-             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
-    est = hll_grouped(grams, ["lang"], "gram", p=8)
-    exact = grams.groupBy("lang").agg(
-        F.count_distinct("gram").alias("n_exact"))
-    return est.join(exact, "lang")
-
-
-@register("q_hll_view")
-def q_hll_view(spark, sf_dir):
-    """The per-group HLL sketch as a MAINTAINED store
-    (operators/hll_view.HllView): the corpus's per-language 3-gram
-    registers ingest in three micro-batches into a group-co-located
-    bucketed view (per-batch cost ∝ batch groups' buckets, state a
-    FIXED m=256 ints per group regardless of cardinality), and the
-    serving read is the hll_estimate rollup.  Register max-merge is
-    idempotent/commutative, so the final state equals the one-shot
-    q_hll_lang sketch — which is exactly what the shared oracle
-    replays.  The approximate, insert-only complement of
-    q_distinct_view's exact refcounted IVM."""
-    from ydb_cdc_processor_spark.operators.hll_view import HllView
-    docs = load_docs(spark, sf_dir)
-    grams = (docs.select("lang", "doc_id", F.explode_outer(
-                 dedup.shingles(F.col("text"), 3)).alias("gram"))
-             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
-    hv = HllView(spark, _scratch_dir("hllview_") + "/hll",
-                 ["lang"], "gram", p=8)
-    for i in range(3):
-        hv.apply_delta(grams.where(F.col("doc_id") % 3 == i))
-    exact = grams.groupBy("lang").agg(
-        F.count_distinct("gram").alias("n_exact"))
-    return hv.read().join(exact, "lang")
-
-
-ORACLES["q_hll_view"] = ORACLES["q_hll_lang"]
-
-
-@register("q_shuffle_shards", f"""
-WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
-           FROM documents),
-s AS (SELECT doc_id, skey, substr(skey, 1, 8) AS h8 FROM k),
-a AS (SELECT doc_id, skey,
-             CAST(({_HEX8}) % 8 AS INTEGER) AS shard
-      FROM s)
-SELECT doc_id, shard,
-       CAST(row_number() OVER (PARTITION BY shard
-                               ORDER BY skey, doc_id) AS BIGINT) AS seq
-FROM a
-""")
-def q_shuffle_shards(spark, sf_dir):
-    """Reproducible global shuffle for training-data delivery
-    (functions/layout.shard_assignment): every row gets a (shard, seq)
-    position that is a pure function of (seed, id) — rerunning the
-    pipeline on any cluster layout reproduces the identical permutation
-    (resumable epochs, comparable ablations), each shard is an unbiased
-    ~1/n md5-uniform sample, and `layout.shuffle_write` materializes
-    the order as shard=k/ parquet so training streams files with zero
-    read-time shuffling.  Plan: one hash exchange on shard + one
-    in-partition rank sort; n_shards sizes the sort unit, so at 100 TB
-    shards are delivery-file-sized (10⁵-10⁶ of them) and no task ever
-    sorts more than one shard."""
-    from ydb_cdc_processor_spark.functions.layout import shard_assignment
-    docs = load_docs(spark, sf_dir).select("doc_id")
-    return shard_assignment(docs, "doc_id", 8, seed=42) \
-        .select("doc_id", "shard", "seq")
-
-
-_LPA_ROUNDS = "".join(f""",
-v{r} AS (SELECT e.d AS node, l.label, CAST(count(*) AS BIGINT) AS c
-         FROM l{r - 1} l JOIN e ON l.node = e.s GROUP BY e.d, l.label),
-b{r} AS (SELECT node, label FROM (
-           SELECT node, label,
-                  row_number() OVER (PARTITION BY node
-                                     ORDER BY c DESC, label ASC) AS rk
-           FROM v{r}) t WHERE rk = 1),
-l{r} AS (SELECT l.node, COALESCE(b.label, l.label) AS label
-         FROM l{r - 1} l LEFT JOIN b{r} b ON l.node = b.node)"""
-                      for r in (1, 2, 3))
-
-
-@register("q_communities", f"""
-WITH e AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
-                  's' || CAST(l.l_suppkey AS VARCHAR) AS d
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  UNION
-  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR),
-                  'c' || CAST(o.o_custkey AS VARCHAR)
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-l0 AS (SELECT node, node AS label FROM (
-         SELECT DISTINCT node FROM (
-           SELECT s AS node FROM e UNION ALL SELECT d FROM e) t) n)
-{_LPA_ROUNDS}
-SELECT node, label AS community FROM l3
-""")
-def q_communities(spark, sf_dir):
-    """Community detection by synchronous label propagation
-    (operators/graph.label_propagation): 3 neighbor-majority rounds
-    over the undirected customer–supplier trade graph — the same edge
-    derivation as `q_pagerank`, so the graph family (reachability =
-    `q_dedup_clusters`, ranking = `q_pagerank`, triangles =
-    `q_triangle_count`, communities = this) all speak over one graph.
-    Every intermediate is an integer count or a string comparison —
-    bit-replayable with NO float tolerance anywhere; the deterministic
-    (most-frequent, then smallest) tie-break is what makes the
-    classically randomized algorithm gateable."""
-    from ydb_cdc_processor_spark.operators.graph import label_propagation
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    cs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                  .alias("c"),
-                  F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                  .alias("s"))
-          .distinct())
-    edges = (cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-             .unionByName(
-                 cs.select(F.col("s").alias("src"),
-                           F.col("c").alias("dst"))))
-    return label_propagation(edges, n_iter=3)
-
-
-@register("q_similarity_pq", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-u AS (SELECT vec_id,
-             list_transform(emb,
-                            x -> x / sqrt(list_inner_product(emb, emb)))
-               AS uv
-      FROM e),
-smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
-        FROM u ORDER BY h LIMIT 64),
-cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
-              uv AS cw
-       FROM smp),
-cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
-        FROM cb CROSS JOIN range(0, 16) t(m)),
-ec AS (SELECT vec_id, m, j,
-              round(list_inner_product(
-                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
-       FROM u CROSS JOIN cbm),
-enc AS (SELECT vec_id, m, j FROM (
-          SELECT vec_id, m, j,
-                 row_number() OVER (PARTITION BY vec_id, m
-                                    ORDER BY s DESC, j ASC) AS rk
-          FROM ec) t WHERE rk = 1),
-p AS (SELECT vec_id AS probe_id, uv AS pv FROM u WHERE vec_id % 100 = 0),
-tab AS (SELECT probe_id, m, j,
-               round(list_inner_product(
-                   list_slice(pv, m * 4 + 1, m * 4 + 4), cws), 6) AS t
-        FROM p CROSS JOIN cbm),
-ip AS (SELECT t.probe_id, enc.vec_id, SUM(t.t ORDER BY t.m) AS ips
-       FROM enc JOIN tab t ON t.m = enc.m AND t.j = enc.j
-       GROUP BY t.probe_id, enc.vec_id),
-r AS (SELECT probe_id, vec_id, round(ips, 6) AS pq_sim
-      FROM ip WHERE vec_id <> probe_id)
-SELECT probe_id, vec_id, pq_sim, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT probe_id, vec_id, pq_sim,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY pq_sim DESC, vec_id ASC) AS rnk
-  FROM r) t
-WHERE rnk <= 5
-""")
-def q_similarity_pq(spark, sf_dir):
-    """Product-quantized ANN (operators/similarity.cosine_topk_pq):
-    L2-normalized vectors stored as 16 subspace codes of 6 bits (96
-    bits vs 64 doubles ≈ 42× smaller — the index-fits-in-memory path at
-    100 TB), queries scored by asymmetric-distance lookup tables (16
-    element_at + adds per pair instead of a 64-wide dot).  Codebook =
-    the md5-seeded sample pick; assignment = rounded subspace inner
-    product, smallest-code tie-break; the ADC score folds the 16
-    rounded table entries in subspace order (`SUM(t ORDER BY m)` on the
-    oracle side — the q_bm25 ordered-fold trick).  Same probes as
-    `q_similarity_ivf`; on this weakly-structured synthetic corpus
-    (exact top-1 cosine ≈ 0.4) PQ recall@5 ≈ 0.38 vs IVF's 0.40
-    (pinned by test_pq_recall_and_validation)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_pq(emb, probes, k=5, m_sub=16,
-                                     n_codes=64, dim=64)
-
-
-@register("q_similarity_ivf_pq", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-u AS (SELECT vec_id,
-             list_transform(emb,
-                            x -> x / sqrt(list_inner_product(emb, emb)))
-               AS uv
-      FROM e),
-cent AS (SELECT vec_id AS cell, emb AS cemb FROM e
-         ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 16),
-ca AS (SELECT vec_id, cell,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY round(list_cosine_similarity(emb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM e CROSS JOIN cent),
-cc AS (SELECT vec_id, cell FROM ca WHERE cr = 1),
-p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id % 100 = 0),
-pa AS (SELECT probe_id, cell,
-              row_number() OVER (PARTITION BY probe_id
-                ORDER BY round(list_cosine_similarity(pemb, cemb), 6) DESC,
-                         cell ASC) AS cr
-       FROM p CROSS JOIN cent),
-pc AS (SELECT probe_id, cell FROM pa WHERE cr <= 4),
-smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
-        FROM u ORDER BY h LIMIT 64),
-cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
-              uv AS cw
-       FROM smp),
-cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
-        FROM cb CROSS JOIN range(0, 16) t(m)),
-ec AS (SELECT vec_id, m, j,
-              round(list_inner_product(
-                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
-       FROM u CROSS JOIN cbm),
-enc AS (SELECT vec_id, m, j FROM (
-          SELECT vec_id, m, j,
-                 row_number() OVER (PARTITION BY vec_id, m
-                                    ORDER BY s DESC, j ASC) AS rk
-          FROM ec) t WHERE rk = 1),
-tab AS (SELECT pu.vec_id AS probe_id, cbm.m, cbm.j,
-               round(list_inner_product(
-                   list_slice(pu.uv, cbm.m * 4 + 1, cbm.m * 4 + 4),
-                   cbm.cws), 6) AS t
-        FROM u pu CROSS JOIN cbm WHERE pu.vec_id % 100 = 0),
-pairs AS (SELECT pc.probe_id, cc.vec_id
-          FROM cc JOIN pc USING (cell)
-          WHERE cc.vec_id <> pc.probe_id),
-ip AS (SELECT pr.probe_id, pr.vec_id, SUM(t.t ORDER BY t.m) AS ips
-       FROM pairs pr
-       JOIN enc ON enc.vec_id = pr.vec_id
-       JOIN tab t ON t.probe_id = pr.probe_id
-               AND t.m = enc.m AND t.j = enc.j
-       GROUP BY pr.probe_id, pr.vec_id),
-r AS (SELECT probe_id, vec_id, round(ips, 6) AS pq_sim FROM ip)
-SELECT probe_id, vec_id, pq_sim, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT probe_id, vec_id, pq_sim,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY pq_sim DESC, vec_id ASC) AS rnk
-  FROM r) t
-WHERE rnk <= 5
-""")
-def q_similarity_ivf_pq(spark, sf_dir):
-    """IVF × PQ composed ANN (operators/similarity_pq.
-    cosine_topk_ivf_pq) — the IVFADC serving layout of the FAISS
-    lineage as one declarative plan: the `q_similarity_ivf` coarse
-    quantizer restricts each probe to its 4 nearest of 16 cells
-    (candidate VOLUME ∝ n_probe/n_cells), and within those cells
-    candidates are scored from their 16 PQ codes by ADC lookups
-    (candidate PAYLOAD 96 bits, not 64 doubles).  Both halves are
-    bit-identical to their standalone parents, so the oracle is the
-    two parents' CTEs joined on cell — the composition adds no new
-    arithmetic to trust."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return similarity.cosine_topk_ivf_pq(emb, probes, k=5, n_cells=16,
-                                         n_probe=4, m_sub=16,
-                                         n_codes=64, dim=64)
-
-
-@register("q_pq_recall", """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id % 100 = 0),
-bs AS (SELECT probe_id, vec_id,
-              round(list_cosine_similarity(emb, p_emb), 6) AS cos_sim
-       FROM e CROSS JOIN p WHERE vec_id <> probe_id),
-br AS (SELECT probe_id, vec_id,
-              row_number() OVER (PARTITION BY probe_id
-                                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-       FROM bs),
-bt AS (SELECT probe_id, vec_id FROM br WHERE rnk <= 5),
-u AS (SELECT vec_id,
-             list_transform(emb,
-                            x -> x / sqrt(list_inner_product(emb, emb)))
-               AS uv
-      FROM e),
-smp AS (SELECT uv, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
-        FROM u ORDER BY h LIMIT 64),
-cb AS (SELECT CAST(row_number() OVER (ORDER BY h ASC) - 1 AS INTEGER) AS j,
-              uv AS cw
-       FROM smp),
-cbm AS (SELECT m, j, list_slice(cw, m * 4 + 1, m * 4 + 4) AS cws
-        FROM cb CROSS JOIN range(0, 16) t(m)),
-ec AS (SELECT vec_id, m, j,
-              round(list_inner_product(
-                  list_slice(uv, m * 4 + 1, m * 4 + 4), cws), 6) AS s
-       FROM u CROSS JOIN cbm),
-enc AS (SELECT vec_id, m, j FROM (
-          SELECT vec_id, m, j,
-                 row_number() OVER (PARTITION BY vec_id, m
-                                    ORDER BY s DESC, j ASC) AS rk
-          FROM ec) t WHERE rk = 1),
-tab AS (SELECT pu.vec_id AS probe_id, cbm.m, cbm.j,
-               round(list_inner_product(
-                   list_slice(pu.uv, cbm.m * 4 + 1, cbm.m * 4 + 4),
-                   cbm.cws), 6) AS t
-        FROM u pu CROSS JOIN cbm WHERE pu.vec_id % 100 = 0),
-ip AS (SELECT t.probe_id, enc.vec_id, SUM(t.t ORDER BY t.m) AS ips
-       FROM enc JOIN tab t ON t.m = enc.m AND t.j = enc.j
-       WHERE enc.vec_id <> t.probe_id
-       GROUP BY t.probe_id, enc.vec_id),
-qr AS (SELECT probe_id, vec_id,
-              row_number() OVER (PARTITION BY probe_id
-                                 ORDER BY round(ips, 6) DESC,
-                                          vec_id ASC) AS rnk
-       FROM ip),
-qt AS (SELECT probe_id, vec_id FROM qr WHERE rnk <= 5)
-SELECT bt.probe_id,
-       CAST(COUNT(qt.vec_id) AS BIGINT) AS n_hits,
-       round(COUNT(qt.vec_id) / 5.0, 6) AS recall_at_5
-FROM bt LEFT JOIN qt ON qt.probe_id = bt.probe_id AND qt.vec_id = bt.vec_id
-GROUP BY bt.probe_id
-ORDER BY bt.probe_id
-""")
-def q_pq_recall(spark, sf_dir):
-    """PQ quality self-measurement — recall@5 of the product-quantized
-    ranking against the exact brute-force top-5, per probe: the number
-    a 100 TB deployment watches when trading code budget (m_sub ×
-    log2(n_codes) bits) against retrieval quality, computed engine-side
-    exactly like `q_ann_recall` does for SRP-LSH.  Both rankings reuse
-    their oracle-replayable pipelines; the recall join is probe-keyed
-    and broadcast-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    brute = similarity.cosine_topk(emb, probes, k=5) \
-        .select("probe_id", "vec_id")
-    pq = (similarity.cosine_topk_pq(emb, probes, k=5, m_sub=16,
-                                    n_codes=64, dim=64)
-          .select(F.col("probe_id").alias("q_probe"),
-                  F.col("vec_id").alias("q_vec")))
-    j = brute.join(F.broadcast(pq),
-                   (F.col("probe_id") == F.col("q_probe"))
-                   & (F.col("vec_id") == F.col("q_vec")), how="left")
-    return (j.groupBy("probe_id")
-            .agg(F.count("q_vec").cast("long").alias("n_hits"),
-                 F.round(F.count("q_vec") / F.lit(5.0), 6)
-                  .alias("recall_at_5"))
-            .orderBy("probe_id"))
-
-
-# ---------------------------------------------------------------------------
-# Driver-window priority ordering — a COMPUTED coverage policy
-# ---------------------------------------------------------------------------
-@register("q_topk_view", r"""
-WITH nrm AS (SELECT doc_id, lang,
-                    string_split(regexp_replace(lower(trim(text)),
-                        '\s+', ' ', 'g'), ' ') AS w
-             FROM documents),
-wrd AS (SELECT lang, unnest(w) AS term FROM nrm),
-w2 AS (SELECT lang, term FROM wrd WHERE term <> ''),
-cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
-        FROM w2 GROUP BY lang, term),
-r AS (SELECT lang, term, n,
-             row_number() OVER (PARTITION BY lang
-                 ORDER BY n DESC, term ASC) AS rk
-      FROM cnt)
-SELECT lang, term, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
-""")
-def q_topk_view(spark, sf_dir):
-    """EXACT retractable top-k per group as a MAINTAINED store
-    (operators/topk_view.TopKView): per-language top-10 terms kept
-    current through three ingest batches plus a delete-then-restore
-    cycle (±count retraction via the per-bucket replay fence — the
-    exact complement of q_cms_view's fixed-size approximate counters;
-    state here is the full (lang, term) rollup, co-located on lang so
-    a single-language probe reads ONE bucket).  The final state equals
-    the one-shot group-count top-10, which the oracle replays with the
-    same count-DESC/term-ASC tie-break."""
-    from ydb_cdc_processor_spark.operators.topk_view import TopKView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", "lang", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    tv = TopKView(spark, _scratch_dir("topkview_") + "/topk",
-                  ["lang"], "term", k=10)
-    for i in range(3):
-        tv.apply_delta(words.where(F.col("doc_id") % 3 == i), None,
-                       batch_token=f"topk:b{i}")
-    slice5 = words.where(F.col("doc_id") % 5 == 0)
-    tv.apply_delta(None, slice5, batch_token="topk:del")    # delete
-    tv.apply_delta(slice5, None, batch_token="topk:rest")   # restore
-    return tv.read().select("lang", "term", "n", "rk")
-
-
-@register("q_kmv_overlap", f"""
-WITH nrm AS ({_NORM_WORDS}),
-ga AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm
-       WHERE doc_id % 2 = 0),
-gb AS (SELECT DISTINCT unnest({_SHINGLE3}) AS gram FROM nrm
-       WHERE doc_id % 2 = 1),
-ga2 AS (SELECT gram FROM ga WHERE gram <> ''),
-gb2 AS (SELECT gram FROM gb WHERE gram <> ''),
-fa AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
-       FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM ga2)),
-fb AS (SELECT DISTINCT CAST({_HEX8} AS BIGINT) / 4294967296.0 AS frac
-       FROM (SELECT substr(md5(gram), 1, 8) AS h8 FROM gb2)),
-ka AS (SELECT frac FROM fa ORDER BY frac ASC LIMIT 256),
-kb AS (SELECT frac FROM fb ORDER BY frac ASC LIMIT 256),
-ta AS (SELECT CASE WHEN count(*) < 256 THEN 1.0 ELSE max(frac) END AS th
-       FROM ka),
-tb AS (SELECT CASE WHEN count(*) < 256 THEN 1.0 ELSE max(frac) END AS th
-       FROM kb),
-th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
-j AS (SELECT coalesce(a.frac, b.frac) AS frac,
-             a.frac IS NOT NULL AS ia, b.frac IS NOT NULL AS ib
-      FROM ka a FULL OUTER JOIN kb b ON a.frac = b.frac),
-r AS (SELECT j.*, th.theta FROM j, th WHERE j.frac < th.theta),
-agg AS (SELECT theta,
-               CAST(count(*) AS BIGINT) AS n_union,
-               CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_both,
-               CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_oa,
-               CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_ob
-        FROM r GROUP BY theta),
-ex AS (SELECT
-         (SELECT CAST(count(*) AS BIGINT) FROM
-            (SELECT gram FROM ga2 UNION SELECT gram FROM gb2))
-           AS n_exact_union,
-         (SELECT CAST(count(*) AS BIGINT) FROM
-            (SELECT gram FROM ga2 INTERSECT SELECT gram FROM gb2))
-           AS n_exact_inter)
-SELECT 256 AS k, round(theta, 6) AS theta,
-       round(n_union / theta, 3) AS est_union,
-       round(n_both / theta, 3) AS est_intersection,
-       round(n_oa / theta, 3) AS est_only_a,
-       round(n_ob / theta, 3) AS est_only_b,
-       round(CAST(n_both AS DOUBLE) / n_union, 6) AS jaccard,
-       ex.n_exact_union, ex.n_exact_inter
-FROM agg, ex
-""")
-def q_kmv_overlap(spark, sf_dir):
-    """Theta-sketch set operations (functions/sketches.kmv_set_ops):
-    distinct 3-gram union / intersection / difference ESTIMATES between
-    two corpus halves from two bottom-256 KMV sketches — the cross-
-    corpus overlap accounting ("how contaminated is this training slice
-    by that benchmark?") that at 100 TB must run on sketches, never on
-    an exact distinct join.  Each side collapses map-side to ≤ k md5
-    fractions; the theta algebra runs on ≤ 2k rows; exact counts ride
-    alongside so the estimate error stays visible in the gated result.
-    Every intermediate is md5-deterministic → the oracle replays the
-    estimates bit-for-bit."""
-    from ydb_cdc_processor_spark.functions.sketches import kmv_set_ops
-    docs = load_docs(spark, sf_dir)
-    grams = (docs.select("doc_id", F.explode_outer(
-                 dedup.shingles(F.col("text"), 3)).alias("gram"))
-             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
-    a = grams.where(F.col("doc_id") % 2 == 0).select("gram")
-    b = grams.where(F.col("doc_id") % 2 == 1).select("gram")
-    est = kmv_set_ops(a, b, "gram", k=256)
-    da, db = a.distinct(), b.distinct()
-    ex = (da.unionByName(db).distinct()
-          .agg(F.count(F.lit(1)).alias("n_exact_union"))
-          .crossJoin(da.join(db, "gram", "left_semi")
-                     .agg(F.count(F.lit(1)).alias("n_exact_inter"))))
-    return est.crossJoin(F.broadcast(ex))
-
-
-@register("q_sample_view", """
-WITH r AS (
-  SELECT lang, doc_id,
-         row_number() OVER (PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-  FROM documents)
-SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 15
-""")
-def q_sample_view(spark, sf_dir):
-    """Per-group reservoir sample as a MAINTAINED store
-    (operators/sample_view.SampleView): 15 docs per language kept under
-    three micro-batch ingests.  "Top-n per group by a deterministic
-    md5 priority" is a bounded-join semilattice — idempotent,
-    commutative, mergeable — so the maintained state EQUALS the
-    one-shot q_sample_per_group reservoir of the union, which the
-    oracle replays; state is n rows per group forever (the corpus
-    spot-check surface a 100 TB pipeline keeps warm without scans).
-    Per batch: prune the batch to its own top-n, then merge against
-    only the touched groups' co-located buckets."""
-    from ydb_cdc_processor_spark.operators.sample_view import SampleView
-    docs = load_docs(spark, sf_dir)
-    sv = SampleView(spark, _scratch_dir("sampleview_") + "/s",
-                    ["lang"], "doc_id", n=15)
-    for i in range(3):
-        sv.apply_delta(docs.where(F.col("doc_id") % 3 == i)
-                       .select("lang", "doc_id"))
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(),
-        F.col("doc_id").asc())
-    return (sv.read()
-            .withColumn("rk", F.row_number().over(w).cast("int"))
-            .select("lang", "doc_id", "rk"))
-
-
-@register("q_sample_view_weighted", """
-WITH h AS (
-  SELECT lang, doc_id, n_chars,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-  FROM documents WHERE n_chars > 0),
-s AS (
-  SELECT lang, doc_id, n_chars,
-         round(ln((CAST({hex8} AS DOUBLE) + 1) / 4294967296.0)
-               / n_chars, 9) AS aes_key
-  FROM h),
-r AS (SELECT *, row_number() OVER (PARTITION BY lang
-          ORDER BY aes_key DESC, doc_id ASC) AS rk FROM s)
-SELECT lang, doc_id, n_chars, aes_key, CAST(rk AS INT) AS rk
-FROM r WHERE rk <= 10
-""".replace("{hex8}", " + ".join(
-    f"(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1) "
-    f"* {16 ** (8 - i)}" for i in range(1, 9))))
-def q_sample_view_weighted(spark, sf_dir):
-    """The WEIGHTED maintained reservoir (operators/sample_view.
-    SampleView, weight_col=): per-language top-10 docs by the
-    Efraimidis–Spirakis key (q_weighted_sample's exact rounded
-    arithmetic — selection probability ∝ n_chars), kept current through
-    three micro-batch ingests.  The per-group best-n-by-key state is the
-    same bounded semilattice as the uniform variant, so the maintained
-    sample equals the one-shot A-ES top-10 per group, which the oracle
-    replays key-for-key."""
-    from ydb_cdc_processor_spark.operators.sample_view import SampleView
-    docs = load_docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
-    sv = SampleView(spark, _scratch_dir("sampleview_w_") + "/s",
-                    ["lang"], "doc_id", n=10, payload_cols=["n_chars"],
-                    weight_col="n_chars")
-    for i in range(3):
-        sv.apply_delta(docs.where(F.col("doc_id") % 3 == i))
-    w = Window.partitionBy("lang").orderBy(
-        F.col("_pri").desc(), F.col("doc_id").asc())
-    return (sv.view.read()
-            .withColumn("rk", F.row_number().over(w).cast("int"))
-            .select("lang", "doc_id", "n_chars",
-                    F.col("_pri").alias("aes_key"), "rk"))
-
-
-@register("q_range_partitioned", """
-SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_type <> 'error'
-  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
-GROUP BY 1
-""")
-def q_range_partitioned(spark, sf_dir):
-    """Time-partitioned maintained store (operators/range_view.
-    RangePartitionedView) — the 100 TB fact-table layout: the events
-    table ingests in three CDC batches into DAY partitions (each batch
-    touches only its own days' directories), a delete batch retracts
-    one event type, and the serving read is read_range over an 11-day
-    window — O(matching partitions) planned by direct directory path,
-    with the bounds re-applied as a residual filter so pruning is
-    performance-only.  The oracle replays the final state as a plain
-    filtered aggregate over the source."""
-    from ydb_cdc_processor_spark.operators.range_view import (
-        RangePartitionedView)
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", F.date_trunc("day", F.col("ts")).alias("day"),
-                  "event_type", "value"))
-    rv = RangePartitionedView(spark, _scratch_dir("rangeview_") + "/rv",
-                              keys=["day", "event_id"], part_col="day",
-                              granularity="day")
-    for i in range(3):
-        rv.apply(ev.where(F.col("event_id") % 3 == i), action="upsertInto")
-    rv.apply(ev.where(F.col("event_type") == "error")
-             .select("day", "event_id"), action="deleteFrom")
-    rv.compact()
-    return (rv.read_range("2024-01-10", "2024-01-20")
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 dec_sum("value", "sum_value")))
-
-
-@register("q_range_bucketed", """
-SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-       event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_type <> 'error'
-  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
-GROUP BY 1, 2
-""")
-def q_range_bucketed(spark, sf_dir):
-    """The COMPOSED 100 TB fact-table layout (range_view.
-    RangePartitionedView, n_sub=4): day partitions AND key-hash
-    sub-buckets within each day, so a hot day's CDC merge reads
-    O(touched hash buckets of that day) instead of the whole day
-    (round-10 judge item #3; directory id = pid*n_sub +
-    pmod(xxhash64(event_id), n_sub)).  Lifecycle: a bulk backfill, then
-    three SINGLE-DAY micro-batches (the natural CDC arrival shape —
-    each lists only its own day's touched sub-buckets, pinned by
-    tests/test_range_view.py::
-    test_composed_layout_merge_parity_and_day_locality), a delete batch
-    retracting one event type, and a 7-day read_range serve.  The
-    oracle replays the final state as a plain filtered aggregate."""
-    from ydb_cdc_processor_spark.operators.range_view import (
-        RangePartitionedView)
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", F.date_trunc("day", F.col("ts")).alias("day"),
-                  "event_type", "value"))
-    rv = RangePartitionedView(spark, _scratch_dir("rangebkt_") + "/rv",
-                              keys=["day", "event_id"], part_col="day",
-                              granularity="day", n_sub=4,
-                              hash_keys=["event_id"])
-    hot = [f"2024-01-{d:02d}" for d in (10, 11, 12)]
-    rv.apply(ev.where(~F.col("day").cast("date").cast("string").isin(hot)),
-             action="upsertInto")
-    for d in hot:  # single-day micro-batches
-        rv.apply(ev.where(F.col("day").cast("date") == F.lit(d).cast("date")),
-                 action="upsertInto")
-    rv.apply(ev.where(F.col("event_type") == "error")
-             .select("day", "event_id"), action="deleteFrom")
-    rv.compact()
-    return (rv.read_range("2024-01-08", "2024-01-14")
-            .groupBy("day", "event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 dec_sum("value", "sum_value")))
-
-
-@register("q_vector_federated", ORACLE_VECTOR_INDEX)
-def q_vector_federated(spark, sf_dir):
-    """Sharded IVF serving (round-11 federation family,
-    vector_index.clone_empty + merge_from): the quantizer trains ONCE
-    on two-thirds of the corpus, ``clone_empty`` ships the frozen
-    centroids to an empty shard (no list data moves), the remaining
-    third ingests INTO THE SHARD, and ``merge_from`` unions the
-    inverted lists back — a keyed upsert of O(shard state) rows, gated
-    on the md5 quantizer fingerprint.  A vector's (cell, payload) row
-    is a pure function of the frozen quantizer, so the union index
-    must serve exactly what q_vector_index's single-index lifecycle
-    serves — the shared SQL oracle replays that."""
-    from ydb_cdc_processor_spark.operators.vector_index import VectorIndex
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = _scratch_dir("vecfed_")
-    a = VectorIndex(spark, base + "/a", n_cells=16)
-    a.build(emb.where(F.col("vec_id") % 3 != 2))
-    b = a.clone_empty(base + "/b")
-    b.add_batch(emb.where(F.col("vec_id") % 3 == 2))
-    a.merge_from(b, batch_token="fed")
-    probes = emb.where(F.col("vec_id") % 100 == 0) \
-                .select(F.col("vec_id").alias("probe_id"), "embedding")
-    return a.query(probes, k=5, n_probe=4)
-
-
-@register("q_topk_view_bounded", r"""
-WITH nrm AS (SELECT doc_id, lang,
-                    string_split(regexp_replace(lower(trim(text)),
-                        '\s+', ' ', 'g'), ' ') AS w
-             FROM documents),
-wrd AS (SELECT lang, unnest(w) AS term FROM nrm),
-w2 AS (SELECT lang, term FROM wrd WHERE term <> ''),
-cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
-        FROM w2 GROUP BY lang, term),
-r AS (SELECT lang, term, n,
-             row_number() OVER (PARTITION BY lang
-                 ORDER BY n DESC, term ASC) AS rk
-      FROM cnt)
-SELECT lang, term, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
-""")
-def q_topk_view_bounded(spark, sf_dir):
-    """TopKView's BOUNDED mode (round-10 judge item #5,
-    topk_view.TopKView(prune_floor=)): the same per-language top-10
-    term view as q_topk_view, but on a zipfian domain the exact rollup
-    is mostly count-1 tail — after ingest, ``maintain()`` runs the
-    lossy-counting sweep (Manku & Motwani 2002 shape) that drops every
-    (lang, term) below the floor while ALWAYS keeping each language's
-    current top-k, so the post-sweep serve still equals the exact
-    one-shot top-10 the oracle replays (a single post-ingest sweep is
-    top-k-lossless by construction: survivors keep exact counts).  The
-    state collapse and the s·(floor−1) under-count bound across
-    repeated sweeps are pinned by tests/test_topk_view.py."""
-    from ydb_cdc_processor_spark.operators.topk_view import TopKView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", "lang", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    tv = TopKView(spark, _scratch_dir("topkviewb_") + "/topk",
-                  ["lang"], "term", k=10, prune_floor=4)
-    for i in range(3):
-        tv.apply_delta(words.where(F.col("doc_id") % 3 == i), None,
-                       batch_token=f"topkb:b{i}")
-    tv.maintain()   # lossy sweep: tail collapses, top-k survives exact
-    return tv.read().select("lang", "term", "n", "rk")
-
-
-@register("q_distinct_federated", """
-SELECT user_id,
-       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
-FROM events
-GROUP BY user_id
-""")
-def q_distinct_federated(spark, sf_dir):
-    """Federated COUNT(DISTINCT) (round-11: every counting store
-    federates): two DistinctCountView SHARDS, each maintained only over
-    its own half of the events table — the per-datacenter / per-shard
-    deployment where raw rows never cross shards — merged by
-    ``merge_from`` (refcounts are linear, so per-shard (group, value)
-    refcounts SUM into the one-shot refcounts of the union; the merge
-    is one touched-bucket pass over the SKETCH state, not the data).
-    One shard also takes a rewrite batch first (its own ±retraction),
-    proving the merge composes with per-shard maintenance history.  The
-    oracle replays the union as a plain COUNT(DISTINCT)."""
-    from ydb_cdc_processor_spark.operators.distinct_view import (
-        DistinctCountView)
-    cols = ["event_id", "user_id", "event_type"]
-    ev = load_table(spark, sf_dir, "events").select(*cols)
-    base = _scratch_dir("dcvfed_")
-    a = DistinctCountView(spark, base + "/a", ["user_id"], "event_type")
-    b = DistinctCountView(spark, base + "/b", ["user_id"], "event_type")
-    half_a = ev.where(F.col("event_id") % 2 == 0)
-    # shard A: ingest, then a rewrite cycle (retraction history)
-    slice_a = half_a.where(F.col("event_id") % 6 == 0)
-    a.apply_delta(half_a, None, batch_token="fed:a0")
-    a.apply_delta(slice_a.withColumn("event_type", F.lit("x-temp")),
-                  slice_a, batch_token="fed:a1")
-    a.apply_delta(slice_a,
-                  slice_a.withColumn("event_type", F.lit("x-temp")),
-                  batch_token="fed:a2")
-    b.apply_delta(ev.where(F.col("event_id") % 2 == 1), None,
-                  batch_token="fed:b0")
-    a.merge_from(b, batch_token="fed:union")
-    return a.read().select("user_id", F.col("n_distinct"))
-
-
-@register("q_range_resharded", """
-SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_type <> 'error'
-  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-13'
-GROUP BY 1
-""")
-def q_range_resharded(spark, sf_dir):
-    """GRANULE-LOCAL layout evolution (round-11 judge item #2,
-    range_view.RangePartitionedView.reshard_granule): a composed
-    day×hash store (n_sub=4) whose HOT day outgrows its fan-out
-    re-shards THAT day to 16 sub-buckets mid-lifecycle — an O(granule)
-    rewrite committed by one atomic manifest flip, never an O(view)
-    rebuild (the previous documented alternative).  Lifecycle: bulk
-    backfill (hot day excluded), half the hot day ingested at n_sub=4,
-    the re-shard, the other half ingested INTO the 16-way block, a
-    delete batch, housekeeping (dead-dir sweep + compaction), and a
-    5-day serve.  Merge locality after the re-shard (only the new
-    block's touched sub-buckets listed) is pinned by
-    tests/test_round12_ops.py::test_reshard_granule_locality_and_parity;
-    the oracle replays the final state as a plain filtered aggregate."""
-    from ydb_cdc_processor_spark.operators.range_view import (
-        RangePartitionedView)
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", F.date_trunc("day", F.col("ts")).alias("day"),
-                  "event_type", "value"))
-    rv = RangePartitionedView(spark, _scratch_dir("rangershd_") + "/rv",
-                              keys=["day", "event_id"], part_col="day",
-                              granularity="day", n_sub=4,
-                              hash_keys=["event_id"])
-    hot = "2024-01-12"
-    is_hot = F.col("day").cast("date") == F.lit(hot).cast("date")
-    rv.apply(ev.where(~is_hot), action="upsertInto")
-    rv.apply(ev.where(is_hot & (F.col("event_id") % 2 == 0)),
-             action="upsertInto")
-    rv.reshard_granule(hot, 16)   # the hot day's fan-out quadruples
-    rv.apply(ev.where(is_hot & (F.col("event_id") % 2 == 1)),
-             action="upsertInto")
-    rv.apply(ev.where(F.col("event_type") == "error")
-             .select("day", "event_id"), action="deleteFrom")
-    rv.maintain()
-    return (rv.read_range("2024-01-09", "2024-01-13")
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 dec_sum("value", "sum_value")))
-
-
-@register("q_topk_bounded_retract", r"""
-WITH nrm AS (SELECT doc_id, lang,
-                    string_split(regexp_replace(lower(trim(text)),
-                        '\s+', ' ', 'g'), ' ') AS w
-             FROM documents WHERE doc_id % 5 <> 0),
-wrd AS (SELECT lang, unnest(w) AS term FROM nrm),
-w2 AS (SELECT lang, term FROM wrd WHERE term <> ''),
-cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
-        FROM w2 GROUP BY lang, term),
-r AS (SELECT lang, term, n,
-             row_number() OVER (PARTITION BY lang
-                 ORDER BY n DESC, term ASC) AS rk
-      FROM cnt)
-SELECT lang, term, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
-""")
-def q_topk_bounded_retract(spark, sf_dir):
-    """Bounded TopKView × exact retraction (round-11 judge item #5
-    registry companion to the delete-heavy property test): three ingest
-    batches, then a DELETE batch retracting every fifth document's
-    words while the rollup is still exact (pre-sweep retraction is
-    exact by the Gupta–Mumick ± algebra), then ONE lossy sweep
-    (``maintain``) collapsing the count-1 tail.  A single sweep over an
-    exact rollup is top-k-lossless, so the serve equals the exact
-    top-10 of the remaining multiset — the oracle replays it with the
-    deleted docs filtered out.  Forfeit accounting for deletes that
-    arrive AFTER a sweep (not SQL-expressible) is pinned by
-    tests/test_round12_ops.py::test_bounded_topk_delete_heavy_drift_bound
-    and surfaced by the ``pruned_forfeits`` stats counter."""
-    from ydb_cdc_processor_spark.operators.topk_view import TopKView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", "lang", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    tv = TopKView(spark, _scratch_dir("topkret_") + "/topk",
-                  ["lang"], "term", k=10, prune_floor=4)
-    for i in range(3):
-        tv.apply_delta(words.where(F.col("doc_id") % 3 == i), None,
-                       batch_token=f"topkr:b{i}")
-    tv.apply_delta(None, words.where(F.col("doc_id") % 5 == 0),
-                   batch_token="topkr:del")   # exact pre-sweep retraction
-    tv.maintain()   # one lossy sweep: tail collapses, top-k stays exact
-    return tv.read().select("lang", "term", "n", "rk")
-
-
-@register("q_quantile_federated", """
-WITH s AS (SELECT o_orderpriority, o_totalprice AS v, COUNT(*) AS rc
-           FROM orders GROUP BY 1, 2),
-c AS (SELECT o_orderpriority, v,
-             SUM(rc) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
-             SUM(rc) OVER (PARTITION BY o_orderpriority) AS n
-      FROM s)
-SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_rows,
-       MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
-       MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
-       MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
-FROM c GROUP BY o_orderpriority
-""")
-def q_quantile_federated(spark, sf_dir):
-    """Federated EXACT quantiles (the round-11 federation family,
-    completed for the weight store): two QuantileView SHARDS each
-    maintain per-(priority, price) multiplicities over their own half
-    of the orders table; ``merge_from`` SUMS the weights (linear, so
-    the merged state equals the one-shot weights of the union — only
-    the collapsed (group, value, weight) relation crosses, never raw
-    rows).  Shard A first runs a rewrite-then-restore cycle (its own
-    ±retraction history), proving the merge composes with per-shard
-    maintenance.  The merge is epoch-fenced (round-12: a replay of a
-    torn shard batch refuses instead of double-applying —
-    tests/test_round12_ops.py).  The oracle replays exact discrete
-    quantiles over the full table, integer-rational positions."""
-    from ydb_cdc_processor_spark.operators.quantile_view import (
-        QuantileView)
-    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
-    ords = load_table(spark, sf_dir, "orders").select(*cols)
-    base = _scratch_dir("qtvfed_")
-    a = QuantileView(spark, base + "/a", ["o_orderpriority"],
-                     "o_totalprice")
-    b = QuantileView(spark, base + "/b", ["o_orderpriority"],
-                     "o_totalprice")
-    half_a = ords.where(F.col("o_orderkey") % 2 == 0)
-    slice_a = half_a.where(F.col("o_orderkey") % 6 == 0)
-    a.apply_delta(half_a, None, batch_token="qfed:a0")
-    a.apply_delta(slice_a.withColumn("o_totalprice", F.lit(1.0)),
-                  slice_a, batch_token="qfed:a1")
-    a.apply_delta(slice_a,
-                  slice_a.withColumn("o_totalprice", F.lit(1.0)),
-                  batch_token="qfed:a2")
-    b.apply_delta(ords.where(F.col("o_orderkey") % 2 == 1), None,
-                  batch_token="qfed:b0")
-    a.merge_from(b, batch_token="qfed:union")
-    return a.read()
-
-
-@register("q_distinct_two_engine_federated", """
-SELECT o_orderpriority,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
-FROM orders
-WHERE o_orderkey % 14 NOT IN (6, 13)
-GROUP BY o_orderpriority
-""")
-def q_distinct_two_engine_federated(spark, sf_dir):
-    """END-TO-END multi-engine federation (round-12 judge item #4 —
-    the composed lifecycle the separately-stamped pieces add up to):
-    TWO CdcStreamEngine instances, each consuming its OWN changefeed
-    (ChangefeedEmitter wire format, checkpointed file streams), each
-    maintaining its own row view AND its own shard of one logical
-    COUNT(DISTINCT) rollup via the agg_views old-image feed.  Shard A's
-    feed runs a rewrite-then-restore cycle plus a delete batch (the
-    ±retraction history); shard B's feed upserts then deletes.  After
-    both streams QUIESCE (availableNow drains, checkpoints committed),
-    ``merge_from`` unions shard B's refcounts into A — the out-of-band
-    epoch-fenced merge (a torn-batch replay would refuse,
-    tests/test_round13_ops.py::
-    test_two_engine_federation_epoch_refusal) — and A serves.  The
-    oracle replays the union's final state as plain COUNT(DISTINCT):
-    stream → fence → merge → serve, one loop the reference's
-    one-consumer-per-view design never had to close
-    (README.md:62-72, one topic consumer per view)."""
-    from pyspark.sql import types as T
-
-    from ydb_cdc_processor_spark.operators.distinct_view import (
-        DistinctCountView)
-    from ydb_cdc_processor_spark.plans.pipeline import CdcPipeline
-    from ydb_cdc_processor_spark.sources.changefeed_out import (
-        ChangefeedEmitter)
-    from ydb_cdc_processor_spark.streaming.engine import CdcStreamEngine
-    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
-    ords = load_table(spark, sf_dir, "orders").select(*cols)
-    base = _scratch_dir("twofed_")
-    key = F.col("o_orderkey")
-
-    # shard A's changefeed: rewrite → restore → delete (even keys)
-    em_a = ChangefeedEmitter(spark, base + "/feed_a", keys=["o_orderkey"],
-                             n_partitions=2)
-    half_a = ords.where(key % 2 == 0)
-    em_a.apply_delta(half_a.withColumn(
-        "o_orderpriority",
-        F.when(key % 6 == 0, F.lit("X-TMP"))
-        .otherwise(F.col("o_orderpriority"))), None, batch_token="a1")
-    em_a.apply_delta(half_a.where(key % 6 == 0), None, batch_token="a2")
-    em_a.apply_delta(None, half_a.where(key % 14 == 6)
-                     .localCheckpoint(eager=True), batch_token="a3")
-    # shard B's changefeed: upsert → delete (odd keys)
-    em_b = ChangefeedEmitter(spark, base + "/feed_b", keys=["o_orderkey"],
-                             n_partitions=2)
-    half_b = ords.where(key % 2 == 1)
-    em_b.apply_delta(half_b, None, batch_token="b1")
-    em_b.apply_delta(None, half_b.where(key % 14 == 13)
-                     .localCheckpoint(eager=True), batch_token="b2")
-
-    schema = T.StructType([
-        T.StructField("o_orderkey", T.LongType()),
-        T.StructField("o_custkey", T.LongType()),
-        T.StructField("o_orderpriority", T.StringType())])
-    members = {"o_orderkey": "Int64", "o_custkey": "Int64",
-               "o_orderpriority": "Text"}
-    shards = {}
-    for s in ("a", "b"):
-        p = CdcPipeline(
-            name=f"twofed_{s}", source_schema=schema, pk=["o_orderkey"],
-            members=members,
-            update_sql="SELECT o_orderkey, o_custkey, o_orderpriority"
-                       " FROM rows",
-            delete_sql="SELECT o_orderkey FROM rows").validate(spark)
-        dcv = DistinctCountView(spark, f"{base}/dcv_{s}",
-                                ["o_orderpriority"], "o_custkey",
-                                n_buckets=8)
-        eng = CdcStreamEngine(spark, p, f"{base}/view_{s}",
-                              f"{base}/ckpt_{s}", agg_views=[dcv])
-        # one engine per shard changefeed (the reference's
-        # one-consumer-per-view topology, Application.java:99-100);
-        # availableNow drains and commits the checkpoint — the quiesce
-        # point the federation contract requires
-        eng.run_available(f"{base}/feed_{s}", max_files_per_trigger=2)
-        shards[s] = dcv
-    shards["a"].merge_from(shards["b"], batch_token="twofed:union")
-    return shards["a"].read().select("o_orderpriority", "n_distinct")
-
-
-@register("q_text_index_federated", None)
-def q_text_index_federated(spark, sf_dir):
-    """Federated BM25 (text_index.TextIndex.merge_from — the round-13
-    epoch-fenced index merge under the oracle gate): two shards each
-    index a DISJOINT slice of the corpus; shard A additionally runs a
-    rewrite-then-restore cycle (its own posting retraction + corpus-
-    scalar ±history) before ``merge_from`` unions B's postings into A's
-    term buckets and SUMS the corpus scalars under the stats epoch
-    fence (a torn ingest batch's replay after this merge refuses —
-    tests/test_round13_ops.py::test_text_index_merge_after_torn_batch_
-    refuses).  The merged index must serve exactly what the one-shot
-    full-corpus index serves, so it shares q_text_index's batch-SQL
-    BM25 oracle (rational idf, sorted fold, sum/count avgdl)."""
-    from ydb_cdc_processor_spark.operators.text_index import TextIndex
-    docs = load_docs(spark, sf_dir).select("doc_id", "text")
-    base = _scratch_dir("tixfed_")
-    a = TextIndex(spark, base + "/a", n_buckets=8)
-    b = TextIndex(spark, base + "/b", n_buckets=8)
-    half_a = docs.where(F.col("doc_id") % 3 != 2)
-    slice_a = half_a.where(F.col("doc_id") % 6 == 0) \
-        .localCheckpoint(eager=True)
-    a.apply_delta(half_a, None, batch_token="tixfed:a0")
-    a.apply_delta(slice_a.withColumn(
-        "text", F.lit("interim placeholder body")), slice_a,
-        batch_token="tixfed:a1")
-    a.apply_delta(slice_a, slice_a.withColumn(
-        "text", F.lit("interim placeholder body")),
-        batch_token="tixfed:a2")
-    b.apply_delta(docs.where(F.col("doc_id") % 3 == 2), None,
-                  batch_token="tixfed:b0")
-    a.merge_from(b, batch_token="tixfed:union")
-    q = spark.createDataFrame(_TIX_QUERY_TERMS, "qid string, term string")
-    return a.topk(q, k=5)
-
-
-ORACLES["q_text_index_federated"] = ORACLES["q_text_index"]
-
-
-@register("q_range_numeric_width", """
-SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_id,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_type <> 'error'
-  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
-  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
-GROUP BY 1
-""")
-def q_range_numeric_width(spark, sf_dir):
-    """NUMERIC-width range layout (range_view.RangePartitionedView,
-    width 1 over an hour-start epoch-seconds part_col — one granule
-    per hour, the hourly fact layout).  The granule IDS are epoch
-    seconds (~1.7e9), far past 2^28: exactly the id domain the
-    round-13 fix made safe (the old dead-id floor inference classified
-    every partition here DEAD — reads silently dropped them and
-    maintain() deleted them; pinned by tests/test_round13_ops.py).
-    Granule ids are value-huge but count-bounded (~one directory per
-    hour of data), so the layout is also the sane deployment shape.
-    Lifecycle over the retained week (older history dropped by
-    retention, the hourly-store steady state): bulk backfill, two
-    event-parity micro-batches for the probed day, a delete batch,
-    maintain() (the dead-dir sweep + small-file compaction that would
-    have destroyed this store before the fix), then a 3-day read_range
-    serve grouped per hour granule.  The oracle replays the final
-    state as a plain filtered hourly aggregate."""
-    from ydb_cdc_processor_spark.operators.range_view import (
-        RangePartitionedView)
-    import datetime as _dt
-    week_lo = int(_dt.datetime(2024, 1, 8,
-                               tzinfo=_dt.timezone.utc).timestamp())
-    lo = week_lo + 2 * 86_400            # probed day: 2024-01-10
-    hi = lo + 86_400
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_id",
-                  F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-                  .alias("hour_sec"),
-                  "event_type", "value")
-          .where((F.col("hour_sec") >= week_lo)
-                 & (F.col("hour_sec") < week_lo + 7 * 86_400)))
-    rv = RangePartitionedView(spark, _scratch_dir("rangenw_") + "/rv",
-                              keys=["hour_sec", "event_id"],
-                              part_col="hour_sec", granularity=1)
-    day = (F.col("hour_sec") >= lo) & (F.col("hour_sec") < hi)
-    rv.apply(ev.where(~day), action="upsertInto")
-    for par in (0, 1):   # per-arrival micro-batches into the hot day
-        rv.apply(ev.where(day & (F.col("event_id") % 2 == par)),
-                 action="upsertInto")
-    rv.apply(ev.where(F.col("event_type") == "error")
-             .select("hour_sec", "event_id"), action="deleteFrom")
-    rv.maintain()        # sweep + compaction over granule ids >= 2^28
-    return (rv.read_range(week_lo, hi - 1)
-            .groupBy((F.col("hour_sec") / 3600).cast("bigint")
-                     .alias("hour_id"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 dec_sum("value", "sum_value")))
-
-
-@register("q_topk_federated", None)
-def q_topk_federated(spark, sf_dir):
-    """Federated exact top-k (TopKView.merge_from — the last counting
-    store without a federation lifecycle under the oracle gate): two
-    shards each maintain per-language term counts over their own half
-    of the corpus; shard A additionally runs a delete-then-restore
-    cycle (its own ±retraction history) before ``merge_from`` SUMS the
-    rollups through the epoch-fenced out-of-band merge.  Counts are
-    linear, so the merged state equals the one-shot rollup of the
-    union — shares q_topk_view's count-DESC/term-ASC oracle."""
-    from ydb_cdc_processor_spark.operators.topk_view import TopKView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", "lang", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    base = _scratch_dir("topkfed_")
-    a = TopKView(spark, base + "/a", ["lang"], "term", k=10)
-    b = TopKView(spark, base + "/b", ["lang"], "term", k=10)
-    half_a = words.where(F.col("doc_id") % 2 == 0)
-    slice_a = half_a.where(F.col("doc_id") % 6 == 0)
-    a.apply_delta(half_a, None, batch_token="tkfed:a0")
-    a.apply_delta(None, slice_a, batch_token="tkfed:a1")    # delete
-    a.apply_delta(slice_a, None, batch_token="tkfed:a2")    # restore
-    b.apply_delta(words.where(F.col("doc_id") % 2 == 1), None,
-                  batch_token="tkfed:b0")
-    a.merge_from(b, batch_token="tkfed:union")
-    return a.read().select("lang", "term", "n", "rk")
-
-
-ORACLES["q_topk_federated"] = ORACLES["q_topk_view"]
-
-
-@register("q_cms_federated", None)
-def q_cms_federated(spark, sf_dir):
-    """Federated count-min sketch (CmsView.merge_from): per-shard
-    depth×width counter tables are LINEAR, so cell-wise sums equal the
-    one-shot sketch of the union (Cormode–Muthukrishnan mergeability)
-    — only the FIXED-size counter state crosses, never the token
-    stream.  Shard A runs a delete-then-restore cycle first (linear
-    counters retract, the property HllView lacks); the merged sketch's
-    top-20 must land exactly on the shared q_heavy_hitters oracle."""
-    from ydb_cdc_processor_spark.operators.cms_view import CmsView
-    docs = load_docs(spark, sf_dir)
-    words = (docs.select("doc_id", F.explode_outer(
-                 text.normalize_words(F.col("text"))).alias("term"))
-             .where(F.col("term").isNotNull() & (F.col("term") != "")))
-    base = _scratch_dir("cmsfed_")
-    a = CmsView(spark, base + "/a", "term", depth=4, width_hex=2)
-    b = CmsView(spark, base + "/b", "term", depth=4, width_hex=2)
-    half_a = words.where(F.col("doc_id") % 2 == 0)
-    slice_a = half_a.where(F.col("doc_id") % 10 == 0)
-    a.apply_delta(half_a, batch_token="cmsfed:a0")
-    a.apply_delta(None, slice_a, batch_token="cmsfed:a1")   # delete
-    a.apply_delta(slice_a, None, batch_token="cmsfed:a2")   # restore
-    b.apply_delta(words.where(F.col("doc_id") % 2 == 1),
-                  batch_token="cmsfed:b0")
-    a.merge_from(b, batch_token="cmsfed:union")
-    vocab = words.select("term").distinct()
-    return a.top_terms(vocab, k=20)
-
-
-ORACLES["q_cms_federated"] = ORACLES["q_heavy_hitters"]
-
-
-@register("q_hll_federated", None)
-def q_hll_federated(spark, sf_dir):
-    """Federated per-group HLL (HllView.merge_from): register MAX-merge
-    is an idempotent, commutative semilattice join, so two shards'
-    register tables union into exactly the one-shot sketch of the full
-    corpus — NO token fence needed (re-merging is harmless), the
-    contrast with the linear counting stores.  Only the fixed
-    m-registers-per-group state crosses.  Shares q_hll_lang's
-    estimate-formula oracle via the same serving read as q_hll_view."""
-    from ydb_cdc_processor_spark.operators.hll_view import HllView
-    docs = load_docs(spark, sf_dir)
-    grams = (docs.select("lang", "doc_id", F.explode_outer(
-                 dedup.shingles(F.col("text"), 3)).alias("gram"))
-             .where((F.col("gram").isNotNull()) & (F.col("gram") != "")))
-    base = _scratch_dir("hllfed_")
-    a = HllView(spark, base + "/a", ["lang"], "gram", p=8)
-    b = HllView(spark, base + "/b", ["lang"], "gram", p=8)
-    a.apply_delta(grams.where(F.col("doc_id") % 2 == 0))
-    b.apply_delta(grams.where(F.col("doc_id") % 2 == 1))
-    # overlap is fine for a semilattice: re-offer one slice to BOTH
-    # shards — max-merge must still equal the one-shot sketch
-    both = grams.where(F.col("doc_id") % 10 == 0)
-    a.apply_delta(both)
-    b.apply_delta(both)
-    a.merge_from(b)
-    exact = grams.groupBy("lang").agg(
-        F.count_distinct("gram").alias("n_exact"))
-    return a.read().join(exact, "lang")
-
-
-ORACLES["q_hll_federated"] = ORACLES["q_hll_lang"]
-
-
-@register("q_sample_federated", """
-WITH r AS (
-  SELECT lang, doc_id,
-         row_number() OVER (PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-  FROM documents)
-SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 15
-""")
-def q_sample_federated(spark, sf_dir):
-    """Federated maintained reservoir (SampleView.merge_from):
-    "top-n per group by a deterministic md5 priority" is a bounded-join
-    semilattice — merging two shards' n-row-per-group states and
-    re-truncating equals the one-shot reservoir of the union, with NO
-    fence (idempotent; overlapping ownership is even tolerated, pinned
-    here by re-offering one slice to both shards).  Completes the
-    federation family: every maintained store now has an oracle-gated
-    merge lifecycle under its named algebra."""
-    from ydb_cdc_processor_spark.operators.sample_view import SampleView
-    docs = load_docs(spark, sf_dir)
-    base = _scratch_dir("samplefed_")
-    a = SampleView(spark, base + "/a", ["lang"], "doc_id", n=15)
-    b = SampleView(spark, base + "/b", ["lang"], "doc_id", n=15)
-    a.apply_delta(docs.where(F.col("doc_id") % 2 == 0)
-                  .select("lang", "doc_id"))
-    b.apply_delta(docs.where(F.col("doc_id") % 2 == 1)
-                  .select("lang", "doc_id"))
-    both = docs.where(F.col("doc_id") % 10 == 0).select("lang", "doc_id")
-    a.apply_delta(both)
-    b.apply_delta(both)
-    a.merge_from(b)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(),
-        F.col("doc_id").asc())
-    return (a.read()
-            .withColumn("rk", F.row_number().over(w).cast("int"))
-            .select("lang", "doc_id", "rk"))
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
 # the order; that let the code under evaluation curate the grader's sample.
