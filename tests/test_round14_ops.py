@@ -212,6 +212,39 @@ def test_text_federated_merge_still_green_with_hwm(spark, tmp_path):
                                            (2, "alpha gamma")]))
 
 
+def test_aged_out_torn_replay_converges_when_stamps_prove_no_rotation(
+        spark, tmp_path):
+    """Round-13 advisor refinement: the conservative aged-out refusal
+    used to fire whenever the store had ANY maintenance history, even
+    when the only rotation predates the torn batch.  The torn batch's
+    own bucket stamps carry its start epoch; when every stamp equals
+    the CURRENT epoch, no rotation interleaved and the replay converges
+    on the pending remainder instead of refusing permanently."""
+    a = DistinctCountView(spark, str(tmp_path / "a"), ["g"], "v",
+                          n_buckets=8)
+    b = DistinctCountView(spark, str(tmp_path / "b"), ["g"], "v",
+                          n_buckets=8)
+    a.apply_delta(_rows(spark, [("x", "1")]), None, batch_token="tA")
+    b.apply_delta(_rows(spark, [("x", "2")]), None, batch_token="tB")
+    a.merge_from(b, batch_token="mA")        # history: epoch now > 0
+    orig = a.view._write_manifest
+    a.view._write_manifest = (
+        lambda last_token=None: orig() if last_token is None else None)
+    try:
+        torn = [(g, v) for g in ("x", "z0", "z1", "z2", "z3", "z4")
+                for v in ("1", "9")]
+        a.apply_delta(_rows(spark, torn), None, batch_token="tC")
+    finally:
+        a.view._write_manifest = orig
+    _age_out(a.view, "tC")
+    # replay AFTER the rotation that PREDATES the torn batch: stamps
+    # prove no rotation interleaved → converge (used to refuse)
+    a.apply_delta(_rows(spark, torn), None, batch_token="tC")
+    got = {r.g: r.n_distinct for r in a.read().collect()}
+    want = {"x": 3, **{f"z{i}": 2 for i in range(5)}}
+    assert got == want
+
+
 # -- property test: the fence state machine (round-13 judge item #4) ----------
 
 try:

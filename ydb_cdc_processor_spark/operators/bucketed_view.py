@@ -905,21 +905,29 @@ class BucketedMaterializedView:
                 # holds NO record of it (not applied, and its token_epochs
                 # entry aged out of the bounded history): an ancient torn
                 # batch replaying past 16 later tokenized merges.  Its
-                # first-seen epoch is unknowable, so on a store with any
-                # out-of-band maintenance history the epoch-gap test
-                # cannot run — refuse instead of re-recording under the
-                # CURRENT epoch and double-applying over merged-in state
-                # (round-12 advisor: the enforcement claim must not be
-                # stronger than the mechanism)
-                raise MaintenanceFenceError(
-                    f"bucketed view {self.path}: batch token "
-                    f"{batch_token!r} has promoted buckets on disk but no "
-                    f"manifest record (token history aged out after "
-                    f"{TOKEN_HISTORY}+ later tokenized merges) and the "
-                    "store has out-of-band maintenance history — whether "
-                    "a fence rotation postdates this batch is unknowable; "
-                    "re-applying could double-count.  Converge via "
-                    "recompute.")
+                # first-seen epoch is not in the manifest — but the
+                # PHYSICAL stamps are: every bucket it promoted carries
+                # (token, epoch-at-batch-start).  If every such stamp
+                # equals the CURRENT epoch, no fence rotation interleaved
+                # (epochs only move forward) and the replay may converge
+                # on the pending remainder exactly like a normal torn
+                # replay (round-13 advisor: prove no rotation instead of
+                # refusing permanently).  Any stamp below the current
+                # epoch — or missing — leaves the interleaving
+                # undecidable: refuse, never re-record under the current
+                # epoch and double-apply over merged-in state.
+                stamps = [self.bucket_token_epoch(b)[1]
+                          for b in touched if b not in set(pending)]
+                if not (stamps and all(e == epoch for e in stamps)):
+                    raise MaintenanceFenceError(
+                        f"bucketed view {self.path}: batch token "
+                        f"{batch_token!r} has promoted buckets on disk but "
+                        f"no manifest record (token history aged out after "
+                        f"{TOKEN_HISTORY}+ later tokenized merges), and "
+                        "their epoch stamps predate the current "
+                        "maintenance epoch — a fence rotation may postdate "
+                        "this batch; re-applying could double-count.  "
+                        "Converge via recompute.")
             if batch_token is not None and not first_seen_recorded:
                 self._record_token_epoch(batch_token, epoch)
             if batch_token is not None:
