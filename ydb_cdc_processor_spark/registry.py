@@ -86,6 +86,7 @@ import ydb_cdc_processor_spark.registry_queries.m05_curation  # noqa: E402,F401
 import ydb_cdc_processor_spark.registry_queries.m06_scd_checksum  # noqa: E402,F401
 import ydb_cdc_processor_spark.registry_queries.m07_tpch_stores  # noqa: E402,F401
 import ydb_cdc_processor_spark.registry_queries.m08_federation  # noqa: E402,F401
+import ydb_cdc_processor_spark.registry_queries.m09_round14  # noqa: E402,F401
 
 # iteration order each round (CORRECTNESS_r*.json).  Registration order is
 # therefore a correctness-VISIBILITY decision.  Earlier rounds hand-picked
