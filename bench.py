@@ -134,6 +134,7 @@ _LIFECYCLE = {
     "q_range_partitioned", "q_range_bucketed", "q_range_resharded",
     "q_range_numeric_width",
     "q_storage_seam", "q_text_index_hwm", "q_vector_index_hwm",
+    "q_generation_commit",
 }
 
 

@@ -66,6 +66,7 @@ from typing import Iterator
 
 __all__ = [
     "StorageBackend", "PosixStorage", "ArrowFsStorage",
+    "ObjectStoreSimStorage",
     "get_backend", "set_backend", "backend_scope",
     "read_text", "write_text", "replace_text", "exists", "is_dir",
     "is_file", "listdir", "makedirs", "rename", "remove_tree",
@@ -356,6 +357,33 @@ class ArrowFsStorage(StorageBackend):
 
     def copy_file(self, src: str, dst: str) -> None:
         self.fs.copy_file(src, dst)
+
+
+class ObjectStoreSimStorage(PosixStorage):
+    """POSIX storage with the two object-store degradations ENFORCED —
+    the test double for the S3/GCS semantics the module docstring maps:
+
+    - NO atomic directory rename: ``rename`` of a directory raises
+      (S3 has no rename; copy+delete per key is not atomic and the
+      stores must never depend on it).  File renames stay allowed —
+      a single-key PUT is atomic on real object stores, which is what
+      ``replace_text``'s commit reduces to.
+    - ``link_or_copy`` never links (no inodes): always a byte copy.
+
+    A store that passes its lifecycle under this backend demonstrably
+    uses the manifest-pointer commit protocol rather than directory
+    promotion — see ``operators/generation_store.GenerationStore``."""
+
+    def rename(self, src: str, dst: str) -> None:
+        if os.path.isdir(src):
+            raise OSError(
+                f"ObjectStoreSimStorage: no atomic directory rename "
+                f"({src} -> {dst}) — object stores copy+delete per key; "
+                "commit visibility through a manifest pointer instead")
+        super().rename(src, dst)
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
 
 
 # -- the process-wide active backend -----------------------------------------
