@@ -67,9 +67,14 @@ def test_token_sequence_shapes():
     assert token_sequence("stream-7") == ("stream-#", 7)
     assert token_sequence("tixs:5:tix") == ("tixs:#:tix", 5)
     assert token_sequence("pipe:12") == ("pipe:#", 12)
-    assert token_sequence("b0:u") == ("b#:u", 0)
+    # ad-hoc tokens that merely END in digits carry no ordering
+    # promise (tests/callers apply b2, b0, b1 in any order) — the
+    # explicit :/- separator is the sequenced-feed opt-in
+    assert token_sequence("b0") is None
+    assert token_sequence("b0:u") is None
     assert token_sequence("fed") is None
     assert token_sequence("T") is None
+    assert token_sequence("7") is None
 
 
 def test_bump_seq_hwm_monotonic_and_bounded():

@@ -85,15 +85,25 @@ TOKEN_FILE = "_token"             # underscore-prefixed → ignored by Spark
 #: retain the documented 16-commit contractual window.
 TOKEN_HISTORY = 16
 
-_SEQ_TAIL = re.compile(r"^(?P<p>.*?)(?P<n>\d+)(?P<s>\D*)$")
+_SEQ_TAIL = re.compile(r"^(?P<p>.+[:-])(?P<n>\d+)(?P<s>\D*)$")
 
 
 def token_sequence(token: str) -> tuple[str, int] | None:
-    """``(feed, sequence)`` for tokens carrying a trailing numeric run
-    (the streaming shapes: ``stream-7`` → ``('stream-#', 7)``,
-    ``tixs:5:tix`` → ``('tixs:#:tix', 5)``); None for unsequenced
-    tokens.  The feed id is the token with the sequence digits replaced
-    by ``#``, so independent feeds never share a high-water mark."""
+    """``(feed, sequence)`` for SEQUENCED tokens — a numeric run
+    delimited by an explicit ``:`` or ``-`` separator, the shape every
+    serialized feed in the system emits (``stream-7`` →
+    ``('stream-#', 7)``, ``{pipe}:{batch_id}`` → ``('pipe:#', 12)``,
+    ``tixs:5:tix`` → ``('tixs:#:tix', 5)``); None otherwise.
+
+    The separator is the OPT-IN: the high-water fence assumes tokens of
+    one feed commit in nondecreasing sequence order (true for every
+    Structured-Streaming batch-id feed, where batch N+1 starts only
+    after batch N's foreachBatch returned).  Ad-hoc caller tokens that
+    merely END in digits (``b0``, ``t2``) carry no such ordering
+    promise and must stay under the plain TOKEN_HISTORY contract —
+    callers legitimately apply them in any order.  The feed id is the
+    token with the sequence digits replaced by ``#``, so independent
+    feeds never share a mark."""
     m = _SEQ_TAIL.match(token)
     if not m:
         return None
