@@ -142,6 +142,26 @@ def seq_hwm_violation(doc: dict, token: str) -> int | None:
     return int(mark) if mark is not None and int(mark) >= n else None
 
 
+def rebalance_by_bucket(df: DataFrame) -> DataFrame:
+    """Partition a store write by ``_bucket`` with AQE-sized tasks.
+
+    ``repartition(BUCKET_COL)`` pins the exchange to
+    ``spark.sql.shuffle.partitions`` and AQE never coalesces a
+    user-specified repartition — so EVERY store write, however small
+    the batch, scheduled a full grid of mostly-empty write tasks
+    (measured: 32 tasks for a 3-bucket micro-batch at local[32]), and
+    at scale a single hot bucket would pin one task at the full bucket
+    size.  The REBALANCE hint is the AQE-native form of the same
+    intent: hash-distribute by bucket, then coalesce small partitions
+    to ``advisoryPartitionSizeInBytes`` and SPLIT skewed ones.  Output
+    files per bucket: one for any bucket under the advisory size
+    (unchanged today), several advisory-sized ones for a hot bucket —
+    which is exactly the file sizing §6 of the optimization guide
+    prescribes, and ``compact`` still bounds the file count between
+    batches."""
+    return df.hint("rebalance", BUCKET_COL)
+
+
 def with_empty_output_sentinel(spark: SparkSession,
                                df: DataFrame) -> DataFrame:
     """Append ONE all-NULL row routed to the reserved bucket id ``-1``
@@ -590,8 +610,7 @@ class BucketedMaterializedView:
         return [b for b in touched if self.bucket_token(b) != batch_token]
 
     def _write_full(self, df: DataFrame) -> None:
-        (self._with_bucket(df)
-         .repartition(BUCKET_COL)
+        (rebalance_by_bucket(self._with_bucket(df))
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
         # AFTER the write: Spark's overwrite truncates the directory,
         # manifest included
@@ -628,7 +647,7 @@ class BucketedMaterializedView:
         merge is NOT idempotent (the aggregate view's ±deltas; see
         :meth:`bucket_token` / :meth:`pending_buckets`)."""
         tmp = storage.tmp_sibling(self.path, "batch")
-        (merged.repartition(BUCKET_COL)
+        (rebalance_by_bucket(merged)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
         if pre_promote is not None:
             # checks riding the write's own materialization (single-pass
@@ -1003,8 +1022,7 @@ class BucketedMaterializedView:
             return
         df = self.read()
         tmp = storage.tmp_sibling(self.path, "rebucket")
-        (self._with_bucket(df, n_buckets)
-         .repartition(BUCKET_COL)
+        (rebalance_by_bucket(self._with_bucket(df, n_buckets))
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp))
         # bucket_keys is LAYOUT state exactly like n_buckets: dropping it
         # here would void the manifest-wins protection after a rebucket

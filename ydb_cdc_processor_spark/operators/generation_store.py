@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark import storage
-from ydb_cdc_processor_spark.operators.bucketed_view import TOKEN_HISTORY
+from ydb_cdc_processor_spark.operators.bucketed_view import (
+    TOKEN_HISTORY, rebalance_by_bucket)
 from ydb_cdc_processor_spark.operators.merge import (
     MERGE_FNS, merge_delete, widen_to_union)
 
@@ -176,7 +177,7 @@ class GenerationStore:
                                            None)
             gen = f"g-{uuid.uuid4().hex[:8]}"
             staging = os.path.join(self.path, "_staging", gen)
-            (merged.repartition(BUCKET_COL)
+            (rebalance_by_bucket(merged)
              .write.mode("overwrite").partitionBy(BUCKET_COL)
              .parquet(staging))
             # non-atomic multi-key "upload" into the final generation

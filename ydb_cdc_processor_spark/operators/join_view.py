@@ -217,17 +217,19 @@ class JoinView:
         VectorIndex.query documents for probed cells)."""
         if new_rows is None and old_rows is None:
             return
-        # 1. mirror maintenance (keyed, idempotent)
+        # 1. mirror maintenance (keyed, idempotent).  Both sides fused
+        # into ONE read→merge→write pass (sides are key-disjoint:
+        # deleted = old ∖ new by construction) — the previous
+        # apply(upsert) + apply(deleteFrom) pair paid the flat mirror's
+        # O(|dim|) rewrite TWICE per dim batch, and the delete pass ran
+        # even when the anti-join was empty (every update-only batch).
         deleted = None
         if old_rows is not None:
             deleted = old_rows.select(self.dim_pk)
             if new_rows is not None:
                 deleted = deleted.join(new_rows.select(self.dim_pk),
                                        on=self.dim_pk, how="left_anti")
-        if new_rows is not None:
-            self.dim_mirror.apply(new_rows, action="upsertInto")
-        if deleted is not None:
-            self.dim_mirror.apply(deleted, action="deleteFrom")
+        self.dim_mirror.apply_batch(new_rows, deleted)
 
         if not self.view.exists():
             return

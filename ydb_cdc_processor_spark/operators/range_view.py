@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
-    BUCKET_COL, TOKEN_FILE, BucketedMaterializedView)
+    BUCKET_COL, TOKEN_FILE, BucketedMaterializedView, rebalance_by_bucket)
 
 logger = logging.getLogger(__name__)
 
@@ -430,9 +430,9 @@ class RangePartitionedView(BucketedMaterializedView):
             sub = F.pmod(
                 F.xxhash64(*[F.col(k) for k in self.hash_keys]),
                 F.lit(n_sub_new)).cast("int")
-            out = (rows.withColumn(BUCKET_COL,
-                                   (F.lit(alloc) + sub).cast("int"))
-                   .repartition(BUCKET_COL))
+            out = rebalance_by_bucket(
+                rows.withColumn(BUCKET_COL,
+                                (F.lit(alloc) + sub).cast("int")))
             tmp = storage.tmp_sibling(self.path, "reshard")
             (out.write.mode("overwrite")
              .partitionBy(BUCKET_COL).parquet(tmp))

@@ -19,7 +19,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "ydb-cdc-processor-spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf``: additional builder configs (tooling only — e.g.
+    the profiler's event log); ignored when a session already exists
+    (getOrCreate semantics)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
@@ -54,4 +58,6 @@ def get_spark(app_name: str = "ydb-cdc-processor-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
