@@ -39,7 +39,8 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     from ydb_cdc_processor_spark.session import get_spark
-    spark = get_spark("bench-subset")
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    spark = get_spark("bench-subset", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
 
     from ydb_cdc_processor_spark.registry import QUERIES

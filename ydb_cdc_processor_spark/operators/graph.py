@@ -63,12 +63,6 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("_d").alias("node")))
              .distinct())
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    # the degree is LOOP-INVARIANT: join it onto the edge list ONCE and
-    # materialize, instead of re-joining deg inside every unrolled
-    # iteration — removes one join (plus deg's exchange/broadcast
-    # rebuild) per round at any scale; ranks/_deg arithmetic unchanged,
-    # so the per-edge contributions are bit-identical
-    ed = e.join(deg, on="_s").localCheckpoint(eager=True)
     n = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = (nodes.crossJoin(F.broadcast(n))
              .select("node", "_n",
@@ -78,7 +72,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if exact:
             c = c.cast("decimal(38,18)")
         contrib = (ranks
-                   .join(ed, ranks.node == ed._s)
+                   .join(e, ranks.node == e._s)
+                   .join(deg, on="_s")
                    .select(F.col("_d").alias("node"), c.alias("_c")))
         summed = contrib.groupBy("node").agg(
             F.sum("_c").cast("double").alias("_in"))
