@@ -56,6 +56,13 @@ def main() -> None:
     # warm-up
     QUERIES["q_project_retype"](spark, SF_DIR).limit(10).count()
 
+    # the cdc_* engine entries are not registry queries — skip them here
+    # (profile them via tools/bench_subset.py --cdc + the event log)
+    skipped = [n for n in names if n not in QUERIES]
+    if skipped:
+        print(f"skipping non-registry entries: {skipped}", file=sys.stderr)
+    names = [n for n in names if n in QUERIES]
+
     results = {}
     for name in names:
         sc = spark.sparkContext
