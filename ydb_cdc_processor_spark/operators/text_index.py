@@ -199,27 +199,12 @@ class TextIndex:
 
     def _apply_stats_delta(self, new_docs: DataFrame | None,
                            old_docs: DataFrame | None,
-                           batch_token: str | None,
-                           new_post: DataFrame | None = None,
-                           old_post: DataFrame | None = None) -> None:
+                           batch_token: str | None) -> None:
         """+stats of upserted docs, −stats of their old images: one
         signed agg over the batch → a 1-row collect → atomic JSON swap.
         Crash ordering vs the postings merge: stats apply AFTER, so a
         crash between leaves postings idempotently re-appliable and the
-        un-bumped token lets the replay land the stats exactly once.
-
-        ``new_post``/``old_post``: the side's MATERIALIZED postings
-        (``(term, doc, tf, ...)``, localCheckpoint-ed by
-        :meth:`apply_delta`).  When present, the side's (Δsum_dl,
-        Δsum_nz) come from a trivial agg over those rows instead of a
-        SECOND tokenization of the documents — ``Σ tf == Σ per-doc dl``
-        and every doc with a posting has ``dl > 0``, while token-less
-        docs (absent from postings) contribute 0 to both, exactly as
-        :meth:`_doc_stats` scores them.  Δn_docs still needs the raw
-        row count (token-less docs DO count in n_docs); a count-only
-        scan is strictly cheaper than the tokenize+agg it replaces.
-        Without a precomputed side the :meth:`_doc_stats` path is kept
-        (recompute/merge paths, callers without postings in hand)."""
+        un-bumped token lets the replay land the stats exactly once."""
         st = self._read_stats()
         if batch_token is not None and (
                 st["batch_token"] == batch_token
@@ -227,43 +212,24 @@ class TextIndex:
             logger.info("text index %s: stats token %r already applied;"
                         " skipping replay", self.path, batch_token)
             return
-
-        def side(docs, post, sgn):
-            if post is not None:
-                return [
-                    docs.agg((F.lit(sgn) * F.count(F.lit(1)))
-                             .cast("long").alias("dn"),
-                             F.lit(0).cast("long").alias("ddl"),
-                             F.lit(0).cast("long").alias("dnz")),
-                    post.agg(F.lit(0).cast("long").alias("dn"),
-                             (F.lit(sgn) * F.coalesce(F.sum("tf"),
-                                                      F.lit(0)))
-                             .cast("long").alias("ddl"),
-                             (F.lit(sgn) * F.count_distinct(F.col("doc")))
-                             .cast("long").alias("dnz")),
-                ]
-            per_doc = self._doc_stats(docs)
-            return [per_doc.agg(
-                (F.lit(sgn) * F.count(F.lit(1))).cast("long").alias("dn"),
-                (F.lit(sgn) * F.coalesce(F.sum("dl"), F.lit(0)))
-                .cast("long").alias("ddl"),
-                (F.lit(sgn) * F.coalesce(F.sum("nz"), F.lit(0)))
-                .cast("long").alias("dnz"))]
-
         parts = []
         if new_docs is not None:
-            parts.extend(side(new_docs, new_post, 1))
+            parts.append(self._doc_stats(new_docs)
+                         .select(F.lit(1).alias("_sgn"), "dl", "nz"))
         if old_docs is not None:
-            parts.extend(side(old_docs, old_post, -1))
+            parts.append(self._doc_stats(old_docs)
+                         .select(F.lit(-1).alias("_sgn"), "dl", "nz"))
         if not parts:
             return
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
         row = u.agg(
-            F.coalesce(F.sum("dn"), F.lit(0)).alias("dn"),
-            F.coalesce(F.sum("ddl"), F.lit(0)).alias("ddl"),
-            F.coalesce(F.sum("dnz"), F.lit(0)).alias("dnz")).collect()[0]
+            F.coalesce(F.sum("_sgn"), F.lit(0)).alias("dn"),
+            F.coalesce(F.sum(F.col("_sgn") * F.col("dl")), F.lit(0))
+             .alias("ddl"),
+            F.coalesce(F.sum(F.col("_sgn") * F.col("nz")), F.lit(0))
+             .alias("dnz")).collect()[0]
         self._commit_stats(st["n_docs"] + int(row["dn"]),
                            st["sum_dl"] + int(row["ddl"]),
                            st["sum_nz"] + int(row["dnz"]),
@@ -369,23 +335,14 @@ class TextIndex:
         existed = self.view.exists()
         ups = None
         if new_rows is not None:
-            # ONE tokenization pass per batch: the materialized postings
-            # feed the store merge, the stale anti-join AND the stats
-            # ±delta (previously the stats agg re-ran the whole
-            # explode+agg forest over the same documents)
-            ups = (self._postings(new_rows)
-                   .select("term", "doc", "tf", "dl")
-                   .localCheckpoint(eager=True))
+            ups = self._postings(new_rows).select("term", "doc", "tf", "dl")
         stale = None
-        old_post = None
         if old_rows is not None and existed:
-            # materialized PRE-anti-join (the stats −delta needs the old
-            # images' full postings, the store delete only the stale
-            # remainder); tf rides along for the Σtf == Σdl stats agg
-            old_post = (self._postings(old_rows)
-                        .select("term", "doc", "tf")
-                        .localCheckpoint(eager=True))
-            old_pairs = old_post.select("term", "doc")
+            if ups is not None:
+                # the batch tokenization feeds the stale anti-join AND
+                # the store merge — evaluate the explode+agg forest once
+                ups = ups.localCheckpoint(eager=True)
+            old_pairs = self._postings(old_rows).select("term", "doc")
             if ups is not None:
                 old_pairs = old_pairs.join(ups.select("term", "doc"),
                                            on=["term", "doc"],
@@ -397,7 +354,7 @@ class TextIndex:
         self._apply_stats_delta(
             new_rows,
             None if old_rows is None or not existed else old_rows,
-            token, new_post=ups, old_post=old_post)
+            token)
 
     def start_stream(self, doc_stream: DataFrame, checkpoint_dir: str,
                      available_now: bool = True):
