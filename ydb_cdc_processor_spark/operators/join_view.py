@@ -242,10 +242,13 @@ class JoinView:
         changed_df = (parts[0] if len(parts) == 1
                       else parts[0].unionByName(parts[1])) \
             .distinct().localCheckpoint(eager=True)
-        if changed_df.isEmpty():
-            return
+        # the bucket collect doubles as the emptiness probe (no
+        # changed keys ⟺ no buckets) — one fewer driver action per
+        # dim batch than a separate isEmpty()
         buckets = sorted({r[0] for r in changed_df.select(
             self.view.bucket_expr().alias("_b")).distinct().collect()})
+        if not buckets:
+            return
         # a changed key whose bucket directory does not exist has NO
         # stored fact rows — skip it (and bail if none remain; asking
         # read_touched for only-absent buckets on a schema-less store

@@ -212,19 +212,41 @@ class TextIndex:
             logger.info("text index %s: stats token %r already applied;"
                         " skipping replay", self.path, batch_token)
             return
+        # sign the document frames and UNION BEFORE the explode: one
+        # explode + one (doc, _sgn) agg over the concatenated batch
+        # replaces two independent explode+agg subtrees feeding a
+        # union-of-aggregates — one fewer exchange + final-agg pair per
+        # batch (union is no-shuffle; a rewritten doc appears under
+        # both signs and the (doc, _sgn) grouping keeps the sides'
+        # per-doc dl exact and independent; all-integer arithmetic, so
+        # fold order cannot change the result)
         parts = []
         if new_docs is not None:
-            parts.append(self._doc_stats(new_docs)
-                         .select(F.lit(1).alias("_sgn"), "dl", "nz"))
+            parts.append(new_docs.select(
+                F.col(self.id_col).cast("long").alias("doc"),
+                F.col(self.text_col).alias("text"),
+                F.lit(1).alias("_sgn")))
         if old_docs is not None:
-            parts.append(self._doc_stats(old_docs)
-                         .select(F.lit(-1).alias("_sgn"), "dl", "nz"))
+            parts.append(old_docs.select(
+                F.col(self.id_col).cast("long").alias("doc"),
+                F.col(self.text_col).alias("text"),
+                F.lit(-1).alias("_sgn")))
         if not parts:
             return
-        u = parts[0]
+        docs = parts[0]
         for p in parts[1:]:
-            u = u.unionByName(p)
-        row = u.agg(
+            docs = docs.unionByName(p)
+        words = docs.select("doc", "_sgn",
+                            F.explode_outer(normalize_words(F.col("text")))
+                            .alias("term"))
+        per_doc = (words.groupBy("doc", "_sgn")
+                   .agg(F.sum(F.when(F.col("term").isNotNull()
+                                     & (F.col("term") != ""), 1)
+                              .otherwise(0)).alias("dl"))
+                   .select("_sgn", "dl",
+                           F.when(F.col("dl") > 0, 1).otherwise(0)
+                           .alias("nz")))
+        row = per_doc.agg(
             F.coalesce(F.sum("_sgn"), F.lit(0)).alias("dn"),
             F.coalesce(F.sum(F.col("_sgn") * F.col("dl")), F.lit(0))
              .alias("ddl"),
