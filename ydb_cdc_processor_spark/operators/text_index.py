@@ -356,27 +356,38 @@ class TextIndex:
         # leave n_docs short of the postings' doc set)
         existed = self.view.exists()
         ups = None
+        cached_ups = None
         if new_rows is not None:
             ups = self._postings(new_rows).select("term", "doc", "tf", "dl")
         stale = None
-        if old_rows is not None and existed:
-            if ups is not None:
-                # the batch tokenization feeds the stale anti-join AND
-                # the store merge — evaluate the explode+agg forest once
-                ups = ups.localCheckpoint(eager=True)
-            old_pairs = self._postings(old_rows).select("term", "doc")
-            if ups is not None:
-                old_pairs = old_pairs.join(ups.select("term", "doc"),
-                                           on=["term", "doc"],
-                                           how="left_anti")
-            probe = old_pairs.localCheckpoint(eager=True)
-            if not probe.isEmpty():
-                stale = probe
-        self.view.apply_batch(ups, stale)
-        self._apply_stats_delta(
-            new_rows,
-            None if old_rows is None or not existed else old_rows,
-            token)
+        try:
+            if old_rows is not None and existed:
+                if ups is not None:
+                    # the batch tokenization feeds the stale anti-join AND
+                    # the store merge — cache it so the explode+agg forest
+                    # evaluates once.  A lazy persist (vs the former eager
+                    # localCheckpoint) saves one whole Spark job per batch:
+                    # the stale probe's materialization below fills the
+                    # cache as a side effect, and ups's lineage never reads
+                    # the store directories the merge later promotes over,
+                    # so eagerness bought nothing.
+                    cached_ups = ups = ups.persist()
+                old_pairs = self._postings(old_rows).select("term", "doc")
+                if ups is not None:
+                    old_pairs = old_pairs.join(ups.select("term", "doc"),
+                                               on=["term", "doc"],
+                                               how="left_anti")
+                probe = old_pairs.localCheckpoint(eager=True)
+                if not probe.isEmpty():
+                    stale = probe
+            self.view.apply_batch(ups, stale)
+            self._apply_stats_delta(
+                new_rows,
+                None if old_rows is None or not existed else old_rows,
+                token)
+        finally:
+            if cached_ups is not None:
+                cached_ups.unpersist()
 
     def start_stream(self, doc_stream: DataFrame, checkpoint_dir: str,
                      available_now: bool = True):
@@ -513,11 +524,17 @@ class TextIndex:
         empty.  df is exact from the touched read (a term's postings
         live entirely in its bucket), so the cut is deterministic —
         pinned by test_stopword_guard_drops_hot_terms."""
-        qterms = (queries.select(F.col(qid_col).alias("qid"),
-                                 F.col(qterm_col).alias("term"))
-                  .distinct().localCheckpoint(eager=True))
-        terms = [r["term"] for r in qterms.select("term")
-                 .distinct().collect()]
+        # ONE driver action serves the whole probe phase: the distinct
+        # (qid, term) pairs collect WITH their store bucket ids (the
+        # VectorIndex.query pattern), and the query frame is rebuilt as
+        # a LOCAL relation — its later broadcast into the scoring join
+        # is built driver-side with no extra job.  (Formerly: a
+        # localCheckpoint + a terms collect + a bucket-probe collect —
+        # three driver actions per serve for query-sized data.)
+        qt = queries.select(F.col(qid_col).alias("qid"),
+                            F.col(qterm_col).alias("term")).distinct()
+        qrows = qt.withColumn("_b", self.view.bucket_expr()).collect()
+        terms = sorted({r["term"] for r in qrows})
         n_docs, sum_dl, sum_nz = self._corpus_stats()
         out_schema = T.StructType([
             T.StructField("qid", T.StringType()),
@@ -526,10 +543,9 @@ class TextIndex:
             T.StructField("score", T.DoubleType())])
         if not terms or not self.view.exists() or sum_nz == 0:
             return self.spark.createDataFrame([], out_schema)
-        probe = self.spark.createDataFrame(
-            [(t,) for t in terms], "term string")
-        touched = sorted({r[0] for r in probe.select(
-            self.view.bucket_expr().alias("_b")).distinct().collect()})
+        qterms = self.spark.createDataFrame(
+            [(r["qid"], r["term"]) for r in qrows], qt.schema)
+        touched = sorted({r["_b"] for r in qrows})
         post = (self.view.read_touched(touched)
                 .where(F.col("term").isin(terms))
                 .select("term", "doc", "tf", "dl")
