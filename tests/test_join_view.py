@@ -148,13 +148,16 @@ def test_dim_refresh_reads_only_touched_buckets(spark, tmp_path):
         _fact(spark, [(i, i % 20, i) for i in range(200)]), None)
 
     asked = []
-    orig = jv.view.read_touched
+    # the fused refresh reads its pending buckets through the store's
+    # merge_touched pass (_read_touched) — spy there, the touched-set
+    # contract is what this test pins, not the entry point
+    orig = jv.view._read_touched
 
     def spy(buckets, *a, **kw):
         asked.append(sorted(buckets))
         return orig(buckets, *a, **kw)
 
-    jv.view.read_touched = spy
+    jv.view._read_touched = spy
     old = dim.where("cust_id = 7").localCheckpoint(eager=True)
     jv.apply_dim_delta(_dim(spark, [(7, "seven", "gold")]), old)
     assert len(asked) == 1 and len(asked[0]) == 1  # one key → one bucket

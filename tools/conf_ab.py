@@ -45,6 +45,12 @@ def main() -> None:
         runs = int(args[1])
         args = args[2:]
     names = args
+    # discarded warm-up arm: the FIRST process of a session pays cold
+    # page-cache / JIT costs that neither arm should absorb (measured:
+    # arm-1 totals run 10-25% above arms 2-4 with identical code)
+    warm = run_arm(None, 1, names)
+    print(f"# warm-up arm (discarded): total {sum(warm.values()):.1f}s",
+          flush=True)
     arms = []          # (label, result)
     for label, extra in (("conf", conf), ("base", None),
                          ("conf", conf), ("base", None)):

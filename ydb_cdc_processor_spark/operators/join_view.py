@@ -43,12 +43,10 @@ AggregateView and ChecksumView.
 from __future__ import annotations
 
 import logging
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ydb_cdc_processor_spark import storage
 from ydb_cdc_processor_spark.operators.bucketed_view import (
     BUCKET_COL, BucketedMaterializedView)
 from ydb_cdc_processor_spark.operators.ivm_feed import (
@@ -233,46 +231,41 @@ class JoinView:
 
         if not self.view.exists():
             return
-        # 2. touched-bucket refresh of the join view.  The changed-key
-        # SET stays distributed (a big dim batch never round-trips its
-        # values through the driver); only the BUCKET ids collect, and
-        # those are bounded by n_buckets.
+        # 2. touched-bucket refresh of the join view, FUSED into one
+        # read→rewrite pass via merge_touched: rows whose fk is in the
+        # changed set are re-enriched against the (just-updated) dim
+        # mirror in place, the rest of each touched bucket passes
+        # through untouched.  The former shape — semi-join probe read
+        # of the touched buckets, eager checkpoint of the refreshed
+        # rows, then a SECOND read of the same buckets inside
+        # apply(upsertInto)'s merge — paid the touched-bucket IO twice
+        # per dim batch plus a checkpoint materialization and an extra
+        # bucket collect (guide §2.4: two operations keyed the same way
+        # share one pass).  The changed-key SET stays distributed (a
+        # big dim batch never round-trips its values through the
+        # driver); only the BUCKET ids collect inside merge_touched,
+        # bounded by n_buckets.  Broadcast semi/anti joins, NOT
+        # isin(*changed): thousands of inlined literals would cost
+        # quadratic analysis time, the joins stay O(1) plan size.
         parts = [df.select(null_safe_key(self.dim_pk, FKB))
                  for df in (new_rows, old_rows) if df is not None]
         changed_df = (parts[0] if len(parts) == 1
                       else parts[0].unionByName(parts[1])) \
-            .distinct().localCheckpoint(eager=True)
-        # the bucket collect doubles as the emptiness probe (no
-        # changed keys ⟺ no buckets) — one fewer driver action per
-        # dim batch than a separate isEmpty()
-        buckets = sorted({r[0] for r in changed_df.select(
-            self.view.bucket_expr().alias("_b")).distinct().collect()})
-        if not buckets:
-            return
-        # a changed key whose bucket directory does not exist has NO
-        # stored fact rows — skip it (and bail if none remain; asking
-        # read_touched for only-absent buckets on a schema-less store
-        # cannot type its empty frame).  recover() first, so a crash-
-        # displaced bucket is restored before we probe for it.
-        self.view.recover()
-        present = [b for b in buckets
-                   if storage.is_dir(os.path.join(
-                       self.view.path, f"{BUCKET_COL}={b}"))]
-        if not present:
-            return
-        # broadcast semi-join, NOT isin(*changed): a big dim batch would
-        # inline thousands of literals into the plan (quadratic
-        # analysis cost), while the semi-join stays O(1) plan size
-        affected = (self.view.read_touched(present)
-                    .drop(BUCKET_COL)
-                    .join(F.broadcast(changed_df), on=FKB,
-                          how="left_semi"))
-        # eager checkpoint: the refresh plan READS the view's buckets,
-        # and apply() will promote over those same directories — a lazy
-        # plan would list the swapped layout at evaluation time
-        refreshed = self._enrich(affected.drop(*self.dim_cols)) \
-            .localCheckpoint(eager=True)
-        self.view.apply(refreshed, action="upsertInto")
+            .distinct().persist()
+        try:
+            dim_cols = self.dim_cols
+
+            def refresh(target, delta):
+                cols = target.columns   # stored schema + _bucket
+                keys = F.broadcast(delta.select(FKB).distinct())
+                hit = target.join(keys, on=FKB, how="left_semi")
+                miss = target.join(keys, on=FKB, how="left_anti")
+                redone = self._enrich(hit.drop(*dim_cols)).select(*cols)
+                return miss.unionByName(redone)
+
+            self.view.merge_touched(changed_df, refresh)
+        finally:
+            changed_df.unpersist()
 
     # -- store maintenance ---------------------------------------------------
 
