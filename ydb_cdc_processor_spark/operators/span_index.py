@@ -95,22 +95,33 @@ class SpanDupIndex:
         the flag join reads only the batch digests' buckets.  Output is
         eagerly materialized — the next apply_batch's bucket promotion
         replaces the files the lazy plan would reference."""
-        g = gram_stream(docs, id_col, text_col, self.k)
-        new_contrib = g.select(id_col, "_h").distinct()
-        old_contrib = (self._doc_grams(old_docs, id_col, text_col)
-                       if old_docs is not None else None)
-        self.counts.apply_delta(new_contrib, old_contrib,
-                                batch_token=batch_token)
+        # cache the gram stream for the batch: it feeds THREE
+        # evaluations (the count contribution inside apply_delta, the
+        # touched-bucket collect, and the flag join) and the
+        # tokenize+window+md5 forest is the expensive part of each —
+        # without the cache it recomputed per consumer (guide §1.2:
+        # don't pay the same pass twice).  Batch-bounded rows; lineage
+        # reads only ``docs``, never the store dirs the count merge
+        # promotes over, so a lazy persist is safe.
+        g = gram_stream(docs, id_col, text_col, self.k).persist()
+        try:
+            new_contrib = g.select(id_col, "_h").distinct()
+            old_contrib = (self._doc_grams(old_docs, id_col, text_col)
+                           if old_docs is not None else None)
+            self.counts.apply_delta(new_contrib, old_contrib,
+                                    batch_token=batch_token)
 
-        store = self.counts.store(_STORE_SCHEMA)
-        touched = sorted({r[0] for r in g.select(
-            store.bucket_expr().alias("_b")).distinct().collect()})
-        dup = (store.read_touched(touched, _STORE_SCHEMA)
-               .where(F.col("n_docs") >= self.min_docs)
-               .select("_h"))
-        hits = g.join(dup, on="_h").select(id_col, "pos")
-        return merge_islands(hits, id_col, self.k) \
-            .localCheckpoint(eager=True)
+            store = self.counts.store(_STORE_SCHEMA)
+            touched = sorted({r[0] for r in g.select(
+                store.bucket_expr().alias("_b")).distinct().collect()})
+            dup = (store.read_touched(touched, _STORE_SCHEMA)
+                   .where(F.col("n_docs") >= self.min_docs)
+                   .select("_h"))
+            hits = g.join(dup, on="_h").select(id_col, "pos")
+            return merge_islands(hits, id_col, self.k) \
+                .localCheckpoint(eager=True)
+        finally:
+            g.unpersist()
 
     def feed(self, id_col: str = "doc_id", text_col: str = "text") -> Feed:
         """Adapter for a CDC engine's ``agg_views`` list: maintains the
@@ -132,15 +143,23 @@ class SpanDupIndex:
                   text_col: str = "text") -> DataFrame:
         """Duplicated spans of ``docs`` against the CURRENT store,
         without updating it (pure read; touched-bucket pruned)."""
-        g = gram_stream(docs, id_col, text_col, self.k)
-        store = self.counts.store(_STORE_SCHEMA)
-        touched = sorted({r[0] for r in g.select(
-            store.bucket_expr().alias("_b")).distinct().collect()})
-        dup = (store.read_touched(touched, _STORE_SCHEMA)
-               .where(F.col("n_docs") >= self.min_docs)
-               .select("_h"))
-        hits = g.join(dup, on="_h").select(id_col, "pos")
-        return merge_islands(hits, id_col, self.k)
+        # same gram-forest cache as apply_batch (two consumers here:
+        # the touched collect and the flag join); the result is
+        # eagerly materialized so the cache can be dropped before
+        # returning
+        g = gram_stream(docs, id_col, text_col, self.k).persist()
+        try:
+            store = self.counts.store(_STORE_SCHEMA)
+            touched = sorted({r[0] for r in g.select(
+                store.bucket_expr().alias("_b")).distinct().collect()})
+            dup = (store.read_touched(touched, _STORE_SCHEMA)
+                   .where(F.col("n_docs") >= self.min_docs)
+                   .select("_h"))
+            hits = g.join(dup, on="_h").select(id_col, "pos")
+            return merge_islands(hits, id_col, self.k) \
+                .localCheckpoint(eager=True)
+        finally:
+            g.unpersist()
 
     def gram_counts(self) -> DataFrame:
         """The full (digest, n_docs) relation — the audit surface."""
