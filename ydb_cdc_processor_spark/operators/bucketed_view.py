@@ -708,21 +708,26 @@ class BucketedMaterializedView:
 
     def apply(self, delta: DataFrame, action: str = "upsertInto",
               order_col: str | None = None,
-              small_delta: bool | None = None) -> None:
+              small_delta: bool | None = None) -> list[int]:
+        """Merge ``delta`` into the view.  Returns the TOUCHED bucket
+        ids — the same list the merge collected anyway — so a caller
+        whose next step reads the batch's buckets (index lookups over
+        just-ingested rows) reuses it instead of paying a second
+        driver-side distinct-collect over the delta."""
         existed = self.exists()
         if not existed and action == "deleteFrom":
             if self.schema is None:
                 raise FileNotFoundError(self.path)
             # deleting from nothing → materialize the empty view
             self._write_full(self.spark.createDataFrame([], self.schema))
-            return
+            return []
 
         delta = self._with_bucket(delta).persist()
         try:
             touched = [r[0] for r in
                        delta.select(BUCKET_COL).distinct().collect()]
             if not touched:
-                return
+                return touched
             if existed:
                 # direct-path read of only the touched buckets
                 target = self._read_touched(touched, delta.drop(BUCKET_COL)
@@ -756,19 +761,21 @@ class BucketedMaterializedView:
             self._overwrite_touched(merged, touched, pre_promote=pre)
             if not existed:
                 self._write_manifest()
+            return touched
         finally:
             delta.unpersist()
 
     def apply_batch(self, ups: DataFrame | None, dels: DataFrame | None,
                     action: str = "upsertInto",
                     order_col: str | None = None,
-                    small_delta: bool | None = None) -> None:
+                    small_delta: bool | None = None) -> list[int]:
         """One batch's upsert + delete sides in a SINGLE touched-bucket
         read → merge → dynamic-overwrite pass (sides are key-disjoint by
         the engine's last-wins routing — see merge.compose_merge).
-        Halves per-batch bucket IO vs two apply() calls."""
+        Halves per-batch bucket IO vs two apply() calls.  Returns the
+        touched bucket ids (see :meth:`apply`)."""
         if ups is None and dels is None:
-            return
+            return []
         if ups is None:
             return self.apply(dels, action="deleteFrom",
                               small_delta=small_delta)
@@ -787,7 +794,7 @@ class BucketedMaterializedView:
                        ups.select(BUCKET_COL).unionByName(
                            dels.select(BUCKET_COL)).distinct().collect()]
             if not touched:
-                return
+                return touched
             if existed:
                 target = self._read_touched(
                     touched, ups.drop(BUCKET_COL).schema)
@@ -811,6 +818,7 @@ class BucketedMaterializedView:
             self._overwrite_touched(merged, touched, pre_promote=pre)
             if not existed:
                 self._write_manifest()
+            return touched
         finally:
             ups.unpersist()
             dels.unpersist()

@@ -120,12 +120,15 @@ class NearDupIndex:
         buckets — which now include the batch itself, so within-batch
         pairs surface in the same pass and the plan never references
         pre-merge parquet files that the promotion just replaced."""
-        band = self.band_rows(docs, id_col, text_col) \
-            .localCheckpoint(eager=True)  # bounded: |batch| × bands rows
-        self.view.apply(band, action="upsertInto")
+        # batch-scoped cache (lazy; lineage reads only ``docs``): the
+        # band rows feed the store upsert AND the candidate join.  The
+        # upsert's own materialization fills the cache, and its returned
+        # touched-bucket list is reused — the former eager checkpoint +
+        # second distinct-collect cost two extra driver actions per
+        # batch for identical results.
+        band = self.band_rows(docs, id_col, text_col).persist()
+        touched = self.view.apply(band, action="upsertInto")
 
-        touched = [r[0] for r in
-                   band.select(self.view.bucket_expr()).distinct().collect()]
         stored = self.view.read_touched(touched, band.schema) \
             .select(F.col("doc").alias("_idoc"), "band", "bucket",
                     *[F.col(c).alias(f"_i{c}") for c in self.sig_cols])
@@ -160,6 +163,7 @@ class NearDupIndex:
         out = pairs.localCheckpoint(eager=True)
         if persisted is not None:
             persisted.unpersist()
+        band.unpersist()
         return out
 
     def _store_join(self, band: DataFrame, stored: DataFrame) -> DataFrame:
