@@ -143,23 +143,30 @@ def seq_hwm_violation(doc: dict, token: str) -> int | None:
 
 
 def rebalance_by_bucket(df: DataFrame) -> DataFrame:
-    """Partition a store write by ``_bucket`` with AQE-sized tasks.
+    """Partition a store write by ``_bucket``.
 
-    ``repartition(BUCKET_COL)`` pins the exchange to
-    ``spark.sql.shuffle.partitions`` and AQE never coalesces a
-    user-specified repartition — so EVERY store write, however small
-    the batch, scheduled a full grid of mostly-empty write tasks
-    (measured: 32 tasks for a 3-bucket micro-batch at local[32]), and
-    at scale a single hot bucket would pin one task at the full bucket
-    size.  The REBALANCE hint is the AQE-native form of the same
-    intent: hash-distribute by bucket, then coalesce small partitions
-    to ``advisoryPartitionSizeInBytes`` and SPLIT skewed ones.  Output
-    files per bucket: one for any bucket under the advisory size
-    (unchanged today), several advisory-sized ones for a hot bucket —
-    which is exactly the file sizing §6 of the optimization guide
-    prescribes, and ``compact`` still bounds the file count between
-    batches."""
-    return df.hint("rebalance", BUCKET_COL)
+    Two forms, switched by ``SPARK_GRAFT_WRITE_REBALANCE`` (default
+    off):
+
+    - ``repartition(BUCKET_COL)`` (default): plain hash exchange.  AQE
+      still coalesces it under ``InsertIntoHadoopFsRelation``, and the
+      round-15 A/B (runs=3 medians, sf0.1, uncontended) measured it
+      FASTER than the hint on the per-micro-batch write paths —
+      q_neardup_index_stream 12.4 s vs 19.4 s — and neutral everywhere
+      else (q_span_index 11.1 vs 10.8, q_range_partitioned 5.3 vs 5.2,
+      q_range_resharded 7.6 vs 8.5), matching the driver's round-14
+      finding that the hint regressed the stream/reshard paths.
+    - ``hint("rebalance", BUCKET_COL)`` (opt-in): AQE additionally
+      SPLITS a skewed bucket into advisory-sized write tasks.  At
+      100 TB a single hot bucket (stopword term, viral LSH bucket)
+      pins one task at full bucket size under plain repartition; the
+      hint is the §2.5/§6 remedy.  Deployments with hot buckets set
+      the env var; ``compact()`` bounds the resulting per-bucket file
+      count either way."""
+    if os.environ.get("SPARK_GRAFT_WRITE_REBALANCE", "").lower() in (
+            "1", "true", "yes"):
+        return df.hint("rebalance", BUCKET_COL)
+    return df.repartition(BUCKET_COL)
 
 
 def with_empty_output_sentinel(spark: SparkSession,

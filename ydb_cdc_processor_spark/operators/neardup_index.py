@@ -120,13 +120,8 @@ class NearDupIndex:
         buckets — which now include the batch itself, so within-batch
         pairs surface in the same pass and the plan never references
         pre-merge parquet files that the promotion just replaced."""
-        # batch-scoped cache (lazy; lineage reads only ``docs``): the
-        # band rows feed the store upsert AND the candidate join.  The
-        # upsert's own materialization fills the cache, and its returned
-        # touched-bucket list is reused — the former eager checkpoint +
-        # second distinct-collect cost two extra driver actions per
-        # batch for identical results.
-        band = self.band_rows(docs, id_col, text_col).persist()
+        band = self.band_rows(docs, id_col, text_col) \
+            .localCheckpoint(eager=True)  # bounded: |batch| × bands rows
         touched = self.view.apply(band, action="upsertInto")
 
         stored = self.view.read_touched(touched, band.schema) \
@@ -163,7 +158,6 @@ class NearDupIndex:
         out = pairs.localCheckpoint(eager=True)
         if persisted is not None:
             persisted.unpersist()
-        band.unpersist()
         return out
 
     def _store_join(self, band: DataFrame, stored: DataFrame) -> DataFrame:
