@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     names = sys.argv[1:]
+    show_all = "--all" in names          # include unlabeled jobs (e.g.
+    names = [n for n in names if n != "--all"]  # streaming-thread jobs)
     evdir = tempfile.mkdtemp(prefix="spark_events_")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
@@ -89,7 +91,7 @@ def main() -> None:
     rows.sort(key=lambda r: r[1])
     prev_end = None
     for jid, sub, dur, desc, ntasks, site in rows:
-        if not desc.startswith("TRACE:"):
+        if not show_all and not desc.startswith("TRACE:"):
             continue
         gap = "" if prev_end is None else f" gap={max(0, sub - prev_end)}ms"
         prev_end = sub + dur

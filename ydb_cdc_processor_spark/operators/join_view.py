@@ -184,14 +184,14 @@ class JoinView:
         # and a deleteFrom against a store that does not exist yet would
         # refuse (schema-less empty-view materialization)
         if old_rows is not None and self.view.exists():
-            # cheap emptiness probe first: the common steady-state batch
-            # (pure upserts, no fk moves) has NOTHING stale, and a
-            # delete pass would still pay a persist + bucket-collect
-            # job over the join plan before discovering that
-            probe = stale_keys(old_rows, new_rows, self.fact_pk,
-                               self.fk_col, FKB)                 .localCheckpoint(eager=True)
-            if not probe.isEmpty():
-                stale = probe
+            # LAZY stale frame straight into the fused pass: an empty
+            # delete side composes to a no-op with the identical touched
+            # set, so the former eager checkpoint + isEmpty probe
+            # (2 Spark jobs per batch) bought nothing — apply_batch
+            # persists the frame before consuming it, and its lineage
+            # reads only the batch images, never this store's files
+            stale = stale_keys(old_rows, new_rows, self.fact_pk,
+                               self.fk_col, FKB)
         ups = None
         if new_rows is not None:
             ups = self._enrich(new_rows).withColumn(FKB, self._fkb())

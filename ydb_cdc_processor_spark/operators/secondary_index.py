@@ -115,10 +115,12 @@ class SecondaryIndex:
         # (fact view predating the index) — nothing stored means nothing
         # stale, and a deleteFrom on the absent store would refuse
         if old_rows is not None and self.view.exists():
-            probe = stale_keys(old_rows, new_rows, self.pk,
-                               self.col, IXV).localCheckpoint(eager=True)
-            if not probe.isEmpty():
-                stale = probe
+            # lazy stale frame into the fused pass (no checkpoint +
+            # isEmpty probe jobs): an empty delete side composes to a
+            # no-op with the identical touched set — see
+            # text_index.apply_delta
+            stale = stale_keys(old_rows, new_rows, self.pk,
+                               self.col, IXV)
         ups = None
         if new_rows is not None:
             ups = new_rows.select(self._ixv(), self.col, *self.pk)

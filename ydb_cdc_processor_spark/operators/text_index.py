@@ -377,9 +377,15 @@ class TextIndex:
                     old_pairs = old_pairs.join(ups.select("term", "doc"),
                                                on=["term", "doc"],
                                                how="left_anti")
-                probe = old_pairs.localCheckpoint(eager=True)
-                if not probe.isEmpty():
-                    stale = probe
+                # hand the LAZY stale frame to the fused pass: an empty
+                # delete side composes to a no-op with the identical
+                # touched set, so the former eager checkpoint + isEmpty
+                # probe (2 Spark jobs per batch) bought nothing — the
+                # frame's lineage reads only the batch images (and the
+                # cached ups), never the store dirs the merge promotes
+                # over, and apply_batch persists it before consuming it
+                # twice
+                stale = old_pairs
             self.view.apply_batch(ups, stale)
             self._apply_stats_delta(
                 new_rows,
